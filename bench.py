@@ -1,0 +1,63 @@
+"""Benchmark runner: times the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Each query is executed with a count-style action (collect on the already
+aggregated result, or count for large row sets) so the timing covers the
+full scan→shuffle→agg pipeline, not driver materialization of wide results.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from big_data_project_spark import registry
+from big_data_project_spark.session import get_spark
+
+# Headline set: one per major operator family. Kept in sync with SURVEY §2.
+HEADLINE = [
+    "flagship_pricing_summary",
+    "j3_star_join_revenue",
+    "a4_grouped_metrics",
+    "w1_topk_per_group",
+    "t1_tumbling_window",
+    "x6_exact_dedup",
+    "x8_similarity_topk",
+    "x9_word_count",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark(app_name="bdp-spark-bench")
+    qs = registry.all_queries()
+    names = [n for n in HEADLINE if n in qs]
+    # warm the JVM + parquet footers with one untimed flagship run
+    if names:
+        qs[names[0]](spark, sf_dir).limit(1).collect()
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = qs[name](spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,106 @@
+"""Local differential harness mimicking the driver's DuckDB compare.
+
+For each registered query with an oracle: run the Spark DataFrame and the
+DuckDB SQL on the same sf dir, then compare
+
+  1. row count,
+  2. column-name set,
+  3. order-insensitive values (columns sorted by name, rows sorted by all
+     columns, exact match for non-floats, tiny-epsilon match for floats —
+     queries are expected to round floats themselves, so float columns
+     should in fact match exactly).
+
+Used by tests/test_oracle_parity.py so parity breaks locally before the
+driver sees them.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import duckdb
+import pandas as pd
+
+from big_data_project_spark.io import TABLES
+
+
+@dataclass
+class CompareResult:
+    name: str
+    ok: bool
+    detail: str = ""
+    spark_rows: int = -1
+    oracle_rows: int = -1
+    mismatches: list = field(default_factory=list)
+
+
+def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None)
+        # arrays/lists → tuple so they sort/compare
+        if df[c].dtype == object:
+            df[c] = df[c].map(
+                lambda v: tuple(v) if isinstance(v, (list, tuple)) or hasattr(v, "tolist") and not isinstance(v, (str, bytes)) else v
+            )
+    try:
+        df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    except TypeError:
+        df = df.iloc[
+            df.astype(str).apply(tuple, axis=1).argsort(kind="mergesort")
+        ].reset_index(drop=True)
+    return df
+
+
+def _values_equal(a, b) -> bool:
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            af, bf = float(a), float(b)
+        except (TypeError, ValueError):
+            return False
+        if math.isnan(af) and math.isnan(bf):
+            return True
+        return af == bf or abs(af - bf) <= 1e-9 * max(1.0, abs(af), abs(bf))
+    if isinstance(a, tuple) and isinstance(b, tuple):
+        return len(a) == len(b) and all(_values_equal(x, y) for x, y in zip(a, b))
+    return a == b
+
+
+def compare(name: str, spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> CompareResult:
+    sp = spark_df.toPandas()
+    du = con.execute(sql).df()
+    if set(sp.columns) != set(du.columns):
+        return CompareResult(
+            name, False,
+            f"column mismatch: spark={sorted(sp.columns)} oracle={sorted(du.columns)}",
+            len(sp), len(du),
+        )
+    if len(sp) != len(du):
+        return CompareResult(name, False, f"row count {len(sp)} != {len(du)}", len(sp), len(du))
+    sp, du = _canon(sp), _canon(du)
+    mism = []
+    for c in sp.columns:
+        sv, dv = sp[c].tolist(), du[c].tolist()
+        for i, (a, b) in enumerate(zip(sv, dv)):
+            if not _values_equal(a, b):
+                mism.append((c, i, a, b))
+                if len(mism) >= 5:
+                    break
+        if len(mism) >= 5:
+            break
+    if mism:
+        return CompareResult(name, False, f"value mismatches: {mism}", len(sp), len(du), mism)
+    return CompareResult(name, True, "", len(sp), len(du))
