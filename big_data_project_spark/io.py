@@ -11,6 +11,7 @@ scales from one file to a 100 TB directory.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region", "nation", "customer", "supplier", "part",
@@ -19,10 +20,44 @@ TABLES = (
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
+# cache of path -> list of timestamp[ns] column names (footer metadata)
+_NANOS_COLS: dict[str, list[str]] = {}
+
+
+def _nanos_timestamp_cols(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS) — Spark 4 refuses them
+    unless ``spark.sql.legacy.parquet.nanosAsLong`` is set, in which case
+    they surface as LongType nanoseconds. Footer-only read, driver-side."""
+    if path not in _NANOS_COLS:
+        try:
+            import pyarrow.parquet as pq
+
+            schema = pq.read_schema(path)
+            _NANOS_COLS[path] = [
+                f.name for f in schema if str(f.type) == "timestamp[ns]"
+            ]
+        except Exception:
+            _NANOS_COLS[path] = []
+    return _NANOS_COLS[path]
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """S2: parquet scan of a named fixture table."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """S2: parquet scan of a named fixture table.
+
+    Nanosecond-precision timestamp columns (events.ts) are read as long
+    nanos and truncated to microsecond timestamps — the same truncation
+    DuckDB applies, so oracle comparisons stay exact. Integer ``div`` (not
+    float division) preserves full precision at ~1.7e18 ns.
+    """
+    path = f"{sf_dir}/{name}.parquet"
+    ns_cols = _nanos_timestamp_cols(path)
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        if dict(df.dtypes).get(c) == "bigint":
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

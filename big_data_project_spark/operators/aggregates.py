@@ -1,0 +1,323 @@
+"""Aggregations (SURVEY.md §2.4, A1-A14).
+
+Reference grounding: the reference's metric loop computes global means of
+loss (``trainer/flax_model.py:190, 210``), accuracy as the mean of a boolean
+match (``:195``), MSE (``:210``), per-epoch grouped means (``:256-259``),
+counts/shapes (``:121-123, 231``), normalization bounds min/max
+(``flax_inference.ipynb`` cell 17), and standardization μ/σ (``:243``).
+Each generalizes to a declarative Spark aggregate; Spark's partial→final
+hash aggregation (map-side combine before the exchange, A12) is exactly the
+two-level per-batch → per-epoch mean the reference hand-codes
+(``flax_model.py:241-256``) — at 100 TB the partial agg is what keeps the
+shuffle small (bytes ∝ #groups, not #rows).
+
+DuckDB parity notes: DuckDB ``sum(INTEGER)`` returns HUGEINT → cast to
+BIGINT in oracles; float aggregates rounded to 4dp on both sides (§4.3.1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_project_spark.io import load_table
+from big_data_project_spark.registry import query
+
+# --- A1: global scalar mean (loss .mean(), flax_model.py:190) --------------
+
+
+@query(
+    "a1_global_mean",
+    oracle="""
+    SELECT round(avg(l_extendedprice), 4) AS avg_price,
+           round(sum(l_extendedprice), 4) AS sum_price
+    FROM lineitem
+    """,
+)
+def a1_global_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+    )
+
+
+# --- A2: accuracy = mean of boolean (jnp.mean(argmax==argmax),
+#     flax_model.py:195) ----------------------------------------------------
+
+
+@query(
+    "a2_boolean_accuracy",
+    oracle="""
+    SELECT round(avg(CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END), 4) AS return_rate,
+           round(avg(CASE WHEN l_discount > 0.05 THEN 1.0 ELSE 0.0 END), 4)  AS high_disc_rate
+    FROM lineitem
+    """,
+)
+def a2_boolean_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.avg(F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0)), 4).alias("return_rate"),
+        F.round(F.avg(F.when(F.col("l_discount") > 0.05, 1.0).otherwise(0.0)), 4).alias("high_disc_rate"),
+    )
+
+
+# --- A3: MSE / squared error (squared_error(...).mean(), flax_model.py:210) -
+
+
+@query(
+    "a3_mse",
+    oracle="""
+    SELECT round(CAST(sum(CAST(pow(l_quantity - 25.0, 2) AS BIGINT)) AS DOUBLE) / count(*) + 1e-9, 4) AS mse_qty,
+           round(sqrt(CAST(sum(CAST(pow(l_quantity - 25.0, 2) AS BIGINT)) AS DOUBLE) / count(*)) + 1e-9, 4) AS rmse_qty
+    FROM lineitem
+    """,
+)
+def a3_mse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l_quantity is integral in the fixtures, so the squared error is summed
+    as BIGINT (exactly associative — immune to parallel-sum ordering) and
+    divided once. The +1e-9 nudge before round() breaks exact .xxxx5 ties
+    the same way in both engines (Spark HALF_UP vs DuckDB multiply+rint
+    disagree on ties: 208.44435 → 208.4444 vs 208.4443 at sf0.01)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    se_int = F.pow(F.col("l_quantity") - 25.0, 2).cast("bigint")
+    mse = F.sum(se_int).cast("double") / F.count(F.lit(1))
+    return li.agg(
+        F.round(mse + 1e-9, 4).alias("mse_qty"),
+        F.round(F.sqrt(mse) + 1e-9, 4).alias("rmse_qty"),
+    )
+
+
+# --- A4: grouped hash agg (per-epoch metric grouping, flax_model.py:349-375)
+
+
+@query(
+    "a4_grouped_metrics",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*)                       AS n_orders,
+           round(sum(o_totalprice), 4)    AS sum_total,
+           round(avg(o_totalprice), 4)    AS avg_total,
+           round(min(o_totalprice), 4)    AS min_total,
+           round(max(o_totalprice), 4)    AS max_total
+    FROM orders
+    GROUP BY o_orderstatus, o_orderpriority
+    """,
+)
+def a4_grouped_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 4).alias("sum_total"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_total"),
+        F.round(F.min("o_totalprice"), 4).alias("min_total"),
+        F.round(F.max("o_totalprice"), 4).alias("max_total"),
+    )
+
+
+# --- A5: count(*) vs count(col) with NULLs ---------------------------------
+
+
+@query(
+    "a5_counts",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           count(nullif(c_mktsegment, 'MACHINERY')) AS n_non_machinery,
+           CAST(sum(CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_positive
+    FROM customer
+    """,
+)
+def a5_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY"))).alias("n_non_machinery"),
+        F.sum(F.when(F.col("c_acctbal") > 0, 1).otherwise(0)).cast("bigint").alias("n_positive"),
+    )
+
+
+# --- A6: min/max normalization bounds (flax_inference.ipynb cell 17) -------
+
+
+@query(
+    "a6_minmax_bounds",
+    oracle="""
+    SELECT l_returnflag,
+           round(min(l_extendedprice), 4) AS min_price,
+           round(max(l_extendedprice), 4) AS max_price,
+           round(max(l_extendedprice) - min(l_extendedprice), 4) AS price_range
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def a6_minmax_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.min("l_extendedprice"), 4).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 4).alias("max_price"),
+        F.round(F.max("l_extendedprice") - F.min("l_extendedprice"), 4).alias("price_range"),
+    )
+
+
+# --- A7: exact distinct count ----------------------------------------------
+
+
+@query(
+    "a7_distinct_count",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           count(DISTINCT user_id) AS n_users,
+           count(*) AS n_events
+    FROM events
+    GROUP BY 1
+    """,
+)
+def a7_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# --- A8: approximate distinct (HLL) — sketches are engine-specific →
+#     rows-only check; a pytest invariant bounds the error vs exact. --------
+
+
+@query("a8_approx_distinct", oracle=None)
+def a8_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB path for A7: HyperLogLog sketch, no exact-distinct shuffle of
+    the full key set. rsd=0.01 keeps the sketch small enough to merge
+    map-side."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# --- A9: stddev / variance (standardize μ,σ, flax_model.py:243) ------------
+
+
+@query(
+    "a9_stddev_variance",
+    oracle="""
+    SELECT l_linestatus,
+           round(stddev_samp(l_quantity), 4) AS sd_qty,
+           round(var_samp(l_quantity), 4)    AS var_qty,
+           round(stddev_pop(l_quantity), 4)  AS sd_pop_qty,
+           round(avg(l_quantity), 4)         AS mean_qty
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+)
+def a9_stddev_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.stddev_pop("l_quantity"), 4).alias("sd_pop_qty"),
+        F.round(F.avg("l_quantity"), 4).alias("mean_qty"),
+    )
+
+
+# --- A10: rollup / cube / grouping sets ------------------------------------
+
+
+@query(
+    "a10_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n,
+           round(sum(l_quantity), 4) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def a10_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+    )
+
+
+@query(
+    "a10_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n,
+           round(avg(o_totalprice), 4) AS avg_total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def a10_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_total"),
+    )
+
+
+# --- A11: filtered / conditional agg (accuracy only for label=="lc",
+#     flax_model.py:254-259) ------------------------------------------------
+
+
+@query(
+    "a11_filtered_agg",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_extendedprice) FILTER (WHERE l_discount > 0.05), 4) AS sum_discounted,
+           count(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
+           round(avg(l_extendedprice) FILTER (WHERE l_linestatus = 'F'), 4) AS avg_finished
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def a11_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.sum(F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice"))), 4).alias("sum_discounted"),
+        F.count(F.when(F.col("l_quantity") > 25, F.lit(1))).alias("n_bulk"),
+        F.round(F.avg(F.when(F.col("l_linestatus") == "F", F.col("l_extendedprice"))), 4).alias("avg_finished"),
+    )
+
+
+# --- A13: collect_list / collect_set (epoch_loss.append accumulation,
+#     flax_model.py:238-255) — sorted for order stability (§4.3.3) ----------
+
+
+@query(
+    "a13_collect_list",
+    oracle="""
+    SELECT n_regionkey AS region_key,
+           list(n_name ORDER BY n_name) AS nations,
+           count(*) AS n
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def a13_collect_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    return n.groupBy(F.col("n_regionkey").alias("region_key")).agg(
+        F.sort_array(F.collect_list("n_name")).alias("nations"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# --- A14: histogram / per-class value counts (9-class label distribution,
+#     flax_model.py:184) ----------------------------------------------------
+
+
+@query(
+    "a14_histogram",
+    oracle="""
+    SELECT label AS class_id, count(*) AS n
+    FROM embeddings
+    GROUP BY label
+    """,
+)
+def a14_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = load_table(spark, sf_dir, "embeddings")
+    return em.groupBy(F.col("label").alias("class_id")).agg(F.count(F.lit(1)).alias("n"))

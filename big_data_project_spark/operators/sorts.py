@@ -1,0 +1,156 @@
+"""Sorts / limits / top-k / splits / batching (SURVEY.md §2.6, O1-O6).
+
+Reference grounding: deterministic file order from ``glob`` + sequential
+train/test split ``inputs[:train_size]`` (``trainer/flax_model.py:102,
+125-131``), head-n slices ``input[:10]`` (``flax_inference.ipynb`` cell 10),
+seeded permutation ``jax.random.permutation`` (``flax_model.py:234``),
+fixed-size batching with dropped remainder (``:235-236``), checkpoint
+retention keep-last-3 (``:377``).
+
+Determinism rule (§4.3.2): every LIMIT/top-k carries a total order with a
+unique tie-break key on both engines. At scale, Spark's TakeOrderedAndProject
+computes per-partition top-k then merges k·P rows on the driver — no global
+sort of the full table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from big_data_project_spark.io import load_table
+from big_data_project_spark.registry import query
+
+# --- O1/O2: global sort + limit (head-n under total order) -----------------
+
+
+@query(
+    "o2_order_limit",
+    oracle="""
+    SELECT o_orderkey, round(o_totalprice, 4) AS total_price
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25
+    """,
+)
+def o2_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", F.round("o_totalprice", 4).alias("total_price"))
+        .limit(25)
+    )
+
+
+# --- O3: offset split (sequential 90/10 train/test, flax_model.py:125-131) -
+# Exact formulation: row_number over a stable total order, filter ≤ cutoff.
+
+
+@query(
+    "o3_sequential_split",
+    oracle="""
+    WITH numbered AS (
+      SELECT o_orderkey, o_totalprice,
+             row_number() OVER (ORDER BY o_orderkey) AS rn,
+             count(*) OVER () AS n_total
+      FROM orders
+    )
+    SELECT CASE WHEN rn <= CAST(floor(n_total * 0.9) AS BIGINT) THEN 'train' ELSE 'test' END AS split,
+           count(*) AS n,
+           round(avg(o_totalprice), 4) AS avg_total
+    FROM numbered
+    GROUP BY 1
+    """,
+)
+def o3_sequential_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_orderkey")
+    numbered = o.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n_total"),
+    )
+    split = F.when(
+        F.col("rn") <= F.floor(F.col("n_total") * 0.9).cast("bigint"), "train"
+    ).otherwise("test")
+    return numbered.groupBy(split.alias("split")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_total"),
+    )
+
+
+# --- O4: top-k per group (keep-last-3 checkpoints, flax_model.py:377) ------
+
+
+@query(
+    "o4_topk_per_group",
+    oracle="""
+    SELECT c_mktsegment, c_custkey, round(c_acctbal, 4) AS acctbal
+    FROM (
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal DESC, c_custkey) AS rk
+      FROM customer
+    )
+    WHERE rk <= 3
+    """,
+)
+def o4_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("c_mktsegment", "c_custkey", F.round("c_acctbal", 4).alias("acctbal"))
+    )
+
+
+# --- O5: seeded random shuffle (jax.random.permutation, flax_model.py:234) -
+# Seed semantics are engine-specific → rows-only. Invariants tested in
+# pytest: same seed ⇒ same order; it is a permutation (count + key set
+# preserved).
+
+
+@query("o5_seeded_shuffle", oracle=None)
+def o5_seeded_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        n.withColumn("shuffle_key", F.rand(seed=42))
+        .orderBy("shuffle_key", "n_nationkey")
+        .select("n_nationkey", "n_name")
+    )
+
+
+# --- O6: fixed-size batching, drop remainder (flax_model.py:235-236) -------
+
+
+@query(
+    "o6_fixed_batches",
+    oracle="""
+    WITH numbered AS (
+      SELECT l_quantity,
+             row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS rn
+      FROM lineitem
+    )
+    SELECT CAST(rn // 16 AS BIGINT) AS batch_id,
+           count(*) AS batch_size,
+           round(sum(l_quantity), 4) AS batch_qty
+    FROM numbered
+    GROUP BY 1
+    HAVING count(*) = 16
+    """,
+)
+def o6_fixed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.orderBy("l_orderkey", "l_linenumber")
+    return (
+        li.select("l_quantity", (F.row_number().over(w) - 1).alias("rn"))
+        .groupBy((F.col("rn") / 16).cast("bigint").alias("batch_id"))
+        .agg(
+            F.count(F.lit(1)).alias("batch_size"),
+            F.round(F.sum("l_quantity"), 4).alias("batch_qty"),
+        )
+        .filter(F.col("batch_size") == 16)
+    )
