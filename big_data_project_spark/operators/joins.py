@@ -1,0 +1,347 @@
+"""Joins (SURVEY.md §2.3, J1-J10).
+
+Reference grounding: the palette lookup ``np.take(color_map, indices)``
+(``trainer/flax_inference.ipynb`` cell 8) is a 9-row dimension join (J1);
+the missing Beam pipeline's t → t+6-months label pairing (``README.md:6``)
+is an as-of join (J9); the driver's star schema mandates the rest.
+
+Scale strategy per join:
+  - J1: explicit ``broadcast()`` — dims (region/nation, the 9-class
+    palette) are KBs; never shuffle the fact table for them.
+  - J2/J3: shuffle equi-joins on the fact keys; AQE picks sort-merge vs
+    broadcast per actual build-side size and splits skewed partitions.
+  - J7: cross joins only against provably tiny sides (BroadcastNestedLoop).
+  - J8: range joins bounded by an equi prefix (orderkey) so Spark plans a
+    hash join with a residual range filter — never an unbounded interval
+    cross product.
+  - J9: as-of via union + sorted window (one shuffle by key, linear merge)
+    instead of join + per-row top-1 (quadratic per key at 100 TB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from big_data_project_spark.io import load_table
+from big_data_project_spark.registry import query
+
+# --- J1: broadcast hash join against a small dimension ---------------------
+
+
+@query(
+    "j1_broadcast_dim_join",
+    oracle="""
+    SELECT r_name AS region_name, n_name AS nation_name, count(*) AS n_customers,
+           round(sum(c_acctbal), 4) AS sum_balance
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def j1_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 4).alias("sum_balance"),
+        )
+    )
+
+
+# --- J2: shuffle (sort-merge) equi join on the fact keys -------------------
+
+
+@query(
+    "j2_orders_lineitem_join",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_lines,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+)
+def j2_orders_lineitem_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+        )
+    )
+
+
+# --- J3: multi-way star join (TPC-H Q5 shape) ------------------------------
+
+
+@query(
+    "j3_star_join_revenue",
+    oracle="""
+    SELECT n_name AS nation_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'AFRICA' AND o_orderdate >= TIMESTAMP '1996-01-01'
+    GROUP BY n_name
+    """,
+)
+def j3_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AFRICA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# --- J4: outer joins -------------------------------------------------------
+
+
+@query(
+    "j4_left_outer_join",
+    oracle="""
+    SELECT c_custkey,
+           CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+           round(coalesce(sum(o_totalprice), 0.0), 4) AS total_spent
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+)
+def j4_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 4).alias("total_spent"),
+        )
+    )
+
+
+@query(
+    "j4_full_outer_join",
+    oracle="""
+    SELECT coalesce(c.nation_key, s.nation_key) AS nation_key,
+           coalesce(c.n_cust, 0) AS n_cust,
+           coalesce(s.n_supp, 0) AS n_supp
+    FROM (SELECT c_nationkey AS nation_key, count(*) AS n_cust FROM customer WHERE c_acctbal > 9000 GROUP BY 1) c
+    FULL OUTER JOIN (SELECT s_nationkey AS nation_key, count(*) AS n_supp FROM supplier GROUP BY 1) s
+    USING (nation_key)
+    """,
+)
+def j4_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .groupBy(F.col("c_nationkey").alias("nation_key"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nation_key"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return c.join(s, "nation_key", "full_outer").select(
+        "nation_key",
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
+# --- J5: left semi join ----------------------------------------------------
+
+
+@query(
+    "j5_semi_join",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def j5_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+# --- J6: left anti join ----------------------------------------------------
+
+
+@query(
+    "j6_anti_join",
+    oracle="""
+    SELECT c_custkey, c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+    """,
+)
+def j6_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_mktsegment")
+
+
+# --- J7: cross join + theta predicate (BroadcastNestedLoopJoin) ------------
+
+
+@query(
+    "j7_cross_theta_join",
+    oracle="""
+    SELECT r_regionkey AS region_key, n_nationkey AS nation_key
+    FROM region CROSS JOIN nation
+    WHERE n_nationkey % 5 = r_regionkey AND n_nationkey != r_regionkey * 5
+    """,
+)
+def j7_cross_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        r.crossJoin(n)
+        .filter(
+            (F.col("n_nationkey") % 5 == F.col("r_regionkey"))
+            & (F.col("n_nationkey") != F.col("r_regionkey") * 5)
+        )
+        .select(F.col("r_regionkey").alias("region_key"), F.col("n_nationkey").alias("nation_key"))
+    )
+
+
+# --- J8: range / interval join (equi prefix + range residual) --------------
+
+
+@query(
+    "j8_range_join",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_fast_lines,
+           round(avg(date_diff('day', o_orderdate, l_shipdate)), 4) AS avg_ship_days
+    FROM orders JOIN lineitem
+      ON o_orderkey = l_orderkey
+     AND l_shipdate >= o_orderdate
+     AND l_shipdate < o_orderdate + INTERVAL 30 DAY
+    GROUP BY o_orderpriority
+    """,
+)
+def j8_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate >= o.o_orderdate)
+            & (li.l_shipdate < o.o_orderdate + F.expr("INTERVAL 30 DAY")),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_fast_lines"),
+            F.round(F.avg(F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))), 4).alias("avg_ship_days"),
+        )
+    )
+
+
+# --- J9: as-of join (t → latest prior match; the reference's 6-month label
+#     pairing, README.md:6). Implemented scale-first: union both sides,
+#     one shuffle+sort per user, last_value(ignorenulls) carries the most
+#     recent view forward — linear merge, no per-row top-1 subjoin. --------
+
+
+@query(
+    "j9_asof_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           p.user_id,
+           v.ts AS last_view_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+)
+def j9_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.lit(None).cast("long").alias("event_id"),
+        F.col("ts").alias("view_ts"), F.lit(0).alias("side"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id",
+        F.lit(None).cast("timestamp").alias("view_ts"), F.lit(1).alias("side"),
+    )
+    # views sort before purchases at equal ts (side 0 < 1) — matches DuckDB
+    # ASOF's inclusive p.ts >= v.ts tie semantics.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    merged = views.unionByName(purchases).withColumn(
+        "last_view_ts", F.last("view_ts", ignorenulls=True).over(w)
+    )
+    return merged.filter(F.col("side") == 1).select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("last_view_ts")
+    )
+
+
+# --- J10: self join (same series at two times) -----------------------------
+
+
+@query(
+    "j10_self_join",
+    oracle="""
+    SELECT a.o_custkey AS cust_key,
+           count(*) AS n_rapid_pairs
+    FROM orders a JOIN orders b
+      ON a.o_custkey = b.o_custkey
+     AND a.o_orderkey < b.o_orderkey
+     AND b.o_orderdate >= a.o_orderdate
+     AND b.o_orderdate < a.o_orderdate + INTERVAL 7 DAY
+    GROUP BY a.o_custkey
+    """,
+)
+def j10_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    a = o.alias("a")
+    b = o.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.o_orderkey") < F.col("b.o_orderkey"))
+            & (F.col("b.o_orderdate") >= F.col("a.o_orderdate"))
+            & (F.col("b.o_orderdate") < F.col("a.o_orderdate") + F.expr("INTERVAL 7 DAY")),
+        )
+        .groupBy(F.col("a.o_custkey").alias("cust_key"))
+        .agg(F.count(F.lit(1)).alias("n_rapid_pairs"))
+    )

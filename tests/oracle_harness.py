@@ -63,9 +63,20 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
-def _values_equal(a, b) -> bool:
-    if a is None and b is None:
+def _is_na(v) -> bool:
+    if v is None:
         return True
+    if isinstance(v, (list, tuple)) or hasattr(v, "__len__") and not isinstance(v, (str, bytes)):
+        return False
+    try:
+        return bool(pd.isna(v))
+    except (TypeError, ValueError):
+        return False
+
+
+def _values_equal(a, b) -> bool:
+    if _is_na(a) or _is_na(b):
+        return _is_na(a) and _is_na(b)
     if isinstance(a, float) or isinstance(b, float):
         try:
             af, bf = float(a), float(b)
