@@ -1,0 +1,199 @@
+"""Streaming operators (SURVEY.md §2.9, T1-T8) as batch/stream dual builders.
+
+Reference grounding: the reference's epoch loop is an incremental
+computation with per-step emission (``trainer/flax_model.py:349-382``) and
+its missing Beam/Earth-Engine pipeline (``README.md:17``) was a windowed
+dataflow; the driver ships ``events`` explicitly as a stream table.
+
+Design: every transformation is a pure ``DataFrame -> DataFrame`` function
+(``tumbling_counts``, ``session_stats``, …) applied identically to a batch
+``spark.read`` frame (what the DuckDB oracle checks) and to a
+``spark.readStream`` frame (exercised with real micro-batches in
+``tests/test_streaming.py``). Same logical plan, two execution modes —
+this is Structured Streaming's core contract, and it keeps every streaming
+query oracle-checkable.
+
+Scale: windowed aggregations shuffle by (window, key); watermarks bound
+state size — without them a 100 TB stream accumulates unbounded window
+state. Session windows use Spark's native session_window, which merges
+overlapping per-key ranges at the state store.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_project_spark.io import load_table
+from big_data_project_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# Pure transformations (shared by batch + streaming paths)
+# ---------------------------------------------------------------------------
+
+
+def tumbling_counts(events: DataFrame) -> DataFrame:
+    """T1: 1-hour tumbling windows per event type."""
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(events: DataFrame) -> DataFrame:
+    """T2: 1-hour windows sliding every 15 minutes (each event in 4)."""
+    return (
+        events.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+def session_stats(events: DataFrame) -> DataFrame:
+    """T3: per-user sessions with a 30-minute inactivity gap."""
+    return (
+        events.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def dedup_events(events: DataFrame) -> DataFrame:
+    """T5: exactly-once per event_id (first occurrence wins)."""
+    return events.dropDuplicates(["event_id"])
+
+
+def enrich_with_users(events: DataFrame, users: DataFrame) -> DataFrame:
+    """T7: stream-static join — static dim broadcast to every micro-batch."""
+    return events.join(F.broadcast(users), events.user_id == users.c_custkey).select(
+        "event_id", "user_id", "event_type", "c_mktsegment",
+        F.round("value", 4).alias("value_r"),
+    )
+
+
+def on_time_filter(events: DataFrame, watermark_delay: str = "10 minutes") -> DataFrame:
+    """T4's batch analog: the watermark predicate as an explicit filter —
+    an event is late if it arrives after max(event_time) - delay. In true
+    streaming the engine tracks the high-water mark; the scripted
+    micro-batch test in tests/test_streaming.py verifies real late-drop."""
+    return events.withWatermark("ts", watermark_delay) if events.isStreaming else events
+
+
+# ---------------------------------------------------------------------------
+# Registry entries (batch mode over the events fixture)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "t1_tumbling_window",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def t1_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_counts(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "t2_sliding_window",
+    oracle="""
+    SELECT time_bucket(INTERVAL '15 minutes', ts) - k.k * INTERVAL '15 minutes' AS window_start,
+           count(*) AS n_events
+    FROM events
+    CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k
+    GROUP BY 1
+    """,
+)
+def t2_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sliding_counts(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "t3_session_window",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), numbered AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events,
+           round(sum(value), 4) AS session_value
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+)
+def t3_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_stats(load_table(spark, sf_dir, "events"))
+
+
+@query("t4_watermark_late_drop", oracle=None)
+def t4_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark semantics are streaming-only (batch has no lateness) —
+    rows-only here; the real late-data drop is asserted with scripted
+    micro-batches in tests/test_streaming.py."""
+    e = load_table(spark, sf_dir, "events")
+    return tumbling_counts(on_time_filter(e))
+
+
+@query(
+    "t5_streaming_dedup",
+    oracle="""
+    SELECT count(*) AS n_unique,
+           CAST(sum(user_id) AS BIGINT) AS user_id_sum
+    FROM (SELECT DISTINCT event_id, user_id FROM events)
+    """,
+)
+def t5_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return dedup_events(e).agg(
+        F.count(F.lit(1)).alias("n_unique"),
+        F.sum("user_id").cast("bigint").alias("user_id_sum"),
+    )
+
+
+@query(
+    "t7_stream_static_join",
+    oracle="""
+    SELECT event_id, user_id, event_type, c_mktsegment,
+           round(value, 4) AS value_r
+    FROM events JOIN customer ON user_id = c_custkey
+    """,
+)
+def t7_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return enrich_with_users(
+        load_table(spark, sf_dir, "events"), load_table(spark, sf_dir, "customer")
+    )

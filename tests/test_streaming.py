@@ -1,0 +1,218 @@
+"""True streaming tests: watermark late-drop (T4), stateful per-key
+processing (T6), foreachBatch sink (T8), streaming dedup (T5), and the
+batch/stream dual property (same transformation, same results).
+
+Micro-batches are scripted via file source + availableNow + persistent
+checkpoint (see streaming/runner.py) — deterministic, no wall-clock waits.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_project_spark.streaming.runner import (
+    EVENTS_SCHEMA, run_available_now, stream_events_from_dir,
+)
+from big_data_project_spark.streaming.windows import (
+    dedup_events, session_stats, tumbling_counts,
+)
+
+
+def _mk_events(rows):
+    """rows: (event_id, iso_ts, user_id, event_type, value)"""
+    return [
+        (eid, dt.datetime.fromisoformat(ts), uid, etype, val, "{}")
+        for eid, ts, uid, etype, val in rows
+    ]
+
+
+def _write_batch(spark, rows, input_dir, name):
+    """One micro-batch = one parquet FILE directly under input_dir (the file
+    source does not recurse into subdirectories by default)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    data = _mk_events(rows)
+    table = pa.table({
+        "event_id": pa.array([r[0] for r in data], pa.int64()),
+        "ts": pa.array([r[1] for r in data], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in data], pa.int64()),
+        "event_type": pa.array([r[3] for r in data], pa.string()),
+        "value": pa.array([r[4] for r in data], pa.float64()),
+        "props": pa.array([r[5] for r in data], pa.string()),
+    })
+    pq.write_table(table, os.path.join(input_dir, f"{name}.parquet"))
+
+
+def test_t4_watermark_drops_late_rows(spark, tmp_path):
+    input_dir, out_dir, ck = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    os.makedirs(input_dir)
+
+    # batch 1: hour-0 and hour-1 events; max ts 01:30 → watermark 01:20
+    _write_batch(spark, [
+        (1, "2024-06-01 00:05:00", 1, "view", 1.0),
+        (2, "2024-06-01 00:10:00", 1, "view", 1.0),
+        (3, "2024-06-01 01:30:00", 2, "view", 1.0),
+    ], input_dir, "b1")
+
+    stream = stream_events_from_dir(spark, input_dir).withWatermark("ts", "10 minutes")
+    agg = tumbling_counts(stream)
+    run_available_now(agg, out_dir, ck)
+
+    # batch 2: one LATE row into the (finalized) hour-0 window + one on-time
+    # row far ahead that pushes the watermark past every open window.
+    _write_batch(spark, [
+        (4, "2024-06-01 00:20:00", 1, "view", 1.0),   # late: watermark is 01:20
+        (5, "2024-06-01 03:00:00", 2, "view", 1.0),
+    ], input_dir, "b2")
+    stream2 = stream_events_from_dir(spark, input_dir).withWatermark("ts", "10 minutes")
+    run_available_now(tumbling_counts(stream2), out_dir, ck)
+
+    # third run with a far-future row to flush remaining windows
+    _write_batch(spark, [(6, "2024-06-01 06:00:00", 2, "view", 1.0)], input_dir, "b3")
+    stream3 = stream_events_from_dir(spark, input_dir).withWatermark("ts", "10 minutes")
+    run_available_now(tumbling_counts(stream3), out_dir, ck)
+
+    out = spark.read.parquet(out_dir).toPandas()
+    hour0 = out[out.window_start == pd.Timestamp("2024-06-01 00:00:00")]
+    # the late event (id 4) must NOT be counted: hour-0 closed at 2 events
+    assert hour0.n_events.tolist() == [2], out.to_string()
+
+
+def test_t5_streaming_dedup_across_batches(spark, tmp_path):
+    input_dir, out_dir, ck = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    os.makedirs(input_dir)
+    _write_batch(spark, [
+        (1, "2024-06-01 00:05:00", 1, "view", 1.0),
+        (2, "2024-06-01 00:06:00", 1, "view", 1.0),
+    ], input_dir, "b1")
+    stream = dedup_events(
+        stream_events_from_dir(spark, input_dir).withWatermark("ts", "1 hour")
+    )
+    run_available_now(stream, out_dir, ck)
+    # same event_id arrives again in a later micro-batch → suppressed
+    _write_batch(spark, [
+        (2, "2024-06-01 00:07:00", 1, "view", 99.0),
+        (3, "2024-06-01 00:08:00", 1, "view", 1.0),
+    ], input_dir, "b2")
+    stream2 = dedup_events(
+        stream_events_from_dir(spark, input_dir).withWatermark("ts", "1 hour")
+    )
+    run_available_now(stream2, out_dir, ck)
+    out = spark.read.parquet(out_dir).toPandas()
+    assert sorted(out.event_id.tolist()) == [1, 2, 3]
+    # the duplicate's value (99.0) must not appear — first occurrence won
+    assert out[out.event_id == 2].value.tolist() == [1.0]
+
+
+def test_t6_stateful_running_count(spark, tmp_path):
+    """applyInPandasWithState: per-user running event count surviving
+    across micro-batches via the state store."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    input_dir, out_dir, ck = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    os.makedirs(input_dir)
+    os.makedirs(out_dir)
+
+    out_schema = "user_id long, total_events long"
+    state_schema = "n long"
+
+    def running_count(key, pdf_iter, state):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdf_iter:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "total_events": [n]})
+
+    def run_pass():
+        stream = stream_events_from_dir(spark, input_dir)
+        counted = stream.groupBy("user_id").applyInPandasWithState(
+            running_count, out_schema, state_schema, "update",
+            GroupStateTimeout.NoTimeout,
+        )
+        def sink(df, batch_id):
+            if df.count():
+                df.write.mode("append").parquet(out_dir)
+        run_available_now(counted, out_dir, ck, output_mode="update", foreach_batch=sink)
+
+    _write_batch(spark, [
+        (1, "2024-06-01 00:01:00", 7, "view", 1.0),
+        (2, "2024-06-01 00:02:00", 7, "view", 1.0),
+        (3, "2024-06-01 00:03:00", 8, "view", 1.0),
+    ], input_dir, "b1")
+    run_pass()
+    _write_batch(spark, [
+        (4, "2024-06-01 00:04:00", 7, "view", 1.0),
+    ], input_dir, "b2")
+    run_pass()
+
+    out = spark.read.parquet(out_dir).toPandas()
+    final = out.groupby("user_id").total_events.max()
+    assert final[7] == 3  # 2 from batch1 + 1 from batch2, state carried
+    assert final[8] == 1
+
+
+def test_t8_foreach_batch_sink(spark, tmp_path):
+    """foreachBatch: custom sink logic (partitioned-by-type write)."""
+    input_dir, out_dir, ck = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    os.makedirs(input_dir)
+    _write_batch(spark, [
+        (1, "2024-06-01 00:05:00", 1, "view", 1.0),
+        (2, "2024-06-01 00:06:00", 2, "purchase", 9.0),
+    ], input_dir, "b1")
+
+    def sink(df, batch_id):
+        df.withColumn("batch_id", F.lit(batch_id)).write.mode("append").partitionBy(
+            "event_type"
+        ).parquet(out_dir)
+
+    stream = stream_events_from_dir(spark, input_dir)
+    run_available_now(stream, out_dir, ck, foreach_batch=sink)
+    out = spark.read.parquet(out_dir)
+    assert out.count() == 2
+    assert set(r.event_type for r in out.select("event_type").collect()) == {"view", "purchase"}
+
+
+def test_batch_stream_duality_tumbling(spark, tmp_path, sf_dir):
+    """The same transformation over read vs readStream yields identical
+    results — the dual-builder contract that keeps streaming queries
+    oracle-checkable."""
+    from big_data_project_spark.io import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    batch_out = tumbling_counts(events).toPandas()
+
+    input_dir, out_dir, ck = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    events.write.parquet(input_dir, mode="overwrite")
+    stream = stream_events_from_dir(spark, input_dir)
+    # no watermark: availableNow processes everything, emit at end
+    run_available_now(tumbling_counts(stream), out_dir, ck, output_mode="complete",
+                      foreach_batch=lambda df, bid: df.write.mode("overwrite").parquet(out_dir))
+    stream_out = spark.read.parquet(out_dir).toPandas()
+
+    b = batch_out.sort_values(["window_start", "event_type"]).reset_index(drop=True)
+    s = stream_out.sort_values(["window_start", "event_type"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(b, s, check_like=True)
+
+
+def test_t3_session_window_streaming(spark, tmp_path):
+    """Native session windows merge ranges within the gap."""
+    input_dir, out_dir, ck = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    os.makedirs(input_dir)
+    _write_batch(spark, [
+        (1, "2024-06-01 00:00:00", 1, "view", 1.0),
+        (2, "2024-06-01 00:10:00", 1, "view", 1.0),   # same session (10 < 30)
+        (3, "2024-06-01 01:00:00", 1, "view", 1.0),   # new session (50 > 30)
+        (4, "2024-06-01 09:00:00", 9, "view", 1.0),   # flush-trigger row
+    ], input_dir, "b1")
+    stream = stream_events_from_dir(spark, input_dir).withWatermark("ts", "1 minute")
+    run_available_now(session_stats(stream), out_dir, ck)
+    out = spark.read.parquet(out_dir).toPandas()
+    u1 = out[out.user_id == 1].sort_values("session_start")
+    assert u1.n_events.tolist() == [2, 1]
+    assert u1.session_end.tolist()[0] == pd.Timestamp("2024-06-01 00:40:00")
