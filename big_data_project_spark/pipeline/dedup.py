@@ -1,0 +1,312 @@
+"""Deduplication operators (SURVEY.md §2.10: X6 exact, X7 MinHash-LSH,
+SimHash, X11 shingles) over the ``documents`` table.
+
+All hot paths are built-in JVM expressions (split / transform / xxhash64 /
+array_min / explode) — no Python UDFs. The MinHash pipeline is the 100 TB
+design: per-doc sketches are fixed-size (64 minhashes → 16 band keys), the
+only wide shuffle is on band keys (bounded-size buckets), and candidate
+verification touches only docs that share a bucket — never the n² pair
+space. The DuckDB oracle CAN afford n² at sf0.01, which is exactly what
+makes the LSH result checkable: the fixture's shingle-Jaccard distribution
+is bimodal (planted near-dups ≥ 0.9, background < 0.1), so LSH recall at
+θ=0.5 is ~1 and the candidate-verified output equals the exact answer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_project_spark.io import load_table
+from big_data_project_spark.registry import query
+
+# MinHash parameters: 64 hash functions in 16 bands × 4 rows.
+_M = 2_147_483_647  # 2^31 - 1 (prime); keeps a*h+b < 2^62 (no ANSI overflow)
+_N_HASHES = 64
+_BANDS = 16
+_ROWS = 4
+# Deterministic permutation constants (Knuth multiplicative steps, fixed —
+# reproducible across runs/sessions, SURVEY §4.3.6).
+_AS = [(2_654_435_761 * (i + 1)) % _M or 1 for i in range(_N_HASHES)]
+_BS = [(40_503 * (i + 7)) % _M for i in range(_N_HASHES)]
+
+JACCARD_THRESHOLD = 0.5
+
+
+def _tokens(col):
+    return F.split(col, " ")
+
+
+def _shingles(tok_col):
+    """Distinct 3-word shingles: transform over a 0..n-3 index sequence —
+    one pass, JVM-side (the reference's patch-extraction analog of
+    windowing a sequence)."""
+    n = F.size(tok_col)
+    idx = F.sequence(F.lit(0), n - F.lit(3))
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(tok_col, i + 1),
+                F.element_at(tok_col, i + 2),
+                F.element_at(tok_col, i + 3),
+            ),
+        )
+    )
+
+
+def shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.filter(F.size(_tokens(F.col("text"))) >= 3)
+        .select("doc_id", _shingles(_tokens(F.col("text"))).alias("shingles"))
+    )
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """64 minhashes per doc from xxhash64(shingle) under fixed affine
+    permutations mod 2^31-1."""
+    base = F.transform(F.col("shingles"), lambda s: F.pmod(F.xxhash64(s), F.lit(_M)))
+
+    def _perm(a: int, b: int):
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(_M)
+
+    sig = F.array(
+        *[F.array_min(F.transform(base, _perm(a, b))) for a, b in zip(_AS, _BS)]
+    )
+    return docs.select("doc_id", "shingles", sig.alias("sig"))
+
+
+def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
+    """Band the signature, bucket-join within (band_id, band_hash)."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band_id"),
+                F.xxhash64(F.slice(F.col("sig"), j * _ROWS + 1, _ROWS)).alias("band_hash"),
+            )
+            for j in range(_BANDS)
+        ]
+    )
+    exploded = sigs.select("doc_id", F.explode(bands).alias("b")).select(
+        "doc_id", F.col("b.band_id").alias("band_id"), F.col("b.band_hash").alias("band_hash")
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def verified_neardup_pairs(spark: SparkSession, sf_dir: str,
+                           threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+    """Candidates → exact shingle-Jaccard verification ≥ threshold."""
+    docs = shingled_docs(spark, sf_dir)
+    pairs = lsh_candidate_pairs(minhash_signatures(docs))
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b"))).cast("double")
+    jac = inter / union
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("jaccard_raw", jac)
+        .filter(F.col("jaccard_raw") >= threshold)
+        .select(
+            "doc_a", "doc_b", F.round(F.col("jaccard_raw") + 1e-9, 4).alias("jaccard")
+        )
+    )
+
+
+_ORACLE_PAIRS_CTE = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+), sh AS (
+  SELECT doc_id,
+         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                        for i in generate_series(1, len(w) - 2)]) AS t
+  FROM toks
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_intersect(a.t, b.t)) * 1.0
+           / len(list_distinct(list_concat(a.t, b.t))) AS jac
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+"""
+
+
+# --- X6: exact dedup by content hash ---------------------------------------
+
+
+@query(
+    "x6_exact_dedup",
+    oracle="""
+    SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash,
+           min(doc_id) AS keep_doc_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def x6_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-groupBy exact dedup with whitespace/case normalization; keeps
+    the smallest doc_id deterministically (dropDuplicates keeps an
+    arbitrary row — SURVEY §2.7 caveat)."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return (
+        d.withColumn("content_hash", F.md5(norm))
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# --- X7: MinHash-LSH fuzzy dedup -------------------------------------------
+
+
+@query(
+    "x7_minhash_neardup_pairs",
+    oracle=_ORACLE_PAIRS_CTE + """
+    SELECT doc_a, doc_b, round(jac + 1e-9, 4) AS jaccard
+    FROM pairs WHERE jac >= 0.5
+    """,
+)
+def x7_minhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64) → LSH(16×4) candidates → exact Jaccard ≥ 0.5. The
+    oracle computes the exact n² answer; bimodal fixture similarity makes
+    LSH recall ≈ 1, so the outputs coincide (recall asserted separately in
+    tests/test_pipeline.py)."""
+    return verified_neardup_pairs(spark, sf_dir)
+
+
+@query(
+    "x7_minhash_dedup_keep",
+    oracle=_ORACLE_PAIRS_CTE + """
+    SELECT doc_id AS keep_doc_id
+    FROM documents
+    WHERE doc_id NOT IN (SELECT doc_b FROM pairs WHERE jac >= 0.5)
+    """,
+)
+def x7_minhash_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy-by-id survivor set: drop any doc that has a near-dup with a
+    smaller id (deterministic in both engines; a union-find pass over the
+    pair graph is the iterative alternative for transitive clusters)."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = verified_neardup_pairs(spark, sf_dir)
+    losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    return d.join(losers, "doc_id", "left_anti").select(
+        F.col("doc_id").alias("keep_doc_id")
+    )
+
+
+# --- SimHash near-dup (engine-specific bit sketch → rows-only) -------------
+
+
+@query("x7_simhash_pairs", oracle=None)
+def x7_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash over token hashes; Hamming-≤6 candidate pairs via
+    4×16-bit chunk blocking (pigeonhole: hamming ≤ 6 with 4 chunks → some
+    chunk intersects... chunks with ≥1 exact match cover hamming ≤ 3 per
+    the 4-chunk bound; we block on any-equal-chunk then filter exactly)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    h = F.pmod(F.xxhash64("tok"), F.lit(2**63 - 1))
+    bits = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    sim = bits.select(
+        "doc_id",
+        sum(
+            (F.when(F.col(f"b{i}") > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2**i))
+            for i in range(63)  # 63 bits — stay positive in signed int64
+        ).alias("simhash"),
+    )
+    chunks = sim.select(
+        "doc_id",
+        "simhash",
+        *[
+            F.shiftright(F.col("simhash"), 16 * c).bitwiseAND(F.lit(0xFFFF)).alias(f"c{c}")
+            for c in range(4)
+        ],
+    )
+    pairs = None
+    for c in range(4):
+        a, b = chunks.alias("a"), chunks.alias("b")
+        p = a.join(
+            b,
+            (F.col(f"a.c{c}") == F.col(f"b.c{c}")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        pairs.distinct()
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= 6)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# --- X11: n-gram / shingle generation (feeds X7) ---------------------------
+
+
+@query(
+    "x11_top_shingles",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ), sh AS (
+      SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                             for i in generate_series(1, len(w) - 2)]) AS shingle
+      FROM toks
+    )
+    SELECT shingle, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+    FROM sh
+    GROUP BY shingle
+    ORDER BY n DESC, shingle
+    LIMIT 50
+    """,
+)
+def x11_top_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    # non-distinct shingles here (frequency counting)
+    n = F.size(toks)
+    sh = F.transform(
+        F.sequence(F.lit(0), n - F.lit(3)),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+            F.element_at(toks, i + 3),
+        ),
+    )
+    return (
+        d.filter(F.size(toks) >= 3)
+        .select("doc_id", F.explode(sh).alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("doc_id").alias("n_docs"))
+        .orderBy(F.col("n").desc(), "shingle")
+        .limit(50)
+    )

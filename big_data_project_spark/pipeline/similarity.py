@@ -1,0 +1,175 @@
+"""Similarity search over embeddings (SURVEY.md §2.10 X8).
+
+Exact brute-force cosine top-k is the correctness baseline (crossJoin +
+JVM-side fold — `F.aggregate`/`zip_with`, no Python in the loop). The
+100 TB path is block-pruned search: an IVF-style coarse quantizer buckets
+vectors, queries probe only the nearest buckets — the crossJoin shrinks
+from n² to n·(n/k·nprobe). On the driver's synthetic embeddings (64-dim,
+near-random, max pairwise cosine ≈ 0.51) the IVF variant is registered
+rows-only with a recall invariant in tests, since no true cluster
+structure exists to make pruning lossless.
+
+Float parity: cosine is computed in DOUBLE with a sequential left fold on
+the Spark side; DuckDB's list_sum may reduce in a different order, so
+queries filter/output on `round(sim + 1e-9, 4)` and rank with a unique
+neighbor-id tie-break (SURVEY §4.3.1-2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from big_data_project_spark.io import load_table
+from big_data_project_spark.registry import query
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+
+
+def with_cosine(pairs: DataFrame, col_a: str = "va", col_b: str = "vb") -> DataFrame:
+    sim = _dot(F.col(col_a), F.col(col_b)) / (_norm(F.col(col_a)) * _norm(F.col(col_b)))
+    return pairs.withColumn("sim_raw", sim)
+
+
+# --- X8a: exact brute-force top-k ------------------------------------------
+
+
+@query(
+    "x8_similarity_topk",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS vq FROM e WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             round(list_cosine_similarity(q.vq, e.v) + 1e-9, 4) AS sim
+      FROM q JOIN e ON e.vec_id != q.query_id
+    )
+    SELECT query_id, neighbor_id, sim
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, neighbor_id) AS rk
+          FROM scored)
+    WHERE rk <= 5
+    """,
+)
+def x8_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 cosine neighbors for the first 10 vectors. Ranking uses the
+    ROUNDED similarity (+ id tie-break) so both engines rank identically
+    even if their float reduction orders differ by ulps."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("va")
+    )
+    n = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("vb"))
+    scored = (
+        with_cosine(F.broadcast(q).crossJoin(n))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", F.round(F.col("sim_raw") + 1e-9, 4))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "neighbor_id", "sim")
+    )
+
+
+# --- X8b: threshold similarity pairs (embedding-cosine near-dup form) ------
+
+
+@query(
+    "x8_cosine_pairs_threshold",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_cosine_similarity(a.v, b.v) + 1e-9, 4) AS sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.v, b.v) + 1e-9, 4) >= 0.4
+    """,
+)
+def x8_cosine_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All pairs with cosine ≥ 0.4 (the fixture's 'near-duplicate' regime;
+    at production thresholds ~0.95 this is the embedding-dedup operator).
+    Filter applies to the ROUNDED value in both engines."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
+    pairs = a.crossJoin(b).filter(F.col("vec_a") < F.col("vec_b"))
+    return (
+        with_cosine(pairs)
+        .withColumn("sim", F.round(F.col("sim_raw") + 1e-9, 4))
+        .filter(F.col("sim") >= 0.4)
+        .select("vec_a", "vec_b", "sim")
+    )
+
+
+# --- X8c: IVF-style block-pruned ANN (the scale path; rows-only) -----------
+
+
+@query("x8_ivf_ann_topk", oracle=None)
+def x8_ivf_ann_topk(spark: SparkSession, sf_dir: str, nprobe: int = 3) -> DataFrame:
+    """IVF sketch: k-means-style coarse quantizer seeded from the first
+    vector of each label (deterministic, no RNG), one assignment pass,
+    then queries probe the nprobe nearest centroids only. CrossJoin cost
+    drops from n² to n·(n/k)·nprobe. Recall vs brute force is asserted in
+    tests/test_pipeline.py (fixture vectors are near-random, so recall
+    here demonstrates the machinery, not clustering magic)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    # deterministic centroids: mean vector per label (the fixture's own
+    # partition hint; in production: k-means|| via ml.clustering.KMeans)
+    cent = (
+        e.select("label", F.posexplode("embedding").alias("i", "x"))
+        .groupBy("label", "i")
+        .agg(F.avg("x").alias("c"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "c"))).alias("pairs"))
+        .select(
+            F.col("label").alias("centroid_id"),
+            F.transform("pairs", lambda p: p.getField("c")).alias("centroid"),
+        )
+    )
+    # assign every vector to its nearest centroid
+    vc = e.crossJoin(F.broadcast(cent))
+    vc = with_cosine(vc, "embedding", "centroid").select(
+        "vec_id", "embedding", "centroid_id", F.col("sim_raw").alias("csim")
+    )
+    wv = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), "centroid_id")
+    assigned = (
+        vc.withColumn("rk", F.row_number().over(wv)).filter(F.col("rk") == 1)
+        .select("vec_id", "embedding", F.col("centroid_id").alias("bucket"))
+    )
+    # queries probe nprobe nearest buckets
+    queries = assigned.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("va")
+    )
+    qprobe = with_cosine(queries.crossJoin(F.broadcast(cent)), "va", "centroid")
+    wq = Window.partitionBy("query_id").orderBy(F.col("sim_raw").desc(), "centroid_id")
+    probes = (
+        qprobe.withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= nprobe)
+        .select("query_id", "va", F.col("centroid_id").alias("bucket"))
+    )
+    # search only within probed buckets
+    cand = probes.join(
+        assigned.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("vb"), "bucket"),
+        "bucket",
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = with_cosine(cand).withColumn("sim", F.round(F.col("sim_raw") + 1e-9, 4))
+    wtop = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(wtop))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "neighbor_id", "sim")
+    )

@@ -1,0 +1,221 @@
+"""Text analysis operators (SURVEY.md §2.10 X9): tokenization, word counts,
+language filtering, quality scoring, token counting, fingerprinting.
+
+Everything is built-in expressions (split/explode/regexp/aggregate) —
+JVM-side, shuffle only on (word) or (doc) keys. At 100 TB the word-count
+shuffle benefits from partial aggregation (map-side combine); quality
+scores and fingerprints are narrow per-row transforms with no shuffle
+at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_project_spark.io import load_table
+from big_data_project_spark.registry import query
+
+# a tiny embedded stopword list (shared verbatim by the oracle SQL)
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+_STOPWORDS_SQL = "(" + ", ".join(f"'{w}'" for w in _STOPWORDS) + ")"
+
+_FP_MOD = 2_147_483_647
+
+
+# --- X9a: tokenize + word count --------------------------------------------
+
+
+@query(
+    "x9_word_count",
+    oracle="""
+    SELECT word, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+    FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents)
+    WHERE word != ''
+    GROUP BY word
+    ORDER BY n DESC, word
+    LIMIT 100
+    """,
+)
+def x9_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("doc_id").alias("n_docs"))
+        .orderBy(F.col("n").desc(), "word")
+        .limit(100)
+    )
+
+
+# --- X9b: language filter + per-language/source stats ----------------------
+
+
+@query(
+    "x9_language_stats",
+    oracle="""
+    SELECT lang, source,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           round(avg(len(string_split(text, ' '))), 4) AS avg_tokens
+    FROM documents
+    WHERE lang IN ('en', 'es', 'de')
+    GROUP BY lang, source
+    """,
+)
+def x9_language_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.filter(F.col("lang").isin("en", "es", "de"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.round(F.avg(F.size(F.split("text", " "))), 4).alias("avg_tokens"),
+        )
+    )
+
+
+# --- X9c: quality scoring (length / stopword / char-class ratios) ----------
+
+
+@query(
+    "x9_quality_scores",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             length(text) AS n_chars_actual,
+             len(string_split(text, ' ')) AS n_tokens,
+             length(text) * 1.0 / len(string_split(text, ' ')) AS chars_per_token,
+             len(list_filter(string_split(lower(text), ' '), w -> w IN {_STOPWORDS_SQL})) * 1.0
+               / len(string_split(text, ' ')) AS stopword_ratio,
+             len(list_filter(string_split(text, ' '), w -> regexp_matches(w, '^[0-9]+$'))) * 1.0
+               / len(string_split(text, ' ')) AS digit_token_ratio
+      FROM documents
+    )
+    SELECT doc_id, n_chars_actual, n_tokens,
+           round(chars_per_token + 1e-9, 4) AS chars_per_token,
+           round(stopword_ratio + 1e-9, 4) AS stopword_ratio,
+           round(digit_token_ratio + 1e-9, 4) AS digit_token_ratio,
+           CAST(n_tokens >= 20 AND stopword_ratio < 0.5 AS INT) AS passes_quality
+    FROM scored
+    """,
+)
+def x9_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    ltoks = F.split(F.lower("text"), " ")
+    n_tokens = F.size(toks)
+    stop_ratio = (
+        F.size(F.filter(ltoks, lambda w: w.isin(*_STOPWORDS))).cast("double") / n_tokens
+    )
+    digit_ratio = (
+        F.size(F.filter(toks, lambda w: w.rlike(r"^[0-9]+$"))).cast("double") / n_tokens
+    )
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_actual"),
+        n_tokens.alias("n_tokens"),
+        F.round(F.length("text").cast("double") / n_tokens + 1e-9, 4).alias("chars_per_token"),
+        F.round(stop_ratio + 1e-9, 4).alias("stopword_ratio"),
+        F.round(digit_ratio + 1e-9, 4).alias("digit_token_ratio"),
+        ((n_tokens >= 20) & (stop_ratio < 0.5)).cast("int").alias("passes_quality"),
+    )
+
+
+# --- X9d: BPE-ish regex token counting -------------------------------------
+
+
+@query(
+    "x9_token_counts",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens,
+           len(string_split(text, ' ')) AS n_ws_tokens
+    FROM documents
+    """,
+)
+def x9_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")).alias(
+            "n_bpe_tokens"
+        ),
+        F.size(F.split("text", " ")).alias("n_ws_tokens"),
+    )
+
+
+# --- X9e: document fingerprint (polynomial rolling hash over tokens) -------
+
+
+@query(
+    "x9_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(text, ' '),
+                              t -> CAST(ascii(t) * 31 + length(t) AS BIGINT))),
+             (acc, h) -> (acc * 131 + h) % {_FP_MOD}
+           ) AS fingerprint
+    FROM documents
+    """,
+)
+def x9_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling hash (unlike the bag-of-shingles MinHash):
+    equal fingerprints ⇒ token sequences almost surely identical. Shared
+    arithmetic (ascii·31+len folded mod p) keeps it engine-portable."""
+    d = load_table(spark, sf_dir, "documents")
+    tok_h = F.transform(
+        F.split("text", " "),
+        lambda t: (F.ascii(t) * 31 + F.length(t)).cast("bigint"),
+    )
+    fp = F.aggregate(
+        tok_h,
+        F.lit(0).cast("bigint"),
+        lambda acc, h: (acc * 131 + h) % F.lit(_FP_MOD),
+    )
+    return d.select("doc_id", fp.alias("fingerprint"))
+
+
+# --- X9f: n-gram language-ID heuristic (rows-only: scoring tables are
+#     engine-embedded) ------------------------------------------------------
+
+# Characteristic letter-bigram profiles per language (coarse, deterministic;
+# a real system learns these from corpora — here they are fixed weights).
+_LANG_BIGRAMS = {
+    "en": ("th", "he", "in", "er", "an"),
+    "es": ("de", "la", "os", "el", "en"),
+    "de": ("en", "er", "ch", "de", "ei"),
+    "fr": ("le", "de", "es", "en", "re"),
+    "zh": (),  # CJK: detected by script-range ratio instead
+}
+
+
+@query("x9_lang_id", oracle=None)
+def x9_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: score = count of characteristic bigrams per
+    language (+ CJK script ratio for zh); argmax over scores. Declared
+    rows-only (the bigram weight table is engine-embedded); accuracy vs
+    the fixture's lang column is asserted in tests/test_pipeline.py."""
+    d = load_table(spark, sf_dir, "documents")
+    scores = []
+    for lang, bigrams in _LANG_BIGRAMS.items():
+        if bigrams:
+            s = sum(
+                (F.length("text") - F.length(F.replace(F.col("text"), F.lit(bg), F.lit(""))))
+                / 2
+                for bg in bigrams
+            )
+        else:
+            s = F.length(F.regexp_replace("text", r"[\x00-\x7F]", "")).cast("double")
+        scores.append(F.struct(s.cast("double").alias("score"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*scores))
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("lang_true"),
+        best.getField("lang").alias("lang_pred"),
+        F.round(best.getField("score"), 4).alias("lang_score"),
+    )

@@ -1,0 +1,129 @@
+"""Invariant tests for the rows-only pipeline operators (SURVEY.md §5.2):
+LSH recall vs brute force, SimHash sanity, IVF-ANN recall, language-ID
+accuracy, multimodal decode determinism, approx-distinct error bounds,
+seeded-shuffle reproducibility.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_project_spark import registry
+from big_data_project_spark.pipeline.dedup import (
+    lsh_candidate_pairs, minhash_signatures, shingled_docs,
+)
+
+registry.load()
+Q = registry.all_queries()
+
+
+def test_x7_lsh_recall_vs_exact(spark, sf_dir):
+    """Every exact near-dup pair (Jaccard ≥ 0.5) must be an LSH candidate
+    — with 16×4 bands at s ≥ 0.9 the miss probability is ~1e-15."""
+    docs = shingled_docs(spark, sf_dir)
+    cands = {
+        (r.doc_a, r.doc_b)
+        for r in lsh_candidate_pairs(minhash_signatures(docs)).collect()
+    }
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    jac = (
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        / F.size(F.array_union("sh_a", "sh_b"))
+    )
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(jac >= 0.5)
+        .collect()
+    }
+    assert exact, "fixture should contain planted near-duplicates"
+    assert exact <= cands, f"LSH missed {exact - cands}"
+
+
+def test_x7_dedup_keep_removes_only_dup_docs(spark, sf_dir):
+    total = Q["x6_exact_dedup"](spark, sf_dir).count()
+    kept = Q["x7_minhash_dedup_keep"](spark, sf_dir).count()
+    pairs = Q["x7_minhash_neardup_pairs"](spark, sf_dir).count()
+    assert kept <= total
+    assert total - kept <= pairs  # can't drop more docs than pair losers
+
+
+def test_x7_simhash_identical_texts_collide(spark, sf_dir):
+    out = Q["x7_simhash_pairs"](spark, sf_dir)
+    # near-dup docs (shared token bags) should appear at small hamming;
+    # and hamming is symmetric-bounded
+    rows = out.collect()
+    assert all(0 <= r.hamming <= 6 for r in rows)
+
+
+def test_x8_ivf_recall_vs_brute_force(spark, sf_dir):
+    brute = Q["x8_similarity_topk"](spark, sf_dir).collect()
+    ivf = Q["x8_ivf_ann_topk"](spark, sf_dir).collect()
+    btop = {(r.query_id, r.neighbor_id) for r in brute}
+    itop = {(r.query_id, r.neighbor_id) for r in ivf}
+    recall = len(btop & itop) / len(btop)
+    # fixture vectors are near-random; nprobe=3/10 buckets ⇒ expect ~30%+
+    assert recall >= 0.2, f"IVF recall collapsed: {recall}"
+    assert all(r.rk <= 5 if hasattr(r, "rk") else True for r in ivf)
+
+
+def test_x9_lang_id_beats_chance(spark, sf_dir):
+    out = Q["x9_lang_id"](spark, sf_dir)
+    hits = out.filter(F.col("lang_pred") == F.col("lang_true")).count()
+    total = out.count()
+    # word-salad synthetic text: require better-than-chance (5 classes)
+    assert hits / total > 0.2, f"lang-id accuracy {hits/total:.2f}"
+
+
+def test_x10_decode_deterministic_and_consistent(spark, sf_dir):
+    a = Q["x10_multimodal_decode"](spark, sf_dir).orderBy("doc_id").collect()
+    b = Q["x10_multimodal_decode"](spark, sf_dir).orderBy("doc_id").collect()
+    assert a == b  # stubbed codec must be deterministic
+    meta = {r.doc_id: r for r in Q["x10_multimodal_metadata"](spark, sf_dir).collect()}
+    for r in a:
+        assert r.n_bytes == meta[r.doc_id].n_bytes
+        assert 0.0 <= r.fake_mean_luma <= 1.0
+
+
+def test_x10_real_codec_branch_is_guarded(spark, sf_dir):
+    from big_data_project_spark.pipeline.multimodal import decode_features
+
+    with pytest.raises(NotImplementedError):
+        list(decode_features(iter([]), use_real_codec=True))
+
+
+def test_a8_approx_distinct_error_bound(spark, sf_dir):
+    approx = {
+        r.event_type: r.approx_users
+        for r in Q["a8_approx_distinct"](spark, sf_dir).collect()
+    }
+    from big_data_project_spark.io import load_table
+
+    exact = {
+        r.event_type: r.n
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(2, 0.05 * n), (k, approx[k], n)
+
+
+def test_o5_seeded_shuffle_reproducible(spark, sf_dir):
+    a = [r.n_nationkey for r in Q["o5_seeded_shuffle"](spark, sf_dir).collect()]
+    b = [r.n_nationkey for r in Q["o5_seeded_shuffle"](spark, sf_dir).collect()]
+    assert a == b  # fixed seed ⇒ stable order
+    assert sorted(a) == list(range(25))  # it is a permutation
+
+
+def test_f9_xxhash64_matches_text_cardinality(spark, sf_dir):
+    from big_data_project_spark.io import load_table
+
+    out = Q["f9_xxhash64"](spark, sf_dir)
+    n_hashes = out.select("text_xxh64").distinct().count()
+    n_texts = load_table(spark, sf_dir, "documents").select("text").distinct().count()
+    assert n_hashes == n_texts  # no collisions at fixture scale
