@@ -1,0 +1,228 @@
+"""Sources & sinks (SURVEY.md §2.1, S1-S7).
+
+Reference grounding: multi-file npz directory scan + per-file parse
+(``trainer/flax_model.py:102-115``), ``np.save`` prediction sinks
+(``:279-285``), versioned checkpoints with keep=3 retention (``:377``),
+TensorBoard metric append stream (``:371-375``).
+
+Sink queries write under a per-process temp dir (never the read-only
+fixtures) and re-read their output — each registered query is a full
+write→scan round trip, so the oracle checks both directions.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_project_spark.io import load_table
+from big_data_project_spark.registry import query
+
+
+def _tmp(sub: str) -> str:
+    base = os.path.join(tempfile.gettempdir(), f"bdp_spark_{os.getpid()}")
+    path = os.path.join(base, sub)
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+# --- S1 + S5: partitioned parquet sink → multi-file directory scan ---------
+
+
+@query(
+    "s5_parquet_roundtrip",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 4) AS sum_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def s5_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write lineitem partitioned by l_returnflag (S5), re-scan the
+    resulting multi-file directory tree (S1), aggregate. Equivalence with
+    the direct aggregate proves the round trip is lossless. Partitioning
+    by the filter column also gives partition pruning on re-read."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = _tmp(f"s5_roundtrip_{os.path.basename(sf_dir.rstrip('/'))}")
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    return (
+        spark.read.parquet(out)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 4).alias("sum_qty"))
+    )
+
+
+# --- S4: CSV + JSON sources ------------------------------------------------
+
+
+@query(
+    "s4_csv_roundtrip",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 4) AS sum_total
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def s4_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → CSV (header, explicit timestamp format) → read back with
+    schema inference disabled (explicit DDL — inference is a full extra
+    pass at 100 TB) → aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    out = _tmp(f"s4_csv_{os.path.basename(sf_dir.rstrip('/'))}")
+    o.write.mode("overwrite").option("header", True).csv(out)
+    schema = ("o_orderkey long, o_custkey long, o_orderstatus string, "
+              "o_totalprice double, o_orderdate timestamp, o_orderpriority string")
+    return (
+        spark.read.schema(schema).option("header", True).csv(out)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 4).alias("sum_total"))
+    )
+
+
+@query(
+    "s4_json_roundtrip",
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS k_sum
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def s4_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → JSON lines → read back (explicit schema) → extract the
+    JSON props field (F7) → aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    out = _tmp(f"s4_json_{os.path.basename(sf_dir.rstrip('/'))}")
+    e.write.mode("overwrite").json(out)
+    schema = ("event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string")
+    back = spark.read.schema(schema).json(out)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.get_json_object("props", "$.k").cast("int")).cast("bigint").alias("k_sum"),
+    )
+
+
+# --- S3: binary (npz) records via binaryFile + Arrow decode ----------------
+
+
+@query("s3_binary_npz_scan", oracle=None)
+def s3_binary_npz_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's native ingest (np.load of npz shards,
+    flax_model.py:53-66) on Spark: binaryFile source → mapInPandas npz
+    decode → one row per patch with shape metadata. Shards are synthesized
+    deterministically on first call (the real npz data is gitignored in
+    the reference)."""
+    import numpy as np
+
+    shard_dir = _tmp("s3_npz_shards")
+    if not os.listdir(shard_dir):
+        for i in range(4):
+            rng = np.random.default_rng(seed=100 + i)
+            np.savez(
+                os.path.join(shard_dir, f"shard_{i}.npz"),
+                inputs=rng.standard_normal((8, 8, 8, 3)).astype(np.float32),
+                labels_landcover=rng.integers(0, 9, (8, 8, 8, 1)).astype(np.uint8),
+                labels_lst=(rng.standard_normal((8, 8, 8, 1)) * 30 + 280).astype(np.float32),
+            )
+
+    def decode(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io as _io
+
+        import numpy as _np
+
+        for pdf in pdf_iter:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                with _np.load(_io.BytesIO(content)) as npz:
+                    inputs = npz["inputs"]
+                    lst = npz["labels_lst"]
+                    for p in range(inputs.shape[0]):
+                        rows.append({
+                            "shard": os.path.basename(path),
+                            "patch_idx": p,
+                            "h": inputs.shape[1],
+                            "w": inputs.shape[2],
+                            "bands": inputs.shape[3],
+                            "lst_mean": float(lst[p].mean()),
+                        })
+            yield pd.DataFrame(rows)
+
+    files = spark.read.format("binaryFile").load(shard_dir)
+    return files.select("path", "content").mapInPandas(
+        decode, schema="shard string, patch_idx int, h int, w int, bands int, lst_mean double"
+    )
+
+
+# --- S6: versioned checkpoint sink with keep=N retention -------------------
+
+
+def write_checkpoint(df: DataFrame, ckpt_root: str, epoch: int, keep: int = 3) -> list[int]:
+    """checkpoints.save_checkpoint(ckpt_dir, state, epoch, keep=3)
+    (flax_model.py:377) as a partitioned parquet snapshot dir + retention
+    sweep. Returns the retained epochs."""
+    import shutil
+
+    df.write.mode("overwrite").parquet(os.path.join(ckpt_root, f"epoch={epoch}"))
+    epochs = sorted(
+        int(d.split("=")[1]) for d in os.listdir(ckpt_root) if d.startswith("epoch=")
+    )
+    for old in epochs[:-keep]:
+        shutil.rmtree(os.path.join(ckpt_root, f"epoch={old}"))
+    return epochs[-keep:]
+
+
+@query("s6_versioned_checkpoints", oracle=None)
+def s6_versioned_checkpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write 5 epoch snapshots with keep=3; return the surviving epochs
+    with their row counts (must be exactly the last 3)."""
+    import shutil
+
+    nation = load_table(spark, sf_dir, "nation")
+    root = _tmp("s6_ckpt")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    for epoch in range(1, 6):
+        write_checkpoint(nation.withColumn("epoch_val", F.lit(epoch)), root, epoch, keep=3)
+    return (
+        spark.read.option("basePath", root).parquet(root)
+        .groupBy("epoch")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("epoch")
+    )
+
+
+# --- S7: metrics append sink -----------------------------------------------
+
+
+@query("s7_metrics_append_sink", oracle=None)
+def s7_metrics_append_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """summary_writer.scalar(name, value, step) (flax_model.py:371-375) as
+    an append-only parquet metrics log, then the TensorBoard-style
+    read side: per-metric series aggregation (§3.3)."""
+    import shutil
+
+    root = _tmp("s7_metrics")
+    shutil.rmtree(root, ignore_errors=True)
+    li = load_table(spark, sf_dir, "lineitem")
+    for step in range(3):
+        metrics = li.filter(F.col("l_linenumber") > step).agg(
+            F.round(F.avg("l_extendedprice"), 4).alias("value")
+        ).select(
+            F.lit("avg_price").alias("metric"), F.lit(step).alias("step"), "value"
+        )
+        metrics.write.mode("append").parquet(root)
+    return (
+        spark.read.parquet(root)
+        .groupBy("metric")
+        .agg(
+            F.count(F.lit(1)).alias("n_steps"),
+            F.round(F.min("value"), 4).alias("min_value"),
+            F.round(F.max("value"), 4).alias("max_value"),
+        )
+    )
