@@ -1,0 +1,76 @@
+"""Physical-plan contracts (SURVEY.md §4.2).
+
+The 100 TB claims in this repo are properties of the *plan*, not the
+output: filters must reach the parquet scan, projections must prune the
+read schema, small dims must broadcast, aggregates must have a partial
+(map-side) phase, and an operator must not shuffle more than its
+semantics require. These helpers turn each claim into an assertable
+predicate over `df.explain()` text, and tests/test_plans.py pins them so
+a regression that silently de-optimizes a query fails CI even though its
+rows still hash-match the oracle.
+
+(The reference has no analog — its only "plan" is an XLA trace,
+flax_model.py:180 — so this layer is where the Spark-first architecture
+earns its keep.)
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+from pyspark.sql import DataFrame
+
+
+def plan_str(df: DataFrame, mode: str = "formatted") -> str:
+    """Capture ``df.explain(mode)`` output as a string."""
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """All PushedFilters entries across the plan's parquet scans."""
+    out: list[str] = []
+    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", plan_str(df)):
+        out.extend(s.strip() for s in m.group(1).split(",") if s.strip())
+    return out
+
+
+def read_schemas(df: DataFrame) -> list[list[str]]:
+    """Column lists actually read by each parquet scan (pruning check)."""
+    out: list[list[str]] = []
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan_str(df)):
+        cols = [c.split(":")[0].strip() for c in m.group(1).split(",") if c.strip()]
+        out.append(cols)
+    return out
+
+
+def count_ops(df: DataFrame, op: str) -> int:
+    """Occurrences of a physical operator name (e.g. 'Exchange',
+    'BroadcastHashJoin', 'SortMergeJoin') in the plan tree. Uses simple
+    mode — formatted mode repeats each operator in its detail section,
+    which would double-count."""
+    text = plan_str(df, mode="simple")
+    return len(re.findall(rf"\b{re.escape(op)}\b", text))
+
+
+def has_broadcast_join(df: DataFrame) -> bool:
+    return count_ops(df, "BroadcastHashJoin") > 0 or count_ops(df, "BroadcastNestedLoopJoin") > 0
+
+
+def has_partial_agg(df: DataFrame) -> bool:
+    """Two-phase (map-side partial + final) hash aggregation present."""
+    return "partial_" in plan_str(df)
+
+
+def num_shuffles(df: DataFrame) -> int:
+    """Shuffle exchanges only (broadcast exchanges excluded)."""
+    return count_ops(df, "Exchange") - count_ops(df, "BroadcastExchange")
+
+
+def whole_stage_codegen_spans(df: DataFrame) -> int:
+    """Number of WholeStageCodegen spans — wider/fewer is better."""
+    return len(set(re.findall(r"WholeStageCodegen \((\d+)\)", plan_str(df))))

@@ -1,0 +1,74 @@
+"""Plan-contract tests: pin the physical-plan properties the 100 TB
+design depends on (SURVEY §4.2). A query here can pass its value oracle
+and still fail — e.g. if a refactor breaks predicate pushdown."""
+
+from __future__ import annotations
+
+import pytest
+
+from big_data_project_spark.plans.contracts import (
+    count_ops,
+    has_broadcast_join,
+    has_partial_agg,
+    pushed_filters,
+    read_schemas,
+)
+from big_data_project_spark.registry import all_queries
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return all_queries()
+
+
+def test_flagship_pushdown_and_pruning(spark, qs):
+    df = qs["flagship_pricing_summary"](spark, SF)
+    pf = pushed_filters(df)
+    assert any("l_shipdate" in f for f in pf), f"shipdate filter not pushed: {pf}"
+    # lineitem has 12+ columns; the flagship needs 7 — pruning must hold
+    (cols,) = read_schemas(df)
+    assert "l_comment" not in cols and len(cols) <= 8, cols
+
+
+def test_flagship_partial_aggregation(spark, qs):
+    # A12: map-side partial agg → exchange → final (SURVEY §2.4 A12)
+    assert has_partial_agg(qs["flagship_pricing_summary"](spark, SF))
+
+
+def test_star_join_broadcasts_all_dims(spark, qs):
+    df = qs["j3_star_join_revenue"](spark, SF)
+    # customer/nation/region/orders all under the 64MB threshold at test SF:
+    # the fact table must stream with zero SortMergeJoin exchanges
+    assert count_ops(df, "BroadcastHashJoin") >= 3
+    assert count_ops(df, "SortMergeJoin") == 0
+
+
+def test_broadcast_dim_join_is_broadcast(spark, qs):
+    assert has_broadcast_join(qs["j1_broadcast_dim_join"](spark, SF))
+
+
+def test_exact_dedup_single_shuffle(spark, qs):
+    # X6 is groupBy(content_hash): one hash exchange, nothing else
+    df = qs["x6_exact_dedup"](spark, SF)
+    assert count_ops(df, "Exchange") - count_ops(df, "BroadcastExchange") == 1
+
+
+def test_projection_prunes_scan(spark, qs):
+    # P1 projects 3 columns; the scan must not read the rest
+    df = qs["p1_project_alias"](spark, SF)
+    for cols in read_schemas(df):
+        assert len(cols) <= 4, cols
+
+
+def test_range_filter_pushdown(spark, qs):
+    df = qs["p2_range_filter"](spark, SF)
+    pf = pushed_filters(df)
+    assert pf, "range predicate did not reach the parquet scan"
+
+
+def test_similarity_topk_broadcasts_queries(spark, qs):
+    # X8: the small query side must be the broadcast side; corpus streams
+    df = qs["x8_similarity_topk"](spark, SF)
+    assert count_ops(df, "BroadcastNestedLoopJoin") + count_ops(df, "BroadcastHashJoin") >= 1
