@@ -46,6 +46,10 @@ def get_spark(app_name: str = "big_data_project_spark",
         # --- scan sizing: on 100 TB this is per-task input split size ---
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        # bucketed-table warehouse outside the repo (co-located joins)
+        .config("spark.sql.warehouse.dir",
+                os.environ.get("SPARK_GRAFT_WAREHOUSE",
+                               "/tmp/bdp_spark_warehouse"))
         # quiet the local console
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))

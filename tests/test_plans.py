@@ -68,6 +68,16 @@ def test_range_filter_pushdown(spark, qs):
     assert pf, "range predicate did not reach the parquet scan"
 
 
+def test_bucketed_join_has_no_shuffle(spark, qs):
+    # the whole point of bucketing: SMJ with zero exchanges at read time
+    from big_data_project_spark.operators.scale import bucketed_join
+    from big_data_project_spark.plans.contracts import num_shuffles
+
+    df = bucketed_join(spark, SF)
+    assert count_ops(df, "SortMergeJoin") == 1
+    assert num_shuffles(df) == 0, "bucketed join must not re-shuffle"
+
+
 def test_similarity_topk_broadcasts_queries(spark, qs):
     # X8: the small query side must be the broadcast side; corpus streams
     df = qs["x8_similarity_topk"](spark, SF)
