@@ -321,3 +321,60 @@ def a13_collect_list(spark: SparkSession, sf_dir: str) -> DataFrame:
 def a14_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     em = load_table(spark, sf_dir, "embeddings")
     return em.groupBy(F.col("label").alias("class_id")).agg(F.count(F.lit(1)).alias("n"))
+
+
+# --- A15: pivot (wide-format grouped agg) -----------------------------------
+
+
+@query(
+    "a15_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 4) AS qty_F,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 4) AS qty_O
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def a15_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy().pivot() with an explicit value list — explicit values keep
+    the output schema static (schema inference for pivot is an extra
+    distinct-scan, and nondeterministic column order, at scale)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.round(F.sum("l_quantity"), 4))
+    )
+    return wide.select(
+        "l_returnflag",
+        F.col("F").alias("qty_F"),
+        F.col("O").alias("qty_O"),
+    )
+
+
+# --- A16: exact percentiles (continuous interpolation) ----------------------
+
+
+@query(
+    "a16_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+           round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def a16_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact `percentile` (linear interpolation — same definition as
+    DuckDB's quantile_cont). At 100 TB prefer `approx_percentile`
+    (t-digest sketch, map-side combinable); the exact form shown here
+    needs a full sort per group."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(l_extendedprice, 0.50)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.75)"), 4).alias("p75"),
+    )

@@ -154,3 +154,28 @@ def o6_fixed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("batch_size") == 16)
     )
+
+
+# --- O1: global total-order sort -------------------------------------------
+
+
+@query(
+    "o1_global_sort",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 500
+    """,
+)
+def o1_global_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1: global total-order sort (range-partitioned exchange + per-
+    partition sort; Spark turns sort+limit into TakeOrderedAndProject —
+    a distributed top-k that never materializes the full sort). Unique
+    tie-break key makes the limit deterministic (SURVEY §4.3.2)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(500)
+    )

@@ -58,24 +58,40 @@ def _shingles(tok_col):
 
 def shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
+    # Shingling + 64-permutation minhashing is compute-bound; a single
+    # small parquet file scans as ONE partition, serializing it all.
+    # Spread by doc_id across the cluster before the heavy stage (cheap:
+    # only raw text moves, once). On a real multi-file 100 TB corpus the
+    # scan already yields thousands of partitions and AQE coalesces.
+    n_parts = d.sparkSession.sparkContext.defaultParallelism
     return (
-        d.filter(F.size(_tokens(F.col("text"))) >= 3)
+        d.repartition(n_parts, "doc_id")
+        .filter(F.size(_tokens(F.col("text"))) >= 3)
         .select("doc_id", _shingles(_tokens(F.col("text"))).alias("shingles"))
     )
 
 
 def minhash_signatures(docs: DataFrame) -> DataFrame:
     """64 minhashes per doc from xxhash64(shingle) under fixed affine
-    permutations mod 2^31-1."""
-    base = F.transform(F.col("shingles"), lambda s: F.pmod(F.xxhash64(s), F.lit(_M)))
+    permutations mod 2^31-1. The shingle hashes are materialized in their
+    own projection so the 64 permutation scans share one xxhash64 pass
+    (CollapseProject keeps multi-referenced non-cheap expressions
+    un-inlined); the affine step per permutation is just multiply-mod."""
+    hashed = docs.withColumn(
+        "shingle_hashes",
+        F.transform(F.col("shingles"), lambda s: F.pmod(F.xxhash64(s), F.lit(_M))),
+    )
 
     def _perm(a: int, b: int):
         return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(_M)
 
     sig = F.array(
-        *[F.array_min(F.transform(base, _perm(a, b))) for a, b in zip(_AS, _BS)]
+        *[
+            F.array_min(F.transform(F.col("shingle_hashes"), _perm(a, b)))
+            for a, b in zip(_AS, _BS)
+        ]
     )
-    return docs.select("doc_id", "shingles", sig.alias("sig"))
+    return hashed.select("doc_id", "shingles", sig.alias("sig"))
 
 
 def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
@@ -109,7 +125,10 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
 def verified_neardup_pairs(spark: SparkSession, sf_dir: str,
                            threshold: float = JACCARD_THRESHOLD) -> DataFrame:
     """Candidates → exact shingle-Jaccard verification ≥ threshold."""
-    docs = shingled_docs(spark, sf_dir)
+    # persist: the shingle table feeds three branches (signatures + both
+    # sides of the verify join); without it Spark re-tokenizes the corpus
+    # three times. At 100 TB this is a materialized intermediate table.
+    docs = shingled_docs(spark, sf_dir).persist()
     pairs = lsh_candidate_pairs(minhash_signatures(docs))
     a = docs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     b = docs.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
