@@ -1,0 +1,94 @@
+"""Property-based algebraic identities (SURVEY §5.2, hypothesis-driven).
+
+Each property is an engine-level invariant that must hold for ANY input,
+not just the fixtures: these are the laws Catalyst's rewrites (predicate
+reordering, semi-join conversion, partial aggregation) rely on. Examples
+are kept small and few — every example is a real Spark job.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+rows = st.lists(
+    st.tuples(
+        st.integers(min_value=-5, max_value=5),
+        st.integers(min_value=0, max_value=3),
+        st.sampled_from(["a", "b", "c"]),
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+_SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _df(spark, data):
+    return spark.createDataFrame(data, schema="x int, y int, k string")
+
+
+@_SETTINGS
+@given(data=rows)
+def test_filter_commutes_and_conjoins(spark, data):
+    df = _df(spark, data)
+    p, q = F.col("x") > 0, F.col("y") < 2
+    a = df.filter(p).filter(q).count()
+    b = df.filter(q).filter(p).count()
+    c = df.filter(p & q).count()
+    assert a == b == c
+
+
+@_SETTINGS
+@given(data=rows, other=rows)
+def test_union_counts_add(spark, data, other):
+    d1, d2 = _df(spark, data), _df(spark, other)
+    assert d1.unionByName(d2).count() == d1.count() + d2.count()
+
+
+@_SETTINGS
+@given(data=rows, other=rows)
+def test_semi_join_equals_inner_distinct_project(spark, data, other):
+    d1, d2 = _df(spark, data), _df(spark, other)
+    semi = d1.join(d2, "k", "left_semi")
+    inner = d1.join(d2.select("k").distinct(), "k", "inner")
+    assert sorted(map(tuple, semi.collect())) == sorted(map(tuple, inner.collect()))
+
+
+@_SETTINGS
+@given(data=rows, other=rows)
+def test_semi_anti_partition_input(spark, data, other):
+    d1, d2 = _df(spark, data), _df(spark, other)
+    semi = d1.join(d2, "k", "left_semi").count()
+    anti = d1.join(d2, "k", "left_anti").count()
+    assert semi + anti == d1.count()
+
+
+@_SETTINGS
+@given(data=rows)
+def test_distinct_is_idempotent(spark, data):
+    df = _df(spark, data)
+    once = df.distinct()
+    assert once.count() == once.distinct().count()
+
+
+@_SETTINGS
+@given(data=rows)
+def test_grouped_counts_sum_to_total(spark, data):
+    # partial→final aggregation correctness (A12): group counts sum to n
+    df = _df(spark, data)
+    grouped = df.groupBy("k").count()
+    total = grouped.agg(F.coalesce(F.sum("count"), F.lit(0)).alias("s")).collect()[0]["s"]
+    assert total == df.count()
+
+
+@_SETTINGS
+@given(data=rows)
+def test_exceptall_inverts_unionall(spark, data):
+    df = _df(spark, data)
+    assert df.unionByName(df).exceptAll(df).count() == df.count()
