@@ -33,6 +33,17 @@ _BS = [(40_503 * (i + 7)) % _M for i in range(_N_HASHES)]
 JACCARD_THRESHOLD = 0.5
 
 
+def _spread(df: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Spread a small-file scan across the cluster before a compute-bound
+    stage. A single small parquet file arrives as ONE partition, which
+    would serialize hashing/shingling on one core; only the raw rows move,
+    once. On a real multi-file 100 TB corpus the scan already yields
+    thousands of partitions (and AQE coalesces), making this a no-op-ish
+    key repartition."""
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n_parts, key)
+
+
 def _tokens(col):
     return F.split(col, " ")
 
@@ -57,16 +68,9 @@ def _shingles(tok_col):
 
 
 def shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    # Shingling + 64-permutation minhashing is compute-bound; a single
-    # small parquet file scans as ONE partition, serializing it all.
-    # Spread by doc_id across the cluster before the heavy stage (cheap:
-    # only raw text moves, once). On a real multi-file 100 TB corpus the
-    # scan already yields thousands of partitions and AQE coalesces.
-    n_parts = d.sparkSession.sparkContext.defaultParallelism
+    d = _spread(load_table(spark, sf_dir, "documents"))
     return (
-        d.repartition(n_parts, "doc_id")
-        .filter(F.size(_tokens(F.col("text"))) >= 3)
+        d.filter(F.size(_tokens(F.col("text"))) >= 3)
         .select("doc_id", _shingles(_tokens(F.col("text"))).alias("shingles"))
     )
 
@@ -182,7 +186,7 @@ def x6_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-groupBy exact dedup with whitespace/case normalization; keeps
     the smallest doc_id deterministically (dropDuplicates keeps an
     arbitrary row — SURVEY §2.7 caveat)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _spread(load_table(spark, sf_dir, "documents"))
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
     return (
         d.withColumn("content_hash", F.md5(norm))
@@ -238,7 +242,7 @@ def x7_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     4×16-bit chunk blocking (pigeonhole: hamming ≤ 6 with 4 chunks → some
     chunk intersects... chunks with ≥1 exact match cover hamming ≤ 3 per
     the 4-chunk bound; we block on any-equal-chunk then filter exactly)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _spread(load_table(spark, sf_dir, "documents"))
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
     h = F.pmod(F.xxhash64("tok"), F.lit(2**63 - 1))
     bits = toks.groupBy("doc_id").agg(
@@ -256,6 +260,8 @@ def x7_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(63)  # 63 bits — stay positive in signed int64
         ).alias("simhash"),
     )
+    # persist: the 4 chunk-blocking self-joins each reference this frame
+    # twice — without it the whole token→simhash pipeline recomputes 8×.
     chunks = sim.select(
         "doc_id",
         "simhash",
@@ -263,7 +269,7 @@ def x7_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.shiftright(F.col("simhash"), 16 * c).bitwiseAND(F.lit(0xFFFF)).alias(f"c{c}")
             for c in range(4)
         ],
-    )
+    ).persist()
     pairs = None
     for c in range(4):
         a, b = chunks.alias("a"), chunks.alias("b")
@@ -308,7 +314,7 @@ def x7_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def x11_top_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = _spread(load_table(spark, sf_dir, "documents"))
     toks = _tokens(F.col("text"))
     # non-distinct shingles here (frequency counting)
     n = F.size(toks)

@@ -102,16 +102,47 @@ def x8_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x8_cosine_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All pairs with cosine ≥ 0.4 (the fixture's 'near-duplicate' regime;
     at production thresholds ~0.95 this is the embedding-dedup operator).
-    Filter applies to the ROUNDED value in both engines."""
-    e = load_table(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
-    pairs = a.crossJoin(b).filter(F.col("vec_a") < F.col("vec_b"))
-    return (
-        with_cosine(pairs)
-        .withColumn("sim", F.round(F.col("sim_raw") + 1e-9, 4))
-        .filter(F.col("sim") >= 0.4)
-        .select("vec_a", "vec_b", "sim")
+    Filter applies to the ROUNDED value in both engines.
+
+    Executed as a block-matrix kernel: one side is L2-normalized and
+    broadcast; each partition of the other side does ONE numpy matmul per
+    Arrow batch. Spark's higher-order array functions are interpreted
+    (not codegen'd), so the per-pair zip_with fold used for the top-k
+    query would cost ~100× more here (n²/2 pairs). At 100 TB the
+    broadcast side tiles: loop this kernel over broadcast-sized column
+    blocks of B (a grid of independent block-pair jobs, no shuffle)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    bp = e.toPandas()  # broadcast side: 2000×64 floats ≈ 0.5 MB
+    b_ids = np.asarray(bp["vec_id"], dtype=np.int64)
+    bm = np.vstack(bp["embedding"].to_numpy()).astype(np.float64)
+    bm /= np.linalg.norm(bm, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((b_ids, bm))
+
+    def block(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_b, mat_b = bc.value
+        for pdf in pdf_iter:
+            if pdf.empty:
+                continue
+            a = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            a /= np.linalg.norm(a, axis=1, keepdims=True)
+            ids_a = pdf["vec_id"].to_numpy(dtype=np.int64)
+            sims = np.round(a @ mat_b.T + 1e-9, 4)
+            ai, bi = np.where(sims >= 0.4)
+            keep = ids_a[ai] < ids_b[bi]
+            yield pd.DataFrame({
+                "vec_a": ids_a[ai][keep],
+                "vec_b": ids_b[bi][keep],
+                "sim": sims[ai, bi][keep],
+            })
+
+    n_parts = spark.sparkContext.defaultParallelism
+    return e.repartition(n_parts, "vec_id").mapInPandas(
+        block, schema="vec_a bigint, vec_b bigint, sim double"
     )
 
 
