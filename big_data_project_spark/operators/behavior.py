@@ -1,0 +1,156 @@
+"""Behavioral analytics over the events table: funnels, cohort retention,
+and event-sequence detection.
+
+The reference's workload is temporal supervision — "observations at t
+predict labels at t+6 months" (README.md:6) — which generalizes to
+ordered-event analytics: did step B follow step A for this key, and how
+do key cohorts evolve over time? These are the standard large-scale
+event-warehouse queries (per-user ordered sequences), all expressible as
+grouped min/lag/conditional aggregation — single shuffle on user_id,
+no self-joins, which is what keeps them viable at 100 TB event volumes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from big_data_project_spark.io import load_table
+from big_data_project_spark.registry import query
+
+# --- ordered funnel: view → click → purchase --------------------------------
+
+
+@query(
+    "b1_funnel",
+    oracle="""
+    WITH stages AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purch
+      FROM events
+      GROUP BY user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(count(t_view) AS BIGINT) AS viewed,
+           CAST(sum(CASE WHEN t_click > t_view THEN 1 ELSE 0 END) AS BIGINT) AS clicked_after_view,
+           CAST(sum(CASE WHEN t_purch > t_click AND t_click > t_view THEN 1 ELSE 0 END) AS BIGINT)
+             AS purchased_after_click
+    FROM stages
+    """,
+)
+def b1_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel via one grouped conditional-min pass —
+    no per-stage self-joins (the n-way join formulation shuffles the
+    event table once per stage; this shuffles it once, total)."""
+    e = load_table(spark, sf_dir, "events")
+    stages = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purch"),
+    )
+    return stages.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_view").alias("viewed"),
+        F.sum(
+            F.when(F.col("t_click") > F.col("t_view"), 1).otherwise(0)
+        ).alias("clicked_after_view"),
+        F.sum(
+            F.when(
+                (F.col("t_purch") > F.col("t_click")) & (F.col("t_click") > F.col("t_view")), 1
+            ).otherwise(0)
+        ).alias("purchased_after_click"),
+    )
+
+
+# --- cohort retention: signup day × activity-day offset ---------------------
+
+
+@query(
+    "b2_cohort_retention",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, date_trunc('day', min(ts)) AS cohort_day
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_day,
+             datediff('day', f.cohort_day, date_trunc('day', e.ts)) AS day_offset
+      FROM events e JOIN first_seen f ON e.user_id = f.user_id
+    )
+    SELECT cohort_day, day_offset, CAST(count(*) AS BIGINT) AS n_active
+    FROM activity
+    WHERE day_offset <= 7
+    GROUP BY cohort_day, day_offset
+    """,
+)
+def b2_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-0 cohort assignment (min ts per user) joined back to activity;
+    the first-seen frame is small (one row per user) → broadcast to the
+    event scan, so the heavy side shuffles only for the final count."""
+    e = load_table(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    activity = (
+        e.join(F.broadcast(first_seen), "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.date_trunc("day", F.col("ts")), F.col("cohort_day")).alias("day_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.filter(F.col("day_offset") <= 7)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
+# --- consecutive-event pattern: error following purchase within 5 min -------
+
+
+@query(
+    "b3_next_event_pattern",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_type,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+      FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_purchase_then_error
+    FROM ordered
+    WHERE event_type = 'purchase' AND next_type = 'error'
+      AND next_ts <= ts + INTERVAL 5 MINUTE
+    GROUP BY user_id
+    """,
+)
+def b3_next_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-event sequence detection (W2 lead over a per-user time
+    window): purchases immediately followed by an error within 5 minutes.
+    Unique tie-break (event_id) keeps lead() deterministic under equal
+    timestamps in both engines."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = e.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+        F.lead("ts").over(w).alias("next_ts"),
+    )
+    return (
+        ordered.filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("next_type") == "error")
+            & (F.col("next_ts") <= F.col("ts") + F.expr("INTERVAL 5 MINUTES"))
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_purchase_then_error"))
+    )
