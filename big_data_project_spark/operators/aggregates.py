@@ -353,6 +353,29 @@ def a15_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- A17: correlation / covariance ------------------------------------------
+
+
+@query(
+    "a17_corr_covar",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def a17_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + sample covariance (both engines use sample
+    semantics; single-pass co-moment accumulators, map-side combinable)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("qty_price_covar"),
+    )
+
+
 # --- A16: exact percentiles (continuous interpolation) ----------------------
 
 

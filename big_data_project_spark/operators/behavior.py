@@ -154,3 +154,62 @@ def b3_next_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_purchase_then_error"))
     )
+
+
+# --- daily resample + forward fill (gap-filled time series) -----------------
+
+
+@query(
+    "b4_resample_ffill",
+    oracle="""
+    WITH bounds AS (
+      SELECT user_id,
+             date_trunc('day', min(ts)) AS d0,
+             date_trunc('day', max(ts)) AS d1
+      FROM events WHERE user_id < 10 GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+      FROM bounds
+    ),
+    daily AS (
+      SELECT user_id, date_trunc('day', ts) AS day,
+             round(avg(value), 4) AS day_value
+      FROM events WHERE user_id < 10 GROUP BY 1, 2
+    )
+    SELECT g.user_id, g.day,
+           last_value(d.day_value IGNORE NULLS)
+             OVER (PARTITION BY g.user_id ORDER BY g.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+    FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+    """,
+)
+def b4_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled daily resample: per-key day grid (sequence + explode —
+    generated, never a driver loop), left join of observed daily
+    aggregates, forward-fill via last(ignorenulls) over an unbounded-
+    preceding frame. The raster analog is filling cloud-masked observation
+    gaps in a satellite time series (the reference imputes spatially,
+    flax_model.py:89-91; this is the temporal counterpart)."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    bounds = e.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("d0"),
+        F.date_trunc("day", F.max("ts")).alias("d1"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day"),
+    )
+    daily = e.groupBy("user_id", F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.round(F.avg("value"), 4).alias("day_value")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return grid.join(daily, ["user_id", "day"], "left").select(
+        "user_id",
+        "day",
+        F.last("day_value", ignorenulls=True).over(w).alias("filled_value"),
+    )

@@ -242,24 +242,36 @@ def x7_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     4×16-bit chunk blocking (pigeonhole: hamming ≤ 6 with 4 chunks → some
     chunk intersects... chunks with ≥1 exact match cover hamming ≤ 3 per
     the 4-chunk bound; we block on any-equal-chunk then filter exactly)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
     d = _spread(load_table(spark, sf_dir, "documents"))
-    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-    h = F.pmod(F.xxhash64("tok"), F.lit(2**63 - 1))
-    bits = toks.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"b{i}")
-            for i in range(64)
-        ]
-    )
-    sim = bits.select(
+    # token hashes JVM-side (deterministic xxhash64), bit-vote in numpy:
+    # signatures are computed in a single NARROW stage — no shuffle at all
+    # until the chunk-blocking join. (The pure-SQL alternative — explode +
+    # 64 conditional SUMs — shuffles every token row and evaluates 128
+    # branch expressions per token.)
+    hashed = d.select(
         "doc_id",
-        sum(
-            (F.when(F.col(f"b{i}") > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2**i))
-            for i in range(63)  # 63 bits — stay positive in signed int64
-        ).alias("simhash"),
+        F.transform(
+            F.split("text", " "), lambda t: F.pmod(F.xxhash64(t), F.lit(2**63 - 1))
+        ).alias("token_hashes"),
     )
+
+    def simhash_batch(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        shifts = np.arange(63, dtype=np.uint64)  # 63 bits — stay positive in int64
+        for pdf in pdf_iter:
+            out = []
+            for doc_id, hs in zip(pdf["doc_id"], pdf["token_hashes"]):
+                h = np.asarray(hs, dtype=np.uint64)
+                votes = (((h[:, None] >> shifts) & 1).astype(np.int32) * 2 - 1).sum(axis=0)
+                sh = int(((votes > 0).astype(np.uint64) << shifts).sum())
+                out.append({"doc_id": int(doc_id), "simhash": sh})
+            yield pd.DataFrame(out)
+
+    sim = hashed.mapInPandas(simhash_batch, schema="doc_id long, simhash long")
     # persist: the 4 chunk-blocking self-joins each reference this frame
     # twice — without it the whole token→simhash pipeline recomputes 8×.
     chunks = sim.select(
