@@ -49,10 +49,13 @@ def test_broadcast_dim_join_is_broadcast(spark, qs):
     assert has_broadcast_join(qs["j1_broadcast_dim_join"](spark, SF))
 
 
-def test_exact_dedup_single_shuffle(spark, qs):
-    # X6 is groupBy(content_hash): one hash exchange, nothing else
+def test_exact_dedup_shuffle_budget(spark, qs):
+    # X6 is spread (compute-parallelism repartition of the single-file
+    # local fixture) + groupBy(content_hash): exactly two exchanges, and
+    # partial aggregation still present
     df = qs["x6_exact_dedup"](spark, SF)
-    assert count_ops(df, "Exchange") - count_ops(df, "BroadcastExchange") == 1
+    assert count_ops(df, "Exchange") - count_ops(df, "BroadcastExchange") == 2
+    assert has_partial_agg(df)
 
 
 def test_projection_prunes_scan(spark, qs):
@@ -76,6 +79,19 @@ def test_bucketed_join_has_no_shuffle(spark, qs):
     df = bucketed_join(spark, SF)
     assert count_ops(df, "SortMergeJoin") == 1
     assert num_shuffles(df) == 0, "bucketed join must not re-shuffle"
+
+
+def test_multimodal_metadata_skips_payload_bytes(spark, qs, tmp_path):
+    # X10 design claim: payload and metadata are separate columns so a
+    # metadata-only query never reads payload bytes from parquet
+    from big_data_project_spark.io import load_table
+    from big_data_project_spark.pipeline.multimodal import attach_payload
+
+    out = str(tmp_path / "mm")
+    attach_payload(load_table(spark, SF, "documents")).write.parquet(out)
+    meta_only = spark.read.parquet(out).select("doc_id", "meta.width", "meta.mime")
+    for cols in read_schemas(meta_only):
+        assert "payload" not in cols, cols
 
 
 def test_similarity_topk_broadcasts_queries(spark, qs):
