@@ -58,7 +58,16 @@ def synth_patches(spark: SparkSession, n_patches: int = 64, n_parts: int = 8) ->
             for pid in pdf["id"]:
                 rng = np.random.default_rng(seed=int(pid))
                 bands = rng.standard_normal((PATCH, PATCH, BANDS)).astype(np.float32)
-                lst = (rng.standard_normal((PATCH, PATCH)) * 25 + 280).astype(np.float32)
+                # LST driven by the bands (NDVI↔temperature coupling the
+                # reference models, README.md:6) + noise — so the training
+                # loop (raster/training.py) has real signal to fit
+                lst = (
+                    280.0
+                    + 12.0 * bands[:, :, 0]
+                    - 8.0 * bands[:, :, 1]
+                    + 3.0 * bands[:, :, 2]
+                    + rng.standard_normal((PATCH, PATCH)) * 5.0
+                ).astype(np.float32)
                 bad = rng.random((PATCH, PATCH)) < 0.02
                 lst[bad] = np.where(rng.random(bad.sum()) < 0.5, 150.0, 400.0)
                 lc = rng.integers(0, NUM_CLASSES, (PATCH, PATCH)).astype(np.int32)

@@ -44,6 +44,7 @@ _MODULES = (
     "big_data_project_spark.pipeline.multimodal",
     "big_data_project_spark.sources.formats",
     "big_data_project_spark.raster.vertical",
+    "big_data_project_spark.raster.training",
 )
 
 _loaded = False

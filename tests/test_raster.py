@@ -55,6 +55,15 @@ def test_x3_inference_schema_and_ranges(spark):
     assert out["pred_class_mode"].between(0, 8).all()
 
 
+def test_training_loop_loss_decreases(spark):
+    out = all_queries()["raster_training_loop"](spark, SF).toPandas()
+    assert len(out) == 12
+    mses = out.sort_values("epoch")["mse"].tolist()
+    # convex problem + small fixed lr → strictly decreasing loss
+    assert all(a > b for a, b in zip(mses, mses[1:])), mses
+    assert mses[-1] < mses[0] * 0.9
+
+
 def test_raster_pipeline_end_to_end(spark):
     out = all_queries()["raster_forecast_pipeline"](spark, SF).toPandas()
     # 96 patches, 8 tiles of 12 months, lead-6 leaves 6 per tile = 48 scored
