@@ -356,3 +356,61 @@ def x11_top_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "shingle")
         .limit(50)
     )
+
+
+# --- transitive near-dup clusters (iterative min-label propagation) --------
+
+
+def neardup_clusters(spark: SparkSession, sf_dir: str, max_iters: int = 10) -> DataFrame:
+    """Connected components over the verified near-dup pair graph by
+    min-label propagation: every doc starts labeled with its own id; each
+    round, a doc adopts the minimum label in its neighborhood; stop at
+    fixpoint. The reference has nothing iterative but the epoch loop
+    (flax_model.py:349) — same driver-coordinated loop shape, with each
+    step a pure DataFrame job. Pair graphs after LSH are tiny relative to
+    the corpus, so labels.persist() per round is cheap; at 100 TB the
+    pair set still fits comfortably (it is near-dup pairs, not all
+    pairs)."""
+    pairs = verified_neardup_pairs(spark, sf_dir).select("doc_a", "doc_b").persist()
+    # undirected edges, both directions
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).persist()
+    members = edges.select(F.col("doc_a").alias("doc_id")).distinct()
+    labels = members.withColumn("cluster", F.col("doc_id")).persist()
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy("doc_a")
+            .agg(F.min("cluster").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.doc_a, "left")
+            .select(
+                "doc_id",
+                F.least(F.col("cluster"), F.coalesce("nbr_min", F.col("cluster"))).alias(
+                    "cluster"
+                ),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster") != F.col("o.cluster"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+@query("x7_neardup_clusters", oracle=None)
+def x7_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster assignment for every doc that has at least one near-dup
+    (cluster id = smallest doc_id in the component). Rows-only; the
+    every-edge-within-one-cluster invariant is asserted in
+    tests/test_pipeline.py."""
+    return neardup_clusters(spark, sf_dir).orderBy("doc_id")

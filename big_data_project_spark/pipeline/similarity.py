@@ -204,3 +204,65 @@ def x8_ivf_ann_topk(spark: SparkSession, sf_dir: str, nprobe: int = 3) -> DataFr
         .filter(F.col("rk") <= 5)
         .select("query_id", "neighbor_id", "sim")
     )
+
+
+# --- X8d: full-corpus KNN join (top-1 neighbor for EVERY vector) -----------
+
+
+@query(
+    "x8_knn_all",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    scored AS (
+      SELECT a.vec_id, b.vec_id AS nn_id,
+             round(list_cosine_similarity(a.v, b.v) + 1e-9, 4) AS sim
+      FROM e a JOIN e b ON a.vec_id != b.vec_id
+    )
+    SELECT vec_id, nn_id, sim
+    FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY sim DESC, nn_id) AS rk
+          FROM scored)
+    WHERE rk = 1
+    """,
+)
+def x8_knn_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest neighbor for EVERY vector (the KNN-join that powers
+    embedding dedup and clustering) via the block-matrix kernel: corpus
+    broadcast once, each partition emits its rows' argmax directly —
+    nothing but (n × 3) scalars ever leaves the kernel, and ties break on
+    the smaller neighbor id to match the oracle's ORDER BY sim DESC,
+    nn_id."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    bp = e.toPandas()
+    b_ids = np.asarray(bp["vec_id"], dtype=np.int64)
+    bm = np.vstack(bp["embedding"].to_numpy()).astype(np.float64)
+    bm /= np.linalg.norm(bm, axis=1, keepdims=True)
+    order = np.argsort(b_ids)  # ascending id ⇒ argmax picks smallest id on ties
+    bc = spark.sparkContext.broadcast((b_ids[order], bm[order]))
+
+    def block(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_b, mat_b = bc.value
+        for pdf in pdf_iter:
+            if pdf.empty:
+                continue
+            a = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            a /= np.linalg.norm(a, axis=1, keepdims=True)
+            ids_a = pdf["vec_id"].to_numpy(dtype=np.int64)
+            sims = np.round(a @ mat_b.T + 1e-9, 4)
+            sims[ids_a[:, None] == ids_b[None, :]] = -np.inf  # mask self
+            best = sims.argmax(axis=1)  # first (=smallest id) on equal sim
+            yield pd.DataFrame({
+                "vec_id": ids_a,
+                "nn_id": ids_b[best],
+                "sim": sims[np.arange(len(best)), best],
+            })
+
+    n_parts = spark.sparkContext.defaultParallelism
+    return e.repartition(n_parts, "vec_id").mapInPandas(
+        block, schema="vec_id bigint, nn_id bigint, sim double"
+    )

@@ -219,3 +219,61 @@ def x9_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         best.getField("lang").alias("lang_pred"),
         F.round(best.getField("score"), 4).alias("lang_score"),
     )
+
+
+# --- TF-IDF: top terms per document ----------------------------------------
+
+
+@query(
+    "x9_tfidf_top_terms",
+    oracle="""
+    WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
+    n_docs AS (SELECT count(*) AS n FROM docs),
+    toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM docs
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS f FROM toks GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, count(DISTINCT doc_id) AS d FROM tf GROUP BY term
+    ),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf.f * ln((SELECT n FROM n_docs) * 1.0 / df.d) + 1e-9, 4) AS tfidf
+      FROM tf JOIN df USING (term)
+    )
+    SELECT doc_id, term, tfidf
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY tfidf DESC, term) AS rk
+          FROM scored)
+    WHERE rk <= 3
+    """,
+)
+def x9_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF (tf × ln(N/df)) with top-3 terms per document. The document
+    frequency table is a small aggregate → broadcast back to the term
+    table; ranking ties break on the term string so both engines pick the
+    same rows. The doc count rides along as a crossJoin of a 1-row frame
+    (never a driver round trip mid-plan)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    toks = d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("f"))
+    df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("d"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("f") * F.log(F.col("n") * F.lit(1.0) / F.col("d")) + 1e-9, 4),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tfidf")
+    )

@@ -127,3 +127,18 @@ def test_f9_xxhash64_matches_text_cardinality(spark, sf_dir):
     n_hashes = out.select("text_xxh64").distinct().count()
     n_texts = load_table(spark, sf_dir, "documents").select("text").distinct().count()
     assert n_hashes == n_texts  # no collisions at fixture scale
+
+
+def test_x7_clusters_cover_all_pair_endpoints(spark, sf_dir):
+    """Every near-dup edge must land inside one cluster, and each cluster
+    id must be the smallest member id."""
+    from big_data_project_spark.pipeline.dedup import (
+        neardup_clusters, verified_neardup_pairs,
+    )
+
+    labels = neardup_clusters(spark, sf_dir).toPandas().set_index("doc_id")["cluster"]
+    pairs = verified_neardup_pairs(spark, sf_dir).toPandas()
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        assert labels[a] == labels[b], (a, b)
+    assert (labels.index >= labels.values).all()  # cluster id = min member
+    assert (labels.groupby(labels).size() >= 1).all()
