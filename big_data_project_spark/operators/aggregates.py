@@ -401,3 +401,54 @@ def a16_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(l_extendedprice, 0.50)"), 4).alias("p50"),
         F.round(F.expr("percentile(l_extendedprice, 0.75)"), 4).alias("p75"),
     )
+
+
+# --- A18: column profiling (data-quality summary) ----------------------------
+
+
+@query(
+    "a18_profile_columns",
+    oracle="""
+    WITH base AS (SELECT l_quantity, l_discount FROM lineitem)
+    SELECT 'l_quantity' AS col_name,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(l_quantity) AS BIGINT) AS n_nonnull,
+           CAST(count(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
+           round(min(l_quantity), 4) AS min_val,
+           round(max(l_quantity), 4) AS max_val
+    FROM base
+    UNION ALL
+    SELECT 'l_discount',
+           CAST(count(*) AS BIGINT),
+           CAST(count(l_discount) AS BIGINT),
+           CAST(count(DISTINCT l_discount) AS BIGINT),
+           round(min(l_discount), 4),
+           round(max(l_discount), 4)
+    FROM base
+    """,
+)
+def a18_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (the null-rate / distinct / range summary every
+    ingestion pipeline runs first). One scan computes every column's
+    stats side by side; the per-column rows come from a stack/unpivot of
+    that single aggregate row — NOT one scan per column."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("l_quantity").alias("nn_q"),
+        F.countDistinct("l_quantity").alias("nd_q"),
+        F.round(F.min("l_quantity"), 4).alias("mn_q"),
+        F.round(F.max("l_quantity"), 4).alias("mx_q"),
+        F.count("l_discount").alias("nn_d"),
+        F.countDistinct("l_discount").alias("nd_d"),
+        F.round(F.min("l_discount"), 4).alias("mn_d"),
+        F.round(F.max("l_discount"), 4).alias("mx_d"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(2,"
+            " 'l_quantity', n, nn_q, nd_q, mn_q, mx_q,"
+            " 'l_discount', n, nn_d, nd_d, mn_d, mx_d"
+            ") AS (col_name, n, n_nonnull, n_distinct, min_val, max_val)"
+        )
+    )

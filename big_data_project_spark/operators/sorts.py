@@ -179,3 +179,24 @@ def o1_global_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(500)
     )
+
+
+# --- O7: sampling (uniform + stratified) ------------------------------------
+
+
+@query("o7_stratified_sample", oracle=None)
+def o7_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded uniform + stratified sampling (sampleBy with per-class
+    fractions) — the training-data curation primitive for class
+    rebalancing. Bernoulli sampling distributes trivially (per-row coin
+    flip, no shuffle); seed semantics are engine-specific → rows-only,
+    with same-seed determinism and fraction tolerances asserted in
+    tests/test_pipeline.py. Returns per-class sampled counts."""
+    d = load_table(spark, sf_dir, "documents")
+    fractions = {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.25, "zh": 0.1}
+    sampled = d.sampleBy("lang", fractions=fractions, seed=42)
+    return (
+        sampled.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+        .orderBy("lang")
+    )

@@ -197,3 +197,64 @@ def t7_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enrich_with_users(
         load_table(spark, sf_dir, "events"), load_table(spark, sf_dir, "customer")
     )
+
+
+# --- T9: stream-stream join (view → purchase attribution) -------------------
+
+
+def attribution_join(views: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Dual-mode builder: each purchase joined to every view by the same
+    user within the preceding 30 minutes. In streaming both inputs carry
+    watermarks and the time-bound condition lets Spark expire join state
+    (without it, stream-stream join state grows forever — THE scale
+    constraint for 100 TB/day event joins)."""
+    v = views.select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+    )
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return (
+        v.join(
+            p,
+            (F.col("v_user") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("view_ts"))
+            & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 30 MINUTES")),
+        )
+        .select(
+            "view_id",
+            "purchase_id",
+            F.col("p_user").alias("user_id"),
+            # gap on µs precision, floored ONCE — flooring each timestamp
+            # first (cast to long) disagrees with the oracle by ±1 s
+            F.expr("(unix_micros(purchase_ts) - unix_micros(view_ts)) div 1000000").alias(
+                "gap_s"
+            ),
+        )
+    )
+
+
+@query(
+    "t9_stream_stream_join",
+    oracle="""
+    SELECT v.event_id AS view_id,
+           p.event_id AS purchase_id,
+           p.user_id,
+           (epoch_us(p.ts) - epoch_us(v.ts)) // 1000000 AS gap_s
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON v.user_id = p.user_id
+     AND p.ts >= v.ts
+     AND p.ts <= v.ts + INTERVAL 30 MINUTE
+    """,
+)
+def t9_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return attribution_join(
+        e.filter(F.col("event_type") == "view"),
+        e.filter(F.col("event_type") == "purchase"),
+    )

@@ -142,3 +142,22 @@ def test_x7_clusters_cover_all_pair_endpoints(spark, sf_dir):
         assert labels[a] == labels[b], (a, b)
     assert (labels.index >= labels.values).all()  # cluster id = min member
     assert (labels.groupby(labels).size() >= 1).all()
+
+
+def test_o7_stratified_sample_deterministic_and_bounded(spark, sf_dir):
+    """Same seed ⇒ identical sample; per-class rates near target fractions."""
+    from big_data_project_spark.registry import all_queries
+
+    q = all_queries()["o7_stratified_sample"]
+    a = q(spark, sf_dir).toPandas()
+    b = q(spark, sf_dir).toPandas()
+    assert a.equals(b)
+    from big_data_project_spark.io import load_table
+
+    totals = (
+        load_table(spark, sf_dir, "documents").groupBy("lang").count().toPandas()
+        .set_index("lang")["count"]
+    )
+    rates = a.set_index("lang")["n_sampled"] / totals
+    assert abs(rates.get("en", 0) - 0.5) < 0.15
+    assert abs(rates.get("zh", 0) - 0.1) < 0.1

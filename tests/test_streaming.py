@@ -216,3 +216,47 @@ def test_t3_session_window_streaming(spark, tmp_path):
     u1 = out[out.user_id == 1].sort_values("session_start")
     assert u1.n_events.tolist() == [2, 1]
     assert u1.session_end.tolist()[0] == pd.Timestamp("2024-06-01 00:40:00")
+
+
+def test_t9_stream_stream_join(spark, tmp_path):
+    """True stream-stream join: both sides watermarked, time-bounded
+    condition, state carried across micro-batches (a view from batch 1
+    attributes a purchase arriving in batch 2)."""
+    from big_data_project_spark.streaming.windows import attribution_join
+
+    vdir, pdir = str(tmp_path / "views"), str(tmp_path / "purchases")
+    out_dir, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    os.makedirs(vdir)
+    os.makedirs(pdir)
+
+    def run_pass():
+        views = stream_events_from_dir(spark, vdir).withWatermark("ts", "1 hour")
+        purchases = stream_events_from_dir(spark, pdir).withWatermark("ts", "1 hour")
+        joined = attribution_join(views, purchases)
+
+        def sink(df, batch_id):
+            if df.count():
+                df.write.mode("append").parquet(out_dir)
+
+        run_available_now(joined, out_dir, ck, output_mode="append", foreach_batch=sink)
+
+    # batch 1: views only (one per user)
+    _write_batch(spark, [
+        (10, "2024-06-01 00:00:00", 1, "view", 1.0),
+        (11, "2024-06-01 00:00:00", 2, "view", 1.0),
+    ], vdir, "b1")
+    _write_batch(spark, [], pdir, "b1")  # empty purchase batch
+    run_pass()
+
+    # batch 2: purchases — user 1 within 30 min (match), user 2 at 45 min (no match)
+    _write_batch(spark, [
+        (20, "2024-06-01 00:10:00", 1, "purchase", 9.0),
+        (21, "2024-06-01 00:45:00", 2, "purchase", 9.0),
+    ], pdir, "b2")
+    run_pass()
+
+    out = spark.read.parquet(out_dir).toPandas()
+    assert sorted(map(tuple, out[["view_id", "purchase_id"]].itertuples(index=False))) == [
+        (10, 20)
+    ]
+    assert out["gap_s"].tolist() == [600]
