@@ -34,6 +34,8 @@ HEADLINE = [
     "x7_minhash_neardup_pairs",
     "x8_similarity_topk",
     "x9_word_count",
+    "x8_knn_all",
+    "b1_funnel",
     "scale_bucketed_join",
 ]
 

@@ -226,3 +226,45 @@ def s7_metrics_append_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("value"), 4).alias("max_value"),
         )
     )
+
+
+# --- S8: partition-level upsert (dynamic partition overwrite) ---------------
+
+
+@query("s8_partition_upsert", oracle=None)
+def s8_partition_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental month-partition upsert: base table partitioned by
+    order month; a new batch replaces ONLY the partitions it touches
+    (dynamic partitionOverwriteMode), leaving the rest byte-identical —
+    the table-format-free upsert pattern for append-mostly 100 TB facts
+    (one partition rewrite instead of a full-table rewrite). Returns
+    per-month counts + a value checksum; invariants asserted in
+    tests/test_pipeline.py."""
+    import shutil
+
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "order_month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    out = _tmp(f"s8_upsert_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(out, ignore_errors=True)
+    o.write.partitionBy("order_month").parquet(out)
+
+    # the "late arriving" batch: re-deliver one month with doubled price
+    target_month = o.agg(F.min("order_month")).collect()[0][0]
+    patch = (
+        o.filter(F.col("order_month") == target_month)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+    )
+    patch.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("order_month").parquet(out)
+
+    return (
+        spark.read.parquet(out)
+        .groupBy("order_month")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("order_month")
+    )

@@ -161,3 +161,26 @@ def test_o7_stratified_sample_deterministic_and_bounded(spark, sf_dir):
     rates = a.set_index("lang")["n_sampled"] / totals
     assert abs(rates.get("en", 0) - 0.5) < 0.15
     assert abs(rates.get("zh", 0) - 0.1) < 0.1
+
+
+def test_s8_partition_upsert_touches_only_target_partition(spark, sf_dir):
+    from big_data_project_spark.io import load_table
+    from big_data_project_spark.registry import all_queries
+
+    out = all_queries()["s8_partition_upsert"](spark, sf_dir).toPandas()
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .withColumn("order_month", F.date_format("o_orderdate", "yyyy-MM"))
+        .groupBy("order_month")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("sum_price"))
+        .toPandas()
+        .set_index("order_month")
+        .sort_index()
+    )
+    got = out.set_index("order_month").sort_index()
+    first = base.index[0]
+    # row counts identical everywhere; only the first month's sum doubled
+    assert got["n"].equals(base["n"])
+    assert abs(got.loc[first, "sum_price"] - 2 * base.loc[first, "sum_price"]) < 0.01
+    rest_g, rest_b = got.drop(first), base.drop(first)
+    assert (rest_g["sum_price"] - rest_b["sum_price"]).abs().max() < 0.01
