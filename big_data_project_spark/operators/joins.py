@@ -345,3 +345,51 @@ def j10_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.o_custkey").alias("cust_key"))
         .agg(F.count(F.lit(1)).alias("n_rapid_pairs"))
     )
+
+
+# --- J8b: pure interval join via time-bucket binning ------------------------
+
+
+@query(
+    "j8_binned_interval_join",
+    oracle="""
+    WITH p AS (SELECT event_id, ts FROM events WHERE event_type = 'purchase'),
+         e AS (SELECT event_id, ts FROM events WHERE event_type = 'error')
+    SELECT CAST(date_trunc('hour', p.ts) AS TIMESTAMP) AS hour,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM p JOIN e ON e.ts >= p.ts AND e.ts < p.ts + INTERVAL 10 MINUTE
+    GROUP BY 1
+    """,
+)
+def j8_binned_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join with NO equi-key (errors within 10 min after any
+    purchase). Naively this is a BroadcastNestedLoopJoin — n² comparisons,
+    the non-scalable plan. Binning converts it to an equi-join: bucket
+    the right side by floor(ts/10min); each left row can only match
+    buckets b and b+1, so explode the left into those two candidate
+    buckets, hash-join on bucket, and re-apply the exact predicate as a
+    residual filter. Identical result (same oracle as the naive form),
+    shuffle-based plan — the standard interval-join rewrite at 100 TB.
+    The no-nested-loop property is pinned in tests/test_plans.py."""
+    ev = load_table(spark, sf_dir, "events")
+    bin_s = 600  # = the interval width → exactly 2 candidate buckets
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("ts").alias("p_ts"),
+        F.floor(F.unix_timestamp("ts") / bin_s).alias("b0"),
+    )
+    e = ev.filter(F.col("event_type") == "error").select(
+        F.col("ts").alias("e_ts"),
+        F.floor(F.unix_timestamp("ts") / bin_s).alias("bucket"),
+    )
+    p_cand = p.withColumn(
+        "bucket", F.explode(F.array(F.col("b0"), F.col("b0") + 1))
+    )
+    return (
+        p_cand.join(e, "bucket")
+        .filter(
+            (F.col("e_ts") >= F.col("p_ts"))
+            & (F.col("e_ts") < F.col("p_ts") + F.expr("INTERVAL 10 MINUTES"))
+        )
+        .groupBy(F.date_trunc("hour", F.col("p_ts")).alias("hour"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

@@ -98,3 +98,16 @@ def test_similarity_topk_broadcasts_queries(spark, qs):
     # X8: the small query side must be the broadcast side; corpus streams
     df = qs["x8_similarity_topk"](spark, SF)
     assert count_ops(df, "BroadcastNestedLoopJoin") + count_ops(df, "BroadcastHashJoin") >= 1
+
+
+def test_binned_interval_join_avoids_nested_loop(spark, qs):
+    # the binning rewrite must produce a hash/merge equi-join, never the
+    # n² BroadcastNestedLoopJoin of the naive interval formulation
+    df = qs["j8_binned_interval_join"](spark, SF)
+    assert count_ops(df, "BroadcastNestedLoopJoin") == 0
+    assert (
+        count_ops(df, "SortMergeJoin")
+        + count_ops(df, "ShuffledHashJoin")
+        + count_ops(df, "BroadcastHashJoin")
+        >= 1
+    )
