@@ -1,0 +1,112 @@
+"""Pure-SQL entry surface: the same engine driven through ``spark.sql``
+text instead of the DataFrame builder (SURVEY §1.3/§3.4 — both are thin
+clients over the same Catalyst plans; a reference user coming from a SQL
+warehouse uses this path).
+
+These queries also exercise the Catalyst rewrites SURVEY §4.2 claims for
+free: correlated-EXISTS decorrelation into a semi-join, scalar-subquery
+decorrelation into a broadcast join + agg, and (Spark 4) recursive CTE
+evaluation. Each oracle is near-verbatim the same ANSI text, which is the
+point: the SQL dialect surface matches the oracle engine's.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from big_data_project_spark.io import load_all
+from big_data_project_spark.registry import query
+
+
+def _sql(spark: SparkSession, sf_dir: str, text: str) -> DataFrame:
+    load_all(spark, sf_dir)  # registers every fixture table as a temp view
+    return spark.sql(text)
+
+
+# --- CTE + window + join, SQL-first ----------------------------------------
+
+_TOP_CUSTOMERS = """
+WITH revenue AS (
+  SELECT o_custkey, round(sum(o_totalprice), 4) AS total_spent,
+         count(*) AS n_orders
+  FROM orders
+  GROUP BY o_custkey
+),
+ranked AS (
+  SELECT c.c_mktsegment, c.c_custkey, r.total_spent, r.n_orders,
+         row_number() OVER (PARTITION BY c.c_mktsegment
+                            ORDER BY r.total_spent DESC, c.c_custkey) AS rk
+  FROM revenue r JOIN customer c ON r.o_custkey = c.c_custkey
+)
+SELECT c_mktsegment, c_custkey, total_spent, n_orders
+FROM ranked WHERE rk <= 3
+"""
+
+
+@query("sql_cte_top_customers", oracle=_TOP_CUSTOMERS)
+def sql_cte_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identical SQL text runs on both engines — CTE inlining, join
+    strategy, and window execution are each engine's own business."""
+    return _sql(spark, sf_dir, _TOP_CUSTOMERS)
+
+
+# --- correlated EXISTS (decorrelates to a semi-join) ------------------------
+
+_EXISTS = """
+SELECT n_name, CAST(count(*) AS BIGINT) AS n_suppliers
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_suppkey = s_suppkey AND l_discount > 0.09
+)
+GROUP BY n_name
+"""
+
+
+@query("sql_correlated_exists", oracle=_EXISTS)
+def sql_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS — Catalyst decorrelates to a left-semi hash join
+    (no per-row subquery execution; the naive interpretation is O(n·m))."""
+    return _sql(spark, sf_dir, _EXISTS)
+
+
+# --- correlated scalar subquery --------------------------------------------
+
+_SCALAR_SUB = """
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_above_avg
+FROM customer c
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_mktsegment = c.c_mktsegment)
+GROUP BY c_mktsegment
+"""
+
+
+@query("sql_scalar_subquery", oracle=_SCALAR_SUB)
+def sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (per-segment average) — decorrelated
+    into an aggregate + join rather than executed per row."""
+    return _sql(spark, sf_dir, _SCALAR_SUB)
+
+
+# --- recursive CTE (Spark 4) ------------------------------------------------
+
+_RECURSIVE = """
+WITH RECURSIVE days(d) AS (
+  SELECT DATE '2024-01-01'
+  UNION ALL
+  SELECT d + INTERVAL 1 DAY FROM days WHERE d < DATE '2024-01-30'
+)
+SELECT CAST(d AS TIMESTAMP) AS day,
+       CAST((SELECT count(*) FROM events e
+             WHERE e.ts >= d AND e.ts < d + INTERVAL 1 DAY) AS BIGINT) AS n_events
+FROM days
+"""
+
+
+@query("sql_recursive_cte", oracle=_RECURSIVE)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4.x) generating a day spine + a correlated
+    count per day — the calendar-dimension pattern without a stored dim
+    table. (For plain ranges ``sequence()`` is cheaper — see
+    b4_resample_ffill; recursion is for genuinely inductive state.)"""
+    return _sql(spark, sf_dir, _RECURSIVE)
