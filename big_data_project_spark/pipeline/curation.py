@@ -1,0 +1,109 @@
+"""End-to-end training-data curation pipeline: the composite operator a
+100 TB LLM-data run actually executes, as ONE declarative plan.
+
+    documents
+      → quality gate   (length + word count + digit ratio; X9 metrics)
+      → language gate  (allow-list on lang; P5)
+      → exact dedup    (normalized-hash, keep smallest doc_id; X6)
+      → near-dup gate  (MinHash-LSH → verified Jaccard ≥ 0.5, drop the
+                        larger doc_id of each pair; X7)
+      → corpus stats   (per-lang survivor counts + token totals; A4)
+
+Every stage is SQL-expressible, so the WHOLE pipeline is oracle-checked
+end-to-end against DuckDB (the n² Jaccard CTE stands in for LSH at
+oracle scale) — not just its stages in isolation. One scan feeds the
+quality/language gates; the only shuffles are the two dedup groupings
+and the LSH band join, all on bounded keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_project_spark.io import load_table
+from big_data_project_spark.pipeline.dedup import _ORACLE_PAIRS_CTE, verified_neardup_pairs
+from big_data_project_spark.registry import query
+
+MIN_CHARS = 20
+MIN_WORDS = 5
+MAX_DIGIT_RATIO = 0.3
+LANGS = ("en", "de", "fr")
+
+
+def curated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor set after quality, language, exact-dedup, and near-dup
+    gates. Returned with per-doc token counts for downstream stats."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    digits = F.length(F.regexp_replace("text", r"[^0-9]", ""))
+    gated = d.filter(
+        (F.length("text") >= MIN_CHARS)
+        & (F.size(words) >= MIN_WORDS)
+        & (digits / F.length("text") <= MAX_DIGIT_RATIO)
+        & F.col("lang").isin(*LANGS)
+    )
+    # exact dedup: keep smallest doc_id per normalized content hash
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    keep_exact = (
+        gated.withColumn("h", F.md5(norm))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    exact = gated.join(keep_exact, "doc_id", "left_semi")
+    # near-dup gate: drop the larger id of every verified near-dup pair
+    losers = (
+        verified_neardup_pairs(spark, sf_dir)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    survivors = exact.join(losers, "doc_id", "left_anti")
+    return survivors.select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+
+
+@query(
+    "pipeline_curation_end2end",
+    oracle=_ORACLE_PAIRS_CTE + """,
+    gated AS (
+      SELECT doc_id, lang, text
+      FROM documents
+      WHERE len(text) >= 20
+        AND len(string_split(text, ' ')) >= 5
+        AND len(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / len(text) <= 0.3
+        AND lang IN ('en', 'de', 'fr')
+    ),
+    keep_exact AS (
+      SELECT min(doc_id) AS doc_id
+      FROM gated
+      GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+    ),
+    losers AS (SELECT DISTINCT doc_b AS doc_id FROM pairs WHERE jac >= 0.5),
+    survivors AS (
+      SELECT g.doc_id, g.lang, len(string_split(g.text, ' ')) AS n_tokens
+      FROM gated g
+      JOIN keep_exact k ON g.doc_id = k.doc_id
+      WHERE g.doc_id NOT IN (SELECT doc_id FROM losers)
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           round(avg(n_tokens) + 1e-9, 4) AS avg_tokens
+    FROM survivors
+    GROUP BY lang
+    """,
+)
+def pipeline_curation_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus statistics of the curated survivor set — the whole pipeline
+    verified as one unit."""
+    return (
+        curated_docs(spark, sf_dir)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.round(F.avg("n_tokens") + 1e-9, 4).alias("avg_tokens"),
+        )
+    )

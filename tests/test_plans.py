@@ -111,3 +111,20 @@ def test_binned_interval_join_avoids_nested_loop(spark, qs):
         + count_ops(df, "BroadcastHashJoin")
         >= 1
     )
+
+
+def test_correlated_exists_decorrelates_to_semi_join(spark, qs):
+    # Catalyst must turn the correlated EXISTS into a semi/existence join —
+    # never a per-row subquery (SURVEY §4.2)
+    from big_data_project_spark.plans.contracts import plan_str
+
+    text = plan_str(qs["sql_correlated_exists"](spark, SF), mode="simple")
+    assert "LeftSemi" in text or "ExistenceJoin" in text, text
+
+
+def test_scalar_subquery_decorrelates_to_aggregate_join(spark, qs):
+    from big_data_project_spark.plans.contracts import plan_str
+
+    text = plan_str(qs["sql_scalar_subquery"](spark, SF), mode="simple")
+    # decorrelated: one aggregate joined back, no per-row subquery node
+    assert "Subquery" not in text, text
