@@ -36,6 +36,7 @@ HEADLINE = [
     "x9_word_count",
     "x8_knn_all",
     "b1_funnel",
+    "pipeline_curation_end2end",
     "scale_bucketed_join",
 ]
 

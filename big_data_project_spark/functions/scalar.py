@@ -303,3 +303,36 @@ def f9_xxhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs md5's 32-char string halves shuffle width)."""
     d = load_table(spark, sf_dir, "documents")
     return d.select("doc_id", F.xxhash64("text").alias("text_xxh64"))
+
+
+# --- F7b: VARIANT semi-structured path (Spark 4) ----------------------------
+
+
+@query(
+    "f7b_variant_json",
+    oracle="""
+    SELECT event_type,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS k_sum,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS INT) > 50
+    GROUP BY event_type
+    """,
+)
+def f7b_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT path for semi-structured columns: parse once to a
+    binary variant, then typed `variant_get` extractions — the
+    shredding-friendly encoding for JSON at scale (vs re-parsing the
+    string per extraction as get_json_object does in f7)."""
+    e = load_table(spark, sf_dir, "events")
+    v = e.withColumn("pv", F.parse_json("props"))
+    k = F.expr("variant_get(pv, '$.k', 'int')")
+    return (
+        v.withColumn("k", k)
+        .filter(F.col("k") > 50)
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").cast("bigint").alias("k_sum"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
