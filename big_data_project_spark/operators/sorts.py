@@ -131,7 +131,8 @@ def o5_seeded_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH numbered AS (
       SELECT l_quantity,
-             row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS rn
+             row_number() OVER (ORDER BY l_orderkey, l_linenumber,
+                                l_quantity, l_extendedprice) - 1 AS rn
       FROM lineitem
     )
     SELECT CAST(rn // 16 AS BIGINT) AS batch_id,
@@ -143,8 +144,11 @@ def o5_seeded_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def o6_fixed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # (l_orderkey, l_linenumber) is NOT unique in the fixtures — the summed
+    # value columns join the ORDER BY so batch membership is
+    # value-deterministic under duplicate keys (§4.3.2)
     li = load_table(spark, sf_dir, "lineitem")
-    w = Window.orderBy("l_orderkey", "l_linenumber")
+    w = Window.orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
     return (
         li.select("l_quantity", (F.row_number().over(w) - 1).alias("rn"))
         .groupBy((F.col("rn") / 16).cast("bigint").alias("batch_id"))
