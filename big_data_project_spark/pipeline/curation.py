@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from big_data_project_spark.io import load_table
 from big_data_project_spark.pipeline.dedup import _ORACLE_PAIRS_CTE, verified_neardup_pairs
@@ -33,7 +34,15 @@ LANGS = ("en", "de", "fr")
 
 def curated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Survivor set after quality, language, exact-dedup, and near-dup
-    gates. Returned with per-doc token counts for downstream stats."""
+    gates. Returned with per-doc token counts for downstream stats.
+
+    Exact dedup is min(doc_id) OVER (PARTITION BY content_hash): ONE
+    shuffle keyed on the hash, versus the groupBy+semi-join form's two
+    (agg exchange + join exchange of the full rows). The projection to
+    (doc_id, lang, n_tokens, h) happens BEFORE that shuffle so document
+    text never moves — at 100 TB the exchange carries ~40 bytes/row, not
+    the corpus. Content hashes are uniform, so the window partitioning
+    has no skew and each hash-group is tiny (the dup set)."""
     d = load_table(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
     digits = F.length(F.regexp_replace("text", r"[^0-9]", ""))
@@ -45,13 +54,16 @@ def curated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # exact dedup: keep smallest doc_id per normalized content hash
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
-    keep_exact = (
-        gated.withColumn("h", F.md5(norm))
-        .groupBy("h")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
+    narrow = gated.select(
+        "doc_id",
+        "lang",
+        F.size(words).alias("n_tokens"),
+        F.md5(norm).alias("h"),
     )
-    exact = gated.join(keep_exact, "doc_id", "left_semi")
+    exact = (
+        narrow.withColumn("keep", F.min("doc_id").over(Window.partitionBy("h")))
+        .filter(F.col("doc_id") == F.col("keep"))
+    )
     # near-dup gate: drop the larger id of every verified near-dup pair
     losers = (
         verified_neardup_pairs(spark, sf_dir)
@@ -59,9 +71,7 @@ def curated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     survivors = exact.join(losers, "doc_id", "left_anti")
-    return survivors.select(
-        "doc_id", "lang", F.size(F.split("text", " ")).alias("n_tokens")
-    )
+    return survivors.select("doc_id", "lang", "n_tokens")
 
 
 @query(
