@@ -228,6 +228,96 @@ def s7_metrics_append_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- S9: small-file compaction ----------------------------------------------
+
+
+@query(
+    "s9_compaction",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           round(sum(value) + 1e-9, 4) AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def s9_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction: the append-heavy ingest pattern (S7, or any
+    streaming sink) leaves thousands of tiny files; every later scan then
+    pays one task + one footer read per file, and the NameNode/listing
+    cost grows unbounded. Compact by rewriting with coalesce() — a
+    NARROW repartition that merges files without shuffling a byte (the
+    rewrite is the cost; at 100 TB it runs per-partition, compacting only
+    partitions whose avg file size is under threshold). The aggregate on
+    the compacted copy must equal the oracle on the original table — compaction
+    is lossless. File-count collapse is asserted in tests/test_pipeline.py."""
+    e = load_table(spark, sf_dir, "events")
+    frag = _tmp(f"s9_frag_{os.path.basename(sf_dir.rstrip('/'))}")
+    compact = _tmp(f"s9_compact_{os.path.basename(sf_dir.rstrip('/'))}")
+    # simulate the fragmented ingest: 64 small files
+    e.repartition(64).write.mode("overwrite").parquet(frag)
+    spark.read.parquet(frag).coalesce(4).write.mode("overwrite").parquet(compact)
+    return (
+        spark.read.parquet(compact)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value") + 1e-9, 4).alias("sum_value"),
+        )
+    )
+
+
+# --- S10: range-sorted write (data-skipping layout) --------------------------
+
+
+@query(
+    "s10_sorted_write_skipping",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           round(sum(l_extendedprice) + 1e-9, 4) AS sum_price
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-06-01'
+      AND l_shipdate <  TIMESTAMP '1995-09-01'
+    """,
+)
+def s10_sorted_write_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustered layout for data skipping: repartitionByRange +
+    sortWithinPartitions on l_shipdate before writing, so every parquet
+    row group covers a narrow, non-overlapping shipdate range. A
+    time-predicate scan then prunes most row groups from the footer
+    min/max stats alone — at 100 TB that is the difference between
+    reading ~3 months and reading the whole fact table. The pruning
+    itself (most row groups' stat ranges disjoint from the predicate) is
+    asserted against the parquet footers in tests/test_pipeline.py."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = sorted_lineitem_path(spark, sf_dir)
+    return (
+        spark.read.parquet(out)
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1995-06-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1995-09-01").cast("timestamp"))
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice") + 1e-9, 4).alias("sum_price"),
+        )
+    )
+
+
+def sorted_lineitem_path(spark: SparkSession, sf_dir: str) -> str:
+    """Write (once per process) the range-clustered lineitem copy."""
+    out = _tmp(f"s10_sorted_{os.path.basename(sf_dir.rstrip('/'))}")
+    if not os.listdir(out):
+        li = load_table(spark, sf_dir, "lineitem")
+        (
+            li.repartitionByRange(8, "l_shipdate")
+            .sortWithinPartitions("l_shipdate")
+            .write.mode("overwrite")
+            .option("parquet.block.size", 1 << 20)  # small row groups → many prunable units
+            .parquet(out)
+        )
+    return out
+
+
 # --- S8: partition-level upsert (dynamic partition overwrite) ---------------
 
 

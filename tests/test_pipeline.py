@@ -163,6 +163,59 @@ def test_o7_stratified_sample_deterministic_and_bounded(spark, sf_dir):
     assert abs(rates.get("zh", 0) - 0.1) < 0.1
 
 
+def test_s9_compaction_collapses_file_count(spark, sf_dir):
+    import glob
+    import os
+
+    Q["s9_compaction"](spark, sf_dir).count()  # materialize both writes
+    from big_data_project_spark.sources.formats import _tmp
+
+    sf = os.path.basename(sf_dir.rstrip("/"))
+    frag = glob.glob(os.path.join(_tmp(f"s9_frag_{sf}"), "part-*"))
+    compact = glob.glob(os.path.join(_tmp(f"s9_compact_{sf}"), "part-*"))
+    assert len(frag) == 64
+    assert len(compact) <= 4
+    # lossless: same row count both layouts
+    assert (
+        spark.read.parquet(_tmp(f"s9_frag_{sf}")).count()
+        == spark.read.parquet(_tmp(f"s9_compact_{sf}")).count()
+    )
+
+
+def test_s10_sorted_layout_prunes_row_groups(spark, sf_dir):
+    """The range-clustered copy must make most row groups prunable for the
+    query's 3-month predicate: their footer min/max stats must not
+    intersect [1995-06-01, 1995-09-01)."""
+    import datetime
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from big_data_project_spark.sources.formats import sorted_lineitem_path
+
+    out = sorted_lineitem_path(spark, sf_dir)
+    lo = datetime.datetime(1995, 6, 1)
+    hi = datetime.datetime(1995, 9, 1)
+    total = overlapping = 0
+    for f in glob.glob(os.path.join(out, "part-*.parquet")):
+        meta = pq.ParquetFile(f).metadata
+        idx = next(
+            i for i in range(meta.num_columns)
+            if meta.row_group(0).column(i).path_in_schema == "l_shipdate"
+        )
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(idx).statistics
+            total += 1
+            mn = st.min.replace(tzinfo=None)
+            mx = st.max.replace(tzinfo=None)
+            if mx >= lo and mn < hi:
+                overlapping += 1
+    assert total >= 8, f"expected multiple row groups, got {total}"
+    # a 3-month slice of a ~7-year shipdate range: most groups must prune
+    assert overlapping / total < 0.5, (overlapping, total)
+
+
 def test_s8_partition_upsert_touches_only_target_partition(spark, sf_dir):
     from big_data_project_spark.io import load_table
     from big_data_project_spark.registry import all_queries
