@@ -88,6 +88,72 @@ def sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql(spark, sf_dir, _SCALAR_SUB)
 
 
+# --- correlated aggregate vs per-group threshold (TPC-H Q17 pattern) --------
+
+_SMALL_QTY = """
+SELECT l.l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_small,
+       round(sum(l.l_extendedprice) / 7.0 + 1e-9, 4) AS avg_yearly
+FROM lineitem l
+WHERE l.l_quantity < (
+  SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
+  WHERE l2.l_partkey = l.l_partkey
+)
+GROUP BY l.l_returnflag
+"""
+
+
+@query("sql_small_qty_revenue", oracle=_SMALL_QTY)
+def sql_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: each row compared against an aggregate of its OWN
+    group (half the part's average quantity). Catalyst decorrelates the
+    per-part scalar subquery into one grouped aggregate joined back on
+    l_partkey — the fact table is scanned twice but shuffled on the same
+    key both times, never executed per-row. At 100 TB the per-part
+    aggregate is ~|parts| rows: orders of magnitude smaller than the
+    fact, so the join-back broadcasts or co-partitions cheaply."""
+    return _sql(spark, sf_dir, _SMALL_QTY)
+
+
+# --- error-tolerant expressions (try_*) --------------------------------------
+
+_TRY_FUNCS = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(try_cast(json_extract_string(props, '$.k') AS INTEGER))
+            AS BIGINT) AS n_valid_k,
+       round(sum(coalesce(try_cast(json_extract_string(props, '$.k') AS INTEGER), 0))
+             / nullif(sum(CASE WHEN value <> 0 THEN 1 ELSE 0 END), 0) + 1e-9, 4)
+         AS k_per_nonzero
+FROM events
+GROUP BY event_type
+"""
+
+_TRY_FUNCS_SPARK = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(try_cast(get_json_object(props, '$.k') AS INTEGER))
+            AS BIGINT) AS n_valid_k,
+       round(sum(coalesce(try_cast(get_json_object(props, '$.k') AS INTEGER), 0))
+             / nullif(sum(CASE WHEN value <> 0 THEN 1 ELSE 0 END), 0) + 1e-9, 4)
+         AS k_per_nonzero
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("sql_try_functions", oracle=_TRY_FUNCS)
+def sql_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-tolerant expressions under ANSI mode: try_cast yields NULL on
+    malformed input instead of failing the query, and nullif guards the
+    division. On a 100 TB corpus a handful of bad rows must never kill
+    the job — the try_* family is the row-level quarantine that keeps
+    ANSI's overflow/cast strictness everywhere else. (Only the JSON
+    accessor differs between dialects: get_json_object vs
+    json_extract_string.)"""
+    return _sql(spark, sf_dir, _TRY_FUNCS_SPARK)
+
+
 # --- recursive CTE (Spark 4) ------------------------------------------------
 
 _RECURSIVE = """

@@ -128,3 +128,13 @@ def test_scalar_subquery_decorrelates_to_aggregate_join(spark, qs):
     text = plan_str(qs["sql_scalar_subquery"](spark, SF), mode="simple")
     # decorrelated: one aggregate joined back, no per-row subquery node
     assert "Subquery" not in text, text
+
+
+def test_small_qty_revenue_decorrelates(spark, qs):
+    # TPC-H Q17 pattern: the per-part scalar subquery must become a
+    # grouped aggregate joined back on l_partkey, never a per-row subquery
+    from big_data_project_spark.plans.contracts import plan_str
+
+    text = plan_str(qs["sql_small_qty_revenue"](spark, SF), mode="simple")
+    assert "Subquery" not in text, text
+    assert "Join" in text, text
