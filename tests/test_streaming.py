@@ -178,6 +178,40 @@ def test_t8_foreach_batch_sink(spark, tmp_path):
     assert set(r.event_type for r in out.select("event_type").collect()) == {"view", "purchase"}
 
 
+def test_checkpoint_exactly_once_resume(spark, tmp_path):
+    """Restart semantics: a query resumed from its checkpoint must NOT
+    reprocess micro-batches it already committed — the exactly-once
+    contract that makes a 100 TB streaming ingest restartable after any
+    executor/driver failure without duplicating rows downstream."""
+    input_dir, out_dir, ck = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    os.makedirs(input_dir)
+    os.makedirs(out_dir)
+
+    def sink(df, batch_id):
+        if df.count():
+            df.write.mode("append").parquet(out_dir)
+
+    def run_pass():
+        stream = stream_events_from_dir(spark, input_dir)
+        run_available_now(stream, out_dir, ck, foreach_batch=sink)
+
+    _write_batch(spark, [
+        (1, "2024-06-01 00:05:00", 1, "view", 1.0),
+        (2, "2024-06-01 00:06:00", 1, "view", 1.0),
+    ], input_dir, "b1")
+    run_pass()
+    # "crash + restart" with NO new input: committed offsets must hold
+    run_pass()
+    out = spark.read.parquet(out_dir).toPandas()
+    assert sorted(out.event_id.tolist()) == [1, 2], "restart duplicated rows"
+
+    # restart with one new file: exactly the delta is processed
+    _write_batch(spark, [(3, "2024-06-01 00:07:00", 2, "view", 1.0)], input_dir, "b2")
+    run_pass()
+    out = spark.read.parquet(out_dir).toPandas()
+    assert sorted(out.event_id.tolist()) == [1, 2, 3]
+
+
 def test_batch_stream_duality_tumbling(spark, tmp_path, sf_dir):
     """The same transformation over read vs readStream yields identical
     results — the dual-builder contract that keeps streaming queries
