@@ -216,6 +216,22 @@ def test_s10_sorted_layout_prunes_row_groups(spark, sf_dir):
     assert overlapping / total < 0.5, (overlapping, total)
 
 
+def test_observed_metrics_single_pass(spark, sf_dir):
+    """observe(): gate metrics materialize from the SAME action that
+    computes the result — values must agree with independent recounts."""
+    from big_data_project_spark.io import load_table
+    from big_data_project_spark.plans.observe import observed_quality_gate
+
+    gated, obs_in, obs_out = observed_quality_gate(spark, sf_dir)
+    n_out = gated.count()  # the one action
+    d = load_table(spark, sf_dir, "documents")
+    assert obs_in.get["rows_in"] == d.count()
+    assert obs_in.get["null_text"] == d.filter(F.col("text").isNull()).count()
+    assert obs_out.get["rows_out"] == n_out
+    assert obs_in.get["rows_in"] >= n_out
+    assert obs_out.get["avg_len"] > 0
+
+
 def test_s8_partition_upsert_touches_only_target_partition(spark, sf_dir):
     from big_data_project_spark.io import load_table
     from big_data_project_spark.registry import all_queries
