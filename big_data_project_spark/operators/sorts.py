@@ -204,3 +204,51 @@ def o7_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_sampled"))
         .orderBy("lang")
     )
+
+
+# --- O8: scalable global row numbering (no single-task window) ---------------
+
+
+@query(
+    "o8_global_row_number",
+    oracle="""
+    SELECT o_orderkey,
+           row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn
+    FROM orders
+    """,
+)
+def o8_global_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global row_number over a total order WITHOUT the un-partitioned
+    window's one-task bottleneck: range-partition on the sort key, rank
+    within each partition in parallel, then add per-partition offsets
+    from a driver-side prefix sum over the partition counts — O(#parts)
+    driver data, never O(rows). This is how a 100 TB global ranking
+    actually runs; `row_number() OVER (ORDER BY …)` un-partitioned would
+    serialize the table through a single task. Correct for any range
+    boundaries because the composite sort key is unique, so inter- and
+    intra-partition order compose to the same total order the oracle
+    uses."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    n_parts = spark.sparkContext.defaultParallelism
+    # persist BEFORE the counts action: range boundaries come from a
+    # sampling pass, so the counts job and the final job must read the
+    # same materialized partitioning, not re-sample their own
+    ranged = (
+        o.repartitionByRange(n_parts, F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = {r.pid: r.n for r in ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("n")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    offset_df = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "pid int, offset long"
+    )
+    w = Window.partitionBy("pid").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        ranged.join(F.broadcast(offset_df), "pid")
+        .withColumn("rn", F.row_number().over(w) + F.col("offset"))
+        .select("o_orderkey", "rn")
+    )
