@@ -403,6 +403,25 @@ def a16_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- A19: approx percentiles (the 100 TB path for A16) -----------------------
+
+
+@query("a19_approx_percentiles", oracle=None)
+def a19_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile: KLL-style mergeable quantile sketch — map-side
+    combinable, so a 100 TB per-group quantile costs one narrow pass +
+    a sketch merge instead of the full per-group sort the exact form
+    (a16) needs. accuracy=10000 bounds rank error at 1/10000·n.
+    Sketches are engine-specific → rows-only; the error bound vs the
+    exact percentiles is asserted in tests/test_pipeline.py."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("approx_percentile(l_extendedprice, 0.25, 10000)").alias("p25"),
+        F.expr("approx_percentile(l_extendedprice, 0.50, 10000)").alias("p50"),
+        F.expr("approx_percentile(l_extendedprice, 0.75, 10000)").alias("p75"),
+    )
+
+
 # --- A18: column profiling (data-quality summary) ----------------------------
 
 

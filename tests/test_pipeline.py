@@ -113,6 +113,16 @@ def test_a8_approx_distinct_error_bound(spark, sf_dir):
         assert abs(approx[k] - n) <= max(2, 0.05 * n), (k, approx[k], n)
 
 
+def test_a19_approx_percentiles_error_bound(spark, sf_dir):
+    approx = {r.l_returnflag: r for r in Q["a19_approx_percentiles"](spark, sf_dir).collect()}
+    exact = {r.l_returnflag: r for r in Q["a16_percentiles"](spark, sf_dir).collect()}
+    for flag, e in exact.items():
+        a = approx[flag]
+        for p in ("p25", "p50", "p75"):
+            ev, av = getattr(e, p), getattr(a, p)
+            assert abs(av - ev) / max(abs(ev), 1) < 0.02, (flag, p, av, ev)
+
+
 def test_o5_seeded_shuffle_reproducible(spark, sf_dir):
     a = [r.n_nationkey for r in Q["o5_seeded_shuffle"](spark, sf_dir).collect()]
     b = [r.n_nationkey for r in Q["o5_seeded_shuffle"](spark, sf_dir).collect()]
