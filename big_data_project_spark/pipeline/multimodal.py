@@ -99,6 +99,86 @@ def x10_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RESIZED_SCHEMA = "doc_id long, out_w int, out_h int, n_bytes_out long, checksum long"
+
+
+def resize_kernel(target_w: int, target_h: int, use_real_codec: bool = False):
+    """Resize stub with the real kernel's contract: fixed output dims,
+    payload shrunk by deterministic byte subsampling (stands in for
+    bilinear downsample). Per-row output size is bounded by the TARGET,
+    not the input — the property that makes a mixed-resolution 100 TB
+    corpus safe to batch through Arrow."""
+
+    def _resize(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if use_real_codec:
+            raise NotImplementedError(
+                "plug PIL.Image.resize / cv2.resize here on a real cluster"
+            )
+        budget = target_w * target_h
+        for pdf in pdf_iter:
+            out = pdf["payload"].map(
+                lambda b: b[:: max(1, len(b) // budget)][:budget]
+            )
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "out_w": target_w,
+                "out_h": target_h,
+                "n_bytes_out": out.map(len),
+                "checksum": out.map(lambda b: sum(b)),
+            })
+
+    return _resize
+
+
+@query("x10_multimodal_resize", oracle=None)
+def x10_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch resize of every payload to 32×8 via mapInPandas — rows-only;
+    output-size bound and determinism asserted in tests/test_pipeline.py."""
+    d = load_table(spark, sf_dir, "documents")
+    m = attach_payload(d).select("doc_id", "payload")
+    return m.mapInPandas(resize_kernel(32, 8), schema=RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = "doc_id long, frame_idx int, frame_bytes long, frame_checksum long"
+
+
+def frame_sample_kernel(frame_size: int, every_k: int):
+    """Frame sampling for video-shaped payloads: chunk the byte stream
+    into fixed-size frames, emit every k-th — one input row fans out to
+    many frame rows (the UDTF shape). A real kernel swaps the chunker
+    for an ffmpeg keyframe iterator; the fan-out schema, batch shape,
+    and bounded per-frame size are identical."""
+
+    def _sample(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdf_iter:
+            ids, idxs, sizes, sums = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                frames = [
+                    payload[o : o + frame_size]
+                    for o in range(0, len(payload), frame_size)
+                ]
+                for i in range(0, len(frames), every_k):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    sizes.append(len(frames[i]))
+                    sums.append(sum(frames[i]))
+            yield pd.DataFrame({
+                "doc_id": ids, "frame_idx": idxs,
+                "frame_bytes": sizes, "frame_checksum": sums,
+            })
+
+    return _sample
+
+
+@query("x10_frame_sample", oracle=None)
+def x10_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample every 4th 16-byte 'frame' from each payload — rows-only;
+    frame-count arithmetic asserted in tests/test_pipeline.py."""
+    d = load_table(spark, sf_dir, "documents")
+    m = attach_payload(d).select("doc_id", "payload")
+    return m.mapInPandas(frame_sample_kernel(16, 4), schema=FRAMES_SCHEMA)
+
+
 @query("x10_multimodal_decode", oracle=None)
 def x10_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full decode path: payload → mapInPandas feature extraction.

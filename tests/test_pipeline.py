@@ -88,6 +88,35 @@ def test_x10_decode_deterministic_and_consistent(spark, sf_dir):
         assert 0.0 <= r.fake_mean_luma <= 1.0
 
 
+def test_x10_resize_bounds_output_and_is_deterministic(spark, sf_dir):
+    a = Q["x10_multimodal_resize"](spark, sf_dir).orderBy("doc_id").collect()
+    b = Q["x10_multimodal_resize"](spark, sf_dir).orderBy("doc_id").collect()
+    assert a == b
+    for r in a:
+        assert (r.out_w, r.out_h) == (32, 8)
+        assert r.n_bytes_out <= 32 * 8  # bounded by target, not input
+
+
+def test_x10_frame_sample_arithmetic(spark, sf_dir):
+    from big_data_project_spark.io import load_table
+    from big_data_project_spark.pipeline.multimodal import attach_payload
+
+    frames = Q["x10_frame_sample"](spark, sf_dir).toPandas()
+    sizes = {
+        r.doc_id: r.n
+        for r in attach_payload(load_table(spark, sf_dir, "documents"))
+        .select("doc_id", F.length("payload").alias("n"))
+        .collect()
+    }
+    per_doc = frames.groupby("doc_id")
+    for doc_id, g in per_doc:
+        n_frames = -(-sizes[doc_id] // 16)          # ceil(bytes / frame_size)
+        expected = -(-n_frames // 4)                # ceil(frames / every_k)
+        assert len(g) == expected, (doc_id, len(g), expected)
+        assert sorted(g.frame_idx) == list(range(0, n_frames, 4))
+        assert (g.frame_bytes <= 16).all()
+
+
 def test_x10_real_codec_branch_is_guarded(spark, sf_dir):
     from big_data_project_spark.pipeline.multimodal import decode_features
 
