@@ -115,6 +115,35 @@ def sql_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql(spark, sf_dir, _SMALL_QTY)
 
 
+# --- doubly nested subquery (TPC-H Q20 pattern) ------------------------------
+
+_EXCESS_SHIPPERS = """
+SELECT s.s_name, n.n_name,
+       CAST(s.s_suppkey AS BIGINT) AS s_suppkey
+FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE s.s_suppkey IN (
+  SELECT l.l_suppkey
+  FROM lineitem l
+  WHERE l.l_partkey IN (
+    SELECT p.p_partkey FROM part p WHERE p.p_type = 'PROMO'
+  )
+  GROUP BY l.l_suppkey
+  HAVING sum(l.l_quantity) > (SELECT avg(l2.l_quantity) * 20 FROM lineitem l2)
+)
+"""
+
+
+@query("sql_excess_shippers", oracle=_EXCESS_SHIPPERS)
+def sql_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: IN-subquery nested inside an IN-subquery, with an
+    uncorrelated scalar subquery in the HAVING. All three levels must
+    flatten — part-filter → semi join into lineitem, supplier IN → semi
+    join, the scalar average → a one-row broadcast — so the plan is
+    joins+aggregates end to end, no per-row subquery execution at any
+    depth."""
+    return _sql(spark, sf_dir, _EXCESS_SHIPPERS)
+
+
 # --- error-tolerant expressions (try_*) --------------------------------------
 
 _TRY_FUNCS = """

@@ -130,6 +130,15 @@ def test_scalar_subquery_decorrelates_to_aggregate_join(spark, qs):
     assert "Subquery" not in text, text
 
 
+def test_excess_shippers_flattens_nested_subqueries(spark, qs):
+    # Q20 pattern: both IN levels must become joins; only the uncorrelated
+    # scalar average may remain as a (one-row, run-once) subquery
+    from big_data_project_spark.plans.contracts import plan_str
+
+    text = plan_str(qs["sql_excess_shippers"](spark, SF), mode="simple")
+    assert text.count("Join") >= 3, text
+
+
 def test_small_qty_revenue_decorrelates(spark, qs):
     # TPC-H Q17 pattern: the per-part scalar subquery must become a
     # grouped aggregate joined back on l_partkey, never a per-row subquery
