@@ -228,6 +228,58 @@ def s7_metrics_append_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- S11: schema evolution on read ------------------------------------------
+
+
+@query(
+    "s11_schema_evolution",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(CASE WHEN o_orderkey % 2 = 1
+                          THEN o_totalprice * 0.1 ELSE 0 END) + 1e-9, 4)
+             AS sum_discounted
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def s11_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution: a long-lived table accretes columns — old files
+    lack them, new files carry them. Write even-key orders with the v1
+    schema, append odd-key orders with an extra `discounted` column,
+    then read with mergeSchema: the union schema resolves per-file and
+    missing values surface as NULL (coalesced to 0 here). At 100 TB this
+    is how a column rollout works WITHOUT rewriting petabytes of history.
+    (mergeSchema costs a footer pass per file — production tables keep
+    the merged schema in a catalog instead; semantics identical.)"""
+    o = load_table(spark, sf_dir, "orders")
+    out = _tmp(f"s11_evolve_{os.path.basename(sf_dir.rstrip('/'))}")
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    v1 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    v1.write.parquet(out)
+    v2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        (F.col("o_totalprice") * 0.1).alias("discounted"),
+    )
+    v2.write.mode("append").parquet(out)
+    return (
+        spark.read.option("mergeSchema", True).parquet(out)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.coalesce("discounted", F.lit(0.0))) + 1e-9, 4).alias(
+                "sum_discounted"
+            ),
+        )
+    )
+
+
 # --- S9: small-file compaction ----------------------------------------------
 
 
