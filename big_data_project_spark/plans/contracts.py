@@ -72,5 +72,11 @@ def num_shuffles(df: DataFrame) -> int:
 
 
 def whole_stage_codegen_spans(df: DataFrame) -> int:
-    """Number of WholeStageCodegen spans — wider/fewer is better."""
-    return len(set(re.findall(r"WholeStageCodegen \((\d+)\)", plan_str(df))))
+    """Number of distinct WholeStageCodegen spans — wider/fewer is better.
+    EXECUTES the frame: under AQE, codegen stage ids only exist in the
+    final executed plan (`*(n)` markers), never in the pre-execution
+    formatted explain."""
+    df.collect()
+    text = df._jdf.queryExecution().executedPlan().toString()
+    ids = set(re.findall(r"\*\((\d+)\)", text))
+    return len(ids)

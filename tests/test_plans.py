@@ -139,6 +139,20 @@ def test_excess_shippers_flattens_nested_subqueries(spark, qs):
     assert text.count("Join") >= 3, text
 
 
+def test_hot_paths_stay_in_whole_stage_codegen(spark, qs):
+    # "stay JVM-side": relational hot paths must run inside fused codegen
+    # stages — a row-at-a-time Python UDF sneaking in drops this to 0
+    from big_data_project_spark.plans.contracts import whole_stage_codegen_spans
+
+    for name in (
+        "flagship_pricing_summary",
+        "j2_orders_lineitem_join",
+        "w1_topk_per_group",
+        "x9_word_count",
+    ):
+        assert whole_stage_codegen_spans(qs[name](spark, SF)) >= 1, name
+
+
 def test_small_qty_revenue_decorrelates(spark, qs):
     # TPC-H Q17 pattern: the per-part scalar subquery must become a
     # grouped aggregate joined back on l_partkey, never a per-row subquery
