@@ -177,10 +177,17 @@ def write_checkpoint(df: DataFrame, ckpt_root: str, epoch: int, keep: int = 3) -
     return epochs[-keep:]
 
 
-@query("s6_versioned_checkpoints", oracle=None)
+@query(
+    "s6_versioned_checkpoints",
+    oracle="""
+    SELECT t.epoch, (SELECT CAST(count(*) AS BIGINT) FROM nation) AS n_rows
+    FROM (VALUES (3), (4), (5)) t(epoch)
+    """,
+)
 def s6_versioned_checkpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write 5 epoch snapshots with keep=3; return the surviving epochs
-    with their row counts (must be exactly the last 3)."""
+    with their row counts. The oracle pins the retention CONTRACT: after
+    the sweeps, exactly epochs 3-5 survive, each a full nation snapshot."""
     import shutil
 
     nation = load_table(spark, sf_dir, "nation")
@@ -200,11 +207,27 @@ def s6_versioned_checkpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- S7: metrics append sink -----------------------------------------------
 
 
-@query("s7_metrics_append_sink", oracle=None)
+@query(
+    "s7_metrics_append_sink",
+    oracle="""
+    WITH steps AS (SELECT unnest([0, 1, 2]) AS step),
+    per AS (
+      SELECT s.step, round(avg(l.l_extendedprice), 4) AS value
+      FROM steps s JOIN lineitem l ON l.l_linenumber > s.step
+      GROUP BY s.step
+    )
+    SELECT 'avg_price' AS metric,
+           CAST(count(*) AS BIGINT) AS n_steps,
+           round(min(value), 4) AS min_value,
+           round(max(value), 4) AS max_value
+    FROM per
+    """,
+)
 def s7_metrics_append_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """summary_writer.scalar(name, value, step) (flax_model.py:371-375) as
     an append-only parquet metrics log, then the TensorBoard-style
-    read side: per-metric series aggregation (§3.3)."""
+    read side: per-metric series aggregation (§3.3). The oracle recomputes
+    each appended step's metric directly — append must be lossless."""
     import shutil
 
     root = _tmp("s7_metrics")
@@ -373,7 +396,22 @@ def sorted_lineitem_path(spark: SparkSession, sf_dir: str) -> str:
 # --- S8: partition-level upsert (dynamic partition overwrite) ---------------
 
 
-@query("s8_partition_upsert", oracle=None)
+@query(
+    "s8_partition_upsert",
+    oracle="""
+    WITH m AS (
+      SELECT strftime(o_orderdate, '%Y-%m') AS order_month, o_totalprice
+      FROM orders
+    ), first_m AS (SELECT min(order_month) AS v FROM m)
+    SELECT order_month,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(CASE WHEN order_month = (SELECT v FROM first_m)
+                          THEN o_totalprice * 2 ELSE o_totalprice END) + 1e-9, 2)
+             AS sum_price
+    FROM m
+    GROUP BY order_month
+    """,
+)
 def s8_partition_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental month-partition upsert: base table partitioned by
     order month; a new batch replaces ONLY the partitions it touches
@@ -406,7 +444,7 @@ def s8_partition_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("order_month")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.round(F.sum("o_totalprice") + 1e-9, 2).alias("sum_price"),
         )
         .orderBy("order_month")
     )
