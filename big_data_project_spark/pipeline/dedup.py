@@ -407,10 +407,45 @@ def neardup_clusters(spark: SparkSession, sf_dir: str, max_iters: int = 10) -> D
     return labels
 
 
-@query("x7_neardup_clusters", oracle=None)
+# The unrolled propagation references the pair graph once per step —
+# without MATERIALIZED DuckDB re-evaluates the n² Jaccard CTE each time
+# (measured 93s → 10.5s at sf0.01).
+_ORACLE_PAIRS_CTE_MAT = _ORACLE_PAIRS_CTE.replace(
+    "sh AS (", "sh AS MATERIALIZED ("
+).replace("pairs AS (", "pairs AS MATERIALIZED (")
+
+_ORACLE_CLUSTERS = _ORACLE_PAIRS_CTE_MAT + """,
+edges AS MATERIALIZED (
+  SELECT doc_a AS u, doc_b AS v FROM pairs WHERE jac >= 0.5
+  UNION ALL
+  SELECT doc_b AS u, doc_a AS v FROM pairs WHERE jac >= 0.5
+),
+l0 AS (SELECT DISTINCT u AS doc_id, u AS cluster FROM edges),
+l1 AS (SELECT l.doc_id, min(least(l.cluster, coalesce(n.cluster, l.cluster))) AS cluster
+       FROM l0 l LEFT JOIN edges e ON e.u = l.doc_id LEFT JOIN l0 n ON n.doc_id = e.v
+       GROUP BY l.doc_id),
+l2 AS (SELECT l.doc_id, min(least(l.cluster, coalesce(n.cluster, l.cluster))) AS cluster
+       FROM l1 l LEFT JOIN edges e ON e.u = l.doc_id LEFT JOIN l1 n ON n.doc_id = e.v
+       GROUP BY l.doc_id),
+l3 AS (SELECT l.doc_id, min(least(l.cluster, coalesce(n.cluster, l.cluster))) AS cluster
+       FROM l2 l LEFT JOIN edges e ON e.u = l.doc_id LEFT JOIN l2 n ON n.doc_id = e.v
+       GROUP BY l.doc_id),
+l4 AS (SELECT l.doc_id, min(least(l.cluster, coalesce(n.cluster, l.cluster))) AS cluster
+       FROM l3 l LEFT JOIN edges e ON e.u = l.doc_id LEFT JOIN l3 n ON n.doc_id = e.v
+       GROUP BY l.doc_id),
+l5 AS (SELECT l.doc_id, min(least(l.cluster, coalesce(n.cluster, l.cluster))) AS cluster
+       FROM l4 l LEFT JOIN edges e ON e.u = l.doc_id LEFT JOIN l4 n ON n.doc_id = e.v
+       GROUP BY l.doc_id)
+SELECT doc_id, cluster FROM l5
+"""
+
+
+@query("x7_neardup_clusters", oracle=_ORACLE_CLUSTERS)
 def x7_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster assignment for every doc that has at least one near-dup
-    (cluster id = smallest doc_id in the component). Rows-only; the
-    every-edge-within-one-cluster invariant is asserted in
-    tests/test_pipeline.py."""
+    (cluster id = smallest doc_id in the component). The oracle unrolls
+    the same min-label propagation five steps over the exact n² pair
+    graph — enough for any component of diameter ≤ 5 (fixture components
+    are planted pairs/triples; the every-edge-within-one-cluster
+    invariant in tests/test_pipeline.py guards the general case)."""
     return neardup_clusters(spark, sf_dir).orderBy("doc_id")
