@@ -205,3 +205,69 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     table. (For plain ranges ``sequence()`` is cheaper — see
     b4_resample_ffill; recursion is for genuinely inductive state.)"""
     return _sql(spark, sf_dir, _RECURSIVE)
+
+
+# --- double-correlated EXISTS / NOT EXISTS (TPC-H Q21 pattern) ---------------
+
+_WAITING_SUPPLIERS = """
+SELECT s.s_name, n.n_name, CAST(count(*) AS BIGINT) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY s.s_name, n.n_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
+@query("sql_waiting_suppliers", oracle=_WAITING_SUPPLIERS)
+def sql_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted to the fixture: 'late' = shipped > 60 days
+    after the order date): the sole late supplier on a multi-supplier
+    finished order. Hardest decorrelation case in the TPC-H suite — one
+    EXISTS and one NOT EXISTS over the same fact table, the NOT EXISTS
+    correlated on columns of TWO outer tables (l1 and o). Catalyst turns
+    them into a left-semi and a left-anti join against lineitem keyed on
+    l_orderkey, so the fact is scanned thrice but every probe is a hash
+    join on the same shuffle key — co-partitioned, never per-row."""
+    return _sql(spark, sf_dir, _WAITING_SUPPLIERS)
+
+
+# --- LATERAL correlated derived table ---------------------------------------
+
+_LATERAL_TOPK = """
+SELECT r.r_name, n.n_name, t.s_suppkey, round(t.s_acctbal, 4) AS s_acctbal
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey,
+LATERAL (
+  SELECT s.s_suppkey, s.s_acctbal
+  FROM supplier s
+  WHERE s.s_nationkey = n.n_nationkey
+  ORDER BY s.s_acctbal DESC, s.s_suppkey
+  LIMIT 2
+) t
+"""
+
+
+@query("sql_lateral_topk", oracle=_LATERAL_TOPK)
+def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated derived table: per-nation top-2 suppliers by
+    account balance, written as a for-each-row subselect instead of a
+    window. Spark rewrites the lateral into a DomainJoin — dedup the
+    correlation domain, run the subquery once per DISTINCT nation, join
+    back — which is exactly the window-function plan's cost shape, not a
+    per-row loop. Deterministic under LIMIT via the (balance, suppkey)
+    total order on both engines."""
+    return _sql(spark, sf_dir, _LATERAL_TOPK)

@@ -242,6 +242,61 @@ def x7_minhash_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- X7c: exact n-gram Jaccard via inverted-index join ---------------------
+
+
+@query(
+    "x7_ngram_jaccard_pairs",
+    oracle=_ORACLE_PAIRS_CTE + """
+    SELECT doc_a, doc_b, round(jac + 1e-9, 4) AS jaccard
+    FROM pairs WHERE jac >= 0.3
+    """,
+)
+def x7_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT n-gram Jaccard pairs (≥ 0.3) via an inverted-index join — the
+    third fuzzy-dedup algorithm next to MinHash-LSH (probabilistic) and
+    SimHash (bit sketch). Explode distinct shingles into postings, self-join
+    on the shingle (only docs sharing ≥1 shingle ever meet — never the n²
+    pair space), count common shingles per pair, and Jaccard follows from
+    |A∩B| and the per-doc set sizes carried on the posting rows (no extra
+    join back to the corpus).
+
+    Jaccard here is a ratio of exact integers: IEEE division is correctly
+    rounded, so both engines compute bit-identical values and the ≥ 0.3
+    filter needs no float slack. At 100 TB the scale lever is a
+    document-frequency cap on postings (drop stop-shingles before the
+    join — they generate quadratic bucket blowup but no signal) plus
+    prefix filtering; kept exact here so the oracle is the definition."""
+    sized = shingled_docs(spark, sf_dir).select(
+        "doc_id", "shingles", F.size("shingles").alias("n_sh")
+    )
+    postings = sized.select("doc_id", "n_sh", F.explode("shingles").alias("shingle"))
+    a = postings.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"), "shingle"
+    )
+    b = postings.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"), "shingle"
+    )
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("common"),
+            F.min("n_a").alias("n_a"),
+            F.min("n_b").alias("n_b"),
+        )
+    )
+    jac = F.col("common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("common")
+    )
+    return (
+        pairs.withColumn("jaccard_raw", jac)
+        .filter(F.col("jaccard_raw") >= 0.3)
+        .select("doc_a", "doc_b", F.round(F.col("jaccard_raw") + 1e-9, 4).alias("jaccard"))
+    )
+
+
 # --- SimHash near-dup (engine-specific bit sketch → rows-only) -------------
 
 

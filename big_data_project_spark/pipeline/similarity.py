@@ -146,6 +146,38 @@ def x8_cosine_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- X8b2: embedding-cosine near-dup DEDUP (keep-set) ----------------------
+
+
+@query(
+    "x8_embedding_dedup_keep",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.v, b.v) + 1e-9, 4) >= 0.4
+    )
+    SELECT vec_id AS keep_vec_id FROM embeddings
+    WHERE vec_id NOT IN (SELECT vec_b FROM pairs)
+    """,
+)
+def x8_embedding_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup dedup: survivor set after dropping every
+    vector that has a ≥ 0.4-cosine near-duplicate with a smaller id — the
+    embedding-space sibling of x7_minhash_dedup_keep (same greedy-by-id
+    keep rule, so both engines agree deterministically). Pair discovery is
+    the block-matrix kernel from x8_cosine_pairs_threshold; the dedup
+    itself is one anti-join, so at 100 TB the cost profile is the pair
+    kernel's (tiled broadcast blocks), not the survivor pass."""
+    pairs = x8_cosine_pairs_threshold(spark, sf_dir)
+    losers = pairs.select(F.col("vec_b").alias("vec_id")).distinct()
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.join(losers, "vec_id", "left_anti").select(
+        F.col("vec_id").alias("keep_vec_id")
+    )
+
+
 # --- X8c: IVF-style block-pruned ANN (the scale path; rows-only) -----------
 
 
