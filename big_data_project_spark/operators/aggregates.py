@@ -260,6 +260,35 @@ def a10_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "a10_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rf,
+           CAST(GROUPING(l_linestatus) AS INTEGER) AS g_ls,
+           count(*) AS n,
+           round(sum(l_quantity), 4) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+)
+def a10_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — two non-hierarchical groupings in one scan
+    (neither is a prefix of the other, so neither rollup nor cube covers
+    this shape without waste). GROUPING() flags disambiguate a NULL that
+    came from the data from a NULL that marks the aggregated-away column —
+    load-bearing once the grouped columns are nullable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag"], ["l_linestatus"]], "l_returnflag", "l_linestatus"
+    ).agg(
+        F.grouping("l_returnflag").cast("int").alias("g_rf"),
+        F.grouping("l_linestatus").cast("int").alias("g_ls"),
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+    )
+
+
 # --- A11: filtered / conditional agg (accuracy only for label=="lc",
 #     flax_model.py:254-259) ------------------------------------------------
 

@@ -89,6 +89,24 @@ def u3_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "u3_intersect_all",
+    oracle="""
+    SELECT l_suppkey AS supp_key FROM lineitem WHERE l_quantity > 45
+    INTERSECT ALL
+    SELECT l_suppkey FROM lineitem WHERE l_discount > 0.08
+    """,
+)
+def u3_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset intersect: each supplier key survives with multiplicity
+    min(count in bulk-quantity lines, count in deep-discount lines) —
+    bag semantics the DISTINCT form of U3 cannot express."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") > 45).select(F.col("l_suppkey").alias("supp_key"))
+    b = li.filter(F.col("l_discount") > 0.08).select(F.col("l_suppkey").alias("supp_key"))
+    return a.intersectAll(b)
+
+
 # --- U4: except (complement of the O3 split, flax_model.py:125-131) --------
 
 
@@ -113,6 +131,24 @@ def u4_except(spark: SparkSession, sf_dir: str) -> DataFrame:
             o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("cust_key"))
         )
         .distinct()
+    )
+
+
+@query(
+    "u4_except_all",
+    oracle="""
+    SELECT o_custkey AS cust_key FROM orders
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def u4_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset difference: per customer key, one surviving row per
+    NON-finished order (total orders minus finished orders by
+    multiplicity) — the bag complement that a DISTINCT except collapses."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(F.col("o_custkey").alias("cust_key")).exceptAll(
+        o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("cust_key"))
     )
 
 

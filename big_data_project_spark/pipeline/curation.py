@@ -24,6 +24,7 @@ from pyspark.sql.window import Window
 
 from big_data_project_spark.io import load_table
 from big_data_project_spark.pipeline.dedup import _ORACLE_PAIRS_CTE, verified_neardup_pairs
+from big_data_project_spark.pipeline.similarity import x8_cosine_pairs_threshold
 from big_data_project_spark.registry import query
 
 MIN_CHARS = 20
@@ -110,6 +111,83 @@ def pipeline_curation_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified as one unit."""
     return (
         curated_docs(spark, sf_dir)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.round(F.avg("n_tokens") + 1e-9, 4).alias("avg_tokens"),
+        )
+    )
+
+
+# --- lexical + semantic curation (adds the embedding-dedup stage) ----------
+
+
+@query(
+    "pipeline_semantic_curation",
+    oracle=_ORACLE_PAIRS_CTE + """,
+    gated AS (
+      SELECT doc_id, lang, text
+      FROM documents
+      WHERE len(text) >= 20
+        AND len(string_split(text, ' ')) >= 5
+        AND len(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / len(text) <= 0.3
+        AND lang IN ('en', 'de', 'fr')
+    ),
+    keep_exact AS (
+      SELECT min(doc_id) AS doc_id
+      FROM gated
+      GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+    ),
+    lex_losers AS (SELECT DISTINCT doc_b AS doc_id FROM pairs WHERE jac >= 0.5),
+    survivors AS (
+      SELECT g.doc_id, g.lang, len(string_split(g.text, ' ')) AS n_tokens
+      FROM gated g
+      JOIN keep_exact k ON g.doc_id = k.doc_id
+      WHERE g.doc_id NOT IN (SELECT doc_id FROM lex_losers)
+    ),
+    emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    sem_pairs AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb
+      FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.v, b.v) + 1e-9, 4) >= 0.4
+        AND a.vec_id IN (SELECT doc_id FROM survivors)
+        AND b.vec_id IN (SELECT doc_id FROM survivors)
+    ),
+    final AS (
+      SELECT * FROM survivors WHERE doc_id NOT IN (SELECT vb FROM sem_pairs)
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           round(avg(n_tokens) + 1e-9, 4) AS avg_tokens
+    FROM final
+    GROUP BY lang
+    """,
+)
+def pipeline_semantic_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full modern curation funnel: the lexical pipeline above PLUS a
+    semantic (embedding-cosine ≥ 0.4) dedup stage over the lexical
+    survivors — documents and embeddings share the id space (doc_id =
+    vec_id), as a production corpus would carry its embedding column
+    alongside the text. Stage semantics are sequential: semantic pairs
+    are evaluated only between docs still alive after the lexical gates,
+    then the greedy-by-id keep rule drops the larger member. Pair
+    discovery reuses the block-matrix cosine kernel; the stage adds two
+    semi-joins and one anti-join on bare ids — at 100 TB the text and
+    the embedding vectors both stay where they were scanned."""
+    surv = curated_docs(spark, sf_dir).persist()
+    ids_a = surv.select(F.col("doc_id").alias("vec_a"))
+    ids_b = surv.select(F.col("doc_id").alias("vec_b"))
+    sem_losers = (
+        x8_cosine_pairs_threshold(spark, sf_dir)
+        .join(ids_a, "vec_a", "left_semi")
+        .join(ids_b, "vec_b", "left_semi")
+        .select(F.col("vec_b").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        surv.join(sem_losers, "doc_id", "left_anti")
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
