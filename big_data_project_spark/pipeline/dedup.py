@@ -194,8 +194,12 @@ WITH toks AS (
 def x6_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-groupBy exact dedup with whitespace/case normalization; keeps
     the smallest doc_id deterministically (dropDuplicates keeps an
-    arbitrary row — SURVEY §2.7 caveat)."""
-    d = _spread(load_table(spark, sf_dir, "documents"))
+    arbitrary row — SURVEY §2.7 caveat). No _spread here: md5 is cheap
+    enough that the extra exchange costs more than single-core hashing
+    saves (measured 0.53s vs 0.38s at sf0.1); on a real multi-file corpus
+    the scan is already parallel, and the groupBy exchange carries only
+    (hash, doc_id) — the text never moves either way."""
+    d = load_table(spark, sf_dir, "documents")
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
     return (
         d.withColumn("content_hash", F.md5(norm))
