@@ -292,3 +292,32 @@ def test_s8_partition_upsert_touches_only_target_partition(spark, sf_dir):
     assert abs(got.loc[first, "sum_price"] - 2 * base.loc[first, "sum_price"]) < 0.01
     rest_g, rest_b = got.drop(first), base.drop(first)
     assert (rest_g["sum_price"] - rest_b["sum_price"]).abs().max() < 0.01
+
+
+def test_x7_minhash_pairs_subset_of_exact_ngram_pairs(spark, sf_dir):
+    """Cross-algorithm consistency: the LSH-verified pairs (Jaccard >= 0.5)
+    must be exactly the subset of the exact inverted-index pairs
+    (threshold 0.3) at >= 0.5, with identical Jaccard values — two
+    independent algorithms, one ground truth."""
+    lsh = {(r.doc_a, r.doc_b): r.jaccard
+           for r in Q["x7_minhash_neardup_pairs"](spark, sf_dir).collect()}
+    exact = {(r.doc_a, r.doc_b): r.jaccard
+             for r in Q["x7_ngram_jaccard_pairs"](spark, sf_dir).collect()}
+    exact_at_05 = {k: v for k, v in exact.items() if v >= 0.5}
+    assert lsh == exact_at_05
+
+
+def test_x8_embedding_dedup_partitions_id_space(spark, sf_dir):
+    """Keep set + dropped set = all vec_ids, disjoint; every dropped vec
+    has a >= 0.4-cosine partner with a smaller id that was kept or itself
+    dropped for the same reason (greedy-by-id rule)."""
+    from big_data_project_spark.io import load_table
+
+    keep = {r.keep_vec_id for r in Q["x8_embedding_dedup_keep"](spark, sf_dir).collect()}
+    all_ids = {r.vec_id for r in load_table(spark, sf_dir, "embeddings").select("vec_id").collect()}
+    dropped = all_ids - keep
+    assert keep | dropped == all_ids and not (keep & dropped)
+    pairs = [(r.vec_a, r.vec_b)
+             for r in Q["x8_cosine_pairs_threshold"](spark, sf_dir).collect()]
+    with_smaller_partner = {b for a, b in pairs}
+    assert dropped == with_smaller_partner & all_ids
