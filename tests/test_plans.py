@@ -50,11 +50,11 @@ def test_broadcast_dim_join_is_broadcast(spark, qs):
 
 
 def test_exact_dedup_shuffle_budget(spark, qs):
-    # X6 is spread (compute-parallelism repartition of the single-file
-    # local fixture) + groupBy(content_hash): exactly two exchanges, and
-    # partial aggregation still present
+    # X6 is a straight groupBy(content_hash): exactly ONE exchange,
+    # carrying only (hash, doc_id) — text is hashed at the scan and never
+    # moves — with map-side partial aggregation in front of it
     df = qs["x6_exact_dedup"](spark, SF)
-    assert count_ops(df, "Exchange") - count_ops(df, "BroadcastExchange") == 2
+    assert count_ops(df, "Exchange") - count_ops(df, "BroadcastExchange") == 1
     assert has_partial_agg(df)
 
 
@@ -161,3 +161,35 @@ def test_small_qty_revenue_decorrelates(spark, qs):
     text = plan_str(qs["sql_small_qty_revenue"](spark, SF), mode="simple")
     assert "Subquery" not in text, text
     assert "Join" in text, text
+
+
+def test_waiting_suppliers_decorrelates_to_semi_and_anti(spark, qs):
+    """Q21 shape: the EXISTS must become a left-semi join and the NOT
+    EXISTS a left-anti join — both hash joins keyed on l_orderkey, never
+    a per-row subquery or a nested loop."""
+    from big_data_project_spark.plans.contracts import plan_str
+
+    plan = plan_str(qs["sql_waiting_suppliers"](spark, SF), "simple")
+    assert "LeftSemi" in plan and "LeftAnti" in plan, plan[:800]
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_lateral_topk_decorrelates_to_window(spark, qs):
+    """The LATERAL per-nation top-2 must rewrite to a window/rank plan
+    (DomainJoin elimination), not a correlated loop or cartesian blow-up."""
+    from big_data_project_spark.plans.contracts import count_ops, plan_str
+
+    df = qs["sql_lateral_topk"](spark, SF)
+    plan = plan_str(df, "simple")
+    assert count_ops(df, "Window") >= 1
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_ngram_jaccard_is_equi_join(spark, qs):
+    """The inverted-index self-join is an equi join on the shingle key —
+    hash-partitionable at any scale. A nested-loop plan here would mean
+    the n² pair space is being enumerated."""
+    from big_data_project_spark.plans.contracts import plan_str
+
+    plan = plan_str(qs["x7_ngram_jaccard_pairs"](spark, SF), "simple")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
