@@ -36,6 +36,7 @@ _MODULES = (
     "big_data_project_spark.operators.scale",
     "big_data_project_spark.operators.behavior",
     "big_data_project_spark.operators.sql_surface",
+    "big_data_project_spark.operators.sql_tpch",
     "big_data_project_spark.functions.scalar",
     "big_data_project_spark.functions.udfs",
     "big_data_project_spark.streaming.windows",
