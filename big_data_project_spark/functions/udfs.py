@@ -107,11 +107,24 @@ def _weighted_stats(pdf: pd.DataFrame) -> pd.DataFrame:
     })
 
 
-@query("x5_udaf_weighted_stats", oracle=None)
+@query(
+    "x5_udaf_weighted_stats",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_quantity * l_extendedprice) / sum(l_quantity) + 1e-9, 4)
+             AS weighted_avg_price,
+           round(quantile_cont(l_extendedprice, 0.75)
+                 - quantile_cont(l_extendedprice, 0.25) + 1e-9, 4) AS price_iqr,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def x5_udaf_weighted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """applyInPandas grouped-map UDAF. Declared rows-only because pandas
-    quantile interpolation differs from DuckDB's; the weighted-mean half
-    is differentially tested against SQL in tests/test_udfs.py."""
+    """applyInPandas grouped-map UDAF, differentially checked against pure
+    SQL: pandas' default quantile interpolation is linear, exactly
+    DuckDB's quantile_cont, so both halves (weighted mean + IQR) match
+    under the round rule (verified exact at sf0.01)."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").applyInPandas(
         _weighted_stats,

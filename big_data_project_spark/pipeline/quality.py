@@ -1,0 +1,221 @@
+"""Corpus-quality and decontamination operators over `documents`
+(SURVEY §2.10 north-star family, extending X9/X11: the screening passes a
+training-data pipeline runs between raw ingest and dedup).
+
+Reference grounding: the reference's data pipeline filters invalid inputs
+before training (validity mask + impute, trainer/flax_model.py:70-95) and
+holds out an evaluation split the training set must not leak into
+(sequential 90/10 split, flax_model.py:125-131) [REF-analog]; the
+text-corpus forms here are mandated by the driver's LLM-pipeline north
+star [DRV].
+
+Scale notes (100 TB):
+- repetition stats explode to (doc, token) then aggregate twice on the
+  same doc_id key — the first groupBy partial-aggregates map-side, so the
+  shuffle carries ~|vocab| rows per doc, not |tokens|.
+- vocabulary document frequency is ~|vocab| rows — broadcast back to the
+  corpus, never a shuffle join against the fact.
+- contamination joins the training corpus's distinct shingles against the
+  EVAL set's shingles: the eval side is the small side by construction
+  (benchmarks are MBs, corpora are TBs) — broadcast it; the train side
+  never shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_project_spark.io import load_table
+from big_data_project_spark.registry import query
+
+_NGRAM = 8  # contamination shingle width: 8-gram overlap ⇒ near-verbatim leak
+
+
+def _tokens(col):
+    return F.split(col, " ")
+
+
+def _shingles(toks, n: int):
+    """All n-token shingles of a token array as space-joined strings."""
+    return F.transform(
+        F.sequence(F.lit(0), F.size(toks) - F.lit(n)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + F.lit(k + 1)) for k in range(n)]
+        ),
+    )
+
+
+# --- X9g: repetition / diversity stats per document -------------------------
+
+
+@query(
+    "x9_repetition_stats",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ), tf AS (
+      SELECT doc_id, token, count(*) AS n FROM tok GROUP BY doc_id, token
+    )
+    SELECT doc_id,
+           CAST(sum(n) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           round(count(*) / CAST(sum(n) AS DOUBLE) + 1e-9, 4) AS distinct_ratio,
+           round(max(n) / CAST(sum(n) AS DOUBLE) + 1e-9, 4) AS top_token_ratio
+    FROM tf
+    GROUP BY doc_id
+    """,
+)
+def x9_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity quality signal: distinct-token ratio and the mass
+    of the single most repeated token. Low distinct_ratio / high
+    top_token_ratio flags degenerate repetition (boilerplate, keyword
+    stuffing) — a standard pre-training quality gate alongside
+    x9_quality_scores' length/stopword checks."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("n"))
+    total = F.sum("n")
+    return tf.groupBy("doc_id").agg(
+        total.cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.round(F.count(F.lit(1)) / total.cast("double") + F.lit(1e-9), 4).alias(
+            "distinct_ratio"
+        ),
+        F.round(F.max("n") / total.cast("double") + F.lit(1e-9), 4).alias(
+            "top_token_ratio"
+        ),
+    )
+
+
+# --- X9h: vocabulary pruning by document-frequency band ---------------------
+
+
+@query(
+    "x9_vocab_prune",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ), dfreq AS (
+      SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY token
+    )
+    SELECT t.doc_id,
+           CAST(count(*) FILTER (WHERE d.df BETWEEN 100 AND 350) AS BIGINT)
+             AS n_kept,
+           CAST(count(*) FILTER (WHERE d.df < 100 OR d.df > 350) AS BIGINT)
+             AS n_dropped
+    FROM tok t JOIN dfreq d ON t.token = d.token
+    GROUP BY t.doc_id
+    """,
+)
+def x9_vocab_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-learned vocabulary filter: tokens are scored by document
+    frequency and a doc keeps only tokens inside a df band — too-rare
+    tokens are noise/typos, too-common ones are the corpus's own
+    stopwords (learned, not from a fixed list). Two passes: the df table
+    is ~|vocab| rows and broadcasts back onto the token stream."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("token"))
+    dfreq = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    keep = F.col("df").between(100, 350)
+    return (
+        tok.join(F.broadcast(dfreq), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(keep.cast("long")).alias("n_kept"),
+            F.sum((~keep).cast("long")).alias("n_dropped"),
+        )
+    )
+
+
+# --- X12: benchmark-contamination screening ---------------------------------
+
+
+def _shingle_sets(spark: SparkSession, sf_dir: str):
+    """(train_shingles, eval_shingles): DISTINCT (doc_id, 8-gram) rows on
+    either side of the eval split (source = 'src0' stands in for the
+    benchmark set)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    sh = (
+        d.filter(F.size(toks) >= _NGRAM)
+        .select("doc_id", "source", F.explode(_shingles(toks, _NGRAM)).alias("g"))
+        .distinct()
+    )
+    return (
+        sh.filter(F.col("source") != "src0").drop("source"),
+        sh.filter(F.col("source") == "src0").drop("source"),
+    )
+
+
+@query(
+    "x12_contamination_hits",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+      WHERE len(string_split(text, ' ')) >= {_NGRAM}
+    ), sh AS (
+      SELECT DISTINCT doc_id, source,
+             unnest([array_to_string(w[i:i+{_NGRAM - 1}], ' ')
+                     for i in generate_series(1, len(w) - {_NGRAM - 1})]) AS g
+      FROM toks
+    )
+    SELECT t.doc_id,
+           CAST(count(DISTINCT t.g) AS BIGINT) AS n_shared_shingles,
+           CAST(count(DISTINCT e.doc_id) AS BIGINT) AS n_eval_docs
+    FROM (SELECT doc_id, g FROM sh WHERE source <> 'src0') t
+    JOIN (SELECT doc_id, g FROM sh WHERE source = 'src0') e ON t.g = e.g
+    GROUP BY t.doc_id
+    """,
+)
+def x12_contamination_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination report: training docs sharing ≥1 verbatim
+    8-gram with the eval split, with how many shingles leak and into how
+    many eval docs. The eval side broadcasts (benchmarks ≪ corpus); the
+    train side's shingle stream is filtered by the hash join probe
+    without ever shuffling — the decontamination analog of the
+    reference's train/test split hygiene (flax_model.py:125-131)."""
+    train, ev = _shingle_sets(spark, sf_dir)
+    return (
+        train.join(F.broadcast(ev.withColumnRenamed("doc_id", "eval_doc")), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("g").alias("n_shared_shingles"),
+            F.countDistinct("eval_doc").alias("n_eval_docs"),
+        )
+    )
+
+
+@query(
+    "x12_decontaminated_keep",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, source,
+             unnest([array_to_string(w[i:i+{_NGRAM - 1}], ' ')
+                     for i in generate_series(1, len(w) - {_NGRAM - 1})]) AS g
+      FROM toks WHERE len(w) >= {_NGRAM}
+    )
+    SELECT d.doc_id FROM documents d
+    WHERE d.source <> 'src0' AND NOT EXISTS (
+      SELECT 1
+      FROM (SELECT doc_id, g FROM sh WHERE source <> 'src0') t
+      JOIN (SELECT g FROM sh WHERE source = 'src0') e ON t.g = e.g
+      WHERE t.doc_id = d.doc_id
+    )
+    """,
+)
+def x12_decontaminated_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decontamination filter itself: training doc_ids with ZERO
+    8-gram overlap with the eval split (complement of
+    x12_contamination_hits, so hits ∪ keep = all training docs — the
+    partition invariant a curation funnel needs before training)."""
+    train, ev = _shingle_sets(spark, sf_dir)
+    contaminated = train.join(F.broadcast(ev.select("g")), "g").select("doc_id")
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.filter(F.col("source") != "src0")
+        .join(contaminated, "doc_id", "left_anti")
+        .select("doc_id")
+    )

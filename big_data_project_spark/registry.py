@@ -45,6 +45,7 @@ _MODULES = (
     "big_data_project_spark.pipeline.text",
     "big_data_project_spark.pipeline.multimodal",
     "big_data_project_spark.pipeline.curation",
+    "big_data_project_spark.pipeline.quality",
     "big_data_project_spark.sources.formats",
     "big_data_project_spark.raster.vertical",
     "big_data_project_spark.raster.training",

@@ -321,3 +321,36 @@ def test_x8_embedding_dedup_partitions_id_space(spark, sf_dir):
              for r in Q["x8_cosine_pairs_threshold"](spark, sf_dir).collect()]
     with_smaller_partner = {b for a, b in pairs}
     assert dropped == with_smaller_partner & all_ids
+
+
+def test_x12_decontamination_partitions_training_docs(spark, sf_dir):
+    """hits ∪ keep must be exactly the non-eval corpus, disjoint — a doc
+    either leaks an 8-gram into the eval split or it is retained."""
+    from big_data_project_spark.io import load_table
+
+    hits = {r.doc_id for r in Q["x12_contamination_hits"](spark, sf_dir).collect()}
+    keep = {r.doc_id for r in Q["x12_decontaminated_keep"](spark, sf_dir).collect()}
+    train = {
+        r.doc_id
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(F.col("source") != "src0")
+        .select("doc_id")
+        .collect()
+    }
+    assert not (hits & keep)
+    assert hits | keep == train
+
+
+def test_x9_repetition_stats_ratios_bounded(spark, sf_dir):
+    """distinct_ratio and top_token_ratio live in (0, 1]; a doc's distinct
+    count never exceeds its token count; vocab-prune conserves tokens."""
+    rows = Q["x9_repetition_stats"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.distinct_ratio <= 1.0 and 0 < r.top_token_ratio <= 1.0
+        assert r.n_distinct <= r.n_tokens
+    prune = {r.doc_id: (r.n_kept, r.n_dropped)
+             for r in Q["x9_vocab_prune"](spark, sf_dir).collect()}
+    totals = {r.doc_id: r.n_tokens for r in rows}
+    for doc_id, (kept, dropped) in prune.items():
+        assert kept + dropped == totals[doc_id]
