@@ -500,3 +500,60 @@ def a18_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
             ") AS (col_name, n, n_nonnull, n_distinct, min_val, max_val)"
         )
     )
+
+
+# --- A20: count-min sketch heavy hitters (the 100 TB path for exact token
+#     counting when the key space itself is too big to hold) ----------------
+
+_CMS_W = 64  # buckets per hash row
+_CMS_D = 4   # independent hash rows
+
+
+@query("a20_countmin_topk", oracle=None)
+def a20_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch built entirely from DataFrame primitives: each
+    token updates one bucket in each of d=4 hash rows (xxhash64 salted by
+    row id); the sketch is the (row, bucket) count table — d·w = 256
+    cells regardless of corpus size, built in ONE narrow pass with
+    map-side partial aggregation. A key's estimate is the MIN of its d
+    cells: always ≥ the true count (collisions only add), within εN with
+    high probability. At 100 TB the sketch replaces a full shuffle on a
+    billion-key token space with a 256-row broadcast; estimates here are
+    joined against the exact counts so the error is visible (and pinned
+    in tests/test_pipeline.py). Sketch hashing is engine-specific
+    (xxhash64) → rows-only tier."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split("text", " ")).alias("token"))
+    cells = tok.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(r).alias("r"),
+                    F.pmod(F.xxhash64(F.lit(r), F.col("token")), F.lit(_CMS_W)).alias("bucket"),
+                )
+                for r in range(_CMS_D)
+            ])
+        ).alias("c")
+    ).select("c.r", "c.bucket")
+    cms = cells.groupBy("r", "bucket").agg(F.count(F.lit(1)).alias("cell_n"))
+    exact = tok.groupBy("token").agg(F.count(F.lit(1)).alias("exact_n"))
+    probes = exact.select(
+        "token",
+        "exact_n",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(r).alias("r"),
+                    F.pmod(F.xxhash64(F.lit(r), F.col("token")), F.lit(_CMS_W)).alias("bucket"),
+                )
+                for r in range(_CMS_D)
+            ])
+        ).alias("p"),
+    ).select("token", "exact_n", "p.r", "p.bucket")
+    return (
+        probes.join(F.broadcast(cms), ["r", "bucket"])
+        .groupBy("token", "exact_n")
+        .agg(F.min("cell_n").alias("cms_estimate"))
+        .orderBy(F.col("exact_n").desc(), "token")
+        .limit(20)
+    )

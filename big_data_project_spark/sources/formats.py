@@ -448,3 +448,36 @@ def s8_partition_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("order_month")
     )
+
+
+# --- S12: ORC columnar source/sink -----------------------------------------
+
+
+@query(
+    "s12_orc_roundtrip",
+    oracle="""
+    SELECT l_linestatus, count(*) AS n,
+           round(sum(l_extendedprice) + 1e-9, 4) AS sum_price
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+)
+def s12_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem → ORC (Spark's built-in native vectorized reader/writer)
+    → re-scan → aggregate, proving the second columnar format round-trips
+    losslessly. The oracle aggregates the original parquet: equality
+    means the ORC path preserved every row and value. Like parquet, ORC
+    carries min/max stripe statistics, so filters push down on re-read —
+    the engine is format-plural at the scan layer with the same plan
+    above it."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = _tmp(f"s12_orc_{os.path.basename(sf_dir.rstrip('/'))}")
+    li.write.mode("overwrite").orc(out)
+    return (
+        spark.read.orc(out)
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice") + F.lit(1e-9), 4).alias("sum_price"),
+        )
+    )

@@ -354,3 +354,15 @@ def test_x9_repetition_stats_ratios_bounded(spark, sf_dir):
     totals = {r.doc_id: r.n_tokens for r in rows}
     for doc_id, (kept, dropped) in prune.items():
         assert kept + dropped == totals[doc_id]
+
+
+def test_a20_countmin_overestimates_within_bound(spark, sf_dir):
+    """Count-min is one-sided: estimate >= exact always; with d=4 rows of
+    w=64 buckets the min-of-rows overcount stays well under N/8 on this
+    corpus."""
+    rows = Q["a20_countmin_topk"](spark, sf_dir).collect()
+    assert rows
+    n_total = sum(r.exact_n for r in rows)  # lower bound on corpus tokens
+    for r in rows:
+        assert r.cms_estimate >= r.exact_n, (r.token, r.cms_estimate, r.exact_n)
+        assert r.cms_estimate - r.exact_n <= n_total / 8

@@ -193,3 +193,32 @@ def test_ngram_jaccard_is_equi_join(spark, qs):
 
     plan = plan_str(qs["x7_ngram_jaccard_pairs"](spark, SF), "simple")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_q19_disjunction_stays_hash_join(spark, qs):
+    """TPC-H Q19's historical failure mode is the OR-of-ANDs degrading the
+    part join to a nested loop. The equi key sits outside the
+    disjunction, so the plan must contain a hash join on p_partkey and
+    zero nested-loop joins."""
+    df = qs["sql_q19_banded_revenue"](spark, SF)
+    assert count_ops(df, "BroadcastNestedLoopJoin") == 0
+    assert count_ops(df, "CartesianProduct") == 0
+    assert has_broadcast_join(df) or count_ops(df, "SortMergeJoin") >= 1
+
+
+def test_q5_dims_broadcast_single_shuffle_chain(spark, qs):
+    """Q5's six-way join: supplier/nation/region (and customer at test SF)
+    broadcast; only the orderkey chain shuffles. No nested loops despite
+    the extra cross-dimension equality c_nationkey = s_nationkey."""
+    df = qs["sql_q5_local_supplier_volume"](spark, SF)
+    assert count_ops(df, "BroadcastHashJoin") >= 3
+    assert count_ops(df, "BroadcastNestedLoopJoin") == 0
+
+
+def test_q22_not_exists_decorrelates_to_anti_join(spark, qs):
+    """Q22's NOT EXISTS must become a left-anti hash join with the date
+    filter evaluated below it, and the scalar avg a one-row subquery —
+    never a per-customer probe."""
+    plan = qs["sql_q22_dormant_customers"](spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan or "LeftAnti" in plan
