@@ -294,3 +294,48 @@ def test_t9_stream_stream_join(spark, tmp_path):
         (10, 20)
     ]
     assert out["gap_s"].tolist() == [600]
+
+
+def test_t10_dedup_within_watermark_bounds_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicates inside the 1-hour horizon
+    are suppressed, but once the watermark passes an id's eviction time
+    its state is dropped and a re-arrival IS emitted again. The bounded
+    state is the point: T5's dropDuplicates keeps every id forever, which
+    a 100 TB/day stream cannot afford; within-watermark dedup holds
+    O(ids per horizon) instead."""
+    input_dir, out_dir, ck = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    os.makedirs(input_dir)
+
+    def run_pass():
+        stream = (
+            stream_events_from_dir(spark, input_dir)
+            .withWatermark("ts", "1 hour")
+            .dropDuplicatesWithinWatermark(["event_id"])
+        )
+        run_available_now(stream, out_dir, ck)
+
+    # b1: two fresh ids → both emitted; watermark after b1 ≈ 23:06 prev day
+    _write_batch(spark, [
+        (1, "2024-06-01 00:05:00", 1, "view", 1.0),
+        (2, "2024-06-01 00:06:00", 1, "view", 1.0),
+    ], input_dir, "b1")
+    run_pass()
+    # b2: id 2 again within the horizon → suppressed; id 50 at 03:00
+    # advances the watermark to 02:00, past id 2's expiry (00:06 + 1h)
+    _write_batch(spark, [
+        (2, "2024-06-01 00:10:00", 1, "view", 99.0),
+        (50, "2024-06-01 03:00:00", 2, "view", 1.0),
+    ], input_dir, "b2")
+    run_pass()
+    # b3: id 2 re-arrives AFTER its state was evicted → emitted again
+    _write_batch(spark, [
+        (2, "2024-06-01 03:05:00", 1, "view", 7.0),
+    ], input_dir, "b3")
+    run_pass()
+
+    out = spark.read.parquet(out_dir).toPandas()
+    assert sorted(out.event_id.tolist()) == [1, 2, 2, 50]
+    # the within-horizon duplicate (value 99.0) never reached the sink
+    assert 99.0 not in set(out.value.tolist())
+    # the post-eviction re-arrival (value 7.0) did
+    assert 7.0 in set(out.value.tolist())
