@@ -194,12 +194,53 @@ _LANG_BIGRAMS = {
 }
 
 
-@query("x9_lang_id", oracle=None)
+@query(
+    "x9_lang_id",
+    oracle=r"""
+    WITH scored AS (
+      SELECT doc_id, lang AS lang_true,
+             unnest([
+               {'score': ((len(text) - len(replace(text, 'th', ''))) / 2.0
+                        + (len(text) - len(replace(text, 'he', ''))) / 2.0
+                        + (len(text) - len(replace(text, 'in', ''))) / 2.0
+                        + (len(text) - len(replace(text, 'er', ''))) / 2.0
+                        + (len(text) - len(replace(text, 'an', ''))) / 2.0), 'lang': 'en'},
+               {'score': ((len(text) - len(replace(text, 'de', ''))) / 2.0
+                        + (len(text) - len(replace(text, 'la', ''))) / 2.0
+                        + (len(text) - len(replace(text, 'os', ''))) / 2.0
+                        + (len(text) - len(replace(text, 'el', ''))) / 2.0
+                        + (len(text) - len(replace(text, 'en', ''))) / 2.0), 'lang': 'es'},
+               {'score': ((len(text) - len(replace(text, 'en', ''))) / 2.0
+                        + (len(text) - len(replace(text, 'er', ''))) / 2.0
+                        + (len(text) - len(replace(text, 'ch', ''))) / 2.0
+                        + (len(text) - len(replace(text, 'de', ''))) / 2.0
+                        + (len(text) - len(replace(text, 'ei', ''))) / 2.0), 'lang': 'de'},
+               {'score': ((len(text) - len(replace(text, 'le', ''))) / 2.0
+                        + (len(text) - len(replace(text, 'de', ''))) / 2.0
+                        + (len(text) - len(replace(text, 'es', ''))) / 2.0
+                        + (len(text) - len(replace(text, 'en', ''))) / 2.0
+                        + (len(text) - len(replace(text, 're', ''))) / 2.0), 'lang': 'fr'},
+               {'score': CAST(len(regexp_replace(text, '[\x00-\x7F]', '', 'g'))
+                              AS DOUBLE), 'lang': 'zh'}
+             ]) AS s
+      FROM documents
+    )
+    SELECT doc_id, lang_true, s.lang AS lang_pred, round(s.score, 4) AS lang_score
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY s.score DESC, s.lang DESC) AS rk
+          FROM scored) t
+    WHERE rk = 1
+    """,
+)
 def x9_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID: score = count of characteristic bigrams per
-    language (+ CJK script ratio for zh); argmax over scores. Declared
-    rows-only (the bigram weight table is engine-embedded); accuracy vs
-    the fixture's lang column is asserted in tests/test_pipeline.py."""
+    language (+ CJK script ratio for zh); argmax over scores. The same
+    fixed bigram-weight table is embedded in the DuckDB oracle (the
+    occurrence count is the replace-length trick in both dialects), and
+    Spark's array_max-of-structs tie-break — larger lang string wins on
+    equal scores — is mirrored by ORDER BY score DESC, lang DESC.
+    Accuracy vs the fixture's lang column is additionally asserted in
+    tests/test_pipeline.py."""
     d = load_table(spark, sf_dir, "documents")
     scores = []
     for lang, bigrams in _LANG_BIGRAMS.items():

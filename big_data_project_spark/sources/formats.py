@@ -481,3 +481,85 @@ def s12_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice") + F.lit(1e-9), 4).alias("sum_price"),
         )
     )
+
+
+# --- S13: Z-order clustered write (two-dimensional data skipping) -----------
+
+_Z_BITS = 8  # 8 bits per dimension → 256 buckets each, 16-bit z-value
+
+
+def _interleave_bits(bx, by, bits: int):
+    """Morton/Z-value: interleave the low `bits` of two bucket ids —
+    pure integer expressions, fully codegen'd."""
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z
+            + F.shiftright(bx, i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i + 1))
+            + F.shiftright(by, i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i))
+        )
+    return z
+
+
+def zorder_lineitem_path(spark: SparkSession, sf_dir: str) -> str:
+    """Write (once per process) a lineitem copy clustered on the Z-order
+    curve over (l_partkey, l_suppkey)."""
+    out = _tmp(f"s13_zorder_{os.path.basename(sf_dir.rstrip('/'))}")
+    if not os.listdir(out):
+        li = load_table(spark, sf_dir, "lineitem")
+        bounds = li.agg(
+            F.max("l_partkey").alias("maxp"), F.max("l_suppkey").alias("maxs")
+        )
+        both = li.crossJoin(F.broadcast(bounds))
+        bx = F.floor(F.col("l_partkey") * (1 << _Z_BITS) / (F.col("maxp") + 1)).cast("long")
+        by = F.floor(F.col("l_suppkey") * (1 << _Z_BITS) / (F.col("maxs") + 1)).cast("long")
+        (
+            both.withColumn("zval", _interleave_bits(bx, by, _Z_BITS))
+            .drop("maxp", "maxs")
+            .repartitionByRange(8, "zval")
+            .sortWithinPartitions("zval")
+            .drop("zval")
+            .write.mode("overwrite")
+            .option("parquet.block.size", 1 << 20)
+            .parquet(out)
+        )
+    return out
+
+
+@query(
+    "s13_zorder_write_skipping",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           round(sum(l_extendedprice) + 1e-9, 4) AS sum_price
+    FROM lineitem
+    WHERE l_partkey <= (SELECT max(l_partkey) / 4.0 FROM lineitem)
+      AND l_suppkey <= (SELECT max(l_suppkey) / 4.0 FROM lineitem)
+    """,
+)
+def s13_zorder_write_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering: single-key range sorting (s10) prunes ONE
+    predicate dimension and nothing else; interleaving the bucket bits of
+    (l_partkey, l_suppkey) gives row groups that are axis-aligned tiles
+    in BOTH dimensions, so a conjunctive two-column predicate skips on
+    footer stats for each column independently. A quarter×quarter region
+    maps to a z-range prefix covering ~1/16 of the curve — at 100 TB the
+    canonical layout for multi-tenant scans filtered on two id columns.
+    Pruning is asserted against the parquet footers in
+    tests/test_pipeline.py."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bounds = li.agg(
+        F.max("l_partkey").alias("maxp"), F.max("l_suppkey").alias("maxs")
+    )
+    out = zorder_lineitem_path(spark, sf_dir)
+    return (
+        spark.read.parquet(out)
+        .crossJoin(F.broadcast(bounds))
+        .filter(
+            (F.col("l_partkey") <= F.col("maxp") / 4.0)
+            & (F.col("l_suppkey") <= F.col("maxs") / 4.0)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice") + F.lit(1e-9), 4).alias("sum_price"),
+        )
+    )

@@ -366,3 +366,35 @@ def test_a20_countmin_overestimates_within_bound(spark, sf_dir):
     for r in rows:
         assert r.cms_estimate >= r.exact_n, (r.token, r.cms_estimate, r.exact_n)
         assert r.cms_estimate - r.exact_n <= n_total / 8
+
+
+def test_s13_zorder_layout_prunes_both_dims(spark, sf_dir):
+    """Z-order row groups must be prunable on BOTH predicate columns: for
+    the quarter×quarter (partkey, suppkey) region, most row groups'
+    footer stats miss the region on at least one dimension."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from big_data_project_spark.io import load_table
+    from big_data_project_spark.sources.formats import zorder_lineitem_path
+
+    li = load_table(spark, sf_dir, "lineitem")
+    maxp, maxs = li.agg(F.max("l_partkey"), F.max("l_suppkey")).first()
+    out = zorder_lineitem_path(spark, sf_dir)
+    total = overlapping = 0
+    for f in glob.glob(os.path.join(out, "part-*.parquet")):
+        meta = pq.ParquetFile(f).metadata
+        cols = {
+            meta.row_group(0).column(i).path_in_schema: i
+            for i in range(meta.num_columns)
+        }
+        for rg in range(meta.num_row_groups):
+            sp = meta.row_group(rg).column(cols["l_partkey"]).statistics
+            ss = meta.row_group(rg).column(cols["l_suppkey"]).statistics
+            total += 1
+            if sp.min <= maxp / 4.0 and ss.min <= maxs / 4.0:
+                overlapping += 1
+    assert total >= 8, f"expected multiple row groups, got {total}"
+    assert overlapping / total <= 0.5, (overlapping, total)
