@@ -298,3 +298,44 @@ def x8_knn_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.repartition(n_parts, "vec_id").mapInPandas(
         block, schema="vec_id bigint, nn_id bigint, sim double"
     )
+
+
+# --- X13: mapInArrow kernel (the zero-copy Arrow boundary) ------------------
+
+
+@query(
+    "x13_mapinarrow_norm",
+    oracle="""
+    SELECT vec_id,
+           round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                              x -> x * x))) + 1e-9, 4) AS l2_norm
+    FROM embeddings
+    """,
+)
+def x13_mapinarrow_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow: the lowest-overhead Python boundary — the kernel sees
+    raw pyarrow RecordBatches, so the embedding matrix is reshaped from
+    the list array's flat values buffer without ever materializing pandas
+    objects (mapInPandas pays Series-of-lists boxing per row; for pure
+    numeric kernels Arrow→numpy is a view). Accumulates in float64 so the
+    norm agrees with the DuckDB oracle under the round rule. Completes
+    the Python-boundary family: pandas_udf (X1), applyInPandas (X2),
+    mapInPandas (X3/X8), UDTF (X4), applyInPandasWithState (T6),
+    mapInArrow (here)."""
+    import numpy as np
+    import pyarrow as pa
+
+    def kernel(batch_iter):
+        for batch in batch_iter:
+            vec_ids = batch.column(0)
+            embs = batch.column(1)
+            n = len(embs)
+            flat = embs.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            mat = flat.reshape(n, -1)
+            norms = np.round(np.sqrt((mat * mat).sum(axis=1)) + 1e-9, 4)
+            yield pa.RecordBatch.from_arrays(
+                [vec_ids, pa.array(norms, pa.float64())], ["vec_id", "l2_norm"]
+            )
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return e.mapInArrow(kernel, schema="vec_id bigint, l2_norm double")
