@@ -6,14 +6,17 @@ Each query is executed with a count-style action (collect on the already
 aggregated result, or count for large row sets) so the timing covers the
 full scan→shuffle→agg pipeline, not driver materialization of wide results.
 
-Methodology: each query gets ONE untimed warm-up run, then the timed run.
-The warm-up pays whole-stage-codegen compilation and JVM JIT — one-time
-per-JVM costs that a long-lived cluster amortizes to zero, not engine
-throughput (measured: the exact-dedup plan is 2.1s on first execution and
-0.38s steady-state, the difference being janino/JIT compile of the
-generated code). Cached DataFrames are dropped between warm-up and timed
-run (spark.catalog.clearCache()), so the timed run re-reads parquet and
-recomputes every stage; only code compilation stays warm.
+Methodology: each query gets ONE untimed warm-up run, then TWO timed
+runs of which the MINIMUM is reported. The warm-up pays whole-stage-
+codegen compilation and JVM JIT — one-time per-JVM costs that a
+long-lived cluster amortizes to zero, not engine throughput (measured:
+the exact-dedup plan is 2.1s on first execution and 0.38s steady-state,
+the difference being janino/JIT compile of the generated code). The
+min-of-2 suppresses single-sample scheduler/GC noise (measured ±40% on
+persist-heavy plans at sub-3s scale). Cached DataFrames are dropped
+between every run (spark.catalog.clearCache()), so each timed run
+re-reads parquet and recomputes every stage; only code compilation
+stays warm.
 """
 
 from __future__ import annotations
@@ -47,6 +50,8 @@ HEADLINE = [
     "b1_funnel",
     "pipeline_curation_end2end",
     "scale_bucketed_join",
+    "sql_q6_forecast_revenue",
+    "s13_zorder_write_skipping",
 ]
 
 
@@ -68,12 +73,16 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in names:
         qs[name](spark, sf_dir).count()  # warm-up: codegen + JIT compile
-        spark.catalog.clearCache()  # timed run must recompute, not read cache
-        t0 = time.perf_counter()
-        df = qs[name](spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        spark.catalog.clearCache()
+        spark.catalog.clearCache()  # timed runs must recompute, not read cache
+        best, n = None, 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = qs[name](spark, sf_dir)
+            n = df.count()
+            elapsed = time.perf_counter() - t0
+            best = elapsed if best is None else min(best, elapsed)
+            spark.catalog.clearCache()
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
     total = round(sum(timings.values()), 3)
     print(json.dumps({

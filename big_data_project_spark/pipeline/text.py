@@ -318,3 +318,53 @@ def x9_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("doc_id", "term", "tfidf")
     )
+
+
+# --- X14: document chunking (overlapping token windows) ---------------------
+
+_CHUNK = 32   # tokens per chunk
+_STRIDE = 24  # chunk start stride → 8-token overlap
+
+
+@query(
+    "x14_chunk_documents",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    SELECT doc_id, u.chunk_id, u.chunk_text, u.n_tokens
+    FROM (
+      SELECT doc_id,
+             unnest([{{'chunk_id': CAST(i AS INT),
+                      'chunk_text': array_to_string(
+                         w[i*{_STRIDE}+1 : i*{_STRIDE}+{_CHUNK}], ' '),
+                      'n_tokens': CAST(len(
+                         w[i*{_STRIDE}+1 : i*{_STRIDE}+{_CHUNK}]) AS INT)}}
+                     for i in generate_series(0,
+                       CAST(ceil(greatest(len(w) - {_CHUNK}, 0) / {_STRIDE}.0)
+                            AS BIGINT))]) AS u
+      FROM toks
+    ) t
+    """,
+)
+def x14_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window chunking — the step between curation and
+    embedding in a retrieval/training pipeline: 32-token chunks on a
+    24-token stride (8-token overlap so no boundary context is lost).
+    Pure array expressions: one sequence over chunk starts, slice +
+    concat_ws per chunk, explode — the fan-out stays JVM-side and the
+    chunk count per doc is ceil((len-W)/S)+1, covering every token.
+    At 100 TB this is a narrow map stage: no shuffle, output
+    ~len/stride× the input row count with bounded chunk payloads."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.greatest(F.size(w) - F.lit(_CHUNK), F.lit(0)) / F.lit(float(_STRIDE)))
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks.cast("int")),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_id"),
+            F.concat_ws(" ", F.slice(w, i * _STRIDE + 1, _CHUNK)).alias("chunk_text"),
+            F.least(F.size(w) - i * _STRIDE, F.lit(_CHUNK)).cast("int").alias("n_tokens"),
+        ),
+    )
+    return d.select("doc_id", F.explode(chunks).alias("c")).select(
+        "doc_id", "c.chunk_id", "c.chunk_text", "c.n_tokens"
+    )
