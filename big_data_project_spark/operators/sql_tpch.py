@@ -477,3 +477,31 @@ _register(
     left-anti join on custkey against the date-filtered orders — filter
     pushed below the anti join, never per-customer probes.""",
 )
+
+
+# --- Q1: pricing summary, literal SQL text ----------------------------------
+_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity) + 1e-9, 4) AS sum_qty,
+       round(sum(l_extendedprice) + 1e-9, 4) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 4) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) + 1e-9, 4)
+         AS sum_charge,
+       round(avg(l_quantity) + 1e-9, 4) AS avg_qty,
+       round(avg(l_extendedprice) + 1e-9, 4) AS avg_price,
+       round(avg(l_discount) + 1e-9, 4) AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '2001-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+_register(
+    "sql_q1_pricing_summary",
+    _Q1,
+    """TPC-H Q1 as literal SQL text (the DataFrame form of this shape is
+    flagship_pricing_summary — same Catalyst plan either way, which is
+    the point of the dual surface): one fact scan, eight aggregates in a
+    single partial→final hash agg, shipdate predicate pushed to the
+    parquet footer.""",
+)

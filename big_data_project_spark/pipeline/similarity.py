@@ -339,3 +339,41 @@ def x13_mapinarrow_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return e.mapInArrow(kernel, schema="vec_id bigint, l2_norm double")
+
+
+# --- X15: embedding scalar quantization (int8 codes) ------------------------
+
+
+@query(
+    "x15_embedding_quantize",
+    oracle="""
+    SELECT vec_id,
+           round(list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                         x -> abs(x))) + 1e-9, 6) AS scale_abs,
+           list_transform(CAST(embedding AS DOUBLE[]),
+             x -> CAST(round(x * 127.0 / nullif(
+                    list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                            y -> abs(y))), 0)) AS INT)) AS codes
+    FROM embeddings
+    """,
+)
+def x15_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|x|/127, code =
+    round(x/scale). The standard 4× memory cut for vector search — at
+    100 TB of embeddings the int8 codes (plus one float scale per vector)
+    are what the ANN index stores and scans; full-precision vectors stay
+    in cold storage for re-ranking. Pure array expressions, no shuffle;
+    the dequantization error bound (≤ scale/2 per component) is what the
+    IVF re-rank stage absorbs."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    codes = F.transform(
+        v,
+        lambda x: F.round(x * 127.0 / F.nullif(scale, F.lit(0.0))).cast("int"),
+    )
+    return e.select(
+        "vec_id",
+        F.round(scale + F.lit(1e-9), 6).alias("scale_abs"),
+        codes.alias("codes"),
+    )
