@@ -222,3 +222,12 @@ def test_q22_not_exists_decorrelates_to_anti_join(spark, qs):
     plan = qs["sql_q22_dormant_customers"](spark, SF)._jdf.queryExecution().executedPlan().toString()
     assert "LeftAnti" in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan or "LeftAnti" in plan
+
+
+def test_chunking_and_quantization_are_narrow(spark, qs):
+    """The pre-embedding fan-out (x14) and int8 quantization (x15) are
+    per-row array transforms: zero exchanges of any kind — at 100 TB they
+    must remain pure map stages."""
+    for name in ("x14_chunk_documents", "x15_embedding_quantize"):
+        df = qs[name](spark, SF)
+        assert count_ops(df, "Exchange") == 0, name
