@@ -377,3 +377,79 @@ def x15_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(scale + F.lit(1e-9), 6).alias("scale_abs"),
         codes.alias("codes"),
     )
+
+
+# --- X16: SRP-LSH bucketed ANN (the hash-bucket scale path; rows-only) ------
+
+_SRP_TABLES = 8  # hash tables (OR-amplification: any shared bucket → candidate)
+_SRP_BITS = 6    # hyperplanes per table (AND-amplification within a table)
+
+
+def _srp_hyperplanes():
+    """Fixed random hyperplanes (seeded → identical across runs/sessions,
+    SURVEY §4.3.6): _SRP_TABLES × _SRP_BITS planes in R^64."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed=7)
+    return rng.standard_normal((_SRP_TABLES, _SRP_BITS, 64)).round(6).tolist()
+
+
+@query("x16_srp_lsh_ann_topk", oracle=None)
+def x16_srp_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed-random-projection LSH: each vector gets _SRP_TABLES bucket
+    ids (one per table, _SRP_BITS sign bits each); queries meet only
+    vectors sharing ≥1 bucket, then exact cosine re-ranks the candidates.
+    Complements x8_ivf_ann_topk: IVF prunes by Voronoi cell (needs a
+    trained quantizer, probes nearest cells), SRP-LSH is data-independent
+    (no training pass — the right choice when the corpus distribution
+    shifts faster than a quantizer can be refit). P(two vectors at angle
+    θ share a table's bucket) = (1 − θ/π)^bits; OR over tables amplifies
+    recall. At 100 TB the bucket join shuffles on (table, bucket) with
+    bounded bucket sizes — never n². Hash tables are engine-embedded →
+    rows-only; candidate-subset + re-rank-exactness invariants in
+    tests/test_pipeline.py."""
+    e = load_table(spark, sf_dir, "embeddings")
+    planes = _srp_hyperplanes()
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+
+    def bucket(table: int):
+        bits = [
+            (_dot(v, F.array(*[F.lit(w) for w in planes[table][b]])) > 0).cast("int")
+            * F.lit(1 << b)
+            for b in range(_SRP_BITS)
+        ]
+        s = bits[0]
+        for b in bits[1:]:
+            s = s + b
+        return s
+
+    buckets = F.array(*[
+        F.struct(F.lit(t).alias("table_id"), bucket(t).alias("bucket"))
+        for t in range(_SRP_TABLES)
+    ])
+    tagged = e.select("vec_id", "embedding", F.explode(buckets).alias("tb")).select(
+        "vec_id", "embedding", "tb.table_id", "tb.bucket"
+    ).persist()
+    queries = tagged.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("va"),
+        "table_id", "bucket",
+    )
+    cand = (
+        queries.join(
+            tagged.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("vb"), "table_id", "bucket",
+            ),
+            ["table_id", "bucket"],
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "va", "vb")
+        .distinct()
+    )
+    scored = with_cosine(cand).withColumn("sim", F.round(F.col("sim_raw") + 1e-9, 4))
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "neighbor_id", "sim")
+    )

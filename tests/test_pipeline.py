@@ -398,3 +398,20 @@ def test_s13_zorder_layout_prunes_both_dims(spark, sf_dir):
                 overlapping += 1
     assert total >= 8, f"expected multiple row groups, got {total}"
     assert overlapping / total <= 0.5, (overlapping, total)
+
+
+def test_x16_srp_lsh_rerank_is_exact_subset(spark, sf_dir):
+    """SRP-LSH results must be a subset of the exact all-pairs ranking
+    with EXACT similarities: every (query, neighbor, sim) it returns must
+    carry the same rounded cosine the brute-force top-k computes, and its
+    per-query sims can never exceed the exact top-1."""
+    exact = {}
+    for r in Q["x8_similarity_topk"](spark, sf_dir).collect():
+        exact.setdefault(r.query_id, {})[r.neighbor_id] = r.sim
+    lsh_rows = Q["x16_srp_lsh_ann_topk"](spark, sf_dir).collect()
+    assert lsh_rows, "LSH returned no candidates at all"
+    best_exact = {q: max(d.values()) for q, d in exact.items()}
+    for r in lsh_rows:
+        assert r.sim <= best_exact[r.query_id] + 1e-9
+        if r.neighbor_id in exact.get(r.query_id, {}):
+            assert abs(r.sim - exact[r.query_id][r.neighbor_id]) < 1e-9
