@@ -231,3 +231,29 @@ def test_chunking_and_quantization_are_narrow(spark, qs):
     for name in ("x14_chunk_documents", "x15_embedding_quantize"):
         df = qs[name](spark, SF)
         assert count_ops(df, "Exchange") == 0, name
+
+
+def test_q4_exists_decorrelates_to_semi_join(spark, qs):
+    """Q4's correlated EXISTS (with an inequality spanning both tables)
+    must become a left-semi join, never a per-order subquery."""
+    plan = qs["sql_q4_order_priority"](spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan, plan
+
+
+def test_q13_filter_stays_in_join_condition(spark, qs):
+    """Q13's ON-clause filter must keep the join LEFT OUTER (zero-order
+    customers survive as NULL-extended rows. If a rewrite pushed the
+    filter below as a WHERE it would become an inner join and the
+    c_count=0 histogram bucket would vanish)."""
+    df = qs["sql_q13_order_distribution"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftOuter" in plan, plan
+
+
+def test_q15_scalar_max_is_subquery_not_rescan_join(spark, qs):
+    """Q15's max(total_revenue) must execute as a scalar subquery result
+    broadcast into the filter — the plan must not contain a join against
+    a re-aggregated revenue CTE (which would double the fact scans)."""
+    df = qs["sql_q15_top_supplier"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Subquery" in plan or "ReusedSubquery" in plan, plan

@@ -92,3 +92,44 @@ def test_grouped_counts_sum_to_total(spark, data):
 def test_exceptall_inverts_unionall(spark, data):
     df = _df(spark, data)
     assert df.unionByName(df).exceptAll(df).count() == df.count()
+
+
+@_SETTINGS
+@given(data=rows)
+def test_rollup_total_row_equals_global_agg(spark, data):
+    """The rollup's grand-total row (all group keys NULL) must equal the
+    plain global aggregate — partial-agg merging and the grouping-set
+    expansion cannot disagree."""
+    df = _df(spark, data)
+    rolled = df.rollup("k").agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+    total = rolled.filter(F.col("k").isNull()).collect()
+    direct = df.agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n")).collect()[0]
+    if direct.n == 0:
+        assert total == [] or all((r.n or 0) == 0 for r in total)
+    else:
+        # exactly one grand-total row (no NULL k values in the fixture)
+        assert len(total) == 1
+        assert total[0].s == direct.s and total[0].n == direct.n
+
+
+@_SETTINGS
+@given(data=rows)
+def test_running_sum_final_value_is_group_sum(spark, data):
+    """The last value of an unbounded-preceding running sum within each
+    group must equal that group's total — window frames and grouped
+    aggregation are two routes to the same number."""
+    from pyspark.sql.window import Window
+
+    df = _df(spark, data)
+    w = Window.partitionBy("k").orderBy("y", "x").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    last_run = (
+        df.withColumn("run", F.sum("x").over(w))
+        .groupBy("k")
+        .agg(F.max_by("run", F.struct("y", "x")).alias("final_run"))
+    )
+    totals = df.groupBy("k").agg(F.sum("x").alias("total"))
+    joined = last_run.join(totals, "k").collect()
+    for r in joined:
+        assert r.final_run == r.total, r
