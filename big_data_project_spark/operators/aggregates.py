@@ -557,3 +557,36 @@ def a20_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("exact_n").desc(), "token")
         .limit(20)
     )
+
+
+# --- A21: mergeable HLL sketches (partial sketches → union → estimate) ------
+
+
+@query("a21_hll_merge", oracle=None)
+def a21_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches, the 100 TB aggregation pattern
+    made explicit: per-source HLL sketches (datasketches hll_sketch_agg)
+    are materialized as binary columns, then hll_union_agg merges them
+    into the corpus-wide estimate — the same two-level motion a map-side
+    partial + final aggregate performs, but with a REUSABLE intermediate:
+    per-partition sketches can be stored in a metrics table and re-merged
+    along any dimension without rescanning the corpus (a13's exact
+    distinct cannot compose that way). Output: per-source estimates plus
+    the merged ALL row; estimates are sketch-implementation-specific →
+    rows-only, with the union-vs-exact error bound asserted in
+    tests/test_pipeline.py."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(F.split("text", " ")).alias("token"))
+    per_source = tok.groupBy("source").agg(
+        F.expr("hll_sketch_agg(token, 12)").alias("sketch")
+    )
+    est = per_source.select(
+        "source",
+        F.expr("hll_sketch_estimate(sketch)").cast("bigint").alias("distinct_est"),
+    )
+    merged = per_source.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sketch, true))")
+        .cast("bigint")
+        .alias("distinct_est")
+    ).select(F.lit("ALL").alias("source"), "distinct_est")
+    return est.unionByName(merged)

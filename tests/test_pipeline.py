@@ -415,3 +415,21 @@ def test_x16_srp_lsh_rerank_is_exact_subset(spark, sf_dir):
         assert r.sim <= best_exact[r.query_id] + 1e-9
         if r.neighbor_id in exact.get(r.query_id, {}):
             assert abs(r.sim - exact[r.query_id][r.neighbor_id]) < 1e-9
+
+
+def test_a21_hll_merge_matches_exact_within_bound(spark, sf_dir):
+    """The merged sketch's estimate must be within HLL's error bound of
+    the exact corpus-wide distinct-token count, and every per-source
+    estimate within bound of its exact count (lgK=12 → ~1.6% rse; allow
+    5%)."""
+    from big_data_project_spark.io import load_table
+
+    rows = {r.source: r.distinct_est for r in Q["a21_hll_merge"](spark, sf_dir).collect()}
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(F.split("text", " ")).alias("token"))
+    exact_all = tok.select("token").distinct().count()
+    assert abs(rows["ALL"] - exact_all) <= max(2, 0.05 * exact_all), (rows["ALL"], exact_all)
+    exact_src = {r.source: r.n for r in
+                 tok.groupBy("source").agg(F.countDistinct("token").alias("n")).collect()}
+    for s, n in exact_src.items():
+        assert abs(rows[s] - n) <= max(2, 0.05 * n), (s, rows[s], n)

@@ -339,3 +339,60 @@ def test_t10_dedup_within_watermark_bounds_state(spark, tmp_path):
     assert 99.0 not in set(out.value.tolist())
     # the post-eviction re-arrival (value 7.0) did
     assert 7.0 in set(out.value.tolist())
+
+
+def test_streaming_curation_gate_dedups_across_batches(spark, tmp_path):
+    """The curation funnel's streamable prefix (quality gate → language
+    gate → exact content-hash dedup) runs as a structured stream: a
+    near-copy arriving in a LATER micro-batch is suppressed by the
+    dedup state, and gate rejections never reach the sink. (The near-dup
+    LSH stage is batch-only — self-joins over the full corpus — so the
+    streaming form covers the per-row prefix, the batch job the rest.)"""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    input_dir, out_dir, ck = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    os.makedirs(input_dir)
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+    ])
+
+    def write_docs(rows, name):
+        pq.write_table(pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+        }), os.path.join(input_dir, f"{name}.parquet"))
+
+    def run_pass():
+        stream = spark.readStream.schema(schema).parquet(input_dir)
+        norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+        gated = (
+            stream.filter(F.size(F.split("text", " ")) >= 5)
+            .filter(F.col("lang").isin("en", "de", "fr"))
+            .withColumn("content_hash", F.md5(norm))
+            .dropDuplicates(["content_hash"])
+        )
+        run_available_now(gated, out_dir, ck)
+
+    good = "alpha beta gamma delta epsilon zeta"
+    write_docs([
+        (1, good, "en"),
+        (2, "too short", "en"),                   # fails length gate
+        (3, "uno dos tres cuatro cinco seis", "es"),  # fails lang gate
+        (4, "one two three four five six", "fr"),
+    ], "b1")
+    run_pass()
+    write_docs([
+        (5, f"  {good.upper()}  ", "de"),  # normalized dup of doc 1 → suppressed
+        (6, "omega psi chi phi upsilon tau", "en"),
+    ], "b2")
+    run_pass()
+
+    out = spark.read.parquet(out_dir).toPandas()
+    assert sorted(out.doc_id.tolist()) == [1, 4, 6]
