@@ -47,6 +47,7 @@ _MODULES = (
     "big_data_project_spark.pipeline.curation",
     "big_data_project_spark.pipeline.quality",
     "big_data_project_spark.sources.formats",
+    "big_data_project_spark.sources.python_ds",
     "big_data_project_spark.raster.vertical",
     "big_data_project_spark.raster.training",
 )

@@ -433,3 +433,18 @@ def test_a21_hll_merge_matches_exact_within_bound(spark, sf_dir):
                  tok.groupBy("source").agg(F.countDistinct("token").alias("n")).collect()}
     for s, n in exact_src.items():
         assert abs(rows[s] - n) <= max(2, 0.05 * n), (s, rows[s], n)
+
+
+def test_s14_python_datasource_parallel_and_deterministic(spark, sf_dir):
+    """The custom Python DataSource must expose its partition fan-out to
+    Spark (4 InputPartitions → 4 RDD partitions) and emit identical rows
+    across repeated scans (per-partition seeded RNG)."""
+    from big_data_project_spark.sources.python_ds import _register_source
+
+    _register_source(spark)
+    raw = spark.read.format("raster_patches").option("patches_per_partition", "16").load()
+    assert raw.rdd.getNumPartitions() == 4
+    assert raw.count() == 64
+    a = sorted(map(tuple, Q["s14_python_datasource"](spark, sf_dir).collect()))
+    b = sorted(map(tuple, Q["s14_python_datasource"](spark, sf_dir).collect()))
+    assert a == b and len(a) > 0

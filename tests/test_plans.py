@@ -257,3 +257,19 @@ def test_q15_scalar_max_is_subquery_not_rescan_join(spark, qs):
     df = qs["sql_q15_top_supplier"](spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Subquery" in plan or "ReusedSubquery" in plan, plan
+
+
+def test_join_hints_are_honored(spark, qs):
+    """The hint surface a tuning user reaches for first: BROADCAST must
+    force a broadcast join even where size stats would pick sort-merge,
+    and SHUFFLE_MERGE must force sort-merge even for a broadcastable
+    side."""
+    from big_data_project_spark.io import load_table
+
+    li = load_table(spark, SF, "lineitem")
+    o = load_table(spark, SF, "orders")
+    forced_b = li.join(o.hint("broadcast"), li.l_orderkey == o.o_orderkey)
+    assert count_ops(forced_b, "BroadcastHashJoin") >= 1
+    forced_m = li.join(o.hint("shuffle_merge"), li.l_orderkey == o.o_orderkey)
+    assert count_ops(forced_m, "SortMergeJoin") >= 1
+    assert count_ops(forced_m, "BroadcastHashJoin") == 0

@@ -82,3 +82,26 @@ def test_aqe_splits_skewed_join_partitions(spark, tmp_path):
         j.collect()  # AQE decisions only exist in the EXECUTED plan
         plan = j._jdf.queryExecution().executedPlan().toString()
         assert "skew=true" in plan, plan
+
+
+def test_sql_ddl_ctas_insert_roundtrip(spark, sf_dir):
+    """The warehouse DDL surface a SQL-first user drives: CTAS from a
+    query, INSERT INTO appending, and reading the managed table back —
+    all through spark.sql against the configured warehouse dir."""
+    from big_data_project_spark.io import load_all
+
+    load_all(spark, sf_dir)
+    spark.sql("DROP TABLE IF EXISTS t_region_copy")
+    spark.sql(
+        "CREATE TABLE t_region_copy USING parquet AS "
+        "SELECT r_regionkey, r_name FROM region WHERE r_regionkey < 3"
+    )
+    spark.sql("INSERT INTO t_region_copy SELECT r_regionkey, r_name FROM region WHERE r_regionkey >= 3")
+    got = {(r.r_regionkey, r.r_name) for r in spark.sql("SELECT * FROM t_region_copy").collect()}
+    want = {(r.r_regionkey, r.r_name) for r in spark.sql("SELECT r_regionkey, r_name FROM region").collect()}
+    assert got == want
+    # metadata surface: the catalog must list it and DESCRIBE must work
+    assert any(t.name == "t_region_copy" for t in spark.catalog.listTables())
+    cols = {r.col_name for r in spark.sql("DESCRIBE TABLE t_region_copy").collect()}
+    assert {"r_regionkey", "r_name"} <= cols
+    spark.sql("DROP TABLE t_region_copy")
