@@ -219,3 +219,58 @@ def x12_decontaminated_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(contaminated, "doc_id", "left_anti")
         .select("doc_id")
     )
+
+
+# --- X17: training-data mixture weighting (fractional epochs per source) ----
+
+
+@query(
+    "x17_data_mixture",
+    oracle="""
+    WITH weighted AS (
+      SELECT doc_id, source,
+             CASE WHEN source = 'src0' THEN 0.0
+                  WHEN source IN ('src1', 'src2') THEN 2.5
+                  ELSE 1.0 END AS w,
+             (doc_id * 2654435761) % 4294967296 AS h
+      FROM documents
+    ), counted AS (
+      SELECT doc_id, source,
+             CAST(floor(w) + CASE WHEN h / 4294967296.0 < (w - floor(w))
+                                  THEN 1 ELSE 0 END AS INT) AS n_copies
+      FROM weighted
+    )
+    SELECT doc_id, source,
+           CAST(unnest(generate_series(1, n_copies)) AS INT) AS copy_id
+    FROM counted WHERE n_copies > 0
+    """,
+)
+def x17_data_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture weighting — the 'epochs per source' knob of a pre-training
+    data recipe: each source carries a weight w; every doc is emitted
+    floor(w) times plus one more with probability frac(w), decided by a
+    DETERMINISTIC per-doc hash fraction (Knuth multiplicative, portable
+    arithmetic — no RNG), so the materialized mixture is reproducible
+    and oracle-checkable. src0 (the eval split) gets w=0 and vanishes;
+    upweighted sources repeat. At 100 TB this is a narrow fan-out (no
+    shuffle): the mixture is a view you re-materialize per recipe, and
+    the expected output size is Σ w_s·|s| by linearity."""
+    d = load_table(spark, sf_dir, "documents")
+    w = (
+        F.when(F.col("source") == "src0", F.lit(0.0))
+        .when(F.col("source").isin("src1", "src2"), F.lit(2.5))
+        .otherwise(F.lit(1.0))
+    )
+    h = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    n_copies = (
+        F.floor(w) + F.when(h / F.lit(4294967296.0) < (w - F.floor(w)), 1).otherwise(0)
+    ).cast("int")
+    return (
+        d.select("doc_id", "source", n_copies.alias("n_copies"))
+        .filter(F.col("n_copies") > 0)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.sequence(F.lit(1), F.col("n_copies"))).alias("copy_id"),
+        )
+    )
