@@ -336,3 +336,41 @@ def f7b_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+# --- F4b: calendar breadth (quarter/week truncation, month ends, ISO dow) ---
+
+
+@query(
+    "f4b_calendar_functions",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP) AS order_quarter,
+           CAST(date_trunc('week', o_orderdate) AS TIMESTAMP) AS order_week,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+           CAST(isodow(CAST(o_orderdate AS DATE)) AS INT) AS iso_dow,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01')
+                AS BIGINT) AS days_to_2002
+    FROM orders
+    WHERE o_orderkey < 200
+    """,
+)
+def f4b_calendar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar breadth beyond f4's day/month basics: quarter and
+    ISO-week truncation (both engines truncate weeks to Monday), month
+    ends, ISO day-of-week (Spark's weekday() is Monday=0, so weekday+1 ≡
+    DuckDB isodow — Spark's dayofweek() is Sunday=1 and would NOT match),
+    and day arithmetic against a fixed horizon. All codegen'd scan-side
+    expressions."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("quarter", d).alias("order_quarter"),
+        F.date_trunc("week", d).alias("order_week"),
+        F.last_day(d).cast("timestamp").alias("month_end"),
+        (F.weekday(d) + 1).cast("int").alias("iso_dow"),
+        F.datediff(F.lit("2002-01-01").cast("date"), d.cast("date"))
+        .cast("bigint")
+        .alias("days_to_2002"),
+    )

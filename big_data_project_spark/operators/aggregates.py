@@ -590,3 +590,36 @@ def a21_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("distinct_est")
     ).select(F.lit("ALL").alias("source"), "distinct_est")
     return est.unionByName(merged)
+
+
+# --- A22: exact distinct via mergeable bitmaps ------------------------------
+
+
+@query(
+    "a22_bitmap_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_distinct_suppliers
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def a22_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting through mergeable bitmaps
+    (bitmap_bucket_number / bitmap_construct_agg / bitmap_count): each
+    32k-wide bucket aggregates to a fixed-size bitmap, bucket counts sum
+    to the exact distinct. Between HLL (a8/a21: approximate, tiny) and
+    count(DISTINCT) (a7: exact, but the dedup shuffle carries every
+    value), bitmaps are exact AND mergeable — per-partition bitmaps OR
+    together, so at 100 TB the shuffle carries one bitmap per (group,
+    bucket) instead of one row per distinct value. Dense integer keys are
+    the sweet spot (suppkey here); the oracle checks the count is exactly
+    count(DISTINCT)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_bucket = (
+        li.groupBy("l_returnflag", F.expr("bitmap_bucket_number(l_suppkey)").alias("bkt"))
+        .agg(F.expr("bitmap_count(bitmap_construct_agg(bitmap_bit_position(l_suppkey)))").alias("cnt"))
+    )
+    return per_bucket.groupBy("l_returnflag").agg(
+        F.sum("cnt").cast("bigint").alias("n_distinct_suppliers")
+    )
