@@ -271,3 +271,69 @@ def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-row loop. Deterministic under LIMIT via the (balance, suppkey)
     total order on both engines."""
     return _sql(spark, sf_dir, _LATERAL_TOPK)
+
+
+# --- SQL pipe syntax (Spark 4) ----------------------------------------------
+
+_PIPE_ORACLE = """
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       round(sum(l_extendedprice) + 1e-9, 4) AS total
+FROM lineitem
+WHERE l_quantity > 45
+GROUP BY l_returnflag
+"""
+
+_PIPE_SPARK = """
+FROM lineitem
+|> WHERE l_quantity > 45
+|> AGGREGATE CAST(count(*) AS BIGINT) AS n,
+             round(sum(l_extendedprice) + 1e-9, 4) AS total
+   GROUP BY l_returnflag
+"""
+
+
+@query("sql_pipe_syntax", oracle=_PIPE_ORACLE)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4): the dataflow-ordered dialect — each |>
+    stage consumes the previous relation, in the order the engine
+    actually executes (scan → filter → aggregate), compiled to the very
+    same Catalyst plan as the classic nested form the oracle runs. The
+    third entry dialect after DataFrame builders and classic SQL text."""
+    return _sql(spark, sf_dir, _PIPE_SPARK)
+
+
+# --- Collation-aware comparison (Spark 4) -----------------------------------
+
+_COLLATE_ORACLE = """
+WITH mixed AS (
+  SELECT CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+              ELSE lower(c_mktsegment) END AS seg
+  FROM customer
+)
+SELECT CAST(count(DISTINCT seg) AS BIGINT) AS n_binary_distinct,
+       CAST(count(DISTINCT lower(seg)) AS BIGINT) AS n_lcase_distinct
+FROM mixed
+"""
+
+_COLLATE_SPARK = """
+WITH mixed AS (
+  SELECT CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+              ELSE lower(c_mktsegment) END AS seg
+  FROM customer
+)
+SELECT CAST(count(DISTINCT seg) AS BIGINT) AS n_binary_distinct,
+       CAST(count(DISTINCT collate(seg, 'UTF8_LCASE')) AS BIGINT)
+         AS n_lcase_distinct
+FROM mixed
+"""
+
+
+@query("f3b_collated_distinct", oracle=_COLLATE_ORACLE)
+def f3b_collated_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware comparison (Spark 4): UTF8_LCASE collation makes
+    equality, grouping, and DISTINCT case-insensitive at the COMPARISON
+    level — no lower() rewriting of the data, and unlike lower() the
+    collation composes with joins/sorts through the planner. Mixed-case
+    segments collapse 10 → 5 under the collation; the oracle reproduces
+    the semantics with lower() since DuckDB compares binary."""
+    return _sql(spark, sf_dir, _COLLATE_SPARK)
