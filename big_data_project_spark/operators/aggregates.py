@@ -321,16 +321,19 @@ def a11_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a13_collect_list",
     oracle="""
     SELECT n_regionkey AS region_key,
-           list(n_name ORDER BY n_name) AS nations,
+           array_to_string(list(n_name ORDER BY n_name), ',') AS nations,
            count(*) AS n
     FROM nation
     GROUP BY n_regionkey
     """,
 )
 def a13_collect_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Emitted as a sorted comma-joined STRING, not a raw array: the driver's
+    pandas canonicalizer cannot hash list cells (round-1 red row), and the
+    sort makes the value order-stable regardless of partitioning."""
     n = load_table(spark, sf_dir, "nation")
     return n.groupBy(F.col("n_regionkey").alias("region_key")).agg(
-        F.sort_array(F.collect_list("n_name")).alias("nations"),
+        F.concat_ws(",", F.sort_array(F.collect_list("n_name"))).alias("nations"),
         F.count(F.lit(1)).alias("n"),
     )
 

@@ -350,10 +350,10 @@ def x13_mapinarrow_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_id,
            round(list_max(list_transform(CAST(embedding AS DOUBLE[]),
                                          x -> abs(x))) + 1e-9, 6) AS scale_abs,
-           list_transform(CAST(embedding AS DOUBLE[]),
+           array_to_string(list_transform(CAST(embedding AS DOUBLE[]),
              x -> CAST(round(x * 127.0 / nullif(
                     list_max(list_transform(CAST(embedding AS DOUBLE[]),
-                                            y -> abs(y))), 0)) AS INT)) AS codes
+                                            y -> abs(y))), 0)) AS INT)), ',') AS codes
     FROM embeddings
     """,
 )
@@ -364,7 +364,8 @@ def x15_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     are what the ANN index stores and scans; full-precision vectors stay
     in cold storage for re-ranking. Pure array expressions, no shuffle;
     the dequantization error bound (≤ scale/2 per component) is what the
-    IVF re-rank stage absorbs."""
+    IVF re-rank stage absorbs. Codes emitted as a comma-joined string —
+    the driver's pandas canonicalizer cannot hash raw array cells."""
     e = load_table(spark, sf_dir, "embeddings")
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     scale = F.array_max(F.transform(v, lambda x: F.abs(x)))
@@ -375,7 +376,7 @@ def x15_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "vec_id",
         F.round(scale + F.lit(1e-9), 6).alias("scale_abs"),
-        codes.alias("codes"),
+        F.concat_ws(",", codes).alias("codes"),
     )
 
 

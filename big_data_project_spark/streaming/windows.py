@@ -199,6 +199,129 @@ def t7_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- T6 / T8: true streaming runs registered as queries ---------------------
+#
+# Unlike T1-T5/T7/T9 (pure dual-mode transformations checked in batch mode),
+# these two genuinely RUN a Structured Streaming query to completion inside
+# the registry entry: the events fixture is staged as multiple parquet files,
+# streamed with ``maxFilesPerTrigger=1`` + ``availableNow`` (so state really
+# crosses micro-batch boundaries), and the sink contents come back as the
+# result DataFrame.  Both are still oracle-checkable: T6's final per-key
+# state equals a batch GROUP BY, and T8's sink holds exactly the input rows.
+
+
+def _stage_events(spark: SparkSession, sf_dir: str, n_files: int) -> tuple[str, str]:
+    """Write the events fixture into a fresh temp dir as ``n_files`` parquet
+    files (→ ``n_files`` micro-batches under maxFilesPerTrigger=1) and
+    return (input_dir, scratch_root)."""
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="bdp_stream_")
+    input_dir = f"{root}/in"
+    load_table(spark, sf_dir, "events").repartition(n_files).write.parquet(input_dir)
+    return input_dir, root
+
+
+@query(
+    "t6_stateful_counts",
+    oracle="""
+    SELECT user_id, count(*) AS total_events
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def t6_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6: arbitrary stateful per-key processing via applyInPandasWithState.
+
+    A per-user running event count whose state survives micro-batch
+    boundaries in the state store; output mode ``update`` emits the running
+    value after every batch, so the FINAL state per user is the max emitted —
+    which must equal the batch ``GROUP BY`` count (the oracle).  State is
+    one long per key: bounded regardless of stream length, the property that
+    keeps this runnable over a 100 TB event stream.
+
+    (transformWithStateInPandas — the v2 API — crashes in this container at
+    state-schema validation; applyInPandasWithState is the supported path.)
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from big_data_project_spark.streaming.runner import (
+        EVENTS_SCHEMA, run_available_now,
+    )
+
+    input_dir, root = _stage_events(spark, sf_dir, n_files=4)
+    out_dir, ck = f"{root}/out", f"{root}/ck"
+
+    def running_count(key, pdf_iter, state):
+        import pandas as pd
+
+        n = state.get[0] if state.exists else 0
+        for pdf in pdf_iter:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "total_events": [n]})
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+    counted = stream.groupBy("user_id").applyInPandasWithState(
+        running_count,
+        "user_id long, total_events long",
+        "n long",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+    def sink(df: DataFrame, batch_id: int) -> None:
+        if df.count():
+            df.write.mode("append").parquet(out_dir)
+
+    run_available_now(counted, out_dir, ck, output_mode="update", foreach_batch=sink)
+    # final state per user = last (= max, counts are monotone) emitted value
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("user_id")
+        .agg(F.max("total_events").alias("total_events"))
+    )
+
+
+@query(
+    "t8_foreachbatch_sink",
+    oracle="""
+    SELECT event_id, user_id, event_type, round(value, 4) AS value_r
+    FROM events
+    """,
+)
+def t8_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8: foreachBatch custom sink — each micro-batch written with custom
+    logic (partitioned-by-type parquet append), the pattern for routing a
+    stream into any batch-only sink (JDBC, upsert, multi-table fanout) with
+    exactly-once via the checkpoint's batch-id dedup.  Sink read back must
+    hold exactly the input rows (the oracle)."""
+    from big_data_project_spark.streaming.runner import (
+        EVENTS_SCHEMA, run_available_now,
+    )
+
+    input_dir, root = _stage_events(spark, sf_dir, n_files=2)
+    out_dir, ck = f"{root}/out", f"{root}/ck"
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+
+    def sink(df: DataFrame, batch_id: int) -> None:
+        df.write.mode("append").partitionBy("event_type").parquet(out_dir)
+
+    run_available_now(stream, out_dir, ck, foreach_batch=sink)
+    return spark.read.parquet(out_dir).select(
+        "event_id", "user_id", "event_type", F.round("value", 4).alias("value_r")
+    )
+
+
 # --- T9: stream-stream join (view → purchase attribution) -------------------
 
 
