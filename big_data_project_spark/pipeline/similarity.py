@@ -87,6 +87,57 @@ def x8_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- X8b: threshold similarity pairs (embedding-cosine near-dup form) ------
+#
+# Block-matrix kernels: the B side is L2-normalized and broadcast; each
+# partition of the A side does ONE numpy matmul per Arrow batch.  Spark's
+# higher-order array functions are interpreted (not codegen'd), so the
+# per-pair zip_with fold used for the top-k query would cost ~100× more
+# here (n²/2 pairs).
+#
+# TILING (the 100 TB path): a single full-table broadcast is a driver OOM
+# at scale, so above `_MAX_BROADCAST_BYTES` the B side splits into
+# `vec_id % nb` blocks — a grid of independent (A-partition × B-block)
+# jobs.  The driver's *Python* heap holds at most one block's pandas at a
+# time; each block's broadcast payload lives in the block manager
+# (MEMORY_AND_DISK, spillable).  Pair results union across blocks (each
+# pair lives in exactly one block); kNN takes a per-vector argmax reduce
+# over the nb per-block candidates.  Tiled ≡ untiled is pinned in
+# tests/test_pipeline.py.
+
+_MAX_BROADCAST_BYTES = 256 << 20  # per-block cap on the broadcast side
+
+
+def _norm_rows(pdf):
+    """pandas block → (ids ascending, L2-normalized float64 matrix)."""
+    import numpy as np
+
+    ids = np.asarray(pdf["vec_id"], dtype=np.int64)
+    mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    order = np.argsort(ids)  # ascending id ⇒ argmax picks smallest id on ties
+    return ids[order], mat[order]
+
+
+def _n_blocks(spark: SparkSession, e: DataFrame, block_rows: int | None) -> int:
+    """How many B-side blocks?  Explicit block_rows wins (tests use it);
+    otherwise one block while the est. payload fits under the cap."""
+    stats = e.agg(
+        F.count(F.lit(1)).alias("n"), F.first(F.size("embedding")).alias("dim")
+    ).first()
+    n, dim = stats["n"], stats["dim"] or 1
+    if block_rows is not None:
+        return max(1, -(-n // block_rows))
+    rows_per_block = max(1, _MAX_BROADCAST_BYTES // (dim * 8))
+    return max(1, -(-n // rows_per_block))
+
+
+def _b_blocks(spark: SparkSession, e: DataFrame, nb: int):
+    """Yield (ids, matrix) broadcasts for each vec_id-modulo block of B."""
+    for b in range(nb):
+        blk = e.filter(F.pmod(F.col("vec_id"), F.lit(nb)) == b).toPandas()
+        if blk.empty:
+            continue
+        yield spark.sparkContext.broadcast(_norm_rows(blk))
 
 
 @query(
@@ -99,51 +150,50 @@ def x8_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE round(list_cosine_similarity(a.v, b.v) + 1e-9, 4) >= 0.4
     """,
 )
-def x8_cosine_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x8_cosine_pairs_threshold(
+    spark: SparkSession, sf_dir: str, block_rows: int | None = None
+) -> DataFrame:
     """All pairs with cosine ≥ 0.4 (the fixture's 'near-duplicate' regime;
     at production thresholds ~0.95 this is the embedding-dedup operator).
-    Filter applies to the ROUNDED value in both engines.
-
-    Executed as a block-matrix kernel: one side is L2-normalized and
-    broadcast; each partition of the other side does ONE numpy matmul per
-    Arrow batch. Spark's higher-order array functions are interpreted
-    (not codegen'd), so the per-pair zip_with fold used for the top-k
-    query would cost ~100× more here (n²/2 pairs). At 100 TB the
-    broadcast side tiles: loop this kernel over broadcast-sized column
-    blocks of B (a grid of independent block-pair jobs, no shuffle)."""
+    Filter applies to the ROUNDED value in both engines.  Pairs are
+    emitted once (vec_a < vec_b), so B-block results simply union."""
     from collections.abc import Iterator
 
     import numpy as np
     import pandas as pd
 
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    bp = e.toPandas()  # broadcast side: 2000×64 floats ≈ 0.5 MB
-    b_ids = np.asarray(bp["vec_id"], dtype=np.int64)
-    bm = np.vstack(bp["embedding"].to_numpy()).astype(np.float64)
-    bm /= np.linalg.norm(bm, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((b_ids, bm))
-
-    def block(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ids_b, mat_b = bc.value
-        for pdf in pdf_iter:
-            if pdf.empty:
-                continue
-            a = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
-            a /= np.linalg.norm(a, axis=1, keepdims=True)
-            ids_a = pdf["vec_id"].to_numpy(dtype=np.int64)
-            sims = np.round(a @ mat_b.T + 1e-9, 4)
-            ai, bi = np.where(sims >= 0.4)
-            keep = ids_a[ai] < ids_b[bi]
-            yield pd.DataFrame({
-                "vec_a": ids_a[ai][keep],
-                "vec_b": ids_b[bi][keep],
-                "sim": sims[ai, bi][keep],
-            })
-
     n_parts = spark.sparkContext.defaultParallelism
-    return e.repartition(n_parts, "vec_id").mapInPandas(
-        block, schema="vec_a bigint, vec_b bigint, sim double"
-    )
+    a_side = e.repartition(n_parts, "vec_id")
+
+    def make_block(bc):
+        def block(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            ids_b, mat_b = bc.value
+            for pdf in pdf_iter:
+                if pdf.empty:
+                    continue
+                ids_a, a = _norm_rows(pdf)
+                sims = np.round(a @ mat_b.T + 1e-9, 4)
+                ai, bi = np.where(sims >= 0.4)
+                keep = ids_a[ai] < ids_b[bi]
+                yield pd.DataFrame({
+                    "vec_a": ids_a[ai][keep],
+                    "vec_b": ids_b[bi][keep],
+                    "sim": sims[ai, bi][keep],
+                })
+
+        return block
+
+    schema = "vec_a bigint, vec_b bigint, sim double"
+    nb = _n_blocks(spark, e, block_rows)
+    parts = [
+        a_side.mapInPandas(make_block(bc), schema=schema)
+        for bc in _b_blocks(spark, e, nb)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
 
 
 # --- X8b2: embedding-cosine near-dup DEDUP (keep-set) ----------------------
@@ -257,46 +307,61 @@ def x8_ivf_ann_topk(spark: SparkSession, sf_dir: str, nprobe: int = 3) -> DataFr
     WHERE rk = 1
     """,
 )
-def x8_knn_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x8_knn_all(
+    spark: SparkSession, sf_dir: str, block_rows: int | None = None
+) -> DataFrame:
     """Nearest neighbor for EVERY vector (the KNN-join that powers
-    embedding dedup and clustering) via the block-matrix kernel: corpus
-    broadcast once, each partition emits its rows' argmax directly —
-    nothing but (n × 3) scalars ever leaves the kernel, and ties break on
-    the smaller neighbor id to match the oracle's ORDER BY sim DESC,
-    nn_id."""
+    embedding dedup and clustering) via the tiled block-matrix kernel:
+    each (A-partition × B-block) pass emits only its rows' per-block
+    argmax — nothing but (n × 3) scalars per block ever leaves the
+    kernel — and the global winner is a per-vector rank-1 reduce over the
+    nb block candidates.  Ties break on the smaller neighbor id to match
+    the oracle's ORDER BY sim DESC, nn_id (within a block: ids ascending
+    so argmax takes the first; across blocks: explicit window order)."""
     from collections.abc import Iterator
 
     import numpy as np
     import pandas as pd
 
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    bp = e.toPandas()
-    b_ids = np.asarray(bp["vec_id"], dtype=np.int64)
-    bm = np.vstack(bp["embedding"].to_numpy()).astype(np.float64)
-    bm /= np.linalg.norm(bm, axis=1, keepdims=True)
-    order = np.argsort(b_ids)  # ascending id ⇒ argmax picks smallest id on ties
-    bc = spark.sparkContext.broadcast((b_ids[order], bm[order]))
-
-    def block(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ids_b, mat_b = bc.value
-        for pdf in pdf_iter:
-            if pdf.empty:
-                continue
-            a = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
-            a /= np.linalg.norm(a, axis=1, keepdims=True)
-            ids_a = pdf["vec_id"].to_numpy(dtype=np.int64)
-            sims = np.round(a @ mat_b.T + 1e-9, 4)
-            sims[ids_a[:, None] == ids_b[None, :]] = -np.inf  # mask self
-            best = sims.argmax(axis=1)  # first (=smallest id) on equal sim
-            yield pd.DataFrame({
-                "vec_id": ids_a,
-                "nn_id": ids_b[best],
-                "sim": sims[np.arange(len(best)), best],
-            })
-
     n_parts = spark.sparkContext.defaultParallelism
-    return e.repartition(n_parts, "vec_id").mapInPandas(
-        block, schema="vec_id bigint, nn_id bigint, sim double"
+    a_side = e.repartition(n_parts, "vec_id")
+
+    def make_block(bc):
+        def block(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            ids_b, mat_b = bc.value
+            for pdf in pdf_iter:
+                if pdf.empty:
+                    continue
+                ids_a, a = _norm_rows(pdf)
+                sims = np.round(a @ mat_b.T + 1e-9, 4)
+                sims[ids_a[:, None] == ids_b[None, :]] = -np.inf  # mask self
+                best = sims.argmax(axis=1)  # first (=smallest id) on equal sim
+                ok = sims[np.arange(len(best)), best] > -np.inf
+                yield pd.DataFrame({
+                    "vec_id": ids_a[ok],
+                    "nn_id": ids_b[best][ok],
+                    "sim": sims[np.arange(len(best)), best][ok],
+                })
+
+        return block
+
+    schema = "vec_id bigint, nn_id bigint, sim double"
+    nb = _n_blocks(spark, e, block_rows)
+    parts = [
+        a_side.mapInPandas(make_block(bc), schema=schema)
+        for bc in _b_blocks(spark, e, nb)
+    ]
+    cand = parts[0]
+    for p in parts[1:]:
+        cand = cand.unionAll(p)
+    if nb == 1:
+        return cand
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), "nn_id")
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "nn_id", "sim")
     )
 
 

@@ -323,6 +323,33 @@ def test_x8_embedding_dedup_partitions_id_space(spark, sf_dir):
     assert dropped == with_smaller_partner & all_ids
 
 
+def test_x8_tiled_broadcast_equals_single_block(spark, sf_dir):
+    """The 100 TB path: forcing the B side into multiple vec_id-modulo
+    blocks (block_rows far below the fixture size → ≥3 blocks) must give
+    bit-identical results to the single-broadcast path, for both the
+    threshold-pair kernel (union across blocks) and the kNN kernel
+    (per-vector argmax reduce across blocks)."""
+    from big_data_project_spark.pipeline.similarity import (
+        x8_cosine_pairs_threshold, x8_knn_all,
+    )
+
+    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    block_rows = max(1, n // 3)
+
+    single = {tuple(r) for r in x8_cosine_pairs_threshold(spark, sf_dir).collect()}
+    tiled = {
+        tuple(r)
+        for r in x8_cosine_pairs_threshold(spark, sf_dir, block_rows=block_rows).collect()
+    }
+    assert single == tiled and single
+
+    single_knn = {tuple(r) for r in x8_knn_all(spark, sf_dir).collect()}
+    tiled_knn = {
+        tuple(r) for r in x8_knn_all(spark, sf_dir, block_rows=block_rows).collect()
+    }
+    assert single_knn == tiled_knn and len(single_knn) == n
+
+
 def test_x12_decontamination_partitions_training_docs(spark, sf_dir):
     """hits ∪ keep must be exactly the non-eval corpus, disjoint — a doc
     either leaks an 8-gram into the eval split or it is retained."""
