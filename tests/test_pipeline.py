@@ -350,6 +350,31 @@ def test_x8_tiled_broadcast_equals_single_block(spark, sf_dir):
     assert single_knn == tiled_knn and len(single_knn) == n
 
 
+def test_s3_binary_npz_scan_shapes_and_determinism(spark, sf_dir):
+    """Rows-only invariant for the npz ingest: 4 shards × 8 patches with
+    the synthesized 8×8×3 geometry, and bit-identical lst_mean values
+    across two scans (the decode is deterministic)."""
+    rows = Q["s3_binary_npz_scan"](spark, sf_dir).collect()
+    assert len(rows) == 32
+    assert {(r.h, r.w, r.bands) for r in rows} == {(8, 8, 3)}
+    assert {r.shard for r in rows} == {f"shard_{i}.npz" for i in range(4)}
+    again = Q["s3_binary_npz_scan"](spark, sf_dir).collect()
+    key = lambda r: (r.shard, r.patch_idx)  # noqa: E731
+    assert sorted(map(tuple, rows), key=lambda t: (t[0], t[1])) == sorted(
+        map(tuple, again), key=lambda t: (t[0], t[1])
+    )
+
+
+def test_t4_watermark_batch_path_equals_tumbling(spark, sf_dir):
+    """Rows-only invariant for T4's registry entry: in batch mode the
+    watermark is a no-op, so the entry must emit exactly the tumbling
+    counts (the real late-drop semantics are asserted with scripted
+    micro-batches in tests/test_streaming.py)."""
+    t4 = {tuple(r) for r in Q["t4_watermark_late_drop"](spark, sf_dir).collect()}
+    t1 = {tuple(r) for r in Q["t1_tumbling_window"](spark, sf_dir).collect()}
+    assert t4 == t1 and t4
+
+
 def test_x12_decontamination_partitions_training_docs(spark, sf_dir):
     """hits ∪ keep must be exactly the non-eval corpus, disjoint — a doc
     either leaks an 8-gram into the eval split or it is retained."""
