@@ -206,6 +206,31 @@ def o7_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- O9: TABLESAMPLE surface (SQL sampling syntax) ---------------------------
+
+
+@query("o9_tablesample", oracle=None)
+def o9_tablesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL TABLESAMPLE surface: `TABLESAMPLE (10 PERCENT) REPEATABLE (seed)`
+    — Bernoulli row sampling pushed into the scan (SampleExec directly over
+    the file source, no shuffle, trivially distributed).  Seed semantics
+    are engine-specific (Spark's XORShiftRandom vs DuckDB's RNG) → rows-only;
+    same-seed determinism, the binomial count bound, and subset-of-source
+    are asserted in tests/test_pipeline.py.  Returns per-flag sampled
+    counts so the result is small and stable-schema'd."""
+    from big_data_project_spark.io import load_all
+
+    load_all(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, count(*) AS n_sampled
+        FROM lineitem TABLESAMPLE (10 PERCENT) REPEATABLE (42)
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """
+    )
+
+
 # --- O8: scalable global row numbering (no single-task window) ---------------
 
 

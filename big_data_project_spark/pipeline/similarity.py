@@ -445,6 +445,85 @@ def x15_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- X18: product-quantization codes (beyond x15's scalar int8) -------------
+
+_PQ_M = 4   # subspaces (64-dim → 4 × 16-dim)
+_PQ_K = 8   # centroids per subspace → 3 bits/subspace, 12-bit code total
+_PQ_D = 16  # dims per subspace
+
+
+def _pq_centroids():
+    """Fixed seeded codebook (deterministic across runs/sessions, and
+    embedded as literals in the DuckDB oracle so both engines quantize
+    against bit-identical centroids).  Production would train these with
+    per-subspace k-means on a sample; the assignment machinery — the part
+    that runs over 100 TB — is identical either way."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed=11)
+    return rng.standard_normal((_PQ_M, _PQ_K, _PQ_D)).round(6).tolist()
+
+
+def _pq_oracle_sql() -> str:
+    """Generate the oracle: per subspace, argmin over the k literal
+    centroids by Euclidean distance (list_position of the min — first
+    occurrence, matching numpy argmin's first-min tie rule)."""
+    cents = _pq_centroids()
+    parts = []
+    for j in range(_PQ_M):
+        lo, hi = j * _PQ_D + 1, (j + 1) * _PQ_D
+        dlist = ", ".join(
+            f"list_distance(v[{lo}:{hi}], {c})" for c in cents[j]
+        )
+        parts.append(
+            f"CAST(list_position([{dlist}], list_min([{dlist}])) - 1 AS INT)"
+        )
+    codes = ", ".join(parts)
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT vec_id, concat_ws(',', {codes}) AS pq_code
+    FROM e
+    """
+
+
+@query("x18_pq_codes", oracle=_pq_oracle_sql())
+def x18_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization: each vector's m=4 16-dim subvectors map to
+    their nearest per-subspace centroid, giving a 12-bit code — the
+    compression behind billion-scale ANN (IVF-PQ): the index stores codes
+    (1.5 bytes/vector here vs 512 for float64), and asymmetric distance
+    uses per-query lookup tables.  Assignment is a pure map (numpy
+    argmin per Arrow batch, codebook broadcast via closure — KB-sized,
+    never the data): no shuffle, linear scan, trivially 100 TB-safe.
+    Codes emitted as a comma-joined string (driver hasher can't hash
+    arrays)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    cents = np.asarray(_pq_centroids())  # (m, k, d)
+
+    def block(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdf_iter:
+            if pdf.empty:
+                continue
+            a = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            cols = []
+            for j in range(_PQ_M):
+                sub = a[:, j * _PQ_D : (j + 1) * _PQ_D]
+                d2 = ((sub[:, None, :] - cents[j][None, :, :]) ** 2).sum(axis=2)
+                cols.append(d2.argmin(axis=1))
+            pq = np.stack(cols, axis=1)
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                "pq_code": [",".join(map(str, row)) for row in pq],
+            })
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return e.mapInPandas(block, schema="vec_id bigint, pq_code string")
+
+
 # --- X16: SRP-LSH bucketed ANN (the hash-bucket scale path; rows-only) ------
 
 _SRP_TABLES = 8  # hash tables (OR-amplification: any shared bucket → candidate)

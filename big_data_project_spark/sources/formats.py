@@ -488,17 +488,24 @@ def s12_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Z_BITS = 8  # 8 bits per dimension → 256 buckets each, 16-bit z-value
 
 
-def _interleave_bits(bx, by, bits: int):
-    """Morton/Z-value: interleave the low `bits` of two bucket ids —
-    pure integer expressions, fully codegen'd."""
+def _interleave_bits_nd(bcols, bits: int):
+    """N-ary Morton/Z-value: interleave the low `bits` of N bucket ids —
+    bit i of dimension j lands at position i*N + (N-1-j), so all
+    dimensions contribute equally at every scale.  Pure integer
+    expressions, fully codegen'd; works for any N with N*bits ≤ 63."""
+    n = len(bcols)
     z = F.lit(0).cast("long")
     for i in range(bits):
-        z = (
-            z
-            + F.shiftright(bx, i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i + 1))
-            + F.shiftright(by, i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i))
-        )
+        for j, b in enumerate(bcols):
+            z = z + F.shiftright(b, i).bitwiseAND(F.lit(1)) * F.lit(
+                1 << (i * n + (n - 1 - j))
+            )
     return z
+
+
+def _interleave_bits(bx, by, bits: int):
+    """Two-dimensional Z-value (s13's original form)."""
+    return _interleave_bits_nd([bx, by], bits)
 
 
 def zorder_lineitem_path(spark: SparkSession, sf_dir: str) -> str:
@@ -524,6 +531,80 @@ def zorder_lineitem_path(spark: SparkSession, sf_dir: str) -> str:
             .parquet(out)
         )
     return out
+
+
+# --- S15: N-dimensional Z-order clustered write (3-column skipping) ---------
+
+_Z3_BITS = 6  # 6 bits × 3 dims → 18-bit z-value, 64 buckets per dimension
+_Z3_COLS = ("l_partkey", "l_suppkey", "l_orderkey")
+
+
+def zorder3_lineitem_path(spark: SparkSession, sf_dir: str) -> str:
+    """Write (once per process) a lineitem copy clustered on the 3-D
+    Z-order curve over (l_partkey, l_suppkey, l_orderkey).
+
+    Files are directory-partitioned by the top-level octant (the three
+    leading z bits) rather than range-partitioned on raw zval: sampled
+    range boundaries straddle octant borders, and a file spanning two
+    octants loses footer prunability on every dimension whose leading bit
+    differs between them (measured: 4/8 files unprunable that way).
+    Octant dirs guarantee each file is an axis-aligned cube."""
+    out = _tmp(f"s15_zorder3_{os.path.basename(sf_dir.rstrip('/'))}")
+    if not os.listdir(out):
+        li = load_table(spark, sf_dir, "lineitem")
+        bounds = li.agg(*[F.max(c).alias(f"mx_{c}") for c in _Z3_COLS])
+        both = li.crossJoin(F.broadcast(bounds))
+        bcols = [
+            F.floor(F.col(c) * (1 << _Z3_BITS) / (F.col(f"mx_{c}") + 1)).cast("long")
+            for c in _Z3_COLS
+        ]
+        n_dims = len(_Z3_COLS)
+        zval = _interleave_bits_nd(bcols, _Z3_BITS)
+        (
+            both.withColumn("zval", zval)
+            .withColumn("zoct", F.shiftright("zval", n_dims * (_Z3_BITS - 1)))
+            .drop(*[f"mx_{c}" for c in _Z3_COLS])
+            .repartition(1 << n_dims, "zoct")
+            .sortWithinPartitions("zoct", "zval")
+            .drop("zval")
+            .write.mode("overwrite")
+            .partitionBy("zoct")
+            .option("parquet.block.size", 1 << 20)
+            .parquet(out)
+        )
+    return out
+
+
+@query(
+    "s15_zorder3_write_skipping",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           round(sum(l_extendedprice) + 1e-9, 4) AS sum_price
+    FROM lineitem
+    WHERE l_partkey <= (SELECT max(l_partkey) / 2.0 FROM lineitem)
+      AND l_suppkey <= (SELECT max(l_suppkey) / 2.0 FROM lineitem)
+      AND l_orderkey <= (SELECT max(l_orderkey) / 2.0 FROM lineitem)
+    """,
+)
+def s15_zorder3_write_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-dimensional generalization of s13: the N-ary Morton encoding
+    round-robins one bit per dimension, so row groups become axis-aligned
+    cubes and a conjunctive three-column predicate prunes on footer stats
+    for each column independently (a half×half×half region touches ~1/8
+    of the curve).  The encoder works for any N with N·bits ≤ 63 —
+    adding dimensions trades per-dimension resolution for breadth, the
+    standard multi-tenant layout choice.  Pruning on all three dims is
+    asserted against the parquet footers in tests/test_pipeline.py."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bounds = li.agg(*[F.max(c).alias(f"mx_{c}") for c in _Z3_COLS])
+    out = zorder3_lineitem_path(spark, sf_dir)
+    df = spark.read.parquet(out).crossJoin(F.broadcast(bounds))
+    for c in _Z3_COLS:
+        df = df.filter(F.col(c) <= F.col(f"mx_{c}") / 2.0)
+    return df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_extendedprice") + F.lit(1e-9), 4).alias("sum_price"),
+    )
 
 
 @query(

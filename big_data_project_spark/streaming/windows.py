@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from big_data_project_spark.io import load_table
 from big_data_project_spark.registry import query
@@ -319,6 +320,70 @@ def t8_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_available_now(stream, out_dir, ck, foreach_batch=sink)
     return spark.read.parquet(out_dir).select(
         "event_id", "user_id", "event_type", F.round("value", 4).alias("value_r")
+    )
+
+
+@query(
+    "t11_streaming_windowed_topk",
+    oracle="""
+    WITH counts AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+             event_type, count(*) AS n
+      FROM events
+      GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, n
+    FROM (SELECT *, row_number() OVER (PARTITION BY window_start
+                                       ORDER BY n DESC, event_type) AS rk
+          FROM counts)
+    WHERE rk <= 3
+    """,
+)
+def t11_streaming_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming windowed top-k: per-hour event-type counts maintained as
+    streaming aggregation state across micro-batches (update mode), with
+    the rank applied over the final counts — ranking is not incremental,
+    so the stream maintains the windowed COUNTS (cheap, mergeable state)
+    and top-k is the cheap finishing step, the standard split for
+    streaming leaderboards.  Update mode re-emits a (window, type) row
+    whenever a batch touches it; the final value per key is the max
+    emitted (counts are monotone).  No watermark here so the batch oracle
+    matches exactly over randomly-split files; production adds one to
+    bound state (eviction semantics are T4's, tested with scripted
+    micro-batches)."""
+    from big_data_project_spark.streaming.runner import (
+        EVENTS_SCHEMA, run_available_now,
+    )
+
+    input_dir, root = _stage_events(spark, sf_dir, n_files=3)
+    out_dir, ck = f"{root}/out", f"{root}/ck"
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+    counted = (
+        stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+
+    def sink(df: DataFrame, batch_id: int) -> None:
+        if df.count():
+            df.write.mode("append").parquet(out_dir)
+
+    run_available_now(counted, out_dir, ck, output_mode="update", foreach_batch=sink)
+    final = (
+        spark.read.parquet(out_dir)
+        .groupBy("window_start", "event_type")
+        .agg(F.max("n").alias("n"))
+    )
+    w = Window.partitionBy("window_start").orderBy(F.col("n").desc(), "event_type")
+    return (
+        final.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("window_start", "event_type", "n")
     )
 
 

@@ -375,6 +375,55 @@ def test_t4_watermark_batch_path_equals_tumbling(spark, sf_dir):
     assert t4 == t1 and t4
 
 
+def test_s15_zorder3_layout_prunes_all_three_dims(spark, sf_dir):
+    """3-D Z-order row groups must be prunable on EVERY predicate column:
+    for the half×half×half (partkey, suppkey, orderkey) region, a clear
+    majority of row groups' footer stats must miss the region on at least
+    one of the three dimensions."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from big_data_project_spark.io import load_table
+    from big_data_project_spark.sources.formats import _Z3_COLS, zorder3_lineitem_path
+
+    li = load_table(spark, sf_dir, "lineitem")
+    maxes = li.agg(*[F.max(c) for c in _Z3_COLS]).first()
+    cut = {c: m / 2.0 for c, m in zip(_Z3_COLS, maxes)}
+    out = zorder3_lineitem_path(spark, sf_dir)
+    total = overlapping = 0
+    for f in glob.glob(os.path.join(out, "zoct=*", "part-*.parquet")):
+        meta = pq.ParquetFile(f).metadata
+        idx = {
+            meta.row_group(0).column(i).path_in_schema: i
+            for i in range(meta.num_columns)
+        }
+        for rg in range(meta.num_row_groups):
+            total += 1
+            hits_all = all(
+                meta.row_group(rg).column(idx[c]).statistics.min <= cut[c]
+                for c in _Z3_COLS
+            )
+            overlapping += hits_all
+    assert total >= 8, f"expected multiple row groups, got {total}"
+    assert overlapping / total < 0.5, (overlapping, total)
+
+
+def test_o9_tablesample_deterministic_and_bounded(spark, sf_dir):
+    """TABLESAMPLE invariants: REPEATABLE(seed) is deterministic across
+    runs, and the sampled total sits inside a generous binomial band
+    around 10% of the source."""
+    one = {(r.l_returnflag, r.n_sampled) for r in Q["o9_tablesample"](spark, sf_dir).collect()}
+    two = {(r.l_returnflag, r.n_sampled) for r in Q["o9_tablesample"](spark, sf_dir).collect()}
+    assert one == two and one
+    from big_data_project_spark.io import load_table
+
+    n_src = load_table(spark, sf_dir, "lineitem").count()
+    n_sampled = sum(n for _, n in one)
+    assert 0.05 * n_src < n_sampled < 0.15 * n_src, (n_sampled, n_src)
+
+
 def test_x12_decontamination_partitions_training_docs(spark, sf_dir):
     """hits ∪ keep must be exactly the non-eval corpus, disjoint — a doc
     either leaks an 8-gram into the eval split or it is retained."""
