@@ -231,12 +231,74 @@ def x8_embedding_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- X8c: IVF-style block-pruned ANN (the scale path; rows-only) -----------
 
 
-@query("x8_ivf_ann_topk", oracle=None)
-def x8_ivf_ann_topk(spark: SparkSession, sf_dir: str, nprobe: int = 3) -> DataFrame:
-    """IVF sketch: k-means-style coarse quantizer seeded from the first
-    vector of each label (deterministic, no RNG), one assignment pass,
+_IVF_NPROBE = 3
+
+
+def _ivf_oracle_sql(nprobe: int = _IVF_NPROBE) -> str:
+    """Mirror the full IVF pipeline in DuckDB: per-label mean centroids,
+    nearest-centroid assignment, nprobe-bucket probing, exact re-rank —
+    every ranking on round(csim + 1e-9, 4) with a centroid/neighbor id
+    tie-break, so both engines agree despite float-reduction-order ulps."""
+    return f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    flat AS (
+      SELECT label, generate_subscripts(v, 1) AS i, unnest(v) AS x FROM e
+    ),
+    cent AS (
+      SELECT label AS centroid_id, list(c ORDER BY i) AS centroid
+      FROM (SELECT label, i, avg(x) AS c FROM flat GROUP BY label, i)
+      GROUP BY label
+    ),
+    assigned AS (
+      SELECT vec_id, v, centroid_id AS bucket
+      FROM (
+        SELECT e.vec_id, e.v, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.v, c.centroid) + 1e-9, 4) DESC,
+                          c.centroid_id) AS rk
+        FROM e CROSS JOIN cent c)
+      WHERE rk = 1
+    ),
+    probes AS (
+      SELECT query_id, centroid_id AS bucket
+      FROM (
+        SELECT a.vec_id AS query_id, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY round(list_cosine_similarity(a.v, c.centroid) + 1e-9, 4) DESC,
+                          c.centroid_id) AS rk
+        FROM assigned a CROSS JOIN cent c
+        WHERE a.vec_id < 10)
+      WHERE rk <= {nprobe}
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             round(list_cosine_similarity(q.v, a.v) + 1e-9, 4) AS sim
+      FROM probes p
+      JOIN assigned a USING (bucket)
+      JOIN e q ON q.vec_id = p.query_id
+      WHERE a.vec_id != p.query_id
+    )
+    SELECT query_id, neighbor_id, sim
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, neighbor_id) AS rk
+          FROM scored)
+    WHERE rk <= 5
+    """
+
+
+@query("x8_ivf_ann_topk", oracle=_ivf_oracle_sql())
+def x8_ivf_ann_topk(
+    spark: SparkSession, sf_dir: str, nprobe: int = _IVF_NPROBE
+) -> DataFrame:
+    """IVF sketch: k-means-style coarse quantizer seeded from the
+    per-label mean vectors (deterministic, no RNG), one assignment pass,
     then queries probe the nprobe nearest centroids only. CrossJoin cost
-    drops from n² to n·(n/k)·nprobe. Recall vs brute force is asserted in
+    drops from n² to n·(n/k)·nprobe. Every ranking uses the ROUNDED
+    cosine with an id tie-break, so the whole pipeline — centroids,
+    assignment, probing, re-rank — is mirrored and hash-verified in the
+    DuckDB oracle; recall vs brute force is additionally asserted in
     tests/test_pipeline.py (fixture vectors are near-random, so recall
     here demonstrates the machinery, not clustering magic)."""
     e = load_table(spark, sf_dir, "embeddings")
@@ -253,10 +315,12 @@ def x8_ivf_ann_topk(spark: SparkSession, sf_dir: str, nprobe: int = 3) -> DataFr
             F.transform("pairs", lambda p: p.getField("c")).alias("centroid"),
         )
     )
-    # assign every vector to its nearest centroid
+    # assign every vector to its nearest centroid (rounded csim + id
+    # tie-break: the cross-engine-stable ranking convention, §4.3.1)
     vc = e.crossJoin(F.broadcast(cent))
     vc = with_cosine(vc, "embedding", "centroid").select(
-        "vec_id", "embedding", "centroid_id", F.col("sim_raw").alias("csim")
+        "vec_id", "embedding", "centroid_id",
+        F.round(F.col("sim_raw") + F.lit(1e-9), 4).alias("csim"),
     )
     wv = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), "centroid_id")
     assigned = (
@@ -267,8 +331,10 @@ def x8_ivf_ann_topk(spark: SparkSession, sf_dir: str, nprobe: int = 3) -> DataFr
     queries = assigned.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("va")
     )
-    qprobe = with_cosine(queries.crossJoin(F.broadcast(cent)), "va", "centroid")
-    wq = Window.partitionBy("query_id").orderBy(F.col("sim_raw").desc(), "centroid_id")
+    qprobe = with_cosine(queries.crossJoin(F.broadcast(cent)), "va", "centroid").withColumn(
+        "psim", F.round(F.col("sim_raw") + F.lit(1e-9), 4)
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("psim").desc(), "centroid_id")
     probes = (
         qprobe.withColumn("rk", F.row_number().over(wq))
         .filter(F.col("rk") <= nprobe)
@@ -539,7 +605,47 @@ def _srp_hyperplanes():
     return rng.standard_normal((_SRP_TABLES, _SRP_BITS, 64)).round(6).tolist()
 
 
-@query("x16_srp_lsh_ann_topk", oracle=None)
+def _srp_oracle_sql() -> str:
+    """Generate the oracle with the hyperplanes embedded as literals (the
+    x18 pattern): per table, the bucket is the packed sign-bit vector of
+    the plane dot products; candidates share any (table, bucket); exact
+    cosine re-ranks.  A sign flip between engines would need |dot| below
+    float-sum reassociation error (~1e-12 against O(1) magnitudes) —
+    measure-zero for seeded random planes."""
+    planes = _srp_hyperplanes()
+    selects = []
+    for t in range(_SRP_TABLES):
+        bucket = " + ".join(
+            f"CAST(list_inner_product(v, {planes[t][b]}) > 0 AS INT) * {1 << b}"
+            for b in range(_SRP_BITS)
+        )
+        selects.append(f"SELECT vec_id, v, {t} AS table_id, {bucket} AS bucket FROM e")
+    srp = "\n    UNION ALL\n    ".join(selects)
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    srp AS ({srp}),
+    q AS (SELECT vec_id AS query_id, table_id, bucket FROM srp WHERE vec_id < 10),
+    cand AS (
+      SELECT DISTINCT q.query_id, s.vec_id AS neighbor_id
+      FROM q JOIN srp s USING (table_id, bucket)
+      WHERE s.vec_id != q.query_id
+    ),
+    scored AS (
+      SELECT c.query_id, c.neighbor_id,
+             round(list_cosine_similarity(a.v, b.v) + 1e-9, 4) AS sim
+      FROM cand c
+      JOIN e a ON a.vec_id = c.query_id
+      JOIN e b ON b.vec_id = c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, sim
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, neighbor_id) AS rk
+          FROM scored)
+    WHERE rk <= 5
+    """
+
+
+@query("x16_srp_lsh_ann_topk", oracle=_srp_oracle_sql())
 def x16_srp_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Signed-random-projection LSH: each vector gets _SRP_TABLES bucket
     ids (one per table, _SRP_BITS sign bits each); queries meet only
@@ -550,9 +656,10 @@ def x16_srp_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     shifts faster than a quantizer can be refit). P(two vectors at angle
     θ share a table's bucket) = (1 − θ/π)^bits; OR over tables amplifies
     recall. At 100 TB the bucket join shuffles on (table, bucket) with
-    bounded bucket sizes — never n². Hash tables are engine-embedded →
-    rows-only; candidate-subset + re-rank-exactness invariants in
-    tests/test_pipeline.py."""
+    bounded bucket sizes — never n². The seeded hyperplanes are embedded
+    as literals in the DuckDB oracle (the x18 pattern), so the whole
+    bucket→candidate→re-rank pipeline is hash-verified; candidate-subset
+    + re-rank-exactness invariants additionally in tests/test_pipeline.py."""
     e = load_table(spark, sf_dir, "embeddings")
     planes = _srp_hyperplanes()
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))

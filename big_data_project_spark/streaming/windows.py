@@ -161,11 +161,24 @@ def t3_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_stats(load_table(spark, sf_dir, "events"))
 
 
-@query("t4_watermark_late_drop", oracle=None)
+@query(
+    "t4_watermark_late_drop",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
 def t4_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Watermark semantics are streaming-only (batch has no lateness) —
-    rows-only here; the real late-data drop is asserted with scripted
-    micro-batches in tests/test_streaming.py."""
+    """Watermark semantics are streaming-only — in batch the watermark is
+    by definition a no-op (no lateness), so the oracle is exactly the
+    tumbling counts; what the hash check pins here is that adding the
+    watermark does NOT perturb the batch plan's results. The real
+    late-data drop is asserted with scripted micro-batches in
+    tests/test_streaming.py."""
     e = load_table(spark, sf_dir, "events")
     return tumbling_counts(on_time_filter(e))
 
