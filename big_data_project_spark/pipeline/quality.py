@@ -274,3 +274,62 @@ def x17_data_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.sequence(F.lit(1), F.col("n_copies"))).alias("copy_id"),
         )
     )
+
+
+# --- X21: leakage-safe group split (split by SOURCE, not by document) -------
+
+_SPLIT_TRAIN_FRAC = 0.8
+
+
+def _source_hash_sql() -> str:
+    """Portable deterministic string hash: ascii-weighted sum of the first
+    8 hex chars of md5(source) — identical arithmetic in both engines
+    (neither shares a native string→int hash with the other)."""
+    terms = " + ".join(
+        f"CAST(ascii(substr(md5(source), {k + 1}, 1)) AS BIGINT) * {31 ** k}"
+        for k in range(8)
+    )
+    return f"({terms})"
+
+
+def _source_hash_col():
+    hx = F.md5(F.col("source"))
+    h = F.lit(0).cast("long")
+    for k in range(8):
+        h = h + F.ascii(F.substring(hx, k + 1, 1)).cast("long") * F.lit(31 ** k).cast("long")
+    return h
+
+
+@query(
+    "x21_group_split",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT source,
+             CASE WHEN ({_source_hash_sql()} % 1000) / 1000.0 < {_SPLIT_TRAIN_FRAC}
+                  THEN 'train' ELSE 'val' END AS split
+      FROM documents
+    )
+    SELECT source, split, count(*) AS n_docs
+    FROM tagged
+    GROUP BY source, split
+    """,
+)
+def x21_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val split: the split is a deterministic hash of
+    the GROUP key (source), not the document id, so all documents from
+    one source land in the same split — near-duplicates and templated
+    text within a source can never straddle the boundary and leak eval
+    content into training.  Complements o3 (sequential split) and x17
+    (mixture weighting).  Pure map + one groupBy; the assignment needs
+    no coordination, so resharding or re-running at 100 TB reproduces
+    the identical split."""
+    d = load_table(spark, sf_dir, "documents")
+    frac = (_source_hash_col() % F.lit(1000)) / F.lit(1000.0)
+    return (
+        d.select(
+            "source",
+            F.when(frac < _SPLIT_TRAIN_FRAC, F.lit("train")).otherwise(F.lit("val")).alias("split"),
+        )
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

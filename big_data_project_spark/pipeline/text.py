@@ -368,3 +368,106 @@ def x14_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", F.explode(chunks).alias("c")).select(
         "doc_id", "c.chunk_id", "c.chunk_text", "c.n_tokens"
     )
+
+
+# --- X19: blocklist scrubbing (the PII/boilerplate-redaction shape) ---------
+
+_SCRUB_PATTERN = r"\b(spark|hash|merge)\b"
+_SCRUB_TOKEN = "[X]"
+
+
+@query(
+    "x19_text_scrub",
+    # standard SQL string literals keep backslashes raw, so the regex
+    # passes through to DuckDB's RE2 unmodified
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_SCRUB_PATTERN}')) AS INT)
+             AS n_redacted,
+           substr(regexp_replace(text, '{_SCRUB_PATTERN}',
+                                 '{_SCRUB_TOKEN}', 'g'), 1, 80) AS scrubbed_prefix
+    FROM documents
+    """,
+)
+def x19_text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist redaction — the exact operator shape of PII scrubbing
+    (emails/phones/keys) in a training-data pipeline, exercised here with
+    a term blocklist because the synthetic corpus contains no PII-shaped
+    strings; swapping the pattern is the only production change.  A pure
+    regexp map: no shuffle, codegen'd JVM regex, linear in corpus size —
+    the 100 TB profile is exactly a scan.  Both engines run the same RE2-
+    compatible pattern; word boundaries are ASCII in both."""
+    d = load_table(spark, sf_dir, "documents")
+    # patterns passed as Python strings (F.lit), never through SQL-literal
+    # escape processing — '\b' must reach the JVM regex engine intact
+    return d.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all("text", F.lit(_SCRUB_PATTERN), F.lit(0))
+        ).alias("n_redacted"),
+        F.substring(
+            F.regexp_replace("text", _SCRUB_PATTERN, _SCRUB_TOKEN), 1, 80
+        ).alias("scrubbed_prefix"),
+    )
+
+
+# --- X20: sequence packing (concat-then-chunk, the LLM batch layout) --------
+
+_PACK_CAP = 512  # tokens per training sequence
+
+
+@query(
+    "x20_sequence_packing",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok
+      FROM documents
+    ), placed AS (
+      SELECT doc_id, source, n_tok,
+             coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS tok_start
+      FROM toks
+    )
+    SELECT doc_id, source, CAST(n_tok AS INT) AS n_tok,
+           CAST(tok_start // {_PACK_CAP} AS BIGINT) AS seq_first,
+           CAST((tok_start + n_tok - 1) // {_PACK_CAP}
+                - tok_start // {_PACK_CAP} + 1 AS INT) AS n_seqs_spanned
+    FROM placed
+    """,
+)
+def x20_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing, concat-then-chunk form: per source, documents are
+    concatenated in doc_id order and cut into fixed 512-token training
+    sequences; each doc learns which sequence it starts in and how many
+    it spans.  This is THE LLM pretraining batch layout (no padding
+    waste; docs straddle boundaries).  One window over (source, doc_id)
+    — a single narrow shuffle on source; the running offset is a
+    prefix-sum, so at 100 TB this is the same cost as any partitioned
+    cumulative sum.  First-fit bin packing (close a bin when the next
+    doc would overflow) is inherently sequential per group — this
+    chunked form is what scales, and what tokenizer pipelines ship."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    n_tok = F.size(F.split("text", " "))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = d.select(
+        "doc_id", "source", n_tok.alias("n_tok"),
+        F.coalesce(F.sum(n_tok).over(w), F.lit(0)).alias("tok_start"),
+    )
+    return placed.select(
+        "doc_id",
+        "source",
+        F.col("n_tok").cast("int"),
+        F.floor(F.col("tok_start") / _PACK_CAP).alias("seq_first"),
+        (
+            F.floor((F.col("tok_start") + F.col("n_tok") - 1) / _PACK_CAP)
+            - F.floor(F.col("tok_start") / _PACK_CAP)
+            + 1
+        ).cast("int").alias("n_seqs_spanned"),
+    )

@@ -273,3 +273,29 @@ def test_join_hints_are_honored(spark, qs):
     forced_m = li.join(o.hint("shuffle_merge"), li.l_orderkey == o.o_orderkey)
     assert count_ops(forced_m, "SortMergeJoin") >= 1
     assert count_ops(forced_m, "BroadcastHashJoin") == 0
+
+
+def test_scrub_and_pq_codes_are_narrow(spark, qs):
+    """Blocklist scrubbing (x19) and PQ assignment (x18) are per-row
+    transforms: zero exchanges — at 100 TB both must stay pure scans."""
+    for name in ("x19_text_scrub", "x18_pq_codes"):
+        df = qs[name](spark, SF)
+        assert count_ops(df, "Exchange") == 0, name
+
+
+def test_sequence_packing_single_shuffle(spark, qs):
+    """x20's prefix-sum runs one window over (source, doc_id): exactly one
+    exchange (hash on source) — adding stages would break the 'same cost
+    as a partitioned cumulative sum' contract."""
+    df = qs["x20_sequence_packing"](spark, SF)
+    assert count_ops(df, "Exchange") - count_ops(df, "BroadcastExchange") == 1
+
+
+def test_group_split_single_shuffle_and_pruning(spark, qs):
+    """x21 reads only (source): column pruning must reach the scan, and
+    the groupBy is the only exchange with partial agg in front."""
+    df = qs["x21_group_split"](spark, SF)
+    (cols,) = read_schemas(df)
+    assert cols == ["source"], cols
+    assert count_ops(df, "Exchange") - count_ops(df, "BroadcastExchange") == 1
+    assert has_partial_agg(df)
