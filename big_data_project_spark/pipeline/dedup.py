@@ -511,3 +511,96 @@ def x7_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     are planted pairs/triples; the every-edge-within-one-cluster
     invariant in tests/test_pipeline.py guards the general case)."""
     return neardup_clusters(spark, sf_dir).orderBy("doc_id")
+
+
+# --- X23: incremental dedup (new batch vs existing corpus) ------------------
+
+_OLD_SOURCES = ("src0", "src1", "src2")
+
+
+@query(
+    "x23_incremental_dedup",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id, source,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h
+      FROM documents
+    ),
+    newdocs AS (SELECT doc_id, h FROM norm WHERE source NOT IN ('src0','src1','src2')),
+    olddocs AS (SELECT h FROM norm WHERE source IN ('src0','src1','src2')),
+    exact_hit AS (SELECT DISTINCT n.doc_id FROM newdocs n JOIN olddocs o USING (h)),
+    toks AS (
+      SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ),
+    sh AS (
+      SELECT doc_id, source,
+             list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                            for i in generate_series(1, len(w) - 2)]) AS t
+      FROM toks
+    ),
+    near_hit AS (
+      SELECT DISTINCT a.doc_id
+      FROM sh a JOIN sh b
+        ON a.source NOT IN ('src0','src1','src2')
+       AND b.source IN ('src0','src1','src2')
+       AND len(list_intersect(a.t, b.t)) * 1.0
+             / len(list_distinct(list_concat(a.t, b.t))) >= 0.5
+    )
+    SELECT n.doc_id,
+           CASE WHEN e.doc_id IS NOT NULL THEN 'exact'
+                WHEN nh.doc_id IS NOT NULL THEN 'near'
+                ELSE 'accepted' END AS status
+    FROM newdocs n
+    LEFT JOIN exact_hit e ON n.doc_id = e.doc_id
+    LEFT JOIN near_hit nh ON n.doc_id = nh.doc_id
+    """,
+)
+def x23_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the operation a 100 TB corpus actually runs:
+    a NEW batch (sources beyond src0-2) is admitted against the EXISTING
+    corpus (src0-2) without re-deduplicating the whole corpus.  Each new
+    doc is rejected 'exact' (normalized content hash already present),
+    'near' (exact Jaccard >= 0.5 with any existing doc, discovered via
+    the MinHash-LSH band join), else 'accepted'.  In production the
+    existing side's signatures/band keys are a precomputed index that the
+    new batch joins against — the plan shape here (band join restricted
+    to new x old, verification only on candidates, hashes carried
+    without text) is exactly that incremental form; only the signature
+    recompute is fixture convenience.  Oracle recall argument is x7's:
+    bimodal fixture similarity makes LSH recall ~ 1."""
+    d = load_table(spark, sf_dir, "documents")
+    is_old = F.col("source").isin(*_OLD_SOURCES)
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    docs = d.select("doc_id", is_old.alias("is_old"), F.md5(norm).alias("h"))
+    new = docs.filter(~F.col("is_old"))
+    old = docs.filter(F.col("is_old"))
+    exact_hits = new.join(old.select("h").distinct(), "h", "left_semi").select("doc_id")
+    flags = docs.select("doc_id", "is_old")
+    pairs = verified_neardup_pairs(spark, sf_dir)
+    pa = pairs.join(
+        flags.select(F.col("doc_id").alias("doc_a"), F.col("is_old").alias("old_a")),
+        "doc_a",
+    ).join(
+        flags.select(F.col("doc_id").alias("doc_b"), F.col("is_old").alias("old_b")),
+        "doc_b",
+    )
+    near_hits = (
+        pa.filter(F.col("old_a") != F.col("old_b"))
+        .select(
+            F.when(F.col("old_a"), F.col("doc_b")).otherwise(F.col("doc_a")).alias("doc_id")
+        )
+        .distinct()
+    )
+    return (
+        new.select("doc_id")
+        .join(exact_hits.withColumn("e", F.lit(1)), "doc_id", "left")
+        .join(near_hits.withColumn("nh", F.lit(1)), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("e").isNotNull(), F.lit("exact"))
+            .when(F.col("nh").isNotNull(), F.lit("near"))
+            .otherwise(F.lit("accepted"))
+            .alias("status"),
+        )
+    )
