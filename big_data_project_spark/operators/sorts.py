@@ -234,6 +234,42 @@ def o9_tablesample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- O8: scalable global row numbering (no single-task window) ---------------
 
 
+def ranged_prefix_offsets(
+    spark: SparkSession, df: DataFrame, sort_cols, measure=None
+):
+    """The two-pass global-order primitive: range-partition ``df`` on
+    ``sort_cols``, then compute per partition the total of ``measure``
+    (row count when None) over all EARLIER partitions. Returns
+    ``(ranged_df_with_pid, offset_df[pid, offset])`` — join the broadcast
+    offsets back and add them to any per-partition rank/cumsum to get the
+    global value. Driver sees O(#partitions) scalars, never rows, which
+    is what makes global row numbering / prefix sums viable at 100 TB
+    (an un-partitioned window serializes the table through one task).
+
+    persist() BEFORE the counts action: range boundaries come from a
+    sampling pass, so the counts job and the final job must read the same
+    materialized partitioning, not re-sample their own."""
+    n_parts = spark.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(n_parts, *sort_cols)
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    agg = F.count(F.lit(1)) if measure is None else F.sum(measure)
+    per = {
+        r.pid: r.m
+        for r in ranged.groupBy("pid").agg(agg.cast("long").alias("m")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(per):
+        offsets[pid] = acc
+        acc += per[pid]
+    offset_df = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "pid int, offset long"
+    )
+    return ranged, offset_df
+
+
 @query(
     "o8_global_row_number",
     oracle="""
@@ -254,26 +290,52 @@ def o8_global_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
     intra-partition order compose to the same total order the oracle
     uses."""
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    n_parts = spark.sparkContext.defaultParallelism
-    # persist BEFORE the counts action: range boundaries come from a
-    # sampling pass, so the counts job and the final job must read the
-    # same materialized partitioning, not re-sample their own
-    ranged = (
-        o.repartitionByRange(n_parts, F.col("o_totalprice").desc(), F.col("o_orderkey"))
-        .withColumn("pid", F.spark_partition_id())
-        .persist()
-    )
-    counts = {r.pid: r.n for r in ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("n")).collect()}
-    offsets, acc = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    offset_df = spark.createDataFrame(
-        [(pid, off) for pid, off in offsets.items()], "pid int, offset long"
+    ranged, offset_df = ranged_prefix_offsets(
+        spark, o, [F.col("o_totalprice").desc(), F.col("o_orderkey")]
     )
     w = Window.partitionBy("pid").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
     return (
         ranged.join(F.broadcast(offset_df), "pid")
         .withColumn("rn", F.row_number().over(w) + F.col("offset"))
         .select("o_orderkey", "rn")
+    )
+
+
+# --- O10: deterministic hash shuffle (reproducible training-data order) -----
+
+
+@query(
+    "o10_hash_shuffle",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':42') AS shuffle_key
+      FROM documents
+    )
+    SELECT doc_id, shuffle_key,
+           row_number() OVER (ORDER BY shuffle_key, doc_id) AS pos
+    FROM keyed
+    """,
+)
+def o10_hash_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for training-data ordering: sort by a
+    seeded content hash md5(id || ':' || seed). Unlike RNG-seeded
+    permutation (o5, engine-specific seed semantics → rows-only), the
+    hash order is reproducible across engines, cluster sizes, and
+    retries — the property a resumable 100 TB data-loader shuffle
+    needs; bumping the seed literal re-deals the epoch. Positions come
+    from the o8 two-pass range-partition prefix machinery, so there is
+    no single-task global window anywhere in the plan."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    keyed = d.withColumn(
+        "shuffle_key",
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":42"))),
+    )
+    ranged, offset_df = ranged_prefix_offsets(
+        spark, keyed, [F.col("shuffle_key"), F.col("doc_id")]
+    )
+    w = Window.partitionBy("pid").orderBy("shuffle_key", "doc_id")
+    return (
+        ranged.join(F.broadcast(offset_df), "pid")
+        .withColumn("pos", F.row_number().over(w) + F.col("offset"))
+        .select("doc_id", "shuffle_key", "pos")
     )

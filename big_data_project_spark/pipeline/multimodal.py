@@ -189,3 +189,57 @@ def x10_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "payload", F.col("meta.width").alias("width"), F.col("meta.height").alias("height")
     )
     return m.mapInPandas(decode_features, schema=DECODED_SCHEMA)
+
+
+# --- X22: aspect-ratio bucketing (multimodal batch layout) ------------------
+
+
+@query(
+    "x22_aspect_buckets",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(doc_id * 37 % 640 AS INT) AS width,
+             CAST(doc_id * 53 % 480 AS INT) AS height
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, width, height,
+             width * 1.0 / greatest(height, 1) AS aspect
+      FROM m
+    )
+    SELECT CASE WHEN aspect < 0.75 THEN 'portrait'
+                WHEN aspect < 1.3334 THEN 'square'
+                ELSE 'landscape' END AS bucket,
+           count(*) AS n_images,
+           CAST(sum(width * height) AS BIGINT) AS total_pixels,
+           round(avg(aspect) + 1e-9, 4) AS avg_aspect
+    FROM r
+    GROUP BY 1
+    """,
+)
+def x22_aspect_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-ratio bucketing — the multimodal training batch layout:
+    images are grouped by shape class so a batch resizes to one target
+    without distorting crops (SDXL-style bucketing). Reads ONLY the
+    metadata struct (never payload bytes — parquet prunes the payload
+    column), then a single groupBy on a 3-value derived key: at 100 TB
+    this is a metadata-column scan plus a 3-row aggregate. Bucket
+    boundaries are single-division doubles, bitwise identical in both
+    engines; the averaged aspect uses the rounded-nudge convention."""
+    d = load_table(spark, sf_dir, "documents")
+    m = attach_payload(d).select("doc_id", "meta.width", "meta.height")
+    aspect = F.col("width") / F.greatest(F.col("height"), F.lit(1))
+    bucket = (
+        F.when(aspect < 0.75, "portrait")
+        .when(aspect < 1.3334, "square")
+        .otherwise("landscape")
+    )
+    return (
+        m.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.sum(F.col("width").cast("long") * F.col("height")).alias("total_pixels"),
+            F.round(F.avg(aspect) + F.lit(1e-9), 4).alias("avg_aspect"),
+        )
+    )

@@ -333,3 +333,71 @@ def x21_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "split")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+# --- X25: token-budget corpus selection (data selection under a budget) -----
+
+_BUDGET_FRAC = 0.5  # select the best docs until 50% of corpus tokens are used
+
+
+@query(
+    "x25_token_budget_select",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             round(n_chars * 1.0 / len(string_split(text, ' ')) + 1e-9, 6)
+               AS score
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens, score,
+             sum(n_tokens) OVER (ORDER BY score DESC, doc_id) AS cum_tokens
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           score,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM c
+    WHERE cum_tokens <= (SELECT CAST(floor({_BUDGET_FRAC} * sum(n_tokens)) AS BIGINT)
+                         FROM t)
+    """,
+)
+def x25_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data selection under a token budget — the curation decision a
+    pretraining run actually makes: rank documents by a quality score
+    (here mean word length, a stand-in for any model- or heuristic-based
+    scorer) and keep the best until the cumulative token count reaches a
+    fraction of the corpus. The global cumulative sum uses the o8
+    two-pass primitive (range-partition on the rank key, per-partition
+    cumsum, driver-side prefix over per-partition token TOTALS — O(#parts)
+    scalars), so there is no single-task window; at 100 TB this costs one
+    range exchange, same as any global sort. The budget itself is one
+    tiny aggregate broadcast as a scalar."""
+    from pyspark.sql.window import Window
+
+    from big_data_project_spark.operators.sorts import ranged_prefix_offsets
+
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " "))
+    t = d.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        F.round(F.col("n_chars") / n_tok + F.lit(1e-9), 6).alias("score"),
+    )
+    ranged, offset_df = ranged_prefix_offsets(
+        spark, t, [F.col("score").desc(), F.col("doc_id")], measure="n_tokens"
+    )
+    budget = int(_BUDGET_FRAC * ranged.agg(F.sum("n_tokens")).collect()[0][0])
+    w = (
+        Window.partitionBy("pid")
+        .orderBy(F.col("score").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        ranged.join(F.broadcast(offset_df), "pid")
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w) + F.col("offset"))
+        .filter(F.col("cum_tokens") <= budget)
+        .select("doc_id", "n_tokens", "score", "cum_tokens")
+    )

@@ -234,12 +234,9 @@ def x8_embedding_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_NPROBE = 3
 
 
-def _ivf_oracle_sql(nprobe: int = _IVF_NPROBE) -> str:
-    """Mirror the full IVF pipeline in DuckDB: per-label mean centroids,
-    nearest-centroid assignment, nprobe-bucket probing, exact re-rank —
-    every ranking on round(csim + 1e-9, 4) with a centroid/neighbor id
-    tie-break, so both engines agree despite float-reduction-order ulps."""
-    return f"""
+# Shared oracle CTE: per-label mean centroids + nearest-centroid assignment
+# (the coarse-quantizer step of IVF, and the clustering step of SemDeDup).
+_ASSIGN_CTE = """
     WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     flat AS (
       SELECT label, generate_subscripts(v, 1) AS i, unnest(v) AS x FROM e
@@ -259,7 +256,15 @@ def _ivf_oracle_sql(nprobe: int = _IVF_NPROBE) -> str:
                           c.centroid_id) AS rk
         FROM e CROSS JOIN cent c)
       WHERE rk = 1
-    ),
+    )"""
+
+
+def _ivf_oracle_sql(nprobe: int = _IVF_NPROBE) -> str:
+    """Mirror the full IVF pipeline in DuckDB: per-label mean centroids,
+    nearest-centroid assignment, nprobe-bucket probing, exact re-rank —
+    every ranking on round(csim + 1e-9, 4) with a centroid/neighbor id
+    tie-break, so both engines agree despite float-reduction-order ulps."""
+    return f"""{_ASSIGN_CTE},
     probes AS (
       SELECT query_id, centroid_id AS bucket
       FROM (
@@ -288,6 +293,38 @@ def _ivf_oracle_sql(nprobe: int = _IVF_NPROBE) -> str:
     """
 
 
+def _label_centroids(e: DataFrame) -> DataFrame:
+    """Deterministic centroids: mean vector per label (the fixture's own
+    partition hint; in production: k-means|| via ml.clustering.KMeans)."""
+    return (
+        e.select("label", F.posexplode("embedding").alias("i", "x"))
+        .groupBy("label", "i")
+        .agg(F.avg("x").alias("c"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "c"))).alias("pairs"))
+        .select(
+            F.col("label").alias("centroid_id"),
+            F.transform("pairs", lambda p: p.getField("c")).alias("centroid"),
+        )
+    )
+
+
+def _assign_nearest(e: DataFrame, cent: DataFrame) -> DataFrame:
+    """Assign every vector to its nearest centroid (rounded csim + id
+    tie-break: the cross-engine-stable ranking convention, §4.3.1).
+    Centroids broadcast — the fact side never shuffles."""
+    vc = e.crossJoin(F.broadcast(cent))
+    vc = with_cosine(vc, "embedding", "centroid").select(
+        "vec_id", "embedding", "centroid_id",
+        F.round(F.col("sim_raw") + F.lit(1e-9), 4).alias("csim"),
+    )
+    wv = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), "centroid_id")
+    return (
+        vc.withColumn("rk", F.row_number().over(wv)).filter(F.col("rk") == 1)
+        .select("vec_id", "embedding", F.col("centroid_id").alias("bucket"))
+    )
+
+
 @query("x8_ivf_ann_topk", oracle=_ivf_oracle_sql())
 def x8_ivf_ann_topk(
     spark: SparkSession, sf_dir: str, nprobe: int = _IVF_NPROBE
@@ -302,31 +339,8 @@ def x8_ivf_ann_topk(
     tests/test_pipeline.py (fixture vectors are near-random, so recall
     here demonstrates the machinery, not clustering magic)."""
     e = load_table(spark, sf_dir, "embeddings")
-    # deterministic centroids: mean vector per label (the fixture's own
-    # partition hint; in production: k-means|| via ml.clustering.KMeans)
-    cent = (
-        e.select("label", F.posexplode("embedding").alias("i", "x"))
-        .groupBy("label", "i")
-        .agg(F.avg("x").alias("c"))
-        .groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("i", "c"))).alias("pairs"))
-        .select(
-            F.col("label").alias("centroid_id"),
-            F.transform("pairs", lambda p: p.getField("c")).alias("centroid"),
-        )
-    )
-    # assign every vector to its nearest centroid (rounded csim + id
-    # tie-break: the cross-engine-stable ranking convention, §4.3.1)
-    vc = e.crossJoin(F.broadcast(cent))
-    vc = with_cosine(vc, "embedding", "centroid").select(
-        "vec_id", "embedding", "centroid_id",
-        F.round(F.col("sim_raw") + F.lit(1e-9), 4).alias("csim"),
-    )
-    wv = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), "centroid_id")
-    assigned = (
-        vc.withColumn("rk", F.row_number().over(wv)).filter(F.col("rk") == 1)
-        .select("vec_id", "embedding", F.col("centroid_id").alias("bucket"))
-    )
+    cent = _label_centroids(e)
+    assigned = _assign_nearest(e, cent)
     # queries probe nprobe nearest buckets
     queries = assigned.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("va")
@@ -704,4 +718,54 @@ def x16_srp_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 5)
         .select("query_id", "neighbor_id", "sim")
+    )
+
+
+# --- X26: SemDeDup — semantic dedup within embedding clusters ---------------
+
+_SEMDEDUP_TAU = 0.4  # same near-dup bar as x8_embedding_dedup_keep
+
+
+@query(
+    "x26_semdedup",
+    oracle=f"""{_ASSIGN_CTE},
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM assigned a JOIN assigned b USING (bucket)
+      WHERE a.vec_id < b.vec_id
+        AND round(list_cosine_similarity(a.v, b.v) + 1e-9, 4) >= {_SEMDEDUP_TAU}
+    )
+    SELECT s.vec_id, CAST(s.bucket AS INT) AS cluster_id,
+           d.id_b IS NULL AS kept
+    FROM assigned s
+    LEFT JOIN (SELECT DISTINCT id_b FROM pairs) d ON s.vec_id = d.id_b
+    """,
+)
+def x26_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster embeddings
+    with a coarse quantizer, then near-dup-compare ONLY within clusters —
+    pair cost drops from n² to Σ|cluster|², the trade being that
+    cross-cluster near-dups are missed by design (vs the exact global
+    x8_embedding_dedup_keep, its correctness sibling here). Reuses the
+    IVF assignment (broadcast centroids, rounded-cosine + id tie-break),
+    so at 100 TB the only shuffle is the self-join on cluster id; greedy
+    keep-lowest-id within each duplicate pair makes the survivor set
+    deterministic in both engines."""
+    e = load_table(spark, sf_dir, "embeddings")
+    assigned = _assign_nearest(e, _label_centroids(e)).persist()
+    a = assigned.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "bucket"
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "bucket"
+    )
+    cand = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    pairs = with_cosine(cand).filter(
+        F.round(F.col("sim_raw") + F.lit(1e-9), 4) >= _SEMDEDUP_TAU
+    )
+    losers = pairs.select(F.col("id_b").alias("vec_id")).distinct()
+    return (
+        assigned.select("vec_id", F.col("bucket").cast("int").alias("cluster_id"))
+        .join(losers.withColumn("dup", F.lit(1)), "vec_id", "left")
+        .select("vec_id", "cluster_id", F.col("dup").isNull().alias("kept"))
     )

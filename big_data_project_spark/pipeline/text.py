@@ -471,3 +471,74 @@ def x20_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 1
         ).cast("int").alias("n_seqs_spanned"),
     )
+
+
+# --- X24: typed PII redaction (emails / IPs / phone numbers) ----------------
+
+# RE2-compatible AND java.util.regex-compatible patterns: ASCII classes,
+# bounded repetition, \b word boundaries — identical semantics in both
+# engines (x19's dialect argument).
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IP = r"\b\d{1,3}(\.\d{1,3}){3}\b"
+_PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+# The synthetic corpus contains no PII, so both engines append the SAME
+# deterministic contact line per doc and then redact it — the redaction
+# logic (not the fixture) is what's under test.
+_PII_SUFFIX_SQL = """
+ text || ' contact user' || CAST(doc_id AS VARCHAR)
+      || '@corp.example.org from 10.' || CAST(doc_id % 256 AS VARCHAR)
+      || '.0.' || CAST(doc_id % 100 AS VARCHAR)
+      || ' call 555-010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+"""
+
+
+@query(
+    "x24_pii_redaction",
+    oracle=f"""
+    WITH synth AS (
+      SELECT doc_id, {_PII_SUFFIX_SQL} AS t FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '{_PII_IP}')) AS INT) AS n_ips,
+           CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS INT) AS n_phones,
+           right(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(t, '{_PII_EMAIL}', '[EMAIL]', 'g'),
+                 '{_PII_IP}', '[IP]', 'g'),
+               '{_PII_PHONE}', '[PHONE]', 'g'),
+             80) AS redacted_tail
+    FROM synth
+    """,
+)
+def x24_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed PII redaction — the production form of x19's blocklist scrub:
+    three category patterns (email, IPv4, NANP phone) each counted and
+    replaced with a typed placeholder, applied in a fixed pass order so
+    engines agree. Pure per-row regexp map: no shuffle, JVM codegen
+    regex, linear scan at 100 TB. Patterns are ASCII-only and valid in
+    both java.util.regex and RE2; replacement placeholders contain no
+    digits, so later passes cannot re-match earlier rewrites."""
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    synth = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), did.cast("string"),
+        F.lit("@corp.example.org from 10."), (did % 256).cast("string"),
+        F.lit(".0."), (did % 100).cast("string"),
+        F.lit(" call 555-010-"), F.lpad((did % 10000).cast("string"), 4, "0"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(synth, _PII_EMAIL, "[EMAIL]"),
+            _PII_IP, "[IP]"),
+        _PII_PHONE, "[PHONE]")
+    return d.select(
+        "doc_id",
+        F.regexp_count(synth, F.lit(_PII_EMAIL)).cast("int").alias("n_emails"),
+        F.regexp_count(synth, F.lit(_PII_IP)).cast("int").alias("n_ips"),
+        F.regexp_count(synth, F.lit(_PII_PHONE)).cast("int").alias("n_phones"),
+        F.right(redacted, F.lit(80)).alias("redacted_tail"),
+    )

@@ -549,3 +549,40 @@ def test_s14_python_datasource_parallel_and_deterministic(spark, sf_dir):
     a = sorted(map(tuple, Q["s14_python_datasource"](spark, sf_dir).collect()))
     b = sorted(map(tuple, Q["s14_python_datasource"](spark, sf_dir).collect()))
     assert a == b and len(a) > 0
+
+
+def test_x26_semdedup_keeps_superset_of_global_dedup(spark, sf_dir):
+    """SemDeDup compares only within clusters, so every pair it finds is
+    also a global pair: its loser set is a subset of the global dedup's,
+    hence its kept set a superset of the global survivors."""
+    sem_kept = {
+        r.vec_id for r in Q["x26_semdedup"](spark, sf_dir).filter("kept").collect()
+    }
+    global_kept = {
+        r.keep_vec_id for r in Q["x8_embedding_dedup_keep"](spark, sf_dir).collect()
+    }
+    assert global_kept <= sem_kept
+    # and clusters partition the id space: every vector appears exactly once
+    n_total = Q["x26_semdedup"](spark, sf_dir).count()
+    n_vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert n_total == n_vecs
+
+
+def test_x24_redaction_leaves_no_pii(spark, sf_dir):
+    """After the three redaction passes, no PII pattern may survive
+    anywhere in the redacted text (checked on the tail window the query
+    returns, which contains the synthesized contact line)."""
+    from big_data_project_spark.pipeline.text import (
+        _PII_EMAIL, _PII_IP, _PII_PHONE,
+    )
+
+    out = Q["x24_pii_redaction"](spark, sf_dir)
+    leftovers = out.filter(
+        F.regexp_count("redacted_tail", F.lit(_PII_EMAIL))
+        + F.regexp_count("redacted_tail", F.lit(_PII_IP))
+        + F.regexp_count("redacted_tail", F.lit(_PII_PHONE))
+        > 0
+    ).count()
+    assert leftovers == 0
+    # every doc carries the synthesized contact line → every category hit
+    assert out.filter("n_emails >= 1 AND n_ips >= 1 AND n_phones >= 1").count() == out.count()
