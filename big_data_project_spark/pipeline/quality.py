@@ -401,3 +401,122 @@ def x25_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cum_tokens") <= budget)
         .select("doc_id", "n_tokens", "score", "cum_tokens")
     )
+
+
+# --- X27: LM-score quality filter (unigram logprob proxy) -------------------
+
+# Engine-embedded unigram language model: logprobs over the corpus's
+# frequent terms, OOV penalty for everything else. Generated into the
+# oracle as a CASE expression, so both engines score with the SAME model
+# (the x9_lang_id embedded-scoring-table pattern). In production the
+# table is a real LM's vocab logprobs (or a fastText/KenLM scorer behind
+# a Pandas UDF); the operator shape — per-token lookup, per-doc mean,
+# threshold gate — is identical.
+_LM_LOGPROBS = {
+    "the": -1.2, "a": -1.4, "value": -1.8, "table": -2.0, "row": -2.2,
+    "data": -2.4, "part": -2.6, "join": -2.8, "window": -3.0, "hash": -3.2,
+    "batch": -3.4, "query": -3.6,
+}
+_LM_OOV = -6.0
+_LM_THRESHOLD = -4.25  # kept when rounded mean logprob >= threshold
+
+_LM_CASE_SQL = (
+    "CASE t "
+    + " ".join(f"WHEN '{w}' THEN CAST({lp} AS DOUBLE)" for w, lp in _LM_LOGPROBS.items())
+    + f" ELSE CAST({_LM_OOV} AS DOUBLE) END"
+)
+
+
+@query(
+    "x27_lm_quality_filter",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             round(list_sum(list_transform(ws, t -> {_LM_CASE_SQL}))
+                   / len(ws) + 1e-9, 4) AS avg_logprob
+      FROM w
+    )
+    SELECT doc_id, avg_logprob, avg_logprob >= {_LM_THRESHOLD} AS kept
+    FROM s
+    """,
+)
+def x27_lm_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality gate: mean unigram logprob per document
+    against an embedded LM table, thresholded into keep/drop — the
+    model-based quality filter (CCNet/Gopher-style) next to x9's
+    heuristic scores. Zero-shuffle: the lookup is a map literal folded
+    over the token array per row (no explode, no join), so at 100 TB
+    this is a pure scan-side map stage; the gate compares the ROUNDED
+    score so both engines agree at the boundary."""
+    d = load_table(spark, sf_dir, "documents")
+    lm = F.create_map(
+        *[F.lit(x) for pair in _LM_LOGPROBS.items() for x in pair]
+    )
+    ws = F.split("text", " ")
+    total = F.aggregate(
+        F.transform(ws, lambda t: F.coalesce(F.element_at(lm, t), F.lit(_LM_OOV))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    score = F.round(total / F.size(ws) + F.lit(1e-9), 4)
+    return d.select(
+        "doc_id",
+        score.alias("avg_logprob"),
+        (score >= F.lit(_LM_THRESHOLD)).alias("kept"),
+    )
+
+
+# --- X28: robust outlier gate (median/MAD length filter) --------------------
+
+_MAD_K = 3.0  # flag docs more than K scaled-MADs from the per-source median
+
+
+@query(
+    "x28_robust_outliers",
+    oracle=f"""
+    WITH med AS (
+      SELECT source, median(n_chars) AS med
+      FROM documents GROUP BY source
+    ),
+    dev AS (
+      SELECT d.source, d.doc_id, abs(d.n_chars - m.med) AS adev, m.med
+      FROM documents d JOIN med m USING (source)
+    ),
+    mad AS (
+      SELECT source, median(adev) AS mad FROM dev GROUP BY source
+    )
+    SELECT v.source,
+           count(*) AS n_docs,
+           CAST(count(*) FILTER (WHERE v.adev > {_MAD_K} * greatest(a.mad, 0.5))
+                AS BIGINT) AS n_outliers,
+           round(max(v.med) + 1e-9, 4) AS med_chars,
+           round(max(a.mad) + 1e-9, 4) AS mad_chars
+    FROM dev v JOIN mad a USING (source)
+    GROUP BY v.source
+    """,
+)
+def x28_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust length-outlier gate: per-source median and MAD of document
+    length, flagging docs beyond K scaled MADs — the outlier filter that
+    survives heavy-tailed corpora where mean/stddev gates break. Two
+    grouped medians (Spark's exact `median` aggregate) on the same
+    source key plus one broadcast join back; integer inputs make the
+    medians exact halves, so both engines compute identical doubles.
+    MAD floors at 0.5 so a zero-deviation source flags nothing."""
+    d = load_table(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    med = d.groupBy("source").agg(F.median("n_chars").alias("med"))
+    dev = d.join(F.broadcast(med), "source").withColumn(
+        "adev", F.abs(F.col("n_chars") - F.col("med"))
+    )
+    mad = dev.groupBy("source").agg(F.median("adev").alias("mad"))
+    out = dev.join(F.broadcast(mad), "source")
+    is_out = F.col("adev") > _MAD_K * F.greatest(F.col("mad"), F.lit(0.5))
+    return out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(is_out.cast("long")).alias("n_outliers"),
+        F.round(F.max("med") + F.lit(1e-9), 4).alias("med_chars"),
+        F.round(F.max("mad") + F.lit(1e-9), 4).alias("mad_chars"),
+    )

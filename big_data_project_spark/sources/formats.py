@@ -644,3 +644,33 @@ def s13_zorder_write_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice") + F.lit(1e-9), 4).alias("sum_price"),
         )
     )
+
+
+# --- S16: XML source/sink (Spark 4 native XML, third interchange format) ----
+
+
+@query(
+    "s16_xml_roundtrip",
+    oracle="""
+    SELECT doc_id, lang, source, md5(text) AS text_md5, n_chars
+    FROM documents
+    """,
+)
+def s16_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → XML (Spark 4's built-in XML source, rowTag elements) →
+    re-scan → per-row digest. The oracle reads the ORIGINAL parquet, so
+    equality proves the XML write+read preserved every row and value —
+    including the free-text column through XML escaping. XML is a
+    row-major interchange format (no column pruning / predicate
+    pushdown), so the engine treats it as an ingest boundary: land it,
+    convert to parquet, query the parquet — exactly how a 100 TB feed of
+    XML exports enters the lake."""
+    d = load_table(spark, sf_dir, "documents")
+    out = _tmp(f"s16_xml_{os.path.basename(sf_dir.rstrip('/'))}")
+    d.write.mode("overwrite").option("rowTag", "doc").format("xml").save(out)
+    back = spark.read.option("rowTag", "doc").format("xml").load(out)
+    return back.select(
+        "doc_id", "lang", "source",
+        F.md5(F.col("text")).alias("text_md5"),
+        "n_chars",
+    )
