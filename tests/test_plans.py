@@ -299,3 +299,35 @@ def test_group_split_single_shuffle_and_pruning(spark, qs):
     assert cols == ["source"], cols
     assert count_ops(df, "Exchange") - count_ops(df, "BroadcastExchange") == 1
     assert has_partial_agg(df)
+
+
+def test_pii_and_lm_filters_are_narrow(spark, qs):
+    """x24 (typed PII redaction) and x27 (LM logprob gate) are per-row
+    regexp/map-fold transforms: zero exchanges — pure scans at 100 TB."""
+    for name in ("x24_pii_redaction", "x27_lm_quality_filter"):
+        df = qs[name](spark, SF)
+        assert count_ops(df, "Exchange") == 0, name
+
+
+def test_aspect_buckets_prune_payload_and_agg_once(spark, qs):
+    """x22 must never read text/payload bytes (metadata-only pruning) and
+    aggregates on the 3-value bucket with one exchange + partial agg."""
+    df = qs["x22_aspect_buckets"](spark, SF)
+    for cols in read_schemas(df):
+        assert "text" not in cols, cols
+    assert count_ops(df, "Exchange") - count_ops(df, "BroadcastExchange") == 1
+    assert has_partial_agg(df)
+
+
+def test_semdedup_broadcasts_centroids(spark, qs):
+    """x26: centroid assignment must broadcast the centroid side (never a
+    CartesianProduct — the embedding side streams), and the within-
+    cluster pair search must be an EQUI join on the bucket key, not a
+    nested loop over all pairs."""
+    df = qs["x26_semdedup"](spark, SF)
+    assert count_ops(df, "BroadcastExchange") >= 1
+    assert count_ops(df, "CartesianProduct") == 0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin [bucket" in plan or "ShuffledHashJoin [bucket" in plan, (
+        "within-cluster pair join must shuffle on the bucket key only"
+    )
