@@ -32,8 +32,8 @@ from big_data_project_spark.registry import query
            round(pow(l_discount, 2), 4)              AS disc_sq,
            round(exp(l_discount), 4)                 AS exp_disc,
            round(ln(l_extendedprice), 4)             AS ln_price,
-           floor(l_quantity / 10)                    AS qty_decile,
-           ceil(l_tax * 100)                         AS tax_pct_ceil,
+           CAST(floor(l_quantity / 10) AS BIGINT)    AS qty_decile,
+           CAST(ceil(l_tax * 100) AS BIGINT)         AS tax_pct_ceil,
            round(greatest(l_quantity - 25.0, 0.0), 4) AS relu_qty
     FROM lineitem
     WHERE l_orderkey <= 500

@@ -48,6 +48,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     nanos and truncated to microsecond timestamps — the same truncation
     DuckDB applies, so oracle comparisons stay exact. Integer ``div`` (not
     float division) preserves full precision at ~1.7e18 ns.
+
+    Parquet ``timestamp[us]`` without a timezone surfaces as TIMESTAMP_NTZ
+    in Spark 4, which functions like ``unix_micros()`` reject under ANSI.
+    The session timezone is UTC, so casting NTZ → TIMESTAMP is value-exact;
+    normalizing here keeps every downstream query timestamp-typed no matter
+    which physical parquet type the fixture generator emitted.
     """
     path = f"{sf_dir}/{name}.parquet"
     ns_cols = _nanos_timestamp_cols(path)
@@ -57,6 +63,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for c in ns_cols:
         if dict(df.dtypes).get(c) == "bigint":
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    for c, t in df.dtypes:
+        if t == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

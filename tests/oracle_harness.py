@@ -101,6 +101,22 @@ def compare(name: str, spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> Co
         )
     if len(sp) != len(du):
         return CompareResult(name, False, f"row count {len(sp)} != {len(du)}", len(sp), len(du))
+    # The driver's value-hash is dtype-sensitive: an integer column on one
+    # side vs a float column on the other hashes differently even when every
+    # value is numerically equal (seen on floor()/ceil(): DuckDB → DOUBLE,
+    # Spark → BIGINT).  Catch int-vs-float drift here, before the driver
+    # does; skip columns with nulls (pandas coerces nullable ints to float,
+    # which would false-positive).
+    for c in sorted(sp.columns):
+        sk, dk = sp[c].dtype.kind, du[c].dtype.kind
+        if {sk, dk} <= {"i", "u", "f"} and ("f" in (sk, dk)) != (sk == dk == "f"):
+            if not (sp[c].isna().any() or du[c].isna().any()):
+                return CompareResult(
+                    name, False,
+                    f"dtype mismatch on {c!r}: spark={sp[c].dtype} oracle={du[c].dtype} "
+                    "(driver hash is type-sensitive — CAST the oracle or the query)",
+                    len(sp), len(du),
+                )
     sp, du = _canon(sp), _canon(du)
     mism = []
     for c in sp.columns:
