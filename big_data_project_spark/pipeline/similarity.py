@@ -88,23 +88,26 @@ def x8_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- X8b: threshold similarity pairs (embedding-cosine near-dup form) ------
 #
-# Block-matrix kernels: the B side is L2-normalized and broadcast; each
-# partition of the A side does ONE numpy matmul per Arrow batch.  Spark's
-# higher-order array functions are interpreted (not codegen'd), so the
-# per-pair zip_with fold used for the top-k query would cost ~100× more
-# here (n²/2 pairs).
+# Block-matrix kernels: each cell of an (A-block × B-block) grid does ONE
+# numpy matmul per Arrow batch.  Spark's higher-order array functions are
+# interpreted (not codegen'd), so the per-pair zip_with fold used for the
+# top-k query would cost ~100× more here (n²/2 pairs).
 #
-# TILING (the 100 TB path): a single full-table broadcast is a driver OOM
-# at scale, so above `_MAX_BROADCAST_BYTES` the B side splits into
-# `vec_id % nb` blocks — a grid of independent (A-partition × B-block)
-# jobs.  The driver's *Python* heap holds at most one block's pandas at a
-# time; each block's broadcast payload lives in the block manager
-# (MEMORY_AND_DISK, spillable).  Pair results union across blocks (each
-# pair lives in exactly one block); kNN takes a per-vector argmax reduce
-# over the nb per-block candidates.  Tiled ≡ untiled is pinned in
+# TILING (the 100 TB path): when the whole B side fits under
+# `_MAX_BROADCAST_BYTES` it is broadcast once (bounded payload — the same
+# driver-mediated relay Spark's own BroadcastExchange performs for any
+# broadcast join) and every A partition streams past it.  Above the cap
+# the kernel switches to a fully DISTRIBUTED grid: A is replicated across
+# nb shuffle keys, B is replicated across na shuffle keys, and each
+# (a_blk, b_blk) cell is cogrouped executor-side via applyInPandas — no
+# byte of either table ever transits the driver, so the 100 TB bottleneck
+# is the shuffle fabric (nb·|A| + na·|B| replicated bytes), not one
+# driver NIC.  Pair results union across cells (each pair lives in
+# exactly one cell); kNN takes a per-vector rank-1 reduce over the nb
+# per-block candidates.  Tiled ≡ untiled is pinned in
 # tests/test_pipeline.py.
 
-_MAX_BROADCAST_BYTES = 256 << 20  # per-block cap on the broadcast side
+_MAX_BROADCAST_BYTES = 256 << 20  # cap on the single-broadcast B side
 
 
 def _norm_rows(pdf):
@@ -118,26 +121,65 @@ def _norm_rows(pdf):
     return ids[order], mat[order]
 
 
-def _n_blocks(spark: SparkSession, e: DataFrame, block_rows: int | None) -> int:
+def _embedding_stats(sf_dir: str) -> tuple[int, int]:
+    """(row count, vector dim) from the parquet FOOTER + one single-row
+    batch — driver-side metadata only, no Spark job.  r02's agg-based
+    version cost a full scan per kernel call."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    n = pf.metadata.num_rows
+    dim = 1
+    try:
+        first = next(pf.iter_batches(batch_size=1, columns=["embedding"]))
+        dim = len(first.column(0)[0]) or 1
+    except StopIteration:
+        pass
+    return n, dim
+
+
+def _n_blocks(sf_dir: str, block_rows: int | None) -> int:
     """How many B-side blocks?  Explicit block_rows wins (tests use it);
     otherwise one block while the est. payload fits under the cap."""
-    stats = e.agg(
-        F.count(F.lit(1)).alias("n"), F.first(F.size("embedding")).alias("dim")
-    ).first()
-    n, dim = stats["n"], stats["dim"] or 1
+    n, dim = _embedding_stats(sf_dir)
     if block_rows is not None:
         return max(1, -(-n // block_rows))
     rows_per_block = max(1, _MAX_BROADCAST_BYTES // (dim * 8))
     return max(1, -(-n // rows_per_block))
 
 
-def _b_blocks(spark: SparkSession, e: DataFrame, nb: int):
-    """Yield (ids, matrix) broadcasts for each vec_id-modulo block of B."""
-    for b in range(nb):
-        blk = e.filter(F.pmod(F.col("vec_id"), F.lit(nb)) == b).toPandas()
-        if blk.empty:
-            continue
-        yield spark.sparkContext.broadcast(_norm_rows(blk))
+def _grid_apply(e: DataFrame, nb: int, cell_fn, schema: str) -> DataFrame:
+    """Distributed (A-block × B-block) grid: cogroup each cell executor-side.
+
+    A rows go to exactly one a_blk and are replicated to every b_blk; B
+    rows go to exactly one b_blk and are replicated to every a_blk.  Each
+    cell sees one bounded B block (≤ ~cap rows) against one A block, and
+    ``cell_fn(a_pdf, b_pdf) -> pdf`` runs the numpy kernel.  Replication
+    happens executor-side inside the shuffle write — the driver only
+    schedules tasks."""
+    sc_parallelism = e.sparkSession.sparkContext.defaultParallelism
+    na = max(1, sc_parallelism)
+    a_rep = e.select(
+        "vec_id", "embedding",
+        F.pmod(F.col("vec_id"), F.lit(na)).alias("a_blk"),
+        F.explode(F.sequence(F.lit(0), F.lit(nb - 1))).alias("b_blk"),
+    )
+    b_rep = e.select(
+        "vec_id", "embedding",
+        F.explode(F.sequence(F.lit(0), F.lit(na - 1))).alias("a_blk"),
+        F.pmod(F.col("vec_id"), F.lit(nb)).alias("b_blk"),
+    )
+    return (
+        a_rep.groupBy("a_blk", "b_blk")
+        .cogroup(b_rep.groupBy("a_blk", "b_blk"))
+        .applyInPandas(cell_fn, schema=schema)
+    )
+
+
+def _broadcast_b(spark: SparkSession, e: DataFrame):
+    """Single-block path: one bounded (≤ cap) broadcast of the whole B side
+    — the same driver-mediated relay a Spark broadcast join performs."""
+    return spark.sparkContext.broadcast(_norm_rows(e.toPandas()))
 
 
 @query(
@@ -156,44 +198,46 @@ def x8_cosine_pairs_threshold(
     """All pairs with cosine ≥ 0.4 (the fixture's 'near-duplicate' regime;
     at production thresholds ~0.95 this is the embedding-dedup operator).
     Filter applies to the ROUNDED value in both engines.  Pairs are
-    emitted once (vec_a < vec_b), so B-block results simply union."""
+    emitted once (vec_a < vec_b), so grid cells / blocks simply union."""
     from collections.abc import Iterator
 
     import numpy as np
     import pandas as pd
 
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    n_parts = spark.sparkContext.defaultParallelism
-    a_side = e.repartition(n_parts, "vec_id")
 
-    def make_block(bc):
+    def pairs_kernel(ids_a, a, ids_b, mat_b):
+        sims = np.round(a @ mat_b.T + 1e-9, 4)
+        ai, bi = np.where(sims >= 0.4)
+        keep = ids_a[ai] < ids_b[bi]
+        return pd.DataFrame({
+            "vec_a": ids_a[ai][keep],
+            "vec_b": ids_b[bi][keep],
+            "sim": sims[ai, bi][keep],
+        })
+
+    schema = "vec_a bigint, vec_b bigint, sim double"
+    nb = _n_blocks(sf_dir, block_rows)
+    if nb == 1:
+        bc = _broadcast_b(spark, e)
+
         def block(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             ids_b, mat_b = bc.value
             for pdf in pdf_iter:
-                if pdf.empty:
-                    continue
-                ids_a, a = _norm_rows(pdf)
-                sims = np.round(a @ mat_b.T + 1e-9, 4)
-                ai, bi = np.where(sims >= 0.4)
-                keep = ids_a[ai] < ids_b[bi]
-                yield pd.DataFrame({
-                    "vec_a": ids_a[ai][keep],
-                    "vec_b": ids_b[bi][keep],
-                    "sim": sims[ai, bi][keep],
-                })
+                if not pdf.empty:
+                    yield pairs_kernel(*_norm_rows(pdf), ids_b, mat_b)
 
-        return block
+        # spread the A side across all cores: the scan may be one small
+        # parquet split locally, and the matmul parallelizes per-partition
+        n_parts = spark.sparkContext.defaultParallelism
+        return e.repartition(n_parts, "vec_id").mapInPandas(block, schema=schema)
 
-    schema = "vec_a bigint, vec_b bigint, sim double"
-    nb = _n_blocks(spark, e, block_rows)
-    parts = [
-        a_side.mapInPandas(make_block(bc), schema=schema)
-        for bc in _b_blocks(spark, e, nb)
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
-    return out
+    def cell(a_pdf: pd.DataFrame, b_pdf: pd.DataFrame) -> pd.DataFrame:
+        if a_pdf.empty or b_pdf.empty:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "sim": []})
+        return pairs_kernel(*_norm_rows(a_pdf), *_norm_rows(b_pdf))
+
+    return _grid_apply(e, nb, cell, schema)
 
 
 # --- X8b2: embedding-cosine near-dup DEDUP (keep-set) ----------------------
@@ -392,51 +436,50 @@ def x8_knn_all(
 ) -> DataFrame:
     """Nearest neighbor for EVERY vector (the KNN-join that powers
     embedding dedup and clustering) via the tiled block-matrix kernel:
-    each (A-partition × B-block) pass emits only its rows' per-block
-    argmax — nothing but (n × 3) scalars per block ever leaves the
-    kernel — and the global winner is a per-vector rank-1 reduce over the
-    nb block candidates.  Ties break on the smaller neighbor id to match
-    the oracle's ORDER BY sim DESC, nn_id (within a block: ids ascending
-    so argmax takes the first; across blocks: explicit window order)."""
+    each grid cell emits only its rows' per-block argmax — nothing but
+    (n × 3) scalars per block ever leaves the kernel — and the global
+    winner is a per-vector rank-1 reduce over the nb block candidates.
+    Ties break on the smaller neighbor id to match the oracle's ORDER BY
+    sim DESC, nn_id (within a block: ids ascending so argmax takes the
+    first; across blocks: explicit window order)."""
     from collections.abc import Iterator
 
     import numpy as np
     import pandas as pd
 
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    n_parts = spark.sparkContext.defaultParallelism
-    a_side = e.repartition(n_parts, "vec_id")
 
-    def make_block(bc):
+    def argmax_kernel(ids_a, a, ids_b, mat_b):
+        sims = np.round(a @ mat_b.T + 1e-9, 4)
+        sims[ids_a[:, None] == ids_b[None, :]] = -np.inf  # mask self
+        best = sims.argmax(axis=1)  # first (=smallest id) on equal sim
+        ok = sims[np.arange(len(best)), best] > -np.inf
+        return pd.DataFrame({
+            "vec_id": ids_a[ok],
+            "nn_id": ids_b[best][ok],
+            "sim": sims[np.arange(len(best)), best][ok],
+        })
+
+    schema = "vec_id bigint, nn_id bigint, sim double"
+    nb = _n_blocks(sf_dir, block_rows)
+    if nb == 1:
+        bc = _broadcast_b(spark, e)
+
         def block(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             ids_b, mat_b = bc.value
             for pdf in pdf_iter:
-                if pdf.empty:
-                    continue
-                ids_a, a = _norm_rows(pdf)
-                sims = np.round(a @ mat_b.T + 1e-9, 4)
-                sims[ids_a[:, None] == ids_b[None, :]] = -np.inf  # mask self
-                best = sims.argmax(axis=1)  # first (=smallest id) on equal sim
-                ok = sims[np.arange(len(best)), best] > -np.inf
-                yield pd.DataFrame({
-                    "vec_id": ids_a[ok],
-                    "nn_id": ids_b[best][ok],
-                    "sim": sims[np.arange(len(best)), best][ok],
-                })
+                if not pdf.empty:
+                    yield argmax_kernel(*_norm_rows(pdf), ids_b, mat_b)
 
-        return block
+        n_parts = spark.sparkContext.defaultParallelism
+        return e.repartition(n_parts, "vec_id").mapInPandas(block, schema=schema)
 
-    schema = "vec_id bigint, nn_id bigint, sim double"
-    nb = _n_blocks(spark, e, block_rows)
-    parts = [
-        a_side.mapInPandas(make_block(bc), schema=schema)
-        for bc in _b_blocks(spark, e, nb)
-    ]
-    cand = parts[0]
-    for p in parts[1:]:
-        cand = cand.unionAll(p)
-    if nb == 1:
-        return cand
+    def cell(a_pdf: pd.DataFrame, b_pdf: pd.DataFrame) -> pd.DataFrame:
+        if a_pdf.empty or b_pdf.empty:
+            return pd.DataFrame({"vec_id": [], "nn_id": [], "sim": []})
+        return argmax_kernel(*_norm_rows(a_pdf), *_norm_rows(b_pdf))
+
+    cand = _grid_apply(e, nb, cell, schema)
     w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), "nn_id")
     return (
         cand.withColumn("rk", F.row_number().over(w))
