@@ -15,6 +15,7 @@ Parity rules baked into every registered query (SURVEY.md §4.3):
 
 from __future__ import annotations
 
+import functools
 import importlib
 import json
 from collections.abc import Callable
@@ -141,12 +142,32 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Decorator: register a named query and (optionally) its DuckDB oracle.
 
     ``oracle=None`` declares a rows-only check (non-SQL-expressible op).
+
+    The registered entry point clears leftover cached frames before
+    building its plan: several queries persist() intermediates for
+    diamond lineages and the returned (lazy) DataFrame outlives the call,
+    so caches accumulate across a 50-query driver run.  Worse, Spark's
+    CacheManager substitutes cached frames into LATER queries by
+    logical-plan equality — an InMemoryTableScan from query A can mask
+    the join strategy of query B's identical subplan, flipping plan
+    contracts order-dependently.  Entry-point clearCache keeps every
+    query's plan and memory footprint self-contained; the raw function
+    (returned undecorated) composes internally without the reset.
     """
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
             raise ValueError(f"duplicate query name: {name}")
-        QUERIES[name] = fn
+
+        @functools.wraps(fn)
+        def entry_point(spark: SparkSession, sf_dir: str, *args, **kwargs):
+            try:
+                spark.catalog.clearCache()
+            except Exception:
+                pass  # never let cleanup mask the query itself
+            return fn(spark, sf_dir, *args, **kwargs)
+
+        QUERIES[name] = entry_point
         if oracle is not None:
             ORACLES[name] = oracle.strip()
         return fn

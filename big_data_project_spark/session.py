@@ -46,13 +46,19 @@ def get_spark(app_name: str = "big_data_project_spark",
         # --- scan sizing: on 100 TB this is per-task input split size ---
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        # INT64-micros timestamps on write (not legacy INT96): INT96 gets
+        # no parquet min/max statistics, which silently disables row-group
+        # skipping on every timestamp-sorted layout
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # bucketed-table warehouse outside the repo (co-located joins)
         .config("spark.sql.warehouse.dir",
                 os.environ.get("SPARK_GRAFT_WAREHOUSE",
                                "/tmp/bdp_spark_warehouse"))
         # quiet the local console
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local-mode driver == executor: leave generous headroom so a long
+        # bench session (450+ stages) never tips into GC-pressure tails
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
