@@ -304,35 +304,72 @@ def x7_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- SimHash near-dup (engine-specific bit sketch → rows-only) -------------
+# --- SimHash near-dup (cross-engine md5-based bit sketch) -------------------
 
 
-@query("x7_simhash_pairs", oracle=None)
+@query(
+    "x7_simhash_pairs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ), th AS (
+      SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS h
+      FROM toks
+    ), votes AS (
+      SELECT doc_id, i,
+             sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM th CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS i)
+      GROUP BY doc_id, i
+    ), sh AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << i)
+                           ELSE 0 END) AS BIGINT) AS simhash
+      FROM votes GROUP BY doc_id
+    ), ch AS (
+      SELECT doc_id, simhash,
+             (simhash >> 0)  & 32767 AS c0, (simhash >> 15) & 32767 AS c1,
+             (simhash >> 30) & 32767 AS c2, (simhash >> 45) & 32767 AS c3
+      FROM sh
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM ch a JOIN ch b
+      ON a.doc_id < b.doc_id
+     AND (a.c0 = b.c0 OR a.c1 = b.c1 OR a.c2 = b.c2 OR a.c3 = b.c3)
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+    """,
+)
 def x7_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash over token hashes; Hamming-≤6 candidate pairs via
-    4×16-bit chunk blocking (pigeonhole: hamming ≤ 6 with 4 chunks → some
-    chunk intersects... chunks with ≥1 exact match cover hamming ≤ 3 per
-    the 4-chunk bound; we block on any-equal-chunk then filter exactly)."""
+    """60-bit SimHash over md5-prefix token hashes; Hamming-≤6 candidate
+    pairs via 4×15-bit chunk blocking, then exact Hamming filter.  The
+    chunk-block condition guarantees recall only for hamming ≤ 3
+    (pigeonhole over 4 chunks); it is mirrored VERBATIM in the oracle so
+    both engines emit the identical candidate-then-filter set.  The token
+    hash is the cross-engine md5 trick (hex prefix → 60-bit int): Spark
+    ``conv(substr(md5(t),1,15),16,10)`` ≡ DuckDB
+    ``CAST('0x'||substr(md5(t),1,15) AS BIGINT)`` — deterministic on both
+    sides, unlike xxhash64 whose seed/impl is engine-specific."""
     from collections.abc import Iterator
 
     import numpy as np
     import pandas as pd
 
     d = _spread(load_table(spark, sf_dir, "documents"))
-    # token hashes JVM-side (deterministic xxhash64), bit-vote in numpy:
-    # signatures are computed in a single NARROW stage — no shuffle at all
-    # until the chunk-blocking join. (The pure-SQL alternative — explode +
-    # 64 conditional SUMs — shuffles every token row and evaluates 128
-    # branch expressions per token.)
+    # token hashes JVM-side, bit-vote in numpy: signatures are computed in
+    # a single NARROW stage — no shuffle at all until the chunk-blocking
+    # join. (The pure-SQL alternative — explode + 60 conditional SUMs —
+    # shuffles every token row and evaluates 120 branch expressions per
+    # token.)
     hashed = d.select(
         "doc_id",
         F.transform(
-            F.split("text", " "), lambda t: F.pmod(F.xxhash64(t), F.lit(2**63 - 1))
+            F.split("text", " "),
+            lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
         ).alias("token_hashes"),
     )
 
     def simhash_batch(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        shifts = np.arange(63, dtype=np.uint64)  # 63 bits — stay positive in int64
+        shifts = np.arange(60, dtype=np.uint64)
         for pdf in pdf_iter:
             out = []
             for doc_id, hs in zip(pdf["doc_id"], pdf["token_hashes"]):
@@ -349,7 +386,7 @@ def x7_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "simhash",
         *[
-            F.shiftright(F.col("simhash"), 16 * c).bitwiseAND(F.lit(0xFFFF)).alias(f"c{c}")
+            F.shiftright(F.col("simhash"), 15 * c).bitwiseAND(F.lit(0x7FFF)).alias(f"c{c}")
             for c in range(4)
         ],
     ).persist()

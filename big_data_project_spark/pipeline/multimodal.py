@@ -130,10 +130,46 @@ def resize_kernel(target_w: int, target_h: int, use_real_codec: bool = False):
     return _resize
 
 
-@query("x10_multimodal_resize", oracle=None)
+@query(
+    "x10_multimodal_resize",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+      FROM documents
+    ), s AS (
+      SELECT doc_id, hx, n, greatest(n // 256, 1) AS step FROM p
+    ), sel AS (
+      SELECT doc_id, hx, step,
+             least(CAST(ceil(n * 1.0 / step) AS BIGINT), 256) AS n_sel
+      FROM s
+    ), j AS (
+      SELECT doc_id, hx, step, n_sel,
+             unnest(generate_series(0, n_sel - 1)) AS j
+      FROM sel WHERE n_sel > 0
+    ), vals AS (
+      SELECT doc_id, n_sel,
+             CAST(('0x' || substr(hx, CAST(2 * j * step + 1 AS INT), 2))
+                  AS BIGINT) AS byte
+      FROM j
+    ), agg AS (
+      SELECT doc_id, CAST(min(n_sel) AS BIGINT) AS n_bytes_out,
+             CAST(sum(byte) AS BIGINT) AS checksum
+      FROM vals GROUP BY doc_id
+    )
+    SELECT p.doc_id, CAST(32 AS INT) AS out_w, CAST(8 AS INT) AS out_h,
+           COALESCE(a.n_bytes_out, 0) AS n_bytes_out,
+           COALESCE(a.checksum, 0) AS checksum
+    FROM p LEFT JOIN agg a USING (doc_id)
+    """,
+)
 def x10_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch resize of every payload to 32×8 via mapInPandas — rows-only;
-    output-size bound and determinism asserted in tests/test_pipeline.py."""
+    """Batch resize of every payload to 32×8 via mapInPandas.  The fake
+    kernel (deterministic byte subsampling: b[::max(1, len//256)][:256])
+    is mirrored byte-for-byte in the DuckDB oracle via hex-pair
+    extraction, so the full Arrow plumbing — BinaryType column, batch
+    kernel, output schema — is hash-verified, not just row-counted.
+    Output-size bound and determinism additionally asserted in
+    tests/test_pipeline.py."""
     d = load_table(spark, sf_dir, "documents")
     m = attach_payload(d).select("doc_id", "payload")
     return m.mapInPandas(resize_kernel(32, 8), schema=RESIZED_SCHEMA)
@@ -170,20 +206,86 @@ def frame_sample_kernel(frame_size: int, every_k: int):
     return _sample
 
 
-@query("x10_frame_sample", oracle=None)
+@query(
+    "x10_frame_sample",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+      FROM documents
+    ), f AS (
+      SELECT doc_id, hx, n, CAST(ceil(n * 1.0 / 16) AS BIGINT) AS n_frames
+      FROM p
+    ), fi AS (
+      SELECT doc_id, hx, n, unnest(generate_series(0, n_frames - 1)) AS i
+      FROM f WHERE n_frames > 0
+    ), kept AS (
+      SELECT * FROM fi WHERE i % 4 = 0
+    ), vals AS (
+      SELECT doc_id, i,
+             CAST(('0x' || substr(hx, CAST(2 * (i * 16 + k) - 1 AS INT), 2))
+                  AS BIGINT) AS byte
+      FROM (SELECT doc_id, hx, i,
+                   unnest(generate_series(1, least(16, n - i * 16))) AS k
+            FROM kept)
+    )
+    SELECT doc_id, CAST(i AS INT) AS frame_idx,
+           CAST(count(*) AS BIGINT) AS frame_bytes,
+           CAST(sum(byte) AS BIGINT) AS frame_checksum
+    FROM vals GROUP BY doc_id, i
+    """,
+)
 def x10_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sample every 4th 16-byte 'frame' from each payload — rows-only;
-    frame-count arithmetic asserted in tests/test_pipeline.py."""
+    """Sample every 4th 16-byte 'frame' from each payload — the one-row→
+    many-frames fan-out a video keyframe sampler produces.  The chunking
+    arithmetic is mirrored byte-for-byte in the DuckDB oracle (hex-pair
+    extraction), so frame indices, sizes, and checksums are
+    hash-verified; frame-count arithmetic additionally asserted in
+    tests/test_pipeline.py."""
     d = load_table(spark, sf_dir, "documents")
     m = attach_payload(d).select("doc_id", "payload")
     return m.mapInPandas(frame_sample_kernel(16, 4), schema=FRAMES_SCHEMA)
 
 
-@query("x10_multimodal_decode", oracle=None)
+@query(
+    "x10_multimodal_decode",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+      FROM documents
+    ), vals AS (
+      SELECT doc_id, i,
+             CAST(('0x' || substr(hx, CAST(2 * i - 1 AS INT), 2)) AS BIGINT)
+               AS byte
+      FROM (SELECT doc_id, hx, unnest(generate_series(1, n)) AS i
+            FROM p WHERE n > 0)
+    ), agg AS (
+      SELECT doc_id,
+             CAST(sum(byte) AS BIGINT) AS byte_sum,
+             CAST(sum(byte * CASE i WHEN 1 THEN 1 WHEN 2 THEN 256
+                                    WHEN 3 THEN 65536 WHEN 4 THEN 16777216
+                                    ELSE 0 END) AS BIGINT) AS header_u32
+      FROM vals GROUP BY doc_id
+    )
+    SELECT p.doc_id,
+           CAST(p.n AS BIGINT) AS n_bytes,
+           COALESCE(a.header_u32, 0) AS header_u32,
+           COALESCE(a.byte_sum, 0) AS byte_sum,
+           CAST(p.doc_id * 37 % 640 AS INT) AS width,
+           CAST(p.doc_id * 53 % 480 AS INT) AS height,
+           COALESCE(a.byte_sum, 0) * 1.0 / greatest(p.n, 1) / 255.0
+             AS fake_mean_luma
+    FROM p LEFT JOIN agg a USING (doc_id)
+    """,
+)
 def x10_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full decode path: payload → mapInPandas feature extraction.
-    Deterministic fake features (stubbed codec) → rows-only check plus
-    exact invariants in tests/test_pipeline.py."""
+    """Full decode path: payload → mapInPandas feature extraction.  The
+    deterministic fake features (byte length, little-endian header word,
+    byte sum, mean 'luma') are mirrored byte-for-byte in the DuckDB
+    oracle, hash-verifying the whole Arrow decode plumbing; exact
+    invariants additionally asserted in tests/test_pipeline.py.  The
+    real-codec branch stays env-gated (NotImplementedError) — on a real
+    cluster the kernel body swaps for PIL/ffmpeg and the contract
+    (schema, batching, partitioning) is unchanged."""
     d = load_table(spark, sf_dir, "documents")
     m = attach_payload(d).select(
         "doc_id", "payload", F.col("meta.width").alias("width"), F.col("meta.height").alias("height")
