@@ -512,28 +512,63 @@ _CMS_W = 64  # buckets per hash row
 _CMS_D = 4   # independent hash rows
 
 
-@query("a20_countmin_topk", oracle=None)
+def _cms_bucket(r: int, token_col):
+    """Cross-engine count-min hash: md5 of 'r:token', 15-hex-char prefix
+    as a 60-bit int, mod W.  Deterministic and identical in Spark
+    (conv base-16) and DuckDB (CAST '0x…' AS BIGINT), unlike xxhash64."""
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit(str(r)), token_col)), 1, 15), 16, 10
+    ).cast("long")
+    return F.pmod(h, F.lit(_CMS_W))
+
+
+@query(
+    "a20_countmin_topk",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ), rs AS (
+      SELECT unnest(generate_series(0, {_CMS_D - 1})) AS r
+    ), cells AS (
+      SELECT r, CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || token),
+                                     1, 15)) AS BIGINT) % {_CMS_W} AS bucket
+      FROM tok CROSS JOIN rs
+    ), cms AS (
+      SELECT r, bucket, CAST(count(*) AS BIGINT) AS cell_n
+      FROM cells GROUP BY r, bucket
+    ), exact AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS exact_n FROM tok GROUP BY token
+    ), probes AS (
+      SELECT token, exact_n, r,
+             CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || token),
+                                  1, 15)) AS BIGINT) % {_CMS_W} AS bucket
+      FROM exact CROSS JOIN rs
+    )
+    SELECT token, exact_n, min(cell_n) AS cms_estimate
+    FROM probes JOIN cms USING (r, bucket)
+    GROUP BY token, exact_n
+    ORDER BY exact_n DESC, token
+    LIMIT 20
+    """,
+)
 def a20_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch built entirely from DataFrame primitives: each
-    token updates one bucket in each of d=4 hash rows (xxhash64 salted by
-    row id); the sketch is the (row, bucket) count table — d·w = 256
-    cells regardless of corpus size, built in ONE narrow pass with
-    map-side partial aggregation. A key's estimate is the MIN of its d
-    cells: always ≥ the true count (collisions only add), within εN with
-    high probability. At 100 TB the sketch replaces a full shuffle on a
-    billion-key token space with a 256-row broadcast; estimates here are
-    joined against the exact counts so the error is visible (and pinned
-    in tests/test_pipeline.py). Sketch hashing is engine-specific
-    (xxhash64) → rows-only tier."""
+    token updates one bucket in each of d=4 hash rows (md5 salted by row
+    id — cross-engine-reproducible, so the ENTIRE sketch is mirrored and
+    hash-verified in the DuckDB oracle); the sketch is the (row, bucket)
+    count table — d·w = 256 cells regardless of corpus size, built in
+    ONE narrow pass with map-side partial aggregation. A key's estimate
+    is the MIN of its d cells: always ≥ the true count (collisions only
+    add), within εN with high probability. At 100 TB the sketch replaces
+    a full shuffle on a billion-key token space with a 256-row
+    broadcast; estimates here are joined against the exact counts so the
+    error is visible (and pinned in tests/test_pipeline.py)."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select(F.explode(F.split("text", " ")).alias("token"))
     cells = tok.select(
         F.explode(
             F.array(*[
-                F.struct(
-                    F.lit(r).alias("r"),
-                    F.pmod(F.xxhash64(F.lit(r), F.col("token")), F.lit(_CMS_W)).alias("bucket"),
-                )
+                F.struct(F.lit(r).alias("r"), _cms_bucket(r, F.col("token")).alias("bucket"))
                 for r in range(_CMS_D)
             ])
         ).alias("c")
@@ -545,10 +580,7 @@ def a20_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_n",
         F.explode(
             F.array(*[
-                F.struct(
-                    F.lit(r).alias("r"),
-                    F.pmod(F.xxhash64(F.lit(r), F.col("token")), F.lit(_CMS_W)).alias("bucket"),
-                )
+                F.struct(F.lit(r).alias("r"), _cms_bucket(r, F.col("token")).alias("bucket"))
                 for r in range(_CMS_D)
             ])
         ).alias("p"),
