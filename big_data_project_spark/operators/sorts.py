@@ -206,6 +206,50 @@ def o7_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STRATA = (("en", 5000), ("de", 2500), ("fr", 2500), ("es", 2500), ("zh", 1000))
+
+
+@query(
+    "o7_hash_stratified_sample",
+    oracle=f"""
+    WITH h AS (
+      SELECT lang,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 10000 AS frac
+      FROM documents
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled
+    FROM h
+    WHERE frac < CASE lang {' '.join(f"WHEN '{k}' THEN {v}" for k, v in _STRATA)}
+                 ELSE 0 END
+    GROUP BY lang
+    """,
+)
+def o7_hash_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-stratified sampling: keep a row iff
+    md5(doc_id) mod 10000 falls under its class's per-mille threshold.
+    Unlike seeded-RNG sampleBy (o7), the selection is REPRODUCIBLE across
+    engines, re-runs, and cluster sizes — the property a training-data
+    pipeline needs for lineage (re-running the curation job must pick the
+    exact same rows).  Per-row narrow map + pushdown-able filter: no
+    shuffle except the tiny count aggregate, identical cost profile at
+    100 TB.  Fully mirrored in the DuckDB oracle via the cross-engine
+    md5-prefix hash."""
+    d = load_table(spark, sf_dir, "documents")
+    frac = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast("long"),
+        F.lit(10000),
+    )
+    thresh = F.lit(0)
+    for k, v in reversed(_STRATA):
+        thresh = F.when(F.col("lang") == k, v).otherwise(thresh)
+    return (
+        d.filter(frac < thresh)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+
+
 # --- O9: TABLESAMPLE surface (SQL sampling syntax) ---------------------------
 
 

@@ -254,8 +254,13 @@ def t6_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     one long per key: bounded regardless of stream length, the property that
     keeps this runnable over a 100 TB event stream.
 
-    (transformWithStateInPandas — the v2 API — crashes in this container at
-    state-schema validation; applyInPandasWithState is the supported path.)
+    (transformWithStateInPandas — the v2 API — is unavailable in this
+    container: its state-server protocol imports google.protobuf, which is
+    not installed, so the driver worker crashes at state-schema validation
+    [verified: ImportError in transform_with_state_driver_worker]. The v1
+    applyInPandasWithState path below is feature-equivalent for this
+    operator; on a cluster with protobuf the processor body ports to a
+    StatefulProcessor with one ValueState unchanged.)
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
