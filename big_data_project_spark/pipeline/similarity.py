@@ -156,9 +156,16 @@ def _grid_apply(e: DataFrame, nb: int, cell_fn, schema: str) -> DataFrame:
     cell sees one bounded B block (≤ ~cap rows) against one A block, and
     ``cell_fn(a_pdf, b_pdf) -> pdf`` runs the numpy kernel.  Replication
     happens executor-side inside the shuffle write — the driver only
-    schedules tasks."""
+    schedules tasks.
+
+    Grid shape: shuffle volume is nb·|A| + na·|B|, and a cogrouped A cell
+    materializes whole in the Python worker, so A blocks obey the same
+    memory cap as B blocks (na ≥ nb).  na = max(nb, ceil(P/nb)) is the
+    balanced choice: a square grid at scale (minimum total replication
+    for a self-join, the SUMMA layout), widened only when nb alone can't
+    fill the cluster's parallelism."""
     sc_parallelism = e.sparkSession.sparkContext.defaultParallelism
-    na = max(1, sc_parallelism)
+    na = max(nb, -(-max(1, sc_parallelism) // nb))
     a_rep = e.select(
         "vec_id", "embedding",
         F.pmod(F.col("vec_id"), F.lit(na)).alias("a_blk"),
