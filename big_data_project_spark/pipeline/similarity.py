@@ -819,3 +819,65 @@ def x26_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(losers.withColumn("dup", F.lit(1)), "vec_id", "left")
         .select("vec_id", "cluster_id", F.col("dup").isNull().alias("kept"))
     )
+
+
+# --- X30: k-means Lloyd refinement step (iterative clustering machinery) ----
+
+
+@query(
+    "x30_kmeans_step",
+    oracle=_ASSIGN_CTE + """,
+    flat2 AS (
+      SELECT bucket, generate_subscripts(v, 1) AS i, unnest(v) AS x
+      FROM assigned
+    ), dims AS (
+      SELECT bucket, i, avg(x) AS c FROM flat2 GROUP BY bucket, i
+    ), newc AS (
+      SELECT bucket, list(c ORDER BY i) AS nc FROM dims GROUP BY bucket
+    ), members AS (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS n_members
+      FROM assigned GROUP BY bucket
+    )
+    SELECT m.bucket AS centroid_id, m.n_members,
+           round(list_cosine_similarity(c.centroid, n.nc) + 1e-9, 4) AS shift_cos
+    FROM members m
+    JOIN newc n USING (bucket)
+    JOIN cent c ON c.centroid_id = m.bucket
+    """,
+)
+def x30_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration of k-means over the embedding table: assign
+    every vector to its nearest seed centroid (broadcast centroids,
+    rounded-cosine + id tie-break — the IVF assignment), then recompute
+    each centroid as the member mean and report cluster size plus the
+    cosine between old and new centroid (the convergence signal an
+    iterative driver loop would test).  This is the per-iteration body of
+    distributed k-means: ONE broadcast-join assignment pass + ONE
+    groupBy(bucket, dim) mean — at 100 TB each iteration is a single
+    narrow scan plus a k·dim-cell aggregate, never a shuffle of the
+    vectors themselves.  Full pipeline mirrored in the DuckDB oracle
+    (same seed centroids, same tie-breaks, shift rounded to 4)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = _label_centroids(e)
+    assigned = _assign_nearest(e, cent)
+    dims = (
+        assigned.select("bucket", F.posexplode("embedding").alias("i", "x"))
+        .groupBy("bucket", "i")
+        .agg(F.avg("x").alias("c"))
+        .groupBy("bucket")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "c"))).alias("p"))
+        .select(
+            "bucket",
+            F.transform("p", lambda q: q.getField("c")).alias("new_centroid"),
+        )
+    )
+    members = assigned.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_members"))
+    joined = (
+        members.join(dims, "bucket")
+        .join(F.broadcast(cent), F.col("bucket") == F.col("centroid_id"))
+    )
+    return with_cosine(joined, "centroid", "new_centroid").select(
+        F.col("bucket").alias("centroid_id"),
+        "n_members",
+        F.round(F.col("sim_raw") + F.lit(1e-9), 4).alias("shift_cos"),
+    )
