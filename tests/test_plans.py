@@ -331,3 +331,39 @@ def test_semdedup_broadcasts_centroids(spark, qs):
     assert "SortMergeJoin [bucket" in plan or "ShuffledHashJoin [bucket" in plan, (
         "within-cluster pair join must shuffle on the bucket key only"
     )
+
+
+def test_kmeans_step_broadcasts_centroids_no_vector_shuffle(spark, qs):
+    """x30: both joins in the Lloyd step must broadcast (centroids and the
+    tiny per-bucket aggregates) — the embedding table itself must never be
+    the build side of a shuffle join, and assignment must not be a
+    CartesianProduct blowup (the centroid side is broadcast-nested-loop
+    over k rows, bounded)."""
+    df = qs["x30_kmeans_step"](spark, SF)
+    assert count_ops(df, "BroadcastExchange") >= 1
+    assert count_ops(df, "CartesianProduct") == 0
+
+
+def test_hash_stratified_sample_is_narrow(spark, qs):
+    """o7b: deterministic hash sampling is a per-row filter — exactly the
+    one exchange of the final per-class count aggregate (plus partial agg
+    in front), never a shuffle of the sampled rows themselves."""
+    df = qs["o7_hash_stratified_sample"](spark, SF)
+    assert count_ops(df, "Exchange") - count_ops(df, "BroadcastExchange") == 1
+    assert has_partial_agg(df)
+
+
+def test_grid_kernel_distributed_path_shape(spark):
+    """The nb>1 block-matrix path must be the cogrouped executor-side grid
+    (FlatMapCoGroupsInPandas) with NO broadcast exchange — nothing relays
+    through the driver — and both replicated sides shuffle on the grid
+    keys only."""
+    from big_data_project_spark.pipeline.similarity import (
+        x8_cosine_pairs_threshold,
+    )
+
+    df = x8_cosine_pairs_threshold(spark, SF, block_rows=100)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in plan, "grid path must cogroup executor-side"
+    assert count_ops(df, "BroadcastExchange") == 0
+    assert count_ops(df, "CartesianProduct") == 0
