@@ -250,6 +250,45 @@ def o7_hash_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CLASS_CAP = 50
+
+
+@query(
+    "o11_class_capped_sample",
+    oracle=f"""
+    SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents
+    )
+    WHERE rk <= {_CLASS_CAP}
+    """,
+)
+def o11_class_capped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-capped downsampling: keep at most N documents per class,
+    chosen by md5(doc_id) rank — the deterministic 'cap every
+    source/language at N examples' rebalancing step of a training-data
+    mixture.  Hash-rank selection is reproducible across engines,
+    re-runs, and cluster sizes (same property as o7_hash_stratified_
+    sample, but with an exact per-class quota instead of a rate).  The
+    shuffle carries only (doc_id, lang, 32-byte digest); a skewed class
+    distribution concentrates one reducer per class — for very hot
+    classes the two-phase form (per-partition local top-N, then final
+    top-N per class) bounds that, at the cost of a second pass."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("doc_id", "lang")
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= _CLASS_CAP)
+    )
+
+
 # --- O9: TABLESAMPLE surface (SQL sampling syntax) ---------------------------
 
 
