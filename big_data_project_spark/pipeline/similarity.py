@@ -67,7 +67,17 @@ def with_cosine(pairs: DataFrame, col_a: str = "va", col_b: str = "vb") -> DataF
 def x8_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 cosine neighbors for the first 10 vectors. Ranking uses the
     ROUNDED similarity (+ id tie-break) so both engines rank identically
-    even if their float reduction orders differ by ulps."""
+    even if their float reduction orders differ by ulps.
+
+    Kernel choice (measured at sf0.1, min-of-4 steady state): at this
+    shape — 10 queries × n corpus — the pure-JVM broadcast-crossJoin +
+    zip_with fold wins (0.65-0.73s) over an Arrow/numpy matmul kernel
+    (0.83-1.2s): the kernel pays a query-fetch job, a broadcast, Python
+    worker spin-up, and a repartition shuffle that the fold never needs,
+    and 50k interpreted folds are too few to amortize them.  The numpy
+    block kernels take over where the pair count explodes
+    (x8_cosine_pairs_threshold, x8_knn_all: n² pairs).  Measure, don't
+    guess — the crossover is the pair count, not the operator."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("va")
