@@ -23,7 +23,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from big_data_project_spark.io import load_table
-from big_data_project_spark.pipeline.dedup import _ORACLE_PAIRS_CTE, verified_neardup_pairs
+from big_data_project_spark.pipeline.dedup import (
+    oracle_pairs_cte_body, verified_neardup_pairs,
+)
 from big_data_project_spark.pipeline.similarity import x8_cosine_pairs_threshold
 from big_data_project_spark.registry import query
 
@@ -32,10 +34,39 @@ MIN_WORDS = 5
 MAX_DIGIT_RATIO = 0.3
 LANGS = ("en", "de", "fr")
 
+_GATED_SQL = """
+      SELECT doc_id, lang, text
+      FROM documents
+      WHERE len(text) >= 20
+        AND len(string_split(text, ' ')) >= 5
+        AND len(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / len(text) <= 0.3
+        AND lang IN ('en', 'de', 'fr')
+"""
+
+
+def _gated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality + language gates — pure scan filters, zero shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    digits = F.length(F.regexp_replace("text", r"[^0-9]", ""))
+    return d.filter(
+        (F.length("text") >= MIN_CHARS)
+        & (F.size(words) >= MIN_WORDS)
+        & (digits / F.length("text") <= MAX_DIGIT_RATIO)
+        & F.col("lang").isin(*LANGS)
+    )
+
 
 def curated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Survivor set after quality, language, exact-dedup, and near-dup
     gates. Returned with per-doc token counts for downstream stats.
+
+    Funnel semantics: the near-dup search runs over the GATED pool only —
+    each stage shrinks the set the next stage pays for (and a surviving
+    doc is never dropped for matching a doc the quality/language gates
+    already rejected).  The gates are scan filters, so the restriction
+    costs no shuffle; near-dup work now scales with the survivors, not
+    the raw corpus.
 
     Exact dedup is min(doc_id) OVER (PARTITION BY content_hash): ONE
     shuffle keyed on the hash, versus the groupBy+semi-join form's two
@@ -43,16 +74,12 @@ def curated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, lang, n_tokens, h) happens BEFORE that shuffle so document
     text never moves — at 100 TB the exchange carries ~40 bytes/row, not
     the corpus. Content hashes are uniform, so the window partitioning
-    has no skew and each hash-group is tiny (the dup set)."""
-    d = load_table(spark, sf_dir, "documents")
+    has no skew and each hash-group is tiny (the dup set). Exact-dup
+    losers are NOT excluded from the near-dup pool (that would shuffle
+    text through an anti-join); tokenizing the few duplicates is cheaper,
+    and their keeper has identical shingles, so pair results agree."""
+    gated = _gated_docs(spark, sf_dir)
     words = F.split(F.col("text"), " ")
-    digits = F.length(F.regexp_replace("text", r"[^0-9]", ""))
-    gated = d.filter(
-        (F.length("text") >= MIN_CHARS)
-        & (F.size(words) >= MIN_WORDS)
-        & (digits / F.length("text") <= MAX_DIGIT_RATIO)
-        & F.col("lang").isin(*LANGS)
-    )
     # exact dedup: keep smallest doc_id per normalized content hash
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
     narrow = gated.select(
@@ -65,9 +92,9 @@ def curated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         narrow.withColumn("keep", F.min("doc_id").over(Window.partitionBy("h")))
         .filter(F.col("doc_id") == F.col("keep"))
     )
-    # near-dup gate: drop the larger id of every verified near-dup pair
+    # near-dup gate over the gated pool: drop the larger id of every pair
     losers = (
-        verified_neardup_pairs(spark, sf_dir)
+        verified_neardup_pairs(spark, sf_dir, docs=gated.select("doc_id", "text"))
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
@@ -77,15 +104,9 @@ def curated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "pipeline_curation_end2end",
-    oracle=_ORACLE_PAIRS_CTE + """,
-    gated AS (
-      SELECT doc_id, lang, text
-      FROM documents
-      WHERE len(text) >= 20
-        AND len(string_split(text, ' ')) >= 5
-        AND len(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / len(text) <= 0.3
-        AND lang IN ('en', 'de', 'fr')
-    ),
+    oracle="WITH gated AS (" + _GATED_SQL + "),\n"
+    + oracle_pairs_cte_body("gated")
+    + """,
     keep_exact AS (
       SELECT min(doc_id) AS doc_id
       FROM gated
@@ -125,15 +146,9 @@ def pipeline_curation_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "pipeline_semantic_curation",
-    oracle=_ORACLE_PAIRS_CTE + """,
-    gated AS (
-      SELECT doc_id, lang, text
-      FROM documents
-      WHERE len(text) >= 20
-        AND len(string_split(text, ' ')) >= 5
-        AND len(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / len(text) <= 0.3
-        AND lang IN ('en', 'de', 'fr')
-    ),
+    oracle="WITH gated AS (" + _GATED_SQL + "),\n"
+    + oracle_pairs_cte_body("gated")
+    + """,
     keep_exact AS (
       SELECT min(doc_id) AS doc_id
       FROM gated

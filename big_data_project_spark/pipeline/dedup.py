@@ -67,8 +67,13 @@ def _shingles(tok_col):
     )
 
 
-def shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _spread(load_table(spark, sf_dir, "documents"))
+def shingled_docs(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
+    """Shingle the corpus — or, when ``docs`` is given (doc_id + text), an
+    already-filtered subset (the curation funnel passes its gated pool so
+    near-dup work scales with the survivors, not the raw corpus)."""
+    d = _spread(docs if docs is not None else load_table(spark, sf_dir, "documents"))
     return (
         d.filter(F.size(_tokens(F.col("text"))) >= 3)
         .select("doc_id", _shingles(_tokens(F.col("text"))).alias("shingles"))
@@ -139,12 +144,15 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
 
 
 def verified_neardup_pairs(spark: SparkSession, sf_dir: str,
-                           threshold: float = JACCARD_THRESHOLD) -> DataFrame:
-    """Candidates → exact shingle-Jaccard verification ≥ threshold."""
+                           threshold: float = JACCARD_THRESHOLD,
+                           docs: DataFrame | None = None) -> DataFrame:
+    """Candidates → exact shingle-Jaccard verification ≥ threshold.
+    ``docs`` (doc_id + text) restricts the search to a subset — see
+    shingled_docs."""
     # persist: the shingle table feeds three branches (signatures + both
     # sides of the verify join); without it Spark re-tokenizes the corpus
     # three times. At 100 TB this is a materialized intermediate table.
-    docs = shingled_docs(spark, sf_dir).persist()
+    docs = shingled_docs(spark, sf_dir, docs=docs).persist()
     pairs = lsh_candidate_pairs(minhash_signatures(docs))
     a = docs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     b = docs.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
@@ -162,10 +170,13 @@ def verified_neardup_pairs(spark: SparkSession, sf_dir: str,
     )
 
 
-_ORACLE_PAIRS_CTE = """
-WITH toks AS (
+def oracle_pairs_cte_body(source: str = "documents") -> str:
+    """The exact n² Jaccard pair CTEs (toks → sh → pairs) over ``source``
+    — composable after other CTEs (no leading WITH).  The curation funnel
+    instantiates it over its gated pool; the x7 queries over the corpus."""
+    return f"""toks AS (
   SELECT doc_id, string_split(text, ' ') AS w
-  FROM documents
+  FROM {source}
   WHERE len(string_split(text, ' ')) >= 3
 ), sh AS (
   SELECT doc_id,
@@ -177,8 +188,10 @@ WITH toks AS (
          len(list_intersect(a.t, b.t)) * 1.0
            / len(list_distinct(list_concat(a.t, b.t))) AS jac
   FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-)
-"""
+)"""
+
+
+_ORACLE_PAIRS_CTE = "\nWITH " + oracle_pairs_cte_body("documents") + "\n"
 
 
 # --- X6: exact dedup by content hash ---------------------------------------
