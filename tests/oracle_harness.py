@@ -84,7 +84,13 @@ def _values_equal(a, b) -> bool:
             return False
         if math.isnan(af) and math.isnan(bf):
             return True
-        return af == bf or abs(af - bf) <= 1e-9 * max(1.0, abs(af), abs(bf))
+        # EXACT float equality — the driver's value-hash is exact, so any
+        # ulp drift that an epsilon would forgive here becomes a red driver
+        # row.  The repo's rounding convention (round(x + 1e-9, 4) on both
+        # sides) makes bit-exactness achievable; an r03 audit confirmed all
+        # 183 oracle-backed queries are bit-exact at sf0.01.  If this ever
+        # fails on a new query, fix the query's rounding, don't loosen this.
+        return af == bf
     if isinstance(a, tuple) and isinstance(b, tuple):
         return len(a) == len(b) and all(_values_equal(x, y) for x, y in zip(a, b))
     return a == b
