@@ -18,6 +18,7 @@ from __future__ import annotations
 import functools
 import importlib
 import json
+import re
 from collections.abc import Callable
 from pathlib import Path
 
@@ -73,18 +74,20 @@ _FRONT = (
 )
 
 # Names whose existing green row is STALE (earned before a breaking change,
-# now re-fixed): pin them into the window once more even though they are
-# green; drop from this list once the fresh row lands.
+# now re-fixed): pin (name, stale_through_round) into the window even though
+# green.  The pin dissolves by itself once the driver records ANY row in a
+# round AFTER stale_through_round — no manual cleanup next round.
 _REVERIFY = (
-    "w2_lag_lead",             # r01 green, broken by NTZ fixtures, fixed r03
-    "w7_range_frame",
+    ("w2_lag_lead", 2),        # r01 green, broken by NTZ fixtures, fixed r03
+    ("w7_range_frame", 2),
 )
 
 
-def _driver_verified() -> tuple[set[str], set[str]]:
+def _driver_verified() -> tuple[set[str], set[str], dict[str, int]]:
     """Scan the driver's CORRECTNESS_r*.json files (repo root) and return
-    (green, seen): names with a passing hash row in any prior round, and
-    names with any driver row at all.
+    (green, seen, last_round): names with a passing hash row in any prior
+    round, names with any driver row at all, and the latest round number
+    each name was checked in.
 
     The driver verifies only the first ~50 registry entries per round, so
     insertion order IS the verification budget.  Reading the driver's own
@@ -94,8 +97,11 @@ def _driver_verified() -> tuple[set[str], set[str]]:
     """
     green: set[str] = set()
     seen: set[str] = set()
+    last_round: dict[str, int] = {}
     root = Path(__file__).resolve().parent.parent
     for path in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)", path.name)
+        rnd = int(m.group(1)) if m else 0
         try:
             rows = json.loads(path.read_text())
         except (OSError, json.JSONDecodeError):
@@ -106,18 +112,19 @@ def _driver_verified() -> tuple[set[str], set[str]]:
             if not isinstance(row, dict):
                 continue
             seen.add(name)
+            last_round[name] = max(last_round.get(name, 0), rnd)
             if row.get("hash_match") and row.get("rows_match") and row.get("schema_match"):
                 green.add(name)
-    return green, seen
+    return green, seen, last_round
 
 
 def _ordered(names: list[str]) -> list[str]:
     """Order queries for the driver: flagship smoke first, then the pinned
     front list, then driver-unverified oracle-backed queries, then rows-only
     queries the driver has never recorded, then everything already green."""
-    green, seen = _driver_verified()
+    green, seen, last_round = _driver_verified()
     front_rank = {n: i for i, n in enumerate(_FRONT)}
-    reverify_rank = {n: i for i, n in enumerate(_REVERIFY)}
+    reverify_rank = {n: (i, through) for i, (n, through) in enumerate(_REVERIFY)}
     reg_rank = {n: i for i, n in enumerate(names)}
 
     def key(n: str) -> tuple[int, int]:
@@ -125,8 +132,8 @@ def _ordered(names: list[str]) -> list[str]:
             return (0, 0)
         if n in front_rank and n not in green:
             return (1, front_rank[n])
-        if n in reverify_rank:
-            return (2, reverify_rank[n])
+        if n in reverify_rank and last_round.get(n, 0) <= reverify_rank[n][1]:
+            return (2, reverify_rank[n][0])
         if n in ORACLES and n not in green:
             return (3, reg_rank[n])
         if n not in ORACLES and n not in seen:

@@ -20,11 +20,16 @@ registry.load()
 ALL = list(registry.QUERIES)
 
 
-def order_with(monkeypatch, green=frozenset(), seen=frozenset()):
+def order_with(monkeypatch, green=frozenset(), seen=frozenset(), last_round=None):
     monkeypatch.setattr(
-        registry, "_driver_verified", lambda: (set(green), set(green) | set(seen))
+        registry,
+        "_driver_verified",
+        lambda: (set(green), set(green) | set(seen), dict(last_round or {})),
     )
     return registry._ordered(ALL)
+
+
+REVERIFY_NAMES = [n for n, _ in registry._REVERIFY]
 
 
 def test_flagship_always_first(monkeypatch):
@@ -49,11 +54,26 @@ def test_front_demotes_once_green(monkeypatch):
         assert n not in window, f"{n} is green — it must not burn a window slot"
 
 
-def test_reverify_pinned_even_when_green(monkeypatch):
-    names = order_with(monkeypatch, green=set(registry._REVERIFY))
+def test_reverify_pinned_while_row_is_stale(monkeypatch):
+    # green row from r01 only (<= stale_through_round) -> still pinned
+    names = order_with(
+        monkeypatch, green=set(REVERIFY_NAMES),
+        last_round={n: 1 for n in REVERIFY_NAMES},
+    )
     head = names[: 1 + len(registry._FRONT) + len(registry._REVERIFY)]
-    for n in registry._REVERIFY:
+    for n in REVERIFY_NAMES:
         assert n in head, f"{n} has a STALE green row — it must be re-checked"
+
+
+def test_reverify_dissolves_after_fresh_row(monkeypatch):
+    # any row in a round AFTER stale_through_round -> pin dissolves
+    names = order_with(
+        monkeypatch, green=set(REVERIFY_NAMES),
+        last_round={n: 3 for n in REVERIFY_NAMES},
+    )
+    window = names[:50]
+    for n in REVERIFY_NAMES:
+        assert n not in window, f"{n} was re-checked in r03 — pin must dissolve"
 
 
 def test_unverified_oracles_fill_window_before_green(monkeypatch):
@@ -68,7 +88,7 @@ def test_unverified_oracles_fill_window_before_green(monkeypatch):
         and n != "flagship_pricing_summary"
     ]
     n_pinned = 1 + len([f for f in registry._FRONT if f not in some_green]) + len(
-        registry._REVERIFY
+        [n for n in REVERIFY_NAMES]
     )
     expect_in_window = min(len(unverified), 50 - n_pinned)
     got = sum(1 for n in unverified if n in window)
@@ -86,7 +106,7 @@ def test_rows_only_never_seen_before_green(monkeypatch):
     first_green_pos = min(
         names.index(n)
         for n in green
-        if n != "flagship_pricing_summary" and n not in registry._REVERIFY
+        if n != "flagship_pricing_summary" and n not in REVERIFY_NAMES
     )
     for n in rows_only:
         assert names.index(n) < first_green_pos, (
