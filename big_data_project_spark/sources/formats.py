@@ -674,3 +674,49 @@ def s16_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("text")).alias("text_md5"),
         "n_chars",
     )
+
+
+# --- S17: hive-partitioned scan with partition pruning ----------------------
+
+
+def partitioned_lineitem_path(spark: SparkSession, sf_dir: str) -> str:
+    """Write (once per process) lineitem partitioned by l_returnflag —
+    the hive-layout directory tree a partitioned data lake serves."""
+    out = _tmp(f"s17_part_{os.path.basename(sf_dir.rstrip('/'))}")
+    if not os.listdir(out):
+        load_table(spark, sf_dir, "lineitem").write.mode("overwrite").partitionBy(
+            "l_returnflag"
+        ).parquet(out)
+    return out
+
+
+@query(
+    "s17_partition_pruned_scan",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(l_extendedprice), 4) AS sum_price
+    FROM lineitem
+    WHERE l_returnflag = 'R'
+    GROUP BY l_linestatus
+    """,
+)
+def s17_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter on the PARTITION column of a hive-partitioned layout: the
+    predicate must resolve at PLANNING time against directory names —
+    PartitionFilters in the scan node, non-matching directories never
+    listed or read.  At 100 TB this is the difference between scanning
+    one partition and scanning the lake; the plan contract in
+    tests/test_plans.py asserts the filter lands in PartitionFilters
+    (not a post-scan Filter) and the aggregate equals the unpartitioned
+    oracle."""
+    out = partitioned_lineitem_path(spark, sf_dir)
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("l_returnflag") == "R")
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+        )
+    )

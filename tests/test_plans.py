@@ -367,3 +367,17 @@ def test_grid_kernel_distributed_path_shape(spark):
     assert "FlatMapCoGroupsInPandas" in plan, "grid path must cogroup executor-side"
     assert count_ops(df, "BroadcastExchange") == 0
     assert count_ops(df, "CartesianProduct") == 0
+
+
+def test_partition_pruning_reaches_the_scan(spark, qs):
+    """s17: the partition-column predicate must resolve against directory
+    names at planning time (PartitionFilters), not as a row-level filter
+    after reading every partition."""
+    df = qs["s17_partition_pruned_scan"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "l_returnflag" in m.group(1), (
+        f"partition filter not pushed to the scan: {m and m.group(1)}"
+    )
