@@ -720,3 +720,50 @@ def s17_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
         )
     )
+
+
+# --- S18: dynamic partition pruning (runtime pruning via a dim join) --------
+
+
+@query(
+    "s18_dynamic_partition_pruning",
+    oracle="""
+    WITH dim(l_returnflag, flag_class) AS (
+      VALUES ('R', 'returns'), ('A', 'acknowledged'), ('N', 'open')
+    )
+    SELECT l.l_linestatus,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(l.l_extendedprice), 4) AS sum_price
+    FROM lineitem l
+    JOIN dim d ON l.l_returnflag = d.l_returnflag
+    WHERE d.flag_class = 'returns'
+    GROUP BY l.l_linestatus
+    """,
+)
+def s18_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact table is partitioned on the
+    join key and the dim side carries the selective filter, so the set of
+    fact partitions to read is only known AT RUNTIME — Spark reuses the
+    dim's broadcast result as a pruning subquery
+    (``dynamicpruningexpression`` inside the scan's PartitionFilters,
+    pinned in tests/test_plans.py).  At 100 TB this is the star-schema
+    pattern: 'revenue for returned items' reads the R partition, not the
+    lake.  The dim is written to parquet first — DPP needs a real scan
+    on the filtering side to estimate benefit."""
+    out = partitioned_lineitem_path(spark, sf_dir)
+    dim_path = _tmp(f"s18_dim_{os.path.basename(sf_dir.rstrip('/'))}")
+    if not os.listdir(dim_path):
+        spark.createDataFrame(
+            [("R", "returns"), ("A", "acknowledged"), ("N", "open")],
+            "l_returnflag string, flag_class string",
+        ).write.mode("overwrite").parquet(dim_path)
+    fact = spark.read.parquet(out)
+    dim = spark.read.parquet(dim_path).filter(F.col("flag_class") == "returns")
+    return (
+        fact.join(dim, "l_returnflag")
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+        )
+    )

@@ -381,3 +381,14 @@ def test_partition_pruning_reaches_the_scan(spark, qs):
     assert m and "l_returnflag" in m.group(1), (
         f"partition filter not pushed to the scan: {m and m.group(1)}"
     )
+
+
+def test_dynamic_partition_pruning_triggers(spark, qs):
+    """s18: the fact scan's PartitionFilters must contain a
+    dynamicpruningexpression — the dim filter prunes fact partitions at
+    RUNTIME via the reused broadcast, not after reading the lake."""
+    df = qs["s18_dynamic_partition_pruning"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan.lower(), (
+        "dynamic partition pruning did not trigger on the fact scan"
+    )
