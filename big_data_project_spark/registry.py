@@ -40,8 +40,11 @@ _MODULES = (
     # so this ordering only decides who gets the never-checked slots.
     "big_data_project_spark.operators.sql_surface",
     "big_data_project_spark.operators.sql_tpch",
-    "big_data_project_spark.sources.formats",
+    # similarity before formats: the r02 verdict flagged the block-matrix
+    # kernels (since reworked) — their driver evidence outranks the tail
+    # of the source/sink family this round
     "big_data_project_spark.pipeline.similarity",
+    "big_data_project_spark.sources.formats",
     "big_data_project_spark.pipeline.dedup",
     "big_data_project_spark.pipeline.quality",
     "big_data_project_spark.pipeline.text",
