@@ -85,12 +85,31 @@ _REVERIFY = (
     ("w7_range_frame", 2),
 )
 
+# Rows-only queries worth the window's leftover slots first (VERDICT r03 #3):
+# the reference-vertical demonstrators and the non-SQL sources, ahead of the
+# RNG/sketch invariant checks whose pytest coverage is already strong.
+_ROWS_PRIORITY = (
+    "s14_python_datasource",
+    "s3_binary_npz_scan",
+    "x2_gaussian_smooth",
+    "x3_model_inference",
+    "raster_forecast_pipeline",
+    "raster_training_loop",
+)
 
-def _driver_verified() -> tuple[set[str], set[str], dict[str, int]]:
+
+def _driver_verified(root: Path | None = None) -> tuple[set[str], set[str], dict[str, int]]:
     """Scan the driver's CORRECTNESS_r*.json files (repo root) and return
-    (green, seen, last_round): names with a passing hash row in any prior
-    round, names with any driver row at all, and the latest round number
-    each name was checked in.
+    (green, seen, last_round): names whose MOST RECENT driver row passed,
+    names with any driver row at all, and the latest round number each name
+    was checked in.
+
+    Green follows the latest row, not any row: a query that passed in r01
+    but failed (or errored) when the driver last re-checked it demotes back
+    into the verification window automatically.  Sticky green was the r02
+    failure mode — w2/w7 regressed under a fixture-type change and needed
+    manual _REVERIFY pins; latest-row semantics makes that self-healing
+    (the pins remain only for green rows the driver hasn't re-checked yet).
 
     The driver verifies only the first ~50 registry entries per round, so
     insertion order IS the verification budget.  Reading the driver's own
@@ -98,10 +117,11 @@ def _driver_verified() -> tuple[set[str], set[str], dict[str, int]]:
     already earned a green row move to the back and never-checked ones move
     into the window — no manual bookkeeping as rounds accumulate.
     """
-    green: set[str] = set()
     seen: set[str] = set()
     last_round: dict[str, int] = {}
-    root = Path(__file__).resolve().parent.parent
+    latest: dict[str, tuple[int, bool]] = {}  # name -> (round, that row passed)
+    if root is None:
+        root = Path(__file__).resolve().parent.parent
     for path in sorted(root.glob("CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)", path.name)
         rnd = int(m.group(1)) if m else 0
@@ -116,8 +136,12 @@ def _driver_verified() -> tuple[set[str], set[str], dict[str, int]]:
                 continue
             seen.add(name)
             last_round[name] = max(last_round.get(name, 0), rnd)
-            if row.get("hash_match") and row.get("rows_match") and row.get("schema_match"):
-                green.add(name)
+            ok = bool(
+                row.get("hash_match") and row.get("rows_match") and row.get("schema_match")
+            )
+            if rnd >= latest.get(name, (-1, False))[0]:
+                latest[name] = (rnd, ok)
+    green = {n for n, (_, ok) in latest.items() if ok}
     return green, seen, last_round
 
 
@@ -129,6 +153,7 @@ def _ordered(names: list[str]) -> list[str]:
     front_rank = {n: i for i, n in enumerate(_FRONT)}
     reverify_rank = {n: (i, through) for i, (n, through) in enumerate(_REVERIFY)}
     reg_rank = {n: i for i, n in enumerate(names)}
+    rows_rank = {n: i for i, n in enumerate(_ROWS_PRIORITY)}
 
     def key(n: str) -> tuple[int, int]:
         if n == "flagship_pricing_summary":
@@ -140,7 +165,7 @@ def _ordered(names: list[str]) -> list[str]:
         if n in ORACLES and n not in green:
             return (3, reg_rank[n])
         if n not in ORACLES and n not in seen:
-            return (4, reg_rank[n])
+            return (4, rows_rank.get(n, len(_ROWS_PRIORITY) + reg_rank[n]))
         return (5, reg_rank[n])
 
     return sorted(names, key=key)

@@ -116,3 +116,58 @@ def test_rows_only_never_seen_before_green(monkeypatch):
 
 def test_every_oracle_has_a_query():
     assert set(registry.ORACLES) <= set(registry.QUERIES)
+
+
+# --- latest-row green semantics (_driver_verified reads real files) -------
+
+def _write_rows(tmp_path, rnd, rows):
+    import json
+
+    (tmp_path / f"CORRECTNESS_r{rnd:02d}.json").write_text(json.dumps(rows))
+
+
+GOOD = {"hash_match": True, "rows_match": True, "schema_match": True}
+BAD = {"hash_match": False, "rows_match": True, "schema_match": True}
+
+
+def test_green_follows_latest_row(tmp_path):
+    _write_rows(tmp_path, 1, {"a": GOOD, "b": GOOD, "c": BAD})
+    _write_rows(tmp_path, 2, {"b": BAD, "c": GOOD})
+    green, seen, last_round = registry._driver_verified(tmp_path)
+    assert "a" in green, "green in r01, never re-checked -> stays green"
+    assert "b" not in green, "red in the LATEST round must demote green"
+    assert "c" in green, "red then fixed -> green"
+    assert seen == {"a", "b", "c"}
+    assert last_round == {"a": 1, "b": 2, "c": 2}
+
+
+def test_demoted_query_reenters_window(monkeypatch, tmp_path):
+    # an oracle-backed query red in its latest row ranks with the unverified
+    name = next(n for n in ALL if n in registry.ORACLES
+                and n != "flagship_pricing_summary" and n not in REVERIFY_NAMES
+                and n not in registry._FRONT)
+    others = [n for n in ALL if n in registry.ORACLES and n != name]
+    _write_rows(tmp_path, 1, {name: GOOD})
+    _write_rows(tmp_path, 2, {n: GOOD for n in others} | {name: BAD})
+    real = registry._driver_verified
+    monkeypatch.setattr(registry, "_driver_verified", lambda: real(tmp_path))
+    names = registry._ordered(ALL)
+    assert names.index(name) <= len(registry._FRONT) + len(REVERIFY_NAMES) + 1, (
+        f"{name} regressed in its latest driver row — it must re-enter the "
+        "front of the verification window"
+    )
+
+
+def test_rows_only_priority_order(monkeypatch):
+    names = order_with(monkeypatch)  # nothing green, nothing seen
+    positions = [names.index(n) for n in registry._ROWS_PRIORITY
+                 if n in registry.QUERIES]
+    assert positions == sorted(positions), (
+        "_ROWS_PRIORITY order must be preserved within the rows-only bucket"
+    )
+    other_rows_only = [n for n in ALL if n not in registry.ORACLES
+                       and n not in registry._ROWS_PRIORITY]
+    first_other = min(names.index(n) for n in other_rows_only)
+    assert max(positions) < first_other, (
+        "prioritized rows-only queries must precede the rest of the bucket"
+    )
