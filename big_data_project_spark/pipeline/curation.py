@@ -34,13 +34,15 @@ MIN_WORDS = 5
 MAX_DIGIT_RATIO = 0.3
 LANGS = ("en", "de", "fr")
 
-_GATED_SQL = """
+# Built from the SAME constants the Spark funnel filters on — a threshold
+# change cannot desync the oracle from the engine.
+_GATED_SQL = f"""
       SELECT doc_id, lang, text
       FROM documents
-      WHERE len(text) >= 20
-        AND len(string_split(text, ' ')) >= 5
-        AND len(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / len(text) <= 0.3
-        AND lang IN ('en', 'de', 'fr')
+      WHERE len(text) >= {MIN_CHARS}
+        AND len(string_split(text, ' ')) >= {MIN_WORDS}
+        AND len(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / len(text) <= {MAX_DIGIT_RATIO}
+        AND lang IN ({", ".join(f"'{lg}'" for lg in LANGS)})
 """
 
 

@@ -131,27 +131,39 @@ def _norm_rows(pdf):
     return ids[order], mat[order]
 
 
-def _embedding_stats(sf_dir: str) -> tuple[int, int]:
+def _embedding_stats(sf_dir: str, e: DataFrame | None = None) -> tuple[int, int]:
     """(row count, vector dim) from the parquet FOOTER + one single-row
     batch — driver-side metadata only, no Spark job.  r02's agg-based
-    version cost a full scan per kernel call."""
-    import pyarrow.parquet as pq
+    version cost a full scan per kernel call.
 
-    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
-    n = pf.metadata.num_rows
-    dim = 1
+    The footer probe assumes a single-file fixture with a non-null first
+    embedding; a directory-layout table or a leading null raises, so fall
+    back to the (slower but layout-agnostic) DataFrame aggregate when the
+    caller hands us the loaded frame."""
     try:
-        first = next(pf.iter_batches(batch_size=1, columns=["embedding"]))
-        dim = len(first.column(0)[0]) or 1
-    except StopIteration:
-        pass
-    return n, dim
+        import pyarrow.parquet as pq
+
+        pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+        n = pf.metadata.num_rows
+        dim = 1
+        for first in pf.iter_batches(batch_size=1, columns=["embedding"]):
+            dim = len(first.column(0)[0]) or 1
+            break
+        return n, dim
+    except Exception:
+        if e is None:
+            raise
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max(F.size("embedding")).alias("dim"),
+        ).first()
+        return int(row["n"]), max(1, int(row["dim"] or 1))
 
 
-def _n_blocks(sf_dir: str, block_rows: int | None) -> int:
+def _n_blocks(sf_dir: str, block_rows: int | None, e: DataFrame | None = None) -> int:
     """How many B-side blocks?  Explicit block_rows wins (tests use it);
     otherwise one block while the est. payload fits under the cap."""
-    n, dim = _embedding_stats(sf_dir)
+    n, dim = _embedding_stats(sf_dir, e)
     if block_rows is not None:
         return max(1, -(-n // block_rows))
     rows_per_block = max(1, _MAX_BROADCAST_BYTES // (dim * 8))
@@ -234,7 +246,7 @@ def x8_cosine_pairs_threshold(
         })
 
     schema = "vec_a bigint, vec_b bigint, sim double"
-    nb = _n_blocks(sf_dir, block_rows)
+    nb = _n_blocks(sf_dir, block_rows, e)
     if nb == 1:
         bc = _broadcast_b(spark, e)
 
@@ -478,7 +490,7 @@ def x8_knn_all(
         })
 
     schema = "vec_id bigint, nn_id bigint, sim double"
-    nb = _n_blocks(sf_dir, block_rows)
+    nb = _n_blocks(sf_dir, block_rows, e)
     if nb == 1:
         bc = _broadcast_b(spark, e)
 

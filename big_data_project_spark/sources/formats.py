@@ -381,7 +381,7 @@ def s10_sorted_write_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sorted_lineitem_path(spark: SparkSession, sf_dir: str) -> str:
     """Write (once per process) the range-clustered lineitem copy."""
     out = _tmp(f"s10_sorted_{os.path.basename(sf_dir.rstrip('/'))}")
-    if not os.listdir(out):
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
         li = load_table(spark, sf_dir, "lineitem")
         (
             li.repartitionByRange(8, "l_shipdate")
@@ -512,7 +512,7 @@ def zorder_lineitem_path(spark: SparkSession, sf_dir: str) -> str:
     """Write (once per process) a lineitem copy clustered on the Z-order
     curve over (l_partkey, l_suppkey)."""
     out = _tmp(f"s13_zorder_{os.path.basename(sf_dir.rstrip('/'))}")
-    if not os.listdir(out):
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
         li = load_table(spark, sf_dir, "lineitem")
         bounds = li.agg(
             F.max("l_partkey").alias("maxp"), F.max("l_suppkey").alias("maxs")
@@ -550,7 +550,7 @@ def zorder3_lineitem_path(spark: SparkSession, sf_dir: str) -> str:
     differs between them (measured: 4/8 files unprunable that way).
     Octant dirs guarantee each file is an axis-aligned cube."""
     out = _tmp(f"s15_zorder3_{os.path.basename(sf_dir.rstrip('/'))}")
-    if not os.listdir(out):
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
         li = load_table(spark, sf_dir, "lineitem")
         bounds = li.agg(*[F.max(c).alias(f"mx_{c}") for c in _Z3_COLS])
         both = li.crossJoin(F.broadcast(bounds))
@@ -681,9 +681,13 @@ def s16_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def partitioned_lineitem_path(spark: SparkSession, sf_dir: str) -> str:
     """Write (once per process) lineitem partitioned by l_returnflag —
-    the hive-layout directory tree a partitioned data lake serves."""
+    the hive-layout directory tree a partitioned data lake serves.
+
+    Reuse is gated on the _SUCCESS marker, not on the directory being
+    non-empty: a write that died mid-job leaves a partial tree that a
+    non-empty check would silently scan forever after."""
     out = _tmp(f"s17_part_{os.path.basename(sf_dir.rstrip('/'))}")
-    if not os.listdir(out):
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
         load_table(spark, sf_dir, "lineitem").write.mode("overwrite").partitionBy(
             "l_returnflag"
         ).parquet(out)
@@ -752,7 +756,7 @@ def s18_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame
     on the filtering side to estimate benefit."""
     out = partitioned_lineitem_path(spark, sf_dir)
     dim_path = _tmp(f"s18_dim_{os.path.basename(sf_dir.rstrip('/'))}")
-    if not os.listdir(dim_path):
+    if not os.path.exists(os.path.join(dim_path, "_SUCCESS")):
         spark.createDataFrame(
             [("R", "returns"), ("A", "acknowledged"), ("N", "open")],
             "l_returnflag string, flag_class string",
