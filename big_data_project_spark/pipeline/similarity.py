@@ -882,20 +882,129 @@ def x30_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     cent = _label_centroids(e)
     assigned = _assign_nearest(e, cent)
-    dims = (
-        assigned.select("bucket", F.posexplode("embedding").alias("i", "x"))
-        .groupBy("bucket", "i")
-        .agg(F.avg("x").alias("c"))
-        .groupBy("bucket")
-        .agg(F.array_sort(F.collect_list(F.struct("i", "c"))).alias("p"))
-        .select(
-            "bucket",
-            F.transform("p", lambda q: q.getField("c")).alias("new_centroid"),
-        )
-    )
+    dims = _bucket_means(assigned)
     members = assigned.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_members"))
     joined = (
         members.join(dims, "bucket")
+        .join(F.broadcast(cent), F.col("bucket") == F.col("centroid_id"))
+    )
+    return with_cosine(joined, "centroid", "new_centroid").select(
+        F.col("bucket").alias("centroid_id"),
+        "n_members",
+        F.round(F.col("sim_raw") + F.lit(1e-9), 4).alias("shift_cos"),
+    )
+
+
+def _bucket_means(assigned: DataFrame, round_to: int | None = None) -> DataFrame:
+    """Recompute each centroid as its members' mean: ONE groupBy(bucket,
+    dim) aggregate — k·dim result cells, the vectors themselves never
+    shuffle.  ``round_to`` quantizes every coordinate (round(c+1e-9, d)):
+    the multi-iteration trainer needs it so Spark's and DuckDB's
+    float-reduction-order ulps can't compound into diverging assignments
+    on the next pass."""
+    c = F.avg("x").alias("c")
+    coord = (lambda q: F.round(q.getField("c") + F.lit(1e-9), round_to)) \
+        if round_to is not None else (lambda q: q.getField("c"))
+    return (
+        assigned.select("bucket", F.posexplode("embedding").alias("i", "x"))
+        .groupBy("bucket", "i")
+        .agg(c)
+        .groupBy("bucket")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "c"))).alias("p"))
+        .select("bucket", F.transform("p", coord).alias("new_centroid"))
+    )
+
+
+# --- X31: multi-iteration k-means training loop (Lloyd until report) --------
+
+
+def _kmeans_train_oracle(iters: int) -> str:
+    """Unroll ``iters`` Lloyd iterations as CTEs (the x30 pattern composed):
+    c0 = per-label seed means, then a{n} = nearest-centroid assignment
+    against c{n-1}, c{n} = member means — every centroid coordinate
+    rounded to 6 on BOTH engines so iteration n+1 starts from bit-equal
+    inputs, every ranking on round(csim+1e-9, 4) with the centroid-id
+    tie-break (§4.3.1)."""
+    ctes = [
+        "e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        "flat AS (SELECT label, generate_subscripts(v, 1) AS i, unnest(v) AS x FROM e)",
+        """c0 AS (
+      SELECT label AS centroid_id, list(round(c + 1e-9, 6) ORDER BY i) AS centroid
+      FROM (SELECT label, i, avg(x) AS c FROM flat GROUP BY label, i)
+      GROUP BY label)""",
+    ]
+    for n in range(1, iters + 1):
+        ctes.append(f"""a{n} AS (
+      SELECT vec_id, v, centroid_id AS bucket
+      FROM (
+        SELECT e.vec_id, e.v, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.v, c.centroid) + 1e-9, 4) DESC,
+                          c.centroid_id) AS rk
+        FROM e CROSS JOIN c{n - 1} c)
+      WHERE rk = 1)""")
+        ctes.append(f"""c{n} AS (
+      SELECT bucket AS centroid_id, list(round(c + 1e-9, 6) ORDER BY i) AS centroid
+      FROM (SELECT bucket, i, avg(x) AS c
+            FROM (SELECT bucket, generate_subscripts(v, 1) AS i, unnest(v) AS x FROM a{n})
+            GROUP BY bucket, i)
+      GROUP BY bucket)""")
+    return "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT f.centroid_id, m.n_members,
+           round(list_cosine_similarity(p.centroid, f.centroid) + 1e-9, 4) AS shift_cos
+    FROM (SELECT bucket AS centroid_id, CAST(count(*) AS BIGINT) AS n_members
+          FROM a{iters} GROUP BY bucket) m
+    JOIN c{iters} f ON f.centroid_id = m.centroid_id
+    JOIN c{iters - 1} p ON p.centroid_id = f.centroid_id"""
+
+
+_KMEANS_ITERS = 3
+
+
+@query("x31_kmeans_train", oracle=_kmeans_train_oracle(_KMEANS_ITERS))
+def x31_kmeans_train(
+    spark: SparkSession, sf_dir: str, iters: int = _KMEANS_ITERS
+) -> DataFrame:
+    """Multi-iteration k-means: the x30 Lloyd step driven to ``iters``
+    rounds from the per-label seed, reporting final cluster sizes and the
+    last iteration's convergence signal (cosine between the two newest
+    centroid sets).  This is how a trained coarse quantizer for IVF /
+    SemDeDup is actually produced — per-label means are only the seed.
+
+    Iterative-plan-reuse shape: each iteration's centroid set (k·dim
+    values) is persisted and MATERIALIZED (count) before the next
+    assignment plan is built, then the previous generation is unpersisted
+    — so iteration n+1's lineage starts at a k-row cached table, not at a
+    re-derivation of every earlier pass, and executor memory holds
+    exactly one generation.  Per iteration the cluster pays one
+    broadcast-assign scan + one k·dim-cell aggregate; the embedding
+    vectors never shuffle.  Centroid coordinates are quantized to 6
+    decimals each generation on both engines, so float-reduction-order
+    ulps cannot compound into diverging assignments at iteration n+1
+    (the assignment itself ranks on round(csim+1e-9, 4), §4.3.1)."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    seed = _label_centroids(e).select(
+        "centroid_id",
+        F.transform("centroid", lambda x: F.round(x + F.lit(1e-9), 6)).alias("centroid"),
+    )
+    cent = seed.persist()
+    cent.count()
+    for _ in range(iters - 1):
+        new = (
+            _bucket_means(_assign_nearest(e, cent), round_to=6)
+            .select(F.col("bucket").alias("centroid_id"),
+                    F.col("new_centroid").alias("centroid"))
+            .persist()
+        )
+        new.count()
+        cent.unpersist()
+        cent = new
+    assigned = _assign_nearest(e, cent)
+    final = _bucket_means(assigned, round_to=6)
+    members = assigned.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_members"))
+    joined = (
+        members.join(final, "bucket")
         .join(F.broadcast(cent), F.col("bucket") == F.col("centroid_id"))
     )
     return with_cosine(joined, "centroid", "new_centroid").select(
