@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from big_data_project_spark.io import load_table
 from big_data_project_spark.registry import query
@@ -653,4 +654,117 @@ def x23_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit("accepted"))
             .alias("status"),
         )
+    )
+
+
+# --- X32: corpus-wide line-level dedup (C4-style, keep first occurrence) ----
+
+_SEG_WORDS = 8
+
+
+@query(
+    "x32_line_dedup",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+    ),
+    segs AS (
+      SELECT doc_id, lang, i AS seg_idx,
+             array_to_string(w[i*{_SEG_WORDS}+1 : i*{_SEG_WORDS}+{_SEG_WORDS}], ' ') AS seg
+      FROM words,
+           unnest(generate_series(0, CAST(ceil(len(w)/{_SEG_WORDS}.0) AS INT) - 1)) AS t(i)
+    ),
+    surv AS (
+      SELECT doc_id, lang, seg_idx, seg,
+             row_number() OVER (PARTITION BY md5(seg)
+                                ORDER BY doc_id, seg_idx) AS rn
+      FROM segs
+    ),
+    rebuilt AS (
+      SELECT doc_id, lang,
+             md5(string_agg(seg, ' ' ORDER BY seg_idx)) AS h
+      FROM surv WHERE rn = 1
+      GROUP BY doc_id, lang
+    ),
+    stats AS (
+      SELECT lang,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs_in,
+             CAST(count(*) AS BIGINT) AS total_segs,
+             CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS kept_segs,
+             CAST(count(DISTINCT doc_id) FILTER (WHERE rn = 1) AS BIGINT) AS docs_out
+      FROM surv GROUP BY lang
+    ),
+    digests AS (
+      SELECT lang,
+             CAST(sum(CAST('0x' || substr(h, 1, 15) AS BIGINT) % 1000000007)
+                  AS BIGINT) AS digest
+      FROM rebuilt GROUP BY lang
+    )
+    SELECT s.lang, s.n_docs_in, s.total_segs, s.kept_segs, s.docs_out, d.digest
+    FROM stats s JOIN digests d USING (lang)
+    """,
+)
+def x32_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide line-level deduplication (the C4 / Lee-et-al. stage that
+    doc-level dedup misses): every document is segmented, each distinct
+    segment keeps its FIRST occurrence ((doc_id, seg_idx) order) across
+    the whole corpus, and documents are rebuilt from their surviving
+    segments.  The fixture text has no newline structure, so 'lines' are
+    fixed 8-word windows — same machinery, declared granularity.
+
+    Shape at 100 TB: explode is narrow; the dedup is ONE shuffle keyed on
+    the segment hash (uniform keys, group size = the duplication factor);
+    the rebuild is one shuffle keyed on doc_id.  Text transits each
+    exchange exactly once — identical volume to a corpus repartition, and
+    a stats-only variant would carry (md5, doc_id, seg_idx) ≈ 40 B/row
+    through the first shuffle instead.  Output is per-language survival
+    stats plus a reassembly digest (60-bit md5 prefix mod 1e9+7, summed
+    per lang) proving both engines rebuilt byte-identical documents."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_segs = F.ceil(F.size(words) / F.lit(_SEG_WORDS)).cast("int")
+    segs = d.select(
+        "doc_id", "lang",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_segs - 1),
+                lambda i: F.array_join(
+                    F.slice(words, i * _SEG_WORDS + 1, _SEG_WORDS), " "
+                ),
+            )
+        ).alias("seg_idx", "seg"),
+    )
+    w = Window.partitionBy(F.md5("seg")).orderBy("doc_id", "seg_idx")
+    surv = segs.withColumn("rn", F.row_number().over(w))
+    stats = surv.groupBy("lang").agg(
+        F.count_distinct("doc_id").alias("n_docs_in"),
+        F.count(F.lit(1)).alias("total_segs"),
+        F.count(F.when(F.col("rn") == 1, 1)).alias("kept_segs"),
+        F.count_distinct(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("docs_out"),
+    )
+    rebuilt = (
+        surv.filter(F.col("rn") == 1)
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
+                        lambda p: p.getField("seg"),
+                    ),
+                    " ",
+                )
+            ).alias("h")
+        )
+    )
+    digests = rebuilt.groupBy("lang").agg(
+        F.sum(
+            F.pmod(
+                F.conv(F.substring("h", 1, 15), 16, 10).cast("bigint"),
+                F.lit(1000000007),
+            )
+        ).cast("bigint").alias("digest")
+    )
+    return stats.join(digests, "lang").select(
+        "lang", "n_docs_in", "total_segs", "kept_segs", "docs_out", "digest"
     )

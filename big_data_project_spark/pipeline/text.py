@@ -542,3 +542,98 @@ def x24_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(synth, F.lit(_PII_PHONE)).cast("int").alias("n_phones"),
         F.right(redacted, F.lit(80)).alias("redacted_tail"),
     )
+
+
+# --- X33: URL canonicalization + canonical-URL dedup ------------------------
+
+
+@query(
+    "x33_url_canonical_dedup",
+    oracle="""
+    WITH urls AS (
+      SELECT doc_id, source,
+             'HTTPS://WWW.' || source || '.Example.COM:443/Articles/'
+               || CAST(doc_id % 50 AS VARCHAR)
+               || '?utm_source=feed&utm_campaign=c' || CAST(doc_id % 3 AS VARCHAR)
+               || '&id=' || CAST(doc_id % 7 AS VARCHAR)
+               || '#sec' || CAST(doc_id % 4 AS VARCHAR) AS url
+      FROM documents
+    ),
+    parts AS (
+      SELECT doc_id, source,
+             regexp_replace(
+               regexp_replace(
+                 lower(regexp_extract(url, '^([A-Za-z]+://[^/?#]*)', 1)),
+                 ':443$', ''),
+               '^https://www\\.', 'https://') AS chost,
+             regexp_replace(
+               regexp_extract(regexp_replace(url, '^[A-Za-z]+://[^/?#]*', ''),
+                              '^([^?#]*)', 1),
+               '/$', '') AS cpath,
+             regexp_extract(url, '[?&]id=([0-9]+)', 1) AS idv
+      FROM urls
+    ),
+    canon AS (
+      SELECT doc_id, source, chost || cpath || '?id=' || idv AS curl FROM parts
+    ),
+    keepers AS (
+      SELECT source, curl, CAST(count(*) AS BIGINT) AS n_urls,
+             min(doc_id) AS keeper
+      FROM canon GROUP BY source, curl
+    )
+    SELECT source,
+           CAST(sum(n_urls) AS BIGINT) AS n_urls,
+           CAST(count(*) AS BIGINT) AS n_canonical,
+           CAST(sum(keeper) AS BIGINT) AS keeper_id_sum,
+           min(curl) AS sample_canonical
+    FROM keepers GROUP BY source
+    """,
+)
+def x33_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + canonical-URL dedup — the cheapest and
+    first dedup stage of a web-crawl corpus: lowercase the scheme/host,
+    strip the default port, the www. prefix, the fragment, the trailing
+    slash, and all tracking params (id is the whitelisted survivor), then
+    keep the smallest doc_id per canonical form.  URLs are synthesized
+    deterministically from (source, doc_id) — the fixture's source column
+    is not a URL — with the messiness the canonicalizer must remove
+    (mixed case, :443, utm_* params, #fragment); both engines run the
+    same regex pipeline, so the oracle verifies the canonical STRINGS
+    (sample_canonical), not just counts.
+
+    Shape at 100 TB: canonicalization is a pure map (zero shuffle); the
+    dedup is one aggregate keyed on the canonical URL — uniform hash
+    keys, no text wider than a URL ever moves."""
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HTTPS://WWW."), F.col("source"), F.lit(".Example.COM:443/Articles/"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit("?utm_source=feed&utm_campaign=c"), (F.col("doc_id") % 3).cast("string"),
+        F.lit("&id="), (F.col("doc_id") % 7).cast("string"),
+        F.lit("#sec"), (F.col("doc_id") % 4).cast("string"),
+    )
+    u = d.select("doc_id", "source", url.alias("url"))
+    chost = F.regexp_replace(
+        F.regexp_replace(
+            F.lower(F.regexp_extract("url", r"^([A-Za-z]+://[^/?#]*)", 1)),
+            r":443$", ""),
+        r"^https://www\.", "https://")
+    cpath = F.regexp_replace(
+        F.regexp_extract(
+            F.regexp_replace("url", r"^[A-Za-z]+://[^/?#]*", ""), r"^([^?#]*)", 1
+        ),
+        r"/$", "")
+    idv = F.regexp_extract("url", r"[?&]id=([0-9]+)", 1)
+    canon = u.select(
+        "doc_id", "source",
+        F.concat(chost, cpath, F.lit("?id="), idv).alias("curl"),
+    )
+    keepers = canon.groupBy("source", "curl").agg(
+        F.count(F.lit(1)).alias("n_urls"), F.min("doc_id").alias("keeper")
+    )
+    return keepers.groupBy("source").agg(
+        F.sum("n_urls").cast("bigint").alias("n_urls"),
+        F.count(F.lit(1)).alias("n_canonical"),
+        F.sum("keeper").cast("bigint").alias("keeper_id_sum"),
+        F.min("curl").alias("sample_canonical"),
+    )

@@ -85,6 +85,16 @@ _REVERIFY = (
     ("w7_range_frame", 2),
 )
 
+# Oracle-backed queries added AFTER this round's verification window was
+# packed: rank them behind the never-seen rows-only bucket so they wait for
+# the next round's window instead of displacing the debt being closed now.
+# The deferral is self-dissolving — once the driver records any row, the
+# normal rules apply.
+_DEFER = (
+    "x32_line_dedup",
+    "x33_url_canonical_dedup",
+)
+
 # Rows-only queries worth the window's leftover slots first (VERDICT r03 #3):
 # the reference-vertical demonstrators and the non-SQL sources, ahead of the
 # RNG/sketch invariant checks whose pytest coverage is already strong.
@@ -154,6 +164,7 @@ def _ordered(names: list[str]) -> list[str]:
     reverify_rank = {n: (i, through) for i, (n, through) in enumerate(_REVERIFY)}
     reg_rank = {n: i for i, n in enumerate(names)}
     rows_rank = {n: i for i, n in enumerate(_ROWS_PRIORITY)}
+    defer_rank = {n: i for i, n in enumerate(_DEFER)}
 
     def key(n: str) -> tuple[int, int]:
         if n == "flagship_pricing_summary":
@@ -162,6 +173,8 @@ def _ordered(names: list[str]) -> list[str]:
             return (1, front_rank[n])
         if n in reverify_rank and last_round.get(n, 0) <= reverify_rank[n][1]:
             return (2, reverify_rank[n][0])
+        if n in defer_rank and n not in seen:
+            return (4, 1_000_000 + defer_rank[n])
         if n in ORACLES and n not in green:
             return (3, reg_rank[n])
         if n not in ORACLES and n not in seen:

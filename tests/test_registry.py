@@ -158,6 +158,22 @@ def test_demoted_query_reenters_window(monkeypatch, tmp_path):
     )
 
 
+def test_deferred_queries_wait_behind_rows_only(monkeypatch):
+    names = order_with(monkeypatch)  # nothing green, nothing seen
+    rows_only = [n for n in ALL if n not in registry.ORACLES]
+    last_rows_only = max(names.index(n) for n in rows_only)
+    for n in registry._DEFER:
+        assert names.index(n) > last_rows_only, (
+            f"never-seen deferred {n} must not displace this round's window"
+        )
+    # ...but once the driver records a row, deferral dissolves: green goes
+    # to the back, red re-enters with the unverified
+    names_seen = order_with(monkeypatch, green=set(registry._DEFER))
+    head = {n for n in names_seen[:50]}
+    for n in registry._DEFER:
+        assert n not in head, f"green deferred {n} must demote like any green"
+
+
 def test_rows_only_priority_order(monkeypatch):
     names = order_with(monkeypatch)  # nothing green, nothing seen
     positions = [names.index(n) for n in registry._ROWS_PRIORITY
