@@ -712,14 +712,17 @@ def x32_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     segments.  The fixture text has no newline structure, so 'lines' are
     fixed 8-word windows — same machinery, declared granularity.
 
-    Shape at 100 TB: explode is narrow; the dedup is ONE shuffle keyed on
-    the segment hash (uniform keys, group size = the duplication factor);
-    the rebuild is one shuffle keyed on doc_id.  Text transits each
-    exchange exactly once — identical volume to a corpus repartition, and
-    a stats-only variant would carry (md5, doc_id, seg_idx) ≈ 40 B/row
-    through the first shuffle instead.  Output is per-language survival
-    stats plus a reassembly digest (60-bit md5 prefix mod 1e9+7, summed
-    per lang) proving both engines rebuilt byte-identical documents."""
+    Shape at 100 TB: ONE linear pipeline — explode is narrow, the dedup
+    is one shuffle keyed on the segment hash (uniform keys, group size =
+    the duplication factor), the rebuild one shuffle keyed on (doc_id,
+    lang), the report one tiny per-lang aggregate.  Stats and rebuild
+    digest come out of the SAME per-doc aggregate, so the corpus is
+    scanned and window-shuffled exactly once (a stats+rebuilt branch pair
+    would recompute both; plan-pinned in tests/test_plans.py).  Text
+    transits each exchange once — the volume of a corpus repartition; a
+    stats-only variant would carry (md5, doc_id, seg_idx) ≈ 40 B/row
+    instead.  The digest (60-bit md5 prefix mod 1e9+7, summed per lang)
+    proves both engines rebuilt byte-identical documents."""
     d = load_table(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
     n_segs = F.ceil(F.size(words) / F.lit(_SEG_WORDS)).cast("int")
@@ -736,35 +739,32 @@ def x32_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy(F.md5("seg")).orderBy("doc_id", "seg_idx")
     surv = segs.withColumn("rn", F.row_number().over(w))
-    stats = surv.groupBy("lang").agg(
-        F.count_distinct("doc_id").alias("n_docs_in"),
-        F.count(F.lit(1)).alias("total_segs"),
-        F.count(F.when(F.col("rn") == 1, 1)).alias("kept_segs"),
-        F.count_distinct(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("docs_out"),
-    )
-    rebuilt = (
-        surv.filter(F.col("rn") == 1)
-        .groupBy("doc_id", "lang")
-        .agg(
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
-                        lambda p: p.getField("seg"),
-                    ),
-                    " ",
-                )
-            ).alias("h")
-        )
-    )
-    digests = rebuilt.groupBy("lang").agg(
-        F.sum(
-            F.pmod(
-                F.conv(F.substring("h", 1, 15), 16, 10).cast("bigint"),
-                F.lit(1000000007),
+    first = F.col("rn") == 1
+    perdoc = surv.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).alias("total"),
+        F.count(F.when(first, 1)).alias("kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.when(first, F.struct("seg_idx", "seg")))),
+                    lambda p: p.getField("seg"),
+                ),
+                " ",
             )
-        ).cast("bigint").alias("digest")
+        ).alias("h"),
     )
-    return stats.join(digests, "lang").select(
-        "lang", "n_docs_in", "total_segs", "kept_segs", "docs_out", "digest"
-    )
+    return perdoc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs_in"),
+        F.sum("total").cast("bigint").alias("total_segs"),
+        F.sum("kept").cast("bigint").alias("kept_segs"),
+        F.count(F.when(F.col("kept") > 0, 1)).alias("docs_out"),
+        F.sum(
+            F.when(
+                F.col("kept") > 0,
+                F.pmod(
+                    F.conv(F.substring("h", 1, 15), 16, 10).cast("bigint"),
+                    F.lit(1000000007),
+                ),
+            )
+        ).cast("bigint").alias("digest"),
+    ).select("lang", "n_docs_in", "total_segs", "kept_segs", "docs_out", "digest")

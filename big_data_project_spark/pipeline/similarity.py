@@ -385,16 +385,32 @@ def _label_centroids(e: DataFrame) -> DataFrame:
 def _assign_nearest(e: DataFrame, cent: DataFrame) -> DataFrame:
     """Assign every vector to its nearest centroid (rounded csim + id
     tie-break: the cross-engine-stable ranking convention, §4.3.1).
-    Centroids broadcast — the fact side never shuffles."""
+    Centroids broadcast — the fact side never shuffles.
+
+    Formulated as max_by over the k candidate rows, NOT a row_number
+    window: the broadcast crossJoin keeps all k candidates of a vector in
+    the partition that scanned it, so map-side partial aggregation
+    collapses them to ONE row per vector before the exchange — n rows of
+    (vec_id, embedding, bucket) transit the shuffle instead of the
+    window formulation's n·k rows each dragging a copy of the embedding.
+    max_by(id, (csim, -id)) == max csim, then smallest id — the same
+    ranking, and every candidate row carries the identical embedding so
+    first() is value-deterministic."""
     vc = e.crossJoin(F.broadcast(cent))
     vc = with_cosine(vc, "embedding", "centroid").select(
         "vec_id", "embedding", "centroid_id",
         F.round(F.col("sim_raw") + F.lit(1e-9), 4).alias("csim"),
     )
-    wv = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), "centroid_id")
     return (
-        vc.withColumn("rk", F.row_number().over(wv)).filter(F.col("rk") == 1)
-        .select("vec_id", "embedding", F.col("centroid_id").alias("bucket"))
+        vc.groupBy("vec_id")
+        .agg(
+            F.first("embedding").alias("embedding"),
+            F.max_by(
+                "centroid_id",
+                F.struct(F.col("csim"), (-F.col("centroid_id")).alias("nid")),
+            ).alias("bucket"),
+        )
+        .select("vec_id", "embedding", "bucket")
     )
 
 

@@ -392,3 +392,60 @@ def test_dynamic_partition_pruning_triggers(spark, qs):
     assert "dynamicpruningexpression" in plan.lower(), (
         "dynamic partition pruning did not trigger on the fact scan"
     )
+
+
+def test_assign_nearest_collapses_candidates_map_side(spark, qs):
+    """The nearest-centroid assignment must be the max_by aggregate (with
+    map-side partial agg), not a row_number window: the window form
+    shuffles n*k candidate rows each carrying an embedding copy; the
+    aggregate collapses to one row per vector BEFORE the exchange."""
+    df = qs["x30_kmeans_step"](spark, SF)
+    assert count_ops(df, "Window") == 0
+    assert has_partial_agg(df)
+
+
+def test_kmeans_train_iterates_on_cached_centroids(spark, qs):
+    """x31: the final iteration's plan must build on the persisted
+    previous-generation centroid table (InMemoryTableScan), not re-derive
+    every earlier Lloyd pass, and assignment must never degenerate into
+    an unbounded CartesianProduct."""
+    df = qs["x31_kmeans_train"](spark, SF)
+    assert count_ops(df, "InMemoryTableScan") >= 1
+    assert count_ops(df, "CartesianProduct") == 0
+
+
+def test_line_dedup_is_one_linear_pipeline(spark, qs):
+    """x32: exactly three shuffles — segment-hash window, (doc_id, lang)
+    rebuild, per-lang report — and NO join: stats and rebuild digest come
+    out of one per-doc aggregate, so the corpus is scanned and
+    window-shuffled once, not once per output branch."""
+    from big_data_project_spark.plans.contracts import num_shuffles
+
+    df = qs["x32_line_dedup"](spark, SF)
+    assert num_shuffles(df) == 3
+    assert count_ops(df, "SortMergeJoin") == 0
+    assert count_ops(df, "BroadcastHashJoin") == 0
+    assert count_ops(df, "BatchEvalPython") + count_ops(df, "ArrowEvalPython") == 0
+
+
+def test_url_canonical_dedup_two_shuffles_jvm_only(spark, qs):
+    """x33: canonicalization is a pure JVM map (regex chain, no Python
+    eval); the dedup + report are two aggregates with map-side partials."""
+    df = qs["x33_url_canonical_dedup"](spark, SF)
+    from big_data_project_spark.plans.contracts import num_shuffles
+
+    assert num_shuffles(df) == 2
+    assert has_partial_agg(df)
+    assert count_ops(df, "BatchEvalPython") + count_ops(df, "ArrowEvalPython") == 0
+
+
+def test_topk_windows_push_group_limit_map_side(spark, qs):
+    """Top-k via row_number + rk<=k must trigger Spark's rank-limit
+    pushdown (WindowGroupLimit): each map task keeps only its local top-k
+    per group BEFORE the window exchange, so the shuffle carries ~k rows
+    per (task, group) instead of every scored candidate — the property
+    that keeps per-group top-k viable when a group has 10^9 candidates."""
+    for name in ("x8_similarity_topk", "w1_topk_per_group"):
+        df = qs[name](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "WindowGroupLimit" in plan, f"{name} lost rank-limit pushdown"
