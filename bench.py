@@ -17,6 +17,13 @@ persist-heavy plans at sub-3s scale). Cached DataFrames are dropped
 between every run (spark.catalog.clearCache()), so each timed run
 re-reads parquet and recomputes every stage; only code compilation
 stays warm.
+
+The output also carries ``calib_jvm_sec``: the min-of-2 time of a FIXED
+pure-JVM workload (sum of id*id over spark.range(2e8)) on the same
+session. Cross-round wall-clock comparisons are only meaningful at equal
+host speed — measured same-commit drift of 8.2s → 12.4s across hours on
+this container — so the calibration pins what the machine was worth when
+the numbers were taken; divide by it to compare rounds fairly.
 """
 
 from __future__ import annotations
@@ -70,6 +77,14 @@ def main() -> None:
         from big_data_project_spark.operators.scale import ensure_bucketed
 
         ensure_bucketed(spark, sf_dir)
+    calib = None
+    for _ in range(3):  # first pass doubles as codegen/JIT warm-up
+        t0 = time.perf_counter()
+        spark.range(200_000_000).selectExpr(
+            "sum(cast(id as double) * cast(id as double))"
+        ).collect()
+        dt = time.perf_counter() - t0
+        calib = dt if calib is None else min(calib, dt)
     timings: dict[str, float] = {}
     for name in names:
         qs[name](spark, sf_dir).count()  # warm-up: codegen + JIT compile
@@ -90,6 +105,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "calib_jvm_sec": round(calib, 3) if calib is not None else None,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
     spark.stop()
