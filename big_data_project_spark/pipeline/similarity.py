@@ -430,7 +430,12 @@ def x8_ivf_ann_topk(
     e = load_table(spark, sf_dir, "embeddings")
     cent = _label_centroids(e)
     assigned = _assign_nearest(e, cent)
-    # queries probe nprobe nearest buckets
+    return _ivf_search(cent, assigned, nprobe)
+
+
+def _ivf_search(cent: DataFrame, assigned: DataFrame, nprobe: int) -> DataFrame:
+    """Probe the nprobe nearest buckets per query, exact re-rank within
+    them (top-5, rounded-cosine + id tie-break)."""
     queries = assigned.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("va")
     )
@@ -934,13 +939,13 @@ def _bucket_means(assigned: DataFrame, round_to: int | None = None) -> DataFrame
 # --- X31: multi-iteration k-means training loop (Lloyd until report) --------
 
 
-def _kmeans_train_oracle(iters: int) -> str:
-    """Unroll ``iters`` Lloyd iterations as CTEs (the x30 pattern composed):
-    c0 = per-label seed means, then a{n} = nearest-centroid assignment
-    against c{n-1}, c{n} = member means — every centroid coordinate
-    rounded to 6 on BOTH engines so iteration n+1 starts from bit-equal
-    inputs, every ranking on round(csim+1e-9, 4) with the centroid-id
-    tie-break (§4.3.1)."""
+def _lloyd_ctes(iters: int) -> str:
+    """CTE chain unrolling ``iters`` Lloyd iterations (the x30 pattern
+    composed): c0 = per-label seed means, then a{n} = nearest-centroid
+    assignment against c{n-1}, c{n} = member means — every centroid
+    coordinate rounded to 6 on BOTH engines so iteration n+1 starts from
+    bit-equal inputs, every ranking on round(csim+1e-9, 4) with the
+    centroid-id tie-break (§4.3.1)."""
     ctes = [
         "e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
         "flat AS (SELECT label, generate_subscripts(v, 1) AS i, unnest(v) AS x FROM e)",
@@ -966,13 +971,45 @@ def _kmeans_train_oracle(iters: int) -> str:
             FROM (SELECT bucket, generate_subscripts(v, 1) AS i, unnest(v) AS x FROM a{n})
             GROUP BY bucket, i)
       GROUP BY bucket)""")
-    return "WITH " + ",\n    ".join(ctes) + f"""
+    return "WITH " + ",\n    ".join(ctes)
+
+
+def _kmeans_train_oracle(iters: int) -> str:
+    return _lloyd_ctes(iters) + f"""
     SELECT f.centroid_id, m.n_members,
            round(list_cosine_similarity(p.centroid, f.centroid) + 1e-9, 4) AS shift_cos
     FROM (SELECT bucket AS centroid_id, CAST(count(*) AS BIGINT) AS n_members
           FROM a{iters} GROUP BY bucket) m
     JOIN c{iters} f ON f.centroid_id = m.centroid_id
     JOIN c{iters - 1} p ON p.centroid_id = f.centroid_id"""
+
+
+def _train_centroids(e: DataFrame, gens: int) -> DataFrame:
+    """Per-label seed means refined by ``gens`` Lloyd generations.  Each
+    generation's k·dim centroid table is persisted and MATERIALIZED
+    (count) before the next assignment plan is built, then the previous
+    generation is unpersisted — the next plan's lineage starts at a k-row
+    cached table, not a re-derivation of every earlier pass, and executor
+    memory holds exactly one generation.  Coordinates quantize to 6
+    decimals per generation (both engines — see _lloyd_ctes) so
+    float-reduction-order ulps cannot compound across iterations."""
+    seed = _label_centroids(e).select(
+        "centroid_id",
+        F.transform("centroid", lambda x: F.round(x + F.lit(1e-9), 6)).alias("centroid"),
+    )
+    cent = seed.persist()
+    cent.count()
+    for _ in range(gens):
+        new = (
+            _bucket_means(_assign_nearest(e, cent), round_to=6)
+            .select(F.col("bucket").alias("centroid_id"),
+                    F.col("new_centroid").alias("centroid"))
+            .persist()
+        )
+        new.count()
+        cent.unpersist()
+        cent = new
+    return cent
 
 
 _KMEANS_ITERS = 3
@@ -1000,22 +1037,7 @@ def x31_kmeans_train(
     ulps cannot compound into diverging assignments at iteration n+1
     (the assignment itself ranks on round(csim+1e-9, 4), §4.3.1)."""
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
-    seed = _label_centroids(e).select(
-        "centroid_id",
-        F.transform("centroid", lambda x: F.round(x + F.lit(1e-9), 6)).alias("centroid"),
-    )
-    cent = seed.persist()
-    cent.count()
-    for _ in range(iters - 1):
-        new = (
-            _bucket_means(_assign_nearest(e, cent), round_to=6)
-            .select(F.col("bucket").alias("centroid_id"),
-                    F.col("new_centroid").alias("centroid"))
-            .persist()
-        )
-        new.count()
-        cent.unpersist()
-        cent = new
+    cent = _train_centroids(e, iters - 1)
     assigned = _assign_nearest(e, cent)
     final = _bucket_means(assigned, round_to=6)
     members = assigned.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_members"))
@@ -1028,3 +1050,69 @@ def x31_kmeans_train(
         "n_members",
         F.round(F.col("sim_raw") + F.lit(1e-9), 4).alias("shift_cos"),
     )
+
+
+# --- X8g: IVF over TRAINED centroids (the x31 quantizer put to work) --------
+
+_TRAINED_GENS = 2
+
+
+def _ivf_trained_oracle() -> str:
+    """_lloyd_ctes(2) trains the quantizer; then the standard IVF probe
+    (index assignment vs the trained c2, nprobe probing, exact re-rank)
+    mirrors _ivf_oracle_sql with cent := c2."""
+    g = _TRAINED_GENS
+    return _lloyd_ctes(g) + f""",
+    a_idx AS (
+      SELECT vec_id, v, centroid_id AS bucket
+      FROM (
+        SELECT e.vec_id, e.v, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.v, c.centroid) + 1e-9, 4) DESC,
+                          c.centroid_id) AS rk
+        FROM e CROSS JOIN c{g} c)
+      WHERE rk = 1),
+    probes AS (
+      SELECT query_id, centroid_id AS bucket
+      FROM (
+        SELECT a.vec_id AS query_id, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY round(list_cosine_similarity(a.v, c.centroid) + 1e-9, 4) DESC,
+                          c.centroid_id) AS rk
+        FROM a_idx a CROSS JOIN c{g} c
+        WHERE a.vec_id < 10)
+      WHERE rk <= {_IVF_NPROBE}),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             round(list_cosine_similarity(q.v, a.v) + 1e-9, 4) AS sim
+      FROM probes p
+      JOIN a_idx a USING (bucket)
+      JOIN e q ON q.vec_id = p.query_id
+      WHERE a.vec_id != p.query_id
+    )
+    SELECT query_id, neighbor_id, sim
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, neighbor_id) AS rk
+          FROM scored)
+    WHERE rk <= 5"""
+
+
+@query("x8_ivf_trained_topk", oracle=_ivf_trained_oracle())
+def x8_ivf_trained_topk(
+    spark: SparkSession, sf_dir: str, nprobe: int = _IVF_NPROBE
+) -> DataFrame:
+    """IVF-ANN over a TRAINED coarse quantizer: two Lloyd generations
+    refine the per-label seed (the x31 loop), the corpus is indexed
+    against the trained centroids, and queries probe + re-rank exactly as
+    x8_ivf_ann_topk does.  This closes the production loop — per-label
+    means are only a seed; a deployed IVF index quantizes with trained
+    centroids.  Same cost model: train is gens × (broadcast-assign +
+    k·dim-cell agg), index is one assignment pass, search is
+    n·(n/k)·nprobe.  The whole pipeline — training included — is
+    mirrored CTE-for-CTE in the DuckDB oracle."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    cent = _train_centroids(e, _TRAINED_GENS)
+    assigned = _assign_nearest(e, cent)
+    return _ivf_search(cent, assigned, nprobe)

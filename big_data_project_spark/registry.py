@@ -93,6 +93,7 @@ _REVERIFY = (
 _DEFER = (
     "x32_line_dedup",
     "x33_url_canonical_dedup",
+    "x8_ivf_trained_topk",
 )
 
 # Rows-only queries worth the window's leftover slots first (VERDICT r03 #3):
