@@ -70,6 +70,24 @@ def test_x8_ivf_recall_vs_brute_force(spark, sf_dir):
     assert all(r.rk <= 5 if hasattr(r, "rk") else True for r in ivf)
 
 
+def test_x8_ivf_trained_same_contract(spark, sf_dir):
+    """The trained-quantizer IVF keeps the probe contract: top-5 per
+    query, same query set, and sane recall vs brute force (on random
+    fixture vectors training shifts buckets, it cannot 'improve' them —
+    this guards the machinery, not clustering magic)."""
+    brute = Q["x8_similarity_topk"](spark, sf_dir).collect()
+    trained = Q["x8_ivf_trained_topk"](spark, sf_dir).collect()
+    btop = {(r.query_id, r.neighbor_id) for r in brute}
+    ttop = {(r.query_id, r.neighbor_id) for r in trained}
+    assert {q for q, _ in ttop} == {q for q, _ in btop}
+    per_q: dict[int, int] = {}
+    for q, _ in ttop:
+        per_q[q] = per_q.get(q, 0) + 1
+    assert all(k <= 5 for k in per_q.values())
+    recall = len(btop & ttop) / len(btop)
+    assert recall >= 0.2, f"trained-IVF recall collapsed: {recall}"
+
+
 def test_x9_lang_id_beats_chance(spark, sf_dir):
     out = Q["x9_lang_id"](spark, sf_dir)
     hits = out.filter(F.col("lang_pred") == F.col("lang_true")).count()
