@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from big_data_project_spark.io import load_table
 from big_data_project_spark.registry import query
@@ -519,4 +520,63 @@ def x28_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(is_out.cast("long")).alias("n_outliers"),
         F.round(F.max("med") + F.lit(1e-9), 4).alias("med_chars"),
         F.round(F.max("mad") + F.lit(1e-9), 4).alias("mad_chars"),
+    )
+
+
+# --- X34: temperature-based mixture reweighting -----------------------------
+
+_MIX_TEMP_ALPHA = 0.7
+
+
+@query(
+    "x34_temperature_mixture",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source
+    ),
+    shares AS (
+      SELECT source, n_docs, n_docs * 1.0 / sum(n_docs) OVER () AS p
+      FROM counts
+    ),
+    probs AS (
+      SELECT source, n_docs, p,
+             pow(p, {_MIX_TEMP_ALPHA})
+               / sum(pow(p, {_MIX_TEMP_ALPHA})) OVER () AS q
+      FROM shares
+    )
+    SELECT source, n_docs,
+           round(p + 1e-9, 6) AS p,
+           round(q + 1e-9, 6) AS q,
+           round(q / p + 1e-9, 6) AS epochs,
+           CAST(round(q / p * n_docs + 1e-9, 4) AS DOUBLE) AS expected_docs
+    FROM probs
+    """,
+)
+def x34_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture reweighting (the mT5/XLM-R recipe): the
+    per-source sampling distribution is DERIVED from corpus statistics —
+    q_s ∝ p_s^alpha with alpha = 0.7 — instead of hand-set weights
+    (x17's knob).  Flattening the natural distribution upweights small
+    sources (epochs = q/p > 1) and downweights dominant ones, the
+    standard fix for low-resource starvation in multilingual /
+    multi-domain pre-training.  Output is the recipe table a mixture
+    materializer (x17's fan-out leg) would consume: share p, sampling
+    share q, epochs-per-doc, expected doc count.
+
+    Shape at 100 TB: one per-source count aggregate (k rows), then
+    window sums over the k-row table — the corpus is scanned once and
+    nothing wider than (source, count) ever moves."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    wall = Window.partitionBy()
+    p = F.col("n_docs") / F.sum("n_docs").over(wall)
+    q = F.pow(p, F.lit(_MIX_TEMP_ALPHA)) / F.sum(F.pow(p, F.lit(_MIX_TEMP_ALPHA))).over(wall)
+    return counts.select(
+        "source",
+        "n_docs",
+        F.round(p + F.lit(1e-9), 6).alias("p"),
+        F.round(q + F.lit(1e-9), 6).alias("q"),
+        F.round(q / p + F.lit(1e-9), 6).alias("epochs"),
+        F.round(q / p * F.col("n_docs") + F.lit(1e-9), 4).alias("expected_docs"),
     )

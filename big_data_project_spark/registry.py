@@ -94,6 +94,7 @@ _DEFER = (
     "x32_line_dedup",
     "x33_url_canonical_dedup",
     "x8_ivf_trained_topk",
+    "x34_temperature_mixture",
 )
 
 # Rows-only queries worth the window's leftover slots first (VERDICT r03 #3):
