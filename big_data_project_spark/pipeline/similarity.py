@@ -1116,3 +1116,55 @@ def x8_ivf_trained_topk(
     cent = _train_centroids(e, _TRAINED_GENS)
     assigned = _assign_nearest(e, cent)
     return _ivf_search(cent, assigned, nprobe)
+
+
+# --- X35: hard-negative mining (contrastive-training data op) ---------------
+
+
+@query(
+    "x35_hard_negatives",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, label AS qlabel, v AS vq FROM e WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, q.qlabel, e.vec_id AS neg_id, e.label AS neg_label,
+             round(list_cosine_similarity(q.vq, e.v) + 1e-9, 4) AS sim
+      FROM q JOIN e ON e.label != q.qlabel
+    )
+    SELECT query_id, neg_id, neg_label, sim
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, neg_id) AS rk
+          FROM scored)
+    WHERE rk <= 3
+    """,
+)
+def x35_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (the DPR / contrastive-pretraining data op):
+    for each query vector, the top-3 most-similar vectors whose LABEL
+    differs — maximally confusable negatives, the examples that actually
+    move a contrastive loss.  Same plan as exact top-k (broadcast query
+    side × corpus, JVM fold, WindowGroupLimit-pushed top-k) with the
+    label-mismatch predicate fused into the join condition, so excluded
+    positives are dropped before scoring ever happens.  At 100 TB the
+    mining set is the bounded query batch; the corpus streams."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("va"),
+    )
+    n = e.select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("neg_label"),
+        F.col("embedding").alias("vb"),
+    )
+    cand = F.broadcast(q).join(n, F.col("neg_label") != F.col("qlabel"))
+    scored = with_cosine(cand).withColumn("sim", F.round(F.col("sim_raw") + 1e-9, 4))
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neg_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("query_id", "neg_id", "neg_label", "sim")
+    )

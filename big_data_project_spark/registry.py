@@ -95,6 +95,7 @@ _DEFER = (
     "x33_url_canonical_dedup",
     "x8_ivf_trained_topk",
     "x34_temperature_mixture",
+    "x35_hard_negatives",
 )
 
 # Rows-only queries worth the window's leftover slots first (VERDICT r03 #3):
