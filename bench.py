@@ -78,13 +78,14 @@ def main() -> None:
 
         ensure_bucketed(spark, sf_dir)
     calib = None
-    for _ in range(3):  # first pass doubles as codegen/JIT warm-up
+    for i in range(3):  # pass 0 is codegen/JIT warm-up, excluded from the min
         t0 = time.perf_counter()
         spark.range(200_000_000).selectExpr(
             "sum(cast(id as double) * cast(id as double))"
         ).collect()
         dt = time.perf_counter() - t0
-        calib = dt if calib is None else min(calib, dt)
+        if i > 0:
+            calib = dt if calib is None else min(calib, dt)
     timings: dict[str, float] = {}
     for name in names:
         qs[name](spark, sf_dir).count()  # warm-up: codegen + JIT compile

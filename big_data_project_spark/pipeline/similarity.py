@@ -150,9 +150,19 @@ def _embedding_stats(sf_dir: str, e: DataFrame | None = None) -> tuple[int, int]
             dim = len(first.column(0)[0]) or 1
             break
         return n, dim
-    except Exception:
+    except (OSError, IndexError, KeyError, TypeError, ImportError) as exc:
+        # expected failure modes: missing/dir-layout file (OSError — pyarrow's
+        # ArrowInvalid subclasses OSError), empty table / leading-null
+        # embedding (IndexError/TypeError), missing column (KeyError)
         if e is None:
             raise
+        import warnings
+
+        warnings.warn(
+            f"parquet footer probe failed ({exc!r}); "
+            "falling back to a full DataFrame aggregate scan",
+            stacklevel=2,
+        )
         row = e.agg(
             F.count(F.lit(1)).alias("n"),
             F.max(F.size("embedding")).alias("dim"),
@@ -992,7 +1002,13 @@ def _train_centroids(e: DataFrame, gens: int) -> DataFrame:
     cached table, not a re-derivation of every earlier pass, and executor
     memory holds exactly one generation.  Coordinates quantize to 6
     decimals per generation (both engines — see _lloyd_ctes) so
-    float-reduction-order ulps cannot compound across iterations."""
+    float-reduction-order ulps cannot compound across iterations.
+
+    The RETURNED generation stays persisted (its k rows back every
+    downstream broadcast): registry entry points clearCache() on entry, so
+    registered queries never leak it, but callers composing this helper
+    outside the registry must unpersist the result after their terminal
+    action."""
     seed = _label_centroids(e).select(
         "centroid_id",
         F.transform("centroid", lambda x: F.round(x + F.lit(1e-9), 6)).alias("centroid"),
@@ -1016,9 +1032,7 @@ _KMEANS_ITERS = 3
 
 
 @query("x31_kmeans_train", oracle=_kmeans_train_oracle(_KMEANS_ITERS))
-def x31_kmeans_train(
-    spark: SparkSession, sf_dir: str, iters: int = _KMEANS_ITERS
-) -> DataFrame:
+def x31_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-iteration k-means: the x30 Lloyd step driven to ``iters``
     rounds from the per-label seed, reporting final cluster sizes and the
     last iteration's convergence signal (cosine between the two newest
@@ -1037,7 +1051,7 @@ def x31_kmeans_train(
     ulps cannot compound into diverging assignments at iteration n+1
     (the assignment itself ranks on round(csim+1e-9, 4), §4.3.1)."""
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
-    cent = _train_centroids(e, iters - 1)
+    cent = _train_centroids(e, _KMEANS_ITERS - 1)
     assigned = _assign_nearest(e, cent)
     final = _bucket_means(assigned, round_to=6)
     members = assigned.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_members"))
@@ -1100,9 +1114,7 @@ def _ivf_trained_oracle() -> str:
 
 
 @query("x8_ivf_trained_topk", oracle=_ivf_trained_oracle())
-def x8_ivf_trained_topk(
-    spark: SparkSession, sf_dir: str, nprobe: int = _IVF_NPROBE
-) -> DataFrame:
+def x8_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-ANN over a TRAINED coarse quantizer: two Lloyd generations
     refine the per-label seed (the x31 loop), the corpus is indexed
     against the trained centroids, and queries probe + re-rank exactly as
@@ -1115,7 +1127,7 @@ def x8_ivf_trained_topk(
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
     cent = _train_centroids(e, _TRAINED_GENS)
     assigned = _assign_nearest(e, cent)
-    return _ivf_search(cent, assigned, nprobe)
+    return _ivf_search(cent, assigned, _IVF_NPROBE)
 
 
 # --- X35: hard-negative mining (contrastive-training data op) ---------------

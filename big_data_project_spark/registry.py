@@ -161,7 +161,10 @@ def _driver_verified(root: Path | None = None) -> tuple[set[str], set[str], dict
 def _ordered(names: list[str]) -> list[str]:
     """Order queries for the driver: flagship smoke first, then the pinned
     front list, then driver-unverified oracle-backed queries, then rows-only
-    queries the driver has never recorded, then everything already green."""
+    queries the driver has never recorded, then everything already green —
+    the green tail sorted OLDEST-verified-first so the leftover window slots
+    rotate through stale greens (a r01 green whose code has since been
+    touched gets re-stamped before a r04 green gets a redundant third row)."""
     green, seen, last_round = _driver_verified()
     front_rank = {n: i for i, n in enumerate(_FRONT)}
     reverify_rank = {n: (i, through) for i, (n, through) in enumerate(_REVERIFY)}
@@ -169,20 +172,20 @@ def _ordered(names: list[str]) -> list[str]:
     rows_rank = {n: i for i, n in enumerate(_ROWS_PRIORITY)}
     defer_rank = {n: i for i, n in enumerate(_DEFER)}
 
-    def key(n: str) -> tuple[int, int]:
+    def key(n: str) -> tuple[int, int, int]:
         if n == "flagship_pricing_summary":
-            return (0, 0)
+            return (0, 0, 0)
         if n in front_rank and n not in green:
-            return (1, front_rank[n])
+            return (1, 0, front_rank[n])
         if n in reverify_rank and last_round.get(n, 0) <= reverify_rank[n][1]:
-            return (2, reverify_rank[n][0])
+            return (2, 0, reverify_rank[n][0])
         if n in defer_rank and n not in seen:
-            return (4, 1_000_000 + defer_rank[n])
+            return (4, 0, 1_000_000 + defer_rank[n])
         if n in ORACLES and n not in green:
-            return (3, reg_rank[n])
+            return (3, 0, reg_rank[n])
         if n not in ORACLES and n not in seen:
-            return (4, rows_rank.get(n, len(_ROWS_PRIORITY) + reg_rank[n]))
-        return (5, reg_rank[n])
+            return (4, 0, rows_rank.get(n, len(_ROWS_PRIORITY) + reg_rank[n]))
+        return (5, last_round.get(n, 0), reg_rank[n])
 
     return sorted(names, key=key)
 
