@@ -449,3 +449,46 @@ def test_topk_windows_push_group_limit_map_side(spark, qs):
         df = qs[name](spark, SF)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "WindowGroupLimit" in plan, f"{name} lost rank-limit pushdown"
+
+
+def test_curation_gates_at_scan_single_dedup_exchange(spark, qs):
+    """pipeline_curation_end2end (VERDICT r04 #5a): the funnel's quality +
+    language gates must sit ON the scan (lang IN pushed to parquet, the
+    length/digit predicates fused into the scan-adjacent Filter), and the
+    exact-dedup leg must pay exactly ONE hash exchange on the content hash
+    whose direct input is a narrow Project — i.e. text is hashed and
+    token-counted BEFORE the shuffle, so at 100 TB the exchange carries
+    ~40 bytes/row, never the corpus."""
+    import re
+
+    from big_data_project_spark.plans.contracts import num_shuffles, plan_str
+
+    df = qs["pipeline_curation_end2end"](spark, SF)
+    pf = pushed_filters(df)
+    assert any("In(lang" in f for f in pf), f"lang gate not pushed: {pf}"
+    plan = plan_str(df, "simple")
+    assert re.search(r"length\(text#\d+\) >= 20", plan), "quality gate left the scan"
+    h_exchanges = re.findall(r"Exchange hashpartitioning\(h#\d+[^\n]*\n[\s:]*\+- (\w+)", plan)
+    assert h_exchanges == ["Project"], (
+        f"exact-dedup must be ONE h-exchange fed directly by a Project: {h_exchanges}"
+    )
+    assert num_shuffles(df) <= 6, "curation funnel shuffle budget regressed"
+
+
+def test_minhash_pairs_reuse_persisted_shingles(spark, qs):
+    """x7_minhash_neardup_pairs (VERDICT r04 #5b): the persisted shingle
+    frame must back BOTH sides of the band join and both verify sides
+    (>=3 InMemoryTableScans — without the persist Spark re-tokenizes the
+    corpus per branch), and the only wide exchange is the bounded
+    candidate-pair dedup — never an n² or corpus-wide shuffle."""
+    from big_data_project_spark.plans.contracts import num_shuffles, plan_str
+
+    df = qs["x7_minhash_neardup_pairs"](spark, SF)
+    assert count_ops(df, "InMemoryTableScan") >= 3, "persisted shingles not reused"
+    assert num_shuffles(df) <= 2, "band-join shuffle budget regressed"
+    plan = plan_str(df, "simple")
+    # tokenization (split on text) may appear only under the cached relation,
+    # never in the live (top-level) plan — splitting the plan at the first
+    # InMemoryRelation keeps the check purely on the uncached prefix
+    top = plan.split("InMemoryRelation")[0]
+    assert "split(text" not in top, "corpus re-tokenized outside the persist"
