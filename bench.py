@@ -54,19 +54,34 @@ HEADLINE = [
     "x8_similarity_topk",
     "x9_word_count",
     "x8_knn_all",
+    "x8_knn_all_blocked",
     "b1_funnel",
     "pipeline_curation_end2end",
     "scale_bucketed_join",
     "sql_q6_forecast_revenue",
     "s13_zorder_write_skipping",
+    "x7_minhash_x4",
 ]
+
+
+def _extra_rows():
+    """Bench-only rows (not registry queries): scale demonstrators whose
+    oracle would be prohibitive but whose wall-time the rounds track."""
+    from big_data_project_spark.pipeline.dedup import replicated_neardup_pairs
+
+    # MinHash throughput under 4× corpus replication (distinct ids, salted
+    # shingles): the band-join design's near-linear-scaling evidence — at
+    # sf0.1 compare against the x7_minhash_neardup_pairs row (~4× expected)
+    return {"x7_minhash_x4": lambda spark, sf_dir: replicated_neardup_pairs(
+        spark, sf_dir, factor=4)}
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
     spark = get_spark(app_name="bdp-spark-bench")
-    qs = registry.all_queries()
+    qs = dict(registry.all_queries())
+    qs.update(_extra_rows())
     names = [n for n in HEADLINE if n in qs]
     # warm the JVM + parquet footers with one untimed flagship run
     if names:

@@ -768,3 +768,49 @@ def x32_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).cast("bigint").alias("digest"),
     ).select("lang", "n_docs_in", "total_segs", "kept_segs", "docs_out", "digest")
+
+
+# --- Scale demonstrator: MinHash throughput under corpus replication --------
+
+
+def replicated_neardup_pairs(
+    spark: SparkSession, sf_dir: str, factor: int = 4
+) -> DataFrame:
+    """The full MinHash pipeline over the corpus synthetically replicated
+    ``factor``× with DISTINCT doc_ids — the throughput-scaling bench row
+    (VERDICT r04 #7) behind the 100 TB claim: band-join work should grow
+    ~linearly with corpus size, never quadratically.
+
+    Replica r > 0 salts every token with an ``r{r}~`` prefix, so replicas
+    share NO shingles with the original or each other — the replicated
+    corpus is ``factor`` structurally independent copies, each reproducing
+    the original's near-dup pair set under remapped ids.  (Replicating
+    verbatim would make each doc an exact dup of its replicas: every LSH
+    bucket gains factor× members and candidate pairs grow factor²× — that
+    benches output explosion, not engine throughput.)  Expected output:
+    exactly factor × |pairs(original)| rows; bench tracks wall-time vs the
+    1× x7 row.  Not registry-registered: the oracle would be an n² self-
+    join over factor× documents, and the scaling property itself is
+    asserted cheaply in tests (pair count = factor × base)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    replicas = spark.range(factor).select(F.col("id").cast("int").alias("r"))
+    salted = (
+        d.crossJoin(replicas)
+        .select(
+            (F.col("doc_id") * factor + F.col("r")).alias("doc_id"),
+            F.when(F.col("r") == 0, F.col("text"))
+            .otherwise(
+                F.array_join(
+                    F.transform(
+                        F.split("text", " "),
+                        lambda w: F.concat(
+                            F.lit("r"), F.col("r").cast("string"), F.lit("~"), w
+                        ),
+                    ),
+                    " ",
+                )
+            )
+            .alias("text"),
+        )
+    )
+    return verified_neardup_pairs(spark, sf_dir, docs=salted)

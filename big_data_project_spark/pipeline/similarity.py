@@ -548,6 +548,37 @@ def x8_knn_all(
     )
 
 
+_BLOCKED_KNN_ROWS = 200
+
+
+@query(
+    "x8_knn_all_blocked",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    scored AS (
+      SELECT a.vec_id, b.vec_id AS nn_id,
+             round(list_cosine_similarity(a.v, b.v) + 1e-9, 4) AS sim
+      FROM e a JOIN e b ON a.vec_id != b.vec_id
+    )
+    SELECT vec_id, nn_id, sim
+    FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY sim DESC, nn_id) AS rk
+          FROM scored)
+    WHERE rk = 1
+    """,
+)
+def x8_knn_all_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x8_knn_all with the SUMMA block-matrix grid FORCED (block_rows=200,
+    so every fixture SF runs >=2 B-blocks): same oracle, same answer — the
+    point of a separate registered query is (a) a driver-green row for the
+    blocked kernel itself, not just the broadcast fast path the fixture
+    sizes would otherwise always take, and (b) a bench row tracking the
+    grid's wall-time round-over-round (VERDICT r04 #6).  This is the ONLY
+    code path available at 100 TB, where no embedding table fits under the
+    broadcast cap."""
+    return x8_knn_all(spark, sf_dir, block_rows=_BLOCKED_KNN_ROWS)
+
+
 # --- X13: mapInArrow kernel (the zero-copy Arrow boundary) ------------------
 
 

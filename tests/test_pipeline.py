@@ -604,3 +604,17 @@ def test_x24_redaction_leaves_no_pii(spark, sf_dir):
     assert leftovers == 0
     # every doc carries the synthesized contact line → every category hit
     assert out.filter("n_emails >= 1 AND n_ips >= 1 AND n_phones >= 1").count() == out.count()
+
+
+def test_replicated_minhash_scales_linearly(spark, sf_dir):
+    """Scale demonstrator (VERDICT r04 #7): 4× corpus replication with
+    salted shingles must yield EXACTLY 4× the near-dup pairs — replicas
+    share no shingles, so the replicated corpus is 4 independent copies
+    and the band join's candidate set grows linearly, not quadratically."""
+    from big_data_project_spark.pipeline.dedup import (
+        replicated_neardup_pairs, verified_neardup_pairs,
+    )
+
+    base = verified_neardup_pairs(spark, sf_dir).count()
+    x4 = replicated_neardup_pairs(spark, sf_dir, factor=4).count()
+    assert base > 0 and x4 == 4 * base
