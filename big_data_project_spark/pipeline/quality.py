@@ -580,3 +580,109 @@ def x34_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(q / p + F.lit(1e-9), 6).alias("epochs"),
         F.round(q / p * F.col("n_docs") + F.lit(1e-9), 4).alias("expected_docs"),
     )
+
+
+# --- X36: Gopher-style rule-based quality gate -------------------------------
+
+_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS = 20, 80
+_GOPHER_MIN_MWL, _GOPHER_MAX_MWL = 3.0, 10.0
+_GOPHER_MAX_SYMBOL_RATIO = 0.1
+_GOPHER_MIN_ALPHA_FRAC = 0.8
+_GOPHER_MIN_STOPWORDS = 2
+_GOPHER_STOPWORDS = ("the", "a", "and", "of", "to", "be", "that", "with")
+
+
+@query(
+    "x36_gopher_quality_rules",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS words, len(text) AS n_chars
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id, lang,
+             CAST(len(words) AS BIGINT) AS n_words,
+             round((n_chars - (len(words) - 1)) * 1.0 / len(words) + 1e-9, 4)
+               AS mean_word_len,
+             CAST(len(list_intersect(list_distinct(words),
+                     [{", ".join(f"'{s}'" for s in _GOPHER_STOPWORDS)}])) AS BIGINT)
+               AS n_stop,
+             round(len(list_filter(words, x -> regexp_matches(x, '^[A-Za-z]')))
+                     * 1.0 / len(words) + 1e-9, 4) AS alpha_frac,
+             round((len(words) - len(list_filter(words,
+                     x -> NOT (x LIKE '%#%' OR x LIKE '%...%'))))
+                     * 1.0 / len(words) + 1e-9, 4) AS symbol_ratio
+      FROM w
+    )
+    SELECT doc_id, lang, n_words, mean_word_len, n_stop, alpha_frac, symbol_ratio,
+           (n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS}) AS r_words,
+           (mean_word_len BETWEEN {_GOPHER_MIN_MWL} AND {_GOPHER_MAX_MWL}) AS r_mean_len,
+           (symbol_ratio <= {_GOPHER_MAX_SYMBOL_RATIO}) AS r_symbol,
+           (alpha_frac >= {_GOPHER_MIN_ALPHA_FRAC}) AS r_alpha,
+           (n_stop >= {_GOPHER_MIN_STOPWORDS}) AS r_stop,
+           ((n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS})
+             AND (mean_word_len BETWEEN {_GOPHER_MIN_MWL} AND {_GOPHER_MAX_MWL})
+             AND (symbol_ratio <= {_GOPHER_MAX_SYMBOL_RATIO})
+             AND (alpha_frac >= {_GOPHER_MIN_ALPHA_FRAC})
+             AND (n_stop >= {_GOPHER_MIN_STOPWORDS})) AS keep
+    FROM feats
+    """,
+)
+def x36_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality gate (Rae et al. 2021, App. A —
+    the public heuristic battery MassiveText/Dolma/RefinedWeb variants all
+    run): per-doc word-count bounds, mean-word-length band, symbol-to-word
+    ratio, alphabetic-word fraction, and a minimum distinct-stopword count,
+    each emitted as its own flag (pipelines track per-rule rejection rates)
+    plus the conjunctive keep.
+
+    Shape at 100 TB: a pure per-row map — every feature comes from the
+    doc's own token array, no explode, no shuffle, no Python; the gate
+    composes with the curation funnel as one more scan filter.  Mean word
+    length is (n_chars - (n_words-1)) / n_words — exact for single-space
+    text on both engines without unnesting."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words)
+    mwl = F.round(
+        (F.length("text") - (n_words - F.lit(1))) / n_words.cast("double")
+        + F.lit(1e-9), 4,
+    )
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(words),
+            F.array(*[F.lit(s) for s in _GOPHER_STOPWORDS]),
+        )
+    ).cast("bigint")
+    alpha = F.round(
+        F.size(F.filter(words, lambda w: w.rlike("^[A-Za-z]")))
+        / n_words.cast("double") + F.lit(1e-9), 4,
+    )
+    symbol = F.round(
+        (n_words - F.size(F.filter(
+            words,
+            lambda w: ~(w.contains("#") | w.contains("...")),
+        ))) / n_words.cast("double") + F.lit(1e-9), 4,
+    )
+    feats = d.select(
+        "doc_id", "lang",
+        n_words.cast("bigint").alias("n_words"),
+        mwl.alias("mean_word_len"),
+        n_stop.alias("n_stop"),
+        alpha.alias("alpha_frac"),
+        symbol.alias("symbol_ratio"),
+    )
+    r_words = F.col("n_words").between(_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS)
+    r_mwl = F.col("mean_word_len").between(_GOPHER_MIN_MWL, _GOPHER_MAX_MWL)
+    r_symbol = F.col("symbol_ratio") <= _GOPHER_MAX_SYMBOL_RATIO
+    r_alpha = F.col("alpha_frac") >= _GOPHER_MIN_ALPHA_FRAC
+    r_stop = F.col("n_stop") >= _GOPHER_MIN_STOPWORDS
+    return feats.select(
+        "*",
+        r_words.alias("r_words"),
+        r_mwl.alias("r_mean_len"),
+        r_symbol.alias("r_symbol"),
+        r_alpha.alias("r_alpha"),
+        r_stop.alias("r_stop"),
+        (r_words & r_mwl & r_symbol & r_alpha & r_stop).alias("keep"),
+    )

@@ -1211,3 +1211,72 @@ def x35_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("query_id", "neg_id", "neg_label", "sim")
     )
+
+
+# --- X39: prototypicality-based data pruning ---------------------------------
+
+_PROTO_KEEP_FRAC = 0.8
+
+
+def _proto_oracle() -> str:
+    """c0 (the per-label quantized centroids, _lloyd_ctes' seed) scores
+    every vector against its OWN label centroid; rank-per-label keeps the
+    top 80%."""
+    return _lloyd_ctes(0) + f"""
+    , scored AS (
+      SELECT e.vec_id, e.label,
+             round(list_cosine_similarity(e.v, c.centroid) + 1e-9, 4) AS proto_sim
+      FROM e JOIN c0 c ON c.centroid_id = e.label
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY label
+                                   ORDER BY proto_sim DESC, vec_id) AS rk,
+             count(*) OVER (PARTITION BY label) AS n
+      FROM scored
+    )
+    SELECT vec_id, label, proto_sim, rk,
+           (rk <= ceil({_PROTO_KEEP_FRAC} * n)) AS keep
+    FROM ranked"""
+
+
+@query("x39_prototypicality_prune", oracle=_proto_oracle())
+def x39_prototypicality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prototypicality-based data pruning (the SSL-prototypes metric of
+    Sorscher et al. 2022, "Beyond neural scaling laws"): score every
+    vector by cosine to its own class centroid and keep the top 80% per
+    label — outliers (mislabeled / far-from-mode examples) rank last and
+    are pruned first.  Emits the score and per-label rank so a curator can
+    sweep the keep fraction without rescoring.
+
+    Shape at 100 TB: centroids are one k·dim aggregate (vectors never
+    shuffle — same map-side collapse as _assign_nearest), scoring is a
+    broadcast join against k rows, and the per-label rank window shuffles
+    only (vec_id, label, sim) scalars — ~20 bytes/row, embeddings pruned
+    before the exchange.  Centroid coordinates quantize to 6 decimals on
+    both engines (the x31 convention) so the scores are cross-engine
+    stable."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    cent = _label_centroids(e).select(
+        "centroid_id",
+        F.transform("centroid", lambda x: F.round(x + F.lit(1e-9), 6)).alias("centroid"),
+    )
+    scored = (
+        with_cosine(
+            e.join(F.broadcast(cent), F.col("label") == F.col("centroid_id")),
+            "embedding", "centroid",
+        )
+        .select(
+            "vec_id", "label",
+            F.round(F.col("sim_raw") + F.lit(1e-9), 4).alias("proto_sim"),
+        )
+    )
+    w = Window.partitionBy("label").orderBy(F.col("proto_sim").desc(), "vec_id")
+    wn = Window.partitionBy("label")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .select(
+            "vec_id", "label", "proto_sim", "rk",
+            (F.col("rk") <= F.ceil(F.lit(_PROTO_KEEP_FRAC) * F.col("n"))).alias("keep"),
+        )
+    )
