@@ -686,3 +686,107 @@ def x36_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         r_stop.alias("r_stop"),
         (r_words & r_mwl & r_symbol & r_alpha & r_stop).alias("keep"),
     )
+
+
+# --- X37: DSIR importance-resampling data selection --------------------------
+
+_DSIR_BUCKETS = 512
+_DSIR_TARGET_LANG = "en"
+_DSIR_TOP_N = 100
+
+
+@query(
+    "x37_dsir_selection",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    hb AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT) % {_DSIR_BUCKETS} AS b
+      FROM tok
+    ),
+    raw AS (SELECT b, CAST(count(*) AS BIGINT) AS n_raw FROM hb GROUP BY b),
+    tgt AS (SELECT b, CAST(count(*) AS BIGINT) AS n_tgt
+            FROM hb WHERE lang = '{_DSIR_TARGET_LANG}' GROUP BY b),
+    lr AS (
+      SELECT r.b,
+             ln((coalesce(t.n_tgt, 0) + 1.0)
+                  / (sum(coalesce(t.n_tgt, 0)) OVER () + {_DSIR_BUCKETS}))
+               - ln((r.n_raw + 1.0)
+                  / (sum(r.n_raw) OVER () + {_DSIR_BUCKETS})) AS lr
+      FROM raw r LEFT JOIN tgt t USING (b)
+    ),
+    docscore AS (
+      SELECT hb.doc_id,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             round(sum(lr.lr) + 1e-9, 4) AS dsir_score
+      FROM hb JOIN lr USING (b)
+      GROUP BY hb.doc_id
+    )
+    SELECT doc_id, n_tokens, dsir_score, rk
+    FROM (SELECT *, row_number() OVER (ORDER BY dsir_score DESC, doc_id) AS rk
+          FROM docscore)
+    WHERE rk <= {_DSIR_TOP_N}
+    """,
+)
+def x37_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, "Data Selection for Language
+    Models via Importance Resampling"): fit hashed-unigram bag-of-words
+    models for the TARGET distribution (here: lang='en' docs, the
+    in-domain stand-in) and the RAW corpus, score every document by its
+    importance log-ratio sum over token buckets (Laplace-smoothed), and
+    keep the top-N — the deterministic variant of the paper's
+    Gumbel-noise resampling, rank-stable across engines (rounded score +
+    doc_id tie-break, SURVEY §4.3.1).
+
+    Shape at 100 TB: the (doc_id, bucket) frame is the only exploded
+    intermediate and it is persisted and reused three ways (raw counts,
+    target counts, doc scoring); both model tables collapse to <=B
+    buckets, so the log-ratio table is a broadcast — the scoring join
+    ships 512 doubles to every executor and the per-doc aggregate
+    partial-combines map-side.  Token hashing is the repo's cross-engine
+    md5-prefix convention (the a20 count-min hash)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("token")
+    )
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("bigint"),
+        F.lit(_DSIR_BUCKETS),
+    )
+    hb = tok.select("doc_id", "lang", bucket.alias("b")).persist()
+    raw = hb.groupBy("b").agg(F.count(F.lit(1)).alias("n_raw"))
+    tgt = (
+        hb.filter(F.col("lang") == _DSIR_TARGET_LANG)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("n_tgt"))
+    )
+    wall = Window.partitionBy()
+    n_tgt = F.coalesce(F.col("n_tgt"), F.lit(0))
+    lr = (
+        raw.join(tgt, "b", "left")
+        .select(
+            "b",
+            (
+                F.log((n_tgt + F.lit(1.0))
+                      / (F.sum(n_tgt).over(wall) + F.lit(float(_DSIR_BUCKETS))))
+                - F.log((F.col("n_raw") + F.lit(1.0))
+                        / (F.sum("n_raw").over(wall) + F.lit(float(_DSIR_BUCKETS))))
+            ).alias("lr"),
+        )
+    )
+    docscore = (
+        hb.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum("lr") + F.lit(1e-9), 4).alias("dsir_score"),
+        )
+    )
+    w = Window.orderBy(F.col("dsir_score").desc(), "doc_id")
+    return (
+        docscore.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _DSIR_TOP_N)
+        .select("doc_id", "n_tokens", "dsir_score", "rk")
+    )

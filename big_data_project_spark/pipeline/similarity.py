@@ -1280,3 +1280,117 @@ def x39_prototypicality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("rk") <= F.ceil(F.lit(_PROTO_KEEP_FRAC) * F.col("n"))).alias("keep"),
         )
     )
+
+
+# --- X38: PQ asymmetric-distance (ADC) top-k search --------------------------
+
+_ADC_TOP_K = 5
+_ADC_N_QUERIES = 10
+
+
+def _pq_adc_oracle() -> str:
+    """Mirror of the ADC search: per corpus vector, the x18 per-subspace
+    argmin code (same first-min convention); per (query, corpus) pair the
+    approximate distance is the sum over subspaces of the SQUARED L2
+    distance from the query subvector to the corpus vector's chosen
+    centroid literal."""
+    cents = _pq_centroids()
+    code_exprs = []
+    adc_terms = []
+    for j in range(_PQ_M):
+        lo, hi = j * _PQ_D + 1, (j + 1) * _PQ_D
+        dlist = ", ".join(f"list_distance(v[{lo}:{hi}], {c})" for c in cents[j])
+        code_exprs.append(
+            f"list_position([{dlist}], list_min([{dlist}])) AS code{j}"
+        )
+        adc_terms.append(
+            f"pow(list_distance(q.vq[{lo}:{hi}], ({cents[j]})[c.code{j}]), 2)"
+        )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS vq FROM e WHERE vec_id < {_ADC_N_QUERIES}),
+    codes AS (SELECT vec_id, {", ".join(code_exprs)} FROM e),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             round({" + ".join(adc_terms)} + 1e-9, 4) AS adc_d2
+      FROM q JOIN codes c ON c.vec_id != q.query_id
+    )
+    SELECT query_id, neighbor_id, adc_d2
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY adc_d2, neighbor_id) AS rk
+          FROM scored)
+    WHERE rk <= {_ADC_TOP_K}"""
+
+
+@query("x38_pq_adc_topk", oracle=_pq_adc_oracle())
+def x38_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance search (Jégou et al. 2011, the IVF-PQ/FAISS
+    ADC mechanism): the corpus is represented ONLY by its x18 product-
+    quantization codes; each query precomputes an m×k lookup table of
+    squared subspace distances to every codeword, and a candidate's
+    approximate distance is m table lookups summed — no decompression,
+    no full-dimension arithmetic per pair.
+
+    Shape at 100 TB: the LUT batch is (nq × m × k) doubles built from the
+    bounded query set (10 rows collected driver-side — the query batch,
+    not the corpus) and closed over; the corpus streams through one
+    mapInPandas pass that encodes + gathers + batch-local-top-ks, so the
+    exchange carries at most nq·k rows per batch — never n·nq candidates.
+    Global winner = rank over the per-batch survivors.  Ranking is on the
+    ROUNDED distance + id tie-break on both engines (SURVEY §4.3.1); the
+    codes reuse x18's first-min argmin convention."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    cents = np.asarray(_pq_centroids())  # (m, k, d)
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qrows = sorted(
+        e.filter(F.col("vec_id") < _ADC_N_QUERIES).collect(),
+        key=lambda r: r["vec_id"],
+    )
+    q_ids = np.asarray([r["vec_id"] for r in qrows], dtype=np.int64)
+    q_mat = np.asarray([r["embedding"] for r in qrows], dtype=np.float64)
+    # LUT[qi, j, c] = ||q_sub_j - cents[j, c]||²
+    lut = np.stack(
+        [
+            ((q_mat[:, j * _PQ_D : (j + 1) * _PQ_D][:, None, :]
+              - cents[j][None, :, :]) ** 2).sum(axis=2)
+            for j in range(_PQ_M)
+        ],
+        axis=1,
+    )
+
+    def block(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdf_iter:
+            if pdf.empty:
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            a = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            adc = np.zeros((len(q_ids), len(ids)))
+            for j in range(_PQ_M):
+                sub = a[:, j * _PQ_D : (j + 1) * _PQ_D]
+                d2 = ((sub[:, None, :] - cents[j][None, :, :]) ** 2).sum(axis=2)
+                adc += lut[:, j, d2.argmin(axis=1)]
+            adc = np.round(adc + 1e-9, 4)
+            out = []
+            for qi, qid in enumerate(q_ids):
+                mask = ids != qid
+                row, cand = adc[qi][mask], ids[mask]
+                order = np.lexsort((cand, row))[:_ADC_TOP_K]
+                out.append(pd.DataFrame({
+                    "query_id": qid, "neighbor_id": cand[order],
+                    "adc_d2": row[order],
+                }))
+            yield pd.concat(out, ignore_index=True)
+
+    cand = e.mapInPandas(
+        block, schema="query_id bigint, neighbor_id bigint, adc_d2 double"
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _ADC_TOP_K)
+        .select("query_id", "neighbor_id", "adc_d2")
+    )
