@@ -1394,3 +1394,45 @@ def x38_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _ADC_TOP_K)
         .select("query_id", "neighbor_id", "adc_d2")
     )
+
+
+# --- X40: production k-means|| trainer (ml.clustering.KMeans) ----------------
+
+_KMEANS_ML_K = 10
+_KMEANS_ML_SEED = 7
+
+
+@query("x40_kmeans_parallel", oracle=None)
+def x40_kmeans_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production-path quantizer trainer (VERDICT r04 #8): Spark ML's
+    KMeans with k-means|| initialization (Bahmani et al. 2012) — the
+    scalable seeding a real 100 TB deployment uses instead of x31's
+    per-label seed.  x31's CTE-unrolled Lloyd trainer remains the
+    oracle-verified path; this one is rows-only by necessity (k-means||'s
+    seeded RNG sampling has no DuckDB mirror) with invariants in
+    tests/test_pipeline.py: k clusters, full coverage, cost no worse than
+    the k=1 baseline, and cost-vs-label-seed reported for inspection.
+
+    Output: one row per cluster (cluster_id, n_members) plus the rounded
+    training cost replicated per row — the shape a downstream IVF indexer
+    consumes.  Scale shape: ML KMeans aggregates per-partition partial
+    sums treeAggregate-style (centroids broadcast each iteration, vectors
+    never shuffle) — the same cost model as _train_centroids, with
+    library-grade init."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    model = KMeans(
+        k=_KMEANS_ML_K, seed=_KMEANS_ML_SEED, initMode="k-means||", maxIter=10
+    ).fit(e)
+    cost = float(model.summary.trainingCost)
+    pred = model.transform(e)
+    return (
+        pred.groupBy(F.col("prediction").alias("cluster_id"))
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .withColumn("training_cost", F.round(F.lit(cost) + F.lit(1e-9), 4))
+        .orderBy("cluster_id")
+    )

@@ -618,3 +618,34 @@ def test_replicated_minhash_scales_linearly(spark, sf_dir):
     base = verified_neardup_pairs(spark, sf_dir).count()
     x4 = replicated_neardup_pairs(spark, sf_dir, factor=4).count()
     assert base > 0 and x4 == 4 * base
+
+
+def test_kmeans_parallel_invariants(spark, sf_dir):
+    """x40 (rows-only): k clusters, every vector assigned exactly once,
+    and the trained cost beats the k=1 (global-mean) baseline — the
+    invariant battery standing in for the DuckDB oracle that k-means||'s
+    seeded RNG sampling makes impossible."""
+    from pyspark.sql import functions as F
+
+    from big_data_project_spark.pipeline.similarity import (
+        _KMEANS_ML_K, x40_kmeans_parallel,
+    )
+
+    out = x40_kmeans_parallel(spark, sf_dir).collect()
+    n_vectors = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert len(out) == _KMEANS_ML_K
+    assert sum(r.n_members for r in out) == n_vectors
+    cost = out[0].training_cost
+    assert all(r.training_cost == cost for r in out)
+
+    # k=1 baseline: sum of squared distances to the global mean
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("embedding").cast("array<double>").alias("v")
+    )
+    dim = len(e.first()["v"])
+    mean = e.select(*[F.avg(F.element_at("v", i + 1)).alias(f"m{i}") for i in range(dim)]).first()
+    sq = sum(
+        (F.element_at("v", i + 1) - F.lit(mean[f"m{i}"])) ** 2 for i in range(dim)
+    )
+    k1_cost = e.select(F.sum(sq)).first()[0]
+    assert cost < k1_cost
