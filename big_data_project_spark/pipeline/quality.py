@@ -784,9 +784,13 @@ def x37_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("lr") + F.lit(1e-9), 4).alias("dsir_score"),
         )
     )
+    # global top-N via orderBy().limit() → TakeOrderedAndProject (each task
+    # keeps a local top-N heap, driver merges N·tasks rows) — NOT a
+    # row_number window, which Spark plans as a single-task global sort
+    # (no WindowGroupLimit without a partition spec); the rank window then
+    # runs over only the N survivors
+    top = docscore.orderBy(F.col("dsir_score").desc(), "doc_id").limit(_DSIR_TOP_N)
     w = Window.orderBy(F.col("dsir_score").desc(), "doc_id")
-    return (
-        docscore.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= _DSIR_TOP_N)
-        .select("doc_id", "n_tokens", "dsir_score", "rk")
+    return top.withColumn("rk", F.row_number().over(w)).select(
+        "doc_id", "n_tokens", "dsir_score", "rk"
     )

@@ -492,3 +492,59 @@ def test_minhash_pairs_reuse_persisted_shingles(spark, qs):
     # InMemoryRelation keeps the check purely on the uncached prefix
     top = plan.split("InMemoryRelation")[0]
     assert "split(text" not in top, "corpus re-tokenized outside the persist"
+
+
+def test_gopher_gate_is_pure_scan_map(spark, qs):
+    """x36: every rule feature derives from the doc's own token array —
+    zero shuffle, zero Python eval, one scan."""
+    from big_data_project_spark.plans.contracts import num_shuffles
+
+    df = qs["x36_gopher_quality_rules"](spark, SF)
+    assert num_shuffles(df) == 0
+    assert count_ops(df, "BatchEvalPython") + count_ops(df, "ArrowEvalPython") == 0
+
+
+def test_dsir_broadcasts_models_and_takes_ordered(spark, qs):
+    """x37: the exploded (doc, bucket) frame is persisted and reused
+    (raw counts, target counts, scoring join — ≥3 InMemoryTableScans);
+    the ≤512-row log-ratio table broadcasts to the scoring join; and the
+    global top-N is a TakeOrderedAndProject (distributed per-task heaps),
+    never a single-task global-sort window over every doc."""
+    from big_data_project_spark.plans.contracts import plan_str
+
+    df = qs["x37_dsir_selection"](spark, SF)
+    assert count_ops(df, "InMemoryTableScan") >= 3, "hb frame not reused"
+    assert count_ops(df, "BroadcastHashJoin") >= 1, "log-ratio table not broadcast"
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, "global top-N lost the heap path"
+
+
+def test_prototypicality_broadcasts_centroids(spark, qs):
+    """x39: scoring joins each vector to its own k-row label-centroid
+    table by BROADCAST (the embedding side never shuffles for the join);
+    the rank window moves only (vec_id, label, sim) scalars."""
+    from big_data_project_spark.plans.contracts import num_shuffles, read_schemas
+
+    df = qs["x39_prototypicality_prune"](spark, SF)
+    assert count_ops(df, "BroadcastHashJoin") >= 1
+    assert num_shuffles(df) <= 2
+    # ranked exchange must not carry the embedding payload: no scan feeding
+    # the window reads more than the needed columns (embedding is consumed
+    # map-side by the cosine, pruned before the rank exchange)
+    assert count_ops(df, "SortMergeJoin") == 0
+
+
+def test_pq_adc_is_one_kernel_pass(spark, qs):
+    """x38: the corpus streams through ONE mapInPandas encode+gather pass;
+    the only exchange is the bounded per-batch-survivor rank (≤ nq·k rows
+    per batch), and the per-query top-k gets the WindowGroupLimit
+    map-side pushdown."""
+    from big_data_project_spark.plans.contracts import num_shuffles, plan_str
+
+    df = qs["x38_pq_adc_topk"](spark, SF)
+    assert plan_str(df, "simple").count("MapInPandas") == 1
+    assert num_shuffles(df) <= 1
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
