@@ -794,3 +794,129 @@ def x37_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rk", F.row_number().over(w)).select(
         "doc_id", "n_tokens", "dsir_score", "rk"
     )
+
+
+# --- X41: CCNet-style perplexity bucketing ------------------------------------
+
+_CCNET_BUCKETS = 3  # head / middle / tail terciles, per language
+
+
+@query(
+    "x41_ccnet_buckets",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents
+    ),
+    s AS (
+      SELECT doc_id, lang,
+             round(list_sum(list_transform(ws, t -> {_LM_CASE_SQL}))
+                   / len(ws) + 1e-9, 4) AS avg_logprob
+      FROM w
+    ),
+    t AS (
+      SELECT doc_id, lang, avg_logprob,
+             ntile({_CCNET_BUCKETS}) OVER (PARTITION BY lang
+                                           ORDER BY avg_logprob DESC, doc_id) AS nt
+      FROM s
+    )
+    SELECT doc_id, lang, avg_logprob,
+           CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+    FROM t
+    """,
+)
+def x41_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): per
+    LANGUAGE, split documents into head/middle/tail terciles of the LM
+    quality score (x27's mean unigram logprob — higher = more fluent) —
+    the public recipe behind "train on head+middle, drop tail" corpus
+    tiering, kept per-language so low-resource languages are tiered
+    against themselves rather than drowned by the dominant one.
+
+    Shape at 100 TB: scoring is x27's zero-shuffle map-literal fold; the
+    tiering is ONE rank exchange carrying (doc_id, lang, score) scalars.
+    Exact ntile needs a per-language total ordering — a single sort task
+    per language is the honest cost of exact terciles (CCNet itself
+    computes them from a sampled histogram; the o8 two-pass prefix-sum is
+    the sampled-quantile alternative if a language outgrows one task).
+    Ordering is (rounded score DESC, doc_id), so both engines assign
+    identical tercile boundaries."""
+    d = load_table(spark, sf_dir, "documents")
+    lm = F.create_map(
+        *[F.lit(x) for pair in _LM_LOGPROBS.items() for x in pair]
+    )
+    ws = F.split("text", " ")
+    total = F.aggregate(
+        F.transform(ws, lambda t: F.coalesce(F.element_at(lm, t), F.lit(_LM_OOV))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    score = F.round(total / F.size(ws) + F.lit(1e-9), 4)
+    scored = d.select("doc_id", "lang", score.alias("avg_logprob"))
+    w = Window.partitionBy("lang").orderBy(F.col("avg_logprob").desc(), "doc_id")
+    nt = F.ntile(_CCNET_BUCKETS).over(w)
+    return scored.select(
+        "doc_id", "lang", "avg_logprob",
+        F.when(nt == 1, "head").when(nt == 2, "middle").otherwise("tail").alias("bucket"),
+    )
+
+
+# --- X42: duplicate-n-gram repetition gate ------------------------------------
+
+_DUP_2GRAM_MAX = 0.05
+_DUP_3GRAM_MAX = 0.02
+
+
+@query(
+    "x42_duplicate_ngrams",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             [ws[i] || ' ' || ws[i+1]
+              for i in generate_series(1, len(ws) - 1)] AS g2,
+             [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+              for i in generate_series(1, len(ws) - 2)] AS g3
+      FROM w WHERE len(ws) >= 3
+    )
+    SELECT doc_id,
+           CAST(len(g2) AS BIGINT) AS n_2grams,
+           round((len(g2) - len(list_distinct(g2))) * 1.0 / len(g2) + 1e-9, 4)
+             AS dup_2gram_frac,
+           round((len(g3) - len(list_distinct(g3))) * 1.0 / len(g3) + 1e-9, 4)
+             AS dup_3gram_frac,
+           ((len(g2) - len(list_distinct(g2))) * 1.0 / len(g2) + 1e-9 <= {_DUP_2GRAM_MAX}
+             AND (len(g3) - len(list_distinct(g3))) * 1.0 / len(g3) + 1e-9 <= {_DUP_3GRAM_MAX})
+             AS keep
+    FROM g
+    """,
+)
+def x42_duplicate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher's duplicate-n-gram repetition rules (Rae et al. 2021, App.
+    A1.2 — the family x9_repetition_stats' top-token ratio doesn't
+    catch): the fraction of 2-gram and 3-gram OCCURRENCES that are
+    repeats of an earlier n-gram in the same doc.  High values flag
+    looping/boilerplate text that per-token stats miss (every token can
+    be common while the phrase structure is degenerate).
+
+    Shape at 100 TB: zero shuffle — both n-gram arrays and their distinct
+    counts are computed per row from the doc's own token array (no
+    explode); the gate is one more scan filter for the curation funnel."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    g2 = _shingles(ws, 2)
+    g3 = _shingles(ws, 3)
+    dup2 = (F.size(g2) - F.size(F.array_distinct(g2))) / F.size(g2).cast("double")
+    dup3 = (F.size(g3) - F.size(F.array_distinct(g3))) / F.size(g3).cast("double")
+    return (
+        d.filter(F.size(ws) >= 3)
+        .select(
+            "doc_id",
+            F.size(g2).cast("bigint").alias("n_2grams"),
+            F.round(dup2 + F.lit(1e-9), 4).alias("dup_2gram_frac"),
+            F.round(dup3 + F.lit(1e-9), 4).alias("dup_3gram_frac"),
+            ((dup2 + F.lit(1e-9) <= _DUP_2GRAM_MAX)
+             & (dup3 + F.lit(1e-9) <= _DUP_3GRAM_MAX)).alias("keep"),
+        )
+    )

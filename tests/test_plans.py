@@ -548,3 +548,24 @@ def test_pq_adc_is_one_kernel_pass(spark, qs):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_ccnet_single_scalar_rank_exchange(spark, qs):
+    """x41: scoring is the x27 zero-shuffle map fold; the only exchange is
+    the per-language tercile rank carrying (doc_id, lang, score)."""
+    from big_data_project_spark.plans.contracts import num_shuffles, read_schemas
+
+    df = qs["x41_ccnet_buckets"](spark, SF)
+    assert num_shuffles(df) == 1
+    for cols in read_schemas(df):
+        assert "text" in cols and len(cols) <= 3, cols  # scan reads only what scoring needs
+
+
+def test_duplicate_ngrams_zero_shuffle(spark, qs):
+    """x42: both n-gram fractions come from the doc's own token array —
+    no explode, no exchange, no Python."""
+    from big_data_project_spark.plans.contracts import num_shuffles
+
+    df = qs["x42_duplicate_ngrams"](spark, SF)
+    assert num_shuffles(df) == 0
+    assert count_ops(df, "BatchEvalPython") + count_ops(df, "ArrowEvalPython") == 0
