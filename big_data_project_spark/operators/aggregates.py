@@ -658,3 +658,48 @@ def a22_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_bucket.groupBy("l_returnflag").agg(
         F.sum("cnt").cast("bigint").alias("n_distinct_suppliers")
     )
+
+
+@query(
+    "a23_mode_per_group",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag, l_linestatus, count(*) AS n
+      FROM lineitem GROUP BY l_returnflag, l_linestatus
+    ),
+    r AS (
+      SELECT l_returnflag, l_linestatus, n,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY n DESC, l_linestatus) AS rk
+      FROM c
+    )
+    SELECT l_returnflag, l_linestatus AS mode_status, n AS mode_count
+    FROM r WHERE rk = 1
+    ORDER BY l_returnflag
+    """,
+)
+def a23_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mode with a DETERMINISTIC tie-break (highest count,
+    then smallest value) — built from count + row_number rather than the
+    native ``mode()`` aggregate, whose tie choice is engine-defined and
+    would never hash-match across engines.  Two-level aggregation: the
+    count groupBy is partial+final (map-side combine collapses the
+    bounded (flag,status) key space before the exchange), and the
+    row_number window runs over the already-tiny count table — at 100 TB
+    the only full-data exchange is the first groupBy's combined
+    partials."""
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    c = li.groupBy("l_returnflag", "l_linestatus").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("l_returnflag").orderBy(F.col("n").desc(), "l_linestatus")
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "l_returnflag",
+            F.col("l_linestatus").alias("mode_status"),
+            F.col("n").alias("mode_count"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -186,3 +186,35 @@ def u5_dedup_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("event_id").alias("first_event_id"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@query(
+    "u6_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value
+    FROM lineitem WHERE l_linenumber <= 2
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+    FROM lineitem WHERE l_linenumber <= 2
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+    FROM lineitem WHERE l_linenumber <= 2
+    """,
+)
+def u6_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshaping via the native ``DataFrame.unpivot`` (SQL
+    UNPIVOT/melt — the inverse of a15_pivot).  Catalyst expands it to an
+    Expand node: each input row fans out to one row per measure with NO
+    shuffle and no join — at 100 TB this is a pure narrow map whose
+    output is 3× the (pruned) input columns, and column pruning still
+    reaches the scan because the id/value column set is declared
+    statically.  The oracle states the same relation as a UNION ALL of
+    per-measure projections — semantically identical, but the Spark plan
+    scans ONCE where the UNION ALL form would scan three times."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") <= 2)
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )

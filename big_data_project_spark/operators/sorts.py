@@ -422,3 +422,52 @@ def o10_hash_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pos", F.row_number().over(w) + F.col("offset"))
         .select("doc_id", "shuffle_key", "pos")
     )
+
+
+# --- O12: weighted sampling (deterministic, integer-exact) ------------------
+
+_WS_EXPECT = 200  # expected sample size
+
+
+@query(
+    "o12_weighted_sample",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, n_chars,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 1000000 AS h
+      FROM documents WHERE n_chars > 0
+    ),
+    tot AS (SELECT sum(n_chars) AS W FROM w)
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS weight
+    FROM w, tot
+    WHERE h * W < {_WS_EXPECT} * n_chars * 1000000
+    ORDER BY doc_id
+    """,
+)
+def o12_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted Bernoulli sampling with expected size k: row i is kept
+    with probability k·wᵢ/ΣW (here wᵢ = n_chars — 'sample documents
+    proportional to length', the token-budget-aware subsampling a
+    pretraining mixture uses).  The inclusion test is the pure-INTEGER
+    comparison  h·ΣW < k·wᵢ·10⁶  with h = md5(doc_id) mod 10⁶ — no
+    float division, so selection is bit-reproducible across engines,
+    re-runs, and cluster sizes (same lineage property as
+    o7_hash_stratified_sample; an Efraimidis-Spirakis exp-key top-k
+    would hinge on libm ulps at the boundary).
+
+    Shape at 100 TB: ΣW is one scalar aggregate broadcast back; the
+    filter is a narrow map over the scan.  No shuffle at all in the
+    selection itself."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    tot = d.agg(F.sum("n_chars").alias("W"))
+    h = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast("long"),
+        F.lit(1000000),
+    )
+    return (
+        d.crossJoin(F.broadcast(tot))
+        .filter(h * F.col("W") < F.lit(_WS_EXPECT) * F.col("n_chars") * F.lit(1000000))
+        .select("doc_id", F.col("n_chars").cast("bigint").alias("weight"))
+        .orderBy("doc_id")
+    )

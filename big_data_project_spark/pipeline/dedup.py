@@ -817,3 +817,100 @@ def replicated_neardup_pairs(
         )
     )
     return verified_neardup_pairs(spark, sf_dir, docs=salted)
+
+
+# --- X43: connected components via large-star/small-star --------------------
+#
+# The O(log n)-round connected-components algorithm (Kiveris et al.,
+# "Connected Components in MapReduce and Beyond", SoCC 2014) — the scale
+# path for near-dup cluster assignment.  `neardup_clusters` above is
+# min-label propagation, which needs O(diameter) rounds: fine for the
+# planted pair/triple fixture components, but a 100 TB crawl's dup graph
+# contains long chains (A~B~C~... via sliding boilerplate) where diameter
+# grows with corpus size.  Large-star/small-star contracts every component
+# to a star around its minimum id in O(log n) alternations regardless of
+# diameter, with each half-round a single groupBy-join over the edge list.
+
+
+def _canonical_edges(e: DataFrame) -> DataFrame:
+    """Undirected edge set as canonical (hi, lo) pairs, self-loops dropped."""
+    return (
+        e.select(
+            F.greatest("u", "v").alias("hi"), F.least("u", "v").alias("lo")
+        )
+        .filter(F.col("hi") != F.col("lo"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each node u: attach every strictly-larger neighbor to
+    min(Γ(u) ∪ {u}).  Emitted as canonical pairs."""
+    nbrs = edges.select(F.col("hi").alias("u"), F.col("lo").alias("v")).unionByName(
+        edges.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+    )
+    mins = nbrs.groupBy("u").agg(F.min("v").alias("nbr_min"))
+    m = F.least(F.col("u"), F.col("nbr_min"))
+    return _canonical_edges(
+        nbrs.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), m.alias("v"))
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Process every edge at its larger endpoint u: attach u and all its
+    smaller neighbors to the minimum of that set."""
+    mins = edges.groupBy("hi").agg(F.min("lo").alias("m"))
+    withm = edges.join(mins, "hi")
+    child_edges = withm.select(F.col("lo").alias("u"), F.col("m").alias("v"))
+    center_edges = withm.select(F.col("hi").alias("u"), F.col("m").alias("v")).distinct()
+    return _canonical_edges(child_edges.unionByName(center_edges))
+
+
+def largestar_components(
+    spark: SparkSession, sf_dir: str, max_rounds: int = 12
+) -> DataFrame:
+    """Cluster assignment (component-min label) for every node of the
+    verified near-dup pair graph, by alternating large-star / small-star
+    until the canonical edge set reaches fixpoint.  At fixpoint the graph
+    is a union of stars centered on component minima, so the label read-out
+    is one projection: children label with their (unique) neighbor, centers
+    with themselves."""
+    pairs = verified_neardup_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    members = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .persist()
+    )
+    edges = _canonical_edges(
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    ).persist()
+    for _ in range(max_rounds):
+        nxt = _small_star(_large_star(edges)).persist()
+        # fixpoint = no edge entered or left the canonical set
+        changed = (
+            nxt.exceptAll(edges).count() + edges.exceptAll(nxt).count()
+        )
+        edges.unpersist()
+        edges = nxt
+        if changed == 0:
+            break
+    # star read-out: every child appears as `hi` exactly once (star), the
+    # center only as `lo`; centers label themselves
+    child = edges.select(F.col("hi").alias("doc_id"), F.col("lo").alias("cluster"))
+    return (
+        members.join(child, "doc_id", "left")
+        .select("doc_id", F.coalesce("cluster", "doc_id").alias("cluster"))
+    )
+
+
+@query("x43_largestar_components", oracle=_ORACLE_CLUSTERS)
+def x43_largestar_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same contract as x7_neardup_clusters (and the same unrolled-
+    propagation oracle — the two algorithms must agree exactly), computed
+    by the O(log n)-round star-contraction algorithm instead of
+    O(diameter)-round label propagation.  This is the variant that holds
+    at 100 TB, where dup-graph diameter is unbounded."""
+    return largestar_components(spark, sf_dir).orderBy("doc_id")

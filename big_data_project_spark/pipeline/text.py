@@ -637,3 +637,175 @@ def x33_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("keeper").cast("bigint").alias("keeper_id_sum"),
         F.min("curl").alias("sample_canonical"),
     )
+
+
+# --- X44: boilerplate-segment removal (corpus-frequency line filter) --------
+#
+# The CCNet/RefinedWeb companion to x32's keep-first line dedup: a segment
+# that appears in >= _BP_MIN_DOCS DISTINCT documents is boilerplate (nav
+# bars, cookie banners, license footers) and is removed from EVERY document
+# — including the first occurrence x32 would keep.  Same 8-word-window
+# "line" granularity as x32 (the fixture text has no newlines).
+
+_BP_SEG_WORDS = 8
+_BP_MIN_DOCS = 3
+
+
+@query(
+    "x44_boilerplate_lines",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+    ),
+    segs AS (
+      SELECT doc_id, lang, i AS seg_idx,
+             array_to_string(w[i*{_BP_SEG_WORDS}+1 : i*{_BP_SEG_WORDS}+{_BP_SEG_WORDS}], ' ') AS seg
+      FROM words,
+           unnest(generate_series(0, CAST(ceil(len(w)/{_BP_SEG_WORDS}.0) AS INT) - 1)) AS t(i)
+    ),
+    marked AS (
+      SELECT doc_id, lang, seg_idx, seg,
+             count(DISTINCT doc_id) OVER (PARTITION BY md5(seg))
+               >= {_BP_MIN_DOCS} AS boiler
+      FROM segs
+    ),
+    perdoc AS (
+      SELECT doc_id, lang,
+             count(*) AS total,
+             count(*) FILTER (WHERE NOT boiler) AS kept,
+             md5(string_agg(seg, ' ' ORDER BY seg_idx)
+                 FILTER (WHERE NOT boiler)) AS h
+      FROM marked GROUP BY doc_id, lang
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs_in,
+           CAST(sum(total - kept) AS BIGINT) AS removed_segs,
+           CAST(count(*) FILTER (WHERE kept > 0) AS BIGINT) AS docs_out,
+           CAST(sum(CASE WHEN kept > 0 THEN
+                 CAST('0x' || substr(h, 1, 15) AS BIGINT) % 1000000007
+               ELSE 0 END) AS BIGINT) AS digest
+    FROM perdoc
+    GROUP BY lang
+    """,
+)
+def x44_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency boilerplate removal: segments present in >=3
+    distinct documents are stripped everywhere and documents rebuilt from
+    what survives, reported per language with the same rebuild digest
+    contract as x32 (60-bit md5 prefix mod 1e9+7, summed per lang — the
+    digest proves both engines rebuilt byte-identical documents).
+
+    Shape at 100 TB: identical to x32's single-scan pipeline — explode is
+    narrow, ONE shuffle keyed on the segment hash computes the corpus
+    document-frequency as a window aggregate (group size = the duplication
+    factor, uniform keys), the rebuild one shuffle keyed on (doc_id, lang),
+    the report a tiny per-lang aggregate.  The alternative two-pass form
+    (freq aggregate -> broadcast the boilerplate set -> re-scan) scans the
+    corpus twice to save shuffling text once; the window form matches
+    x32's measured plan and reuses its pin."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_segs = F.ceil(F.size(words) / F.lit(_BP_SEG_WORDS)).cast("int")
+    segs = d.select(
+        "doc_id", "lang",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_segs - 1),
+                lambda i: F.array_join(
+                    F.slice(words, i * _BP_SEG_WORDS + 1, _BP_SEG_WORDS), " "
+                ),
+            )
+        ).alias("seg_idx", "seg"),
+    )
+    w = Window.partitionBy(F.md5("seg"))
+    marked = segs.withColumn(
+        "boiler", F.size(F.collect_set("doc_id").over(w)) >= _BP_MIN_DOCS
+    )
+    keep = ~F.col("boiler")
+    perdoc = marked.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).alias("total"),
+        F.count(F.when(keep, 1)).alias("kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.when(keep, F.struct("seg_idx", "seg")))),
+                    lambda p: p.getField("seg"),
+                ),
+                " ",
+            )
+        ).alias("h"),
+    )
+    return perdoc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs_in"),
+        F.sum(F.col("total") - F.col("kept")).cast("bigint").alias("removed_segs"),
+        F.count(F.when(F.col("kept") > 0, 1)).alias("docs_out"),
+        F.sum(
+            F.when(
+                F.col("kept") > 0,
+                F.pmod(
+                    F.conv(F.substring("h", 1, 15), 16, 10).cast("bigint"),
+                    F.lit(1000000007),
+                ),
+            ).otherwise(F.lit(0))
+        ).cast("bigint").alias("digest"),
+    ).select("lang", "n_docs_in", "removed_segs", "docs_out", "digest")
+
+
+# --- X45: BPE merge statistics (tokenizer-training first step) --------------
+
+
+@query(
+    "x45_bpe_pair_counts",
+    oracle="""
+    WITH words AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents
+    ),
+    pairs AS (
+      SELECT unnest([substr(word, i, 2)
+                     for i in generate_series(1, len(word) - 1)]) AS pair
+      FROM words WHERE len(word) >= 2
+    )
+    SELECT pair, CAST(count(*) AS BIGINT) AS n
+    FROM pairs
+    GROUP BY pair
+    ORDER BY n DESC, pair
+    LIMIT 50
+    """,
+)
+def x45_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first iteration of BPE tokenizer training (Sennrich et al.
+    2016): count every adjacent character pair across all word
+    occurrences (frequency-weighted, as BPE requires) and return the top
+    50 merge candidates.  In a full trainer this runs per merge round
+    over the current symbol sequences; round one over raw characters is
+    the expensive pass (later rounds shrink the sequences), so it is the
+    representative unit.
+
+    Shape at 100 TB: explode words then pairs (both narrow), partial
+    count per partition, ONE shuffle on the pair key (bounded key space —
+    at most |charset|² distinct pairs, so the map-side combine collapses
+    virtually everything before the exchange), then a 50-row
+    TakeOrderedAndProject.  No window, no join."""
+    d = load_table(spark, sf_dir, "documents")
+    word = F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
+    wlen = F.length("word")
+    pairs = (
+        d.select(word)
+        .filter(wlen >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), wlen - 1),
+                    lambda i: F.substring(F.col("word"), i, F.lit(2)),
+                )
+            ).alias("pair")
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(50)
+    )
