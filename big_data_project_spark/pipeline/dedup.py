@@ -868,42 +868,56 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return _canonical_edges(child_edges.unionByName(center_edges))
 
 
-def largestar_components(
-    spark: SparkSession, sf_dir: str, max_rounds: int = 12
-) -> DataFrame:
-    """Cluster assignment (component-min label) for every node of the
-    verified near-dup pair graph, by alternating large-star / small-star
-    until the canonical edge set reaches fixpoint.  At fixpoint the graph
-    is a union of stars centered on component minima, so the label read-out
-    is one projection: children label with their (unique) neighbor, centers
+def star_contract(pairs: DataFrame, max_rounds: int = 12) -> tuple[DataFrame, int]:
+    """Alternate large-star / small-star over an undirected edge list
+    (columns u, v) until the canonical edge set reaches fixpoint; return
+    (labels, rounds_used).  At fixpoint the graph is a union of stars
+    centered on component minima, so the label read-out is one
+    projection: children label with their (unique) neighbor, centers
     with themselves."""
-    pairs = verified_neardup_pairs(spark, sf_dir).select("doc_a", "doc_b")
     members = (
-        pairs.select(F.col("doc_a").alias("doc_id"))
-        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        pairs.select(F.col("u").alias("doc_id"))
+        .unionByName(pairs.select(F.col("v").alias("doc_id")))
         .distinct()
         .persist()
     )
-    edges = _canonical_edges(
-        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-    ).persist()
+    # localCheckpoint (not just persist) each round: persist truncates
+    # recomputation but NOT lineage, so after k rounds Catalyst re-plans a
+    # 2^k-deep nested tree (the exceptAll doubles it) — measured minutes of
+    # pure planning by round 6 on a 64-node chain.  Checkpointing resets
+    # the plan to a leaf every round; on a real cluster use
+    # df.checkpoint() to reliable storage so executor loss can't orphan
+    # the iteration.
+    edges = _canonical_edges(pairs).localCheckpoint(eager=True)
+    rounds = 0
     for _ in range(max_rounds):
-        nxt = _small_star(_large_star(edges)).persist()
+        nxt = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        rounds += 1
         # fixpoint = no edge entered or left the canonical set
         changed = (
             nxt.exceptAll(edges).count() + edges.exceptAll(nxt).count()
         )
-        edges.unpersist()
         edges = nxt
         if changed == 0:
             break
     # star read-out: every child appears as `hi` exactly once (star), the
     # center only as `lo`; centers label themselves
     child = edges.select(F.col("hi").alias("doc_id"), F.col("lo").alias("cluster"))
-    return (
+    labels = (
         members.join(child, "doc_id", "left")
         .select("doc_id", F.coalesce("cluster", "doc_id").alias("cluster"))
     )
+    return labels, rounds
+
+
+def largestar_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster assignment (component-min label) for every node of the
+    verified near-dup pair graph via star contraction."""
+    pairs = verified_neardup_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    )
+    labels, _ = star_contract(pairs)
+    return labels
 
 
 @query("x43_largestar_components", oracle=_ORACLE_CLUSTERS)

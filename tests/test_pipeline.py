@@ -653,3 +653,22 @@ def test_kmeans_parallel_invariants(spark, sf_dir):
     )
     k1_cost = e.select(F.sum(sq)).first()[0]
     assert cost < k1_cost
+
+
+def test_star_contraction_on_long_chain(spark):
+    """The property that justifies x43 over label propagation: a path
+    graph of 64 nodes has diameter 63 — min-label propagation needs ~63
+    rounds, star contraction must finish in O(log n).  All nodes must
+    land in component 0."""
+    from pyspark.sql import functions as F
+
+    from big_data_project_spark.pipeline.dedup import star_contract
+
+    chain = spark.range(63).select(
+        F.col("id").alias("u"), (F.col("id") + 1).alias("v")
+    )
+    labels, rounds = star_contract(chain, max_rounds=12)
+    rows = labels.collect()
+    assert len(rows) == 64
+    assert all(r.cluster == 0 for r in rows)
+    assert rounds <= 8, f"star contraction took {rounds} rounds on a 64-chain"

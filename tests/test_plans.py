@@ -569,3 +569,49 @@ def test_duplicate_ngrams_zero_shuffle(spark, qs):
     df = qs["x42_duplicate_ngrams"](spark, SF)
     assert num_shuffles(df) == 0
     assert count_ops(df, "BatchEvalPython") + count_ops(df, "ArrowEvalPython") == 0
+
+
+def test_unpivot_expands_single_scan(spark, qs):
+    """u6: the native unpivot compiles to one Expand over ONE scan (the
+    UNION ALL oracle form would scan three times) with no exchange, and
+    pruning still reaches the scan (5 of 11 lineitem columns)."""
+    from big_data_project_spark.plans.contracts import num_shuffles, read_schemas
+
+    df = qs["u6_unpivot"](spark, SF)
+    assert count_ops(df, "Expand") == 1
+    assert num_shuffles(df) == 0
+    schemas = read_schemas(df)
+    assert len(schemas) == 1 and len(schemas[0]) <= 5, schemas
+
+
+def test_weighted_sample_zero_shuffle_selection(spark, qs):
+    """o12: the ΣW scalar rides a BroadcastExchange; the selection filter
+    itself is a narrow map — no data shuffle before the final sort."""
+    from big_data_project_spark.plans.contracts import plan_str
+
+    df = qs["o12_weighted_sample"](spark, SF)
+    plan = plan_str(df, "simple")
+    # exactly one broadcast (the 1-row total), no join-keyed exchange
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert count_ops(df, "SortMergeJoin") + count_ops(df, "ShuffledHashJoin") == 0
+
+
+def test_bpe_pairs_partial_agg_and_topn(spark, qs):
+    """x45: bounded pair key space must collapse map-side (partial agg)
+    and the top-50 must be TakeOrderedAndProject, not a global sort."""
+    from big_data_project_spark.plans.contracts import has_partial_agg, plan_str
+
+    df = qs["x45_bpe_pair_counts"](spark, SF)
+    assert has_partial_agg(df)
+    assert "TakeOrderedAndProject" in plan_str(df, "simple")
+
+
+def test_boilerplate_lines_single_seg_hash_window(spark, qs):
+    """x44: same single-scan shape as x32 — one window exchange on the
+    segment hash, one rebuild exchange on (doc_id, lang), one per-lang
+    aggregate; the corpus is scanned exactly once."""
+    from big_data_project_spark.plans.contracts import num_shuffles, read_schemas
+
+    df = qs["x44_boilerplate_lines"](spark, SF)
+    assert num_shuffles(df) <= 3
+    assert len(read_schemas(df)) == 1  # one scan of documents
