@@ -809,3 +809,199 @@ def x45_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "pair")
         .limit(50)
     )
+
+
+# --- X46: vocabulary encode (broadcast-dictionary tokenization + OOV) -------
+
+_VOCAB_K = 64
+
+
+@query(
+    "x46_vocab_encode",
+    oracle=f"""
+    WITH words AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+    ),
+    vocab AS (
+      SELECT w, row_number() OVER (ORDER BY count(*) DESC, w) - 1 AS id
+      FROM words GROUP BY w
+      ORDER BY count(*) DESC, w LIMIT {_VOCAB_K}
+    ),
+    tok AS (
+      SELECT doc_id, source, i AS pos, w[i] AS word
+      FROM (SELECT doc_id, source, string_split(lower(text), ' ') AS w
+            FROM documents),
+           unnest(generate_series(1, len(w))) AS t(i)
+    ),
+    enc AS (
+      SELECT t.doc_id, t.source,
+             count(*) AS n_tok,
+             count(*) FILTER (WHERE v.id IS NULL) AS n_oov,
+             md5(string_agg(CAST(coalesce(v.id, -1) AS VARCHAR), ',' ORDER BY t.pos)) AS h
+      FROM tok t LEFT JOIN vocab v ON t.word = v.w
+      GROUP BY t.doc_id, t.source
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           CAST(sum(n_oov) AS BIGINT) AS oov_tokens,
+           round(sum(n_oov) * 1.0 / sum(n_tok), 6) AS oov_rate,
+           CAST(sum(CAST('0x' || substr(h, 1, 15) AS BIGINT) % 1000000007)
+                AS BIGINT) AS digest
+    FROM enc
+    GROUP BY source
+    """,
+)
+def x46_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply-a-tokenizer-at-scale: build the top-K word vocabulary from
+    the corpus (deterministic tie-break: count desc, word asc), broadcast
+    it as a literal map, and encode every document to its id sequence
+    (-1 = OOV), reporting per-source OOV rates and an id-sequence digest
+    that proves both engines produced identical encodings.
+
+    Shape at 100 TB: the vocab aggregate's keys collapse map-side
+    (Zipfian word counts → combine does almost all the work), the top-K
+    is a TakeOrderedAndProject, and K rows come back to the driver — the
+    one legitimate bounded collect, exactly how production tokenizers
+    ship (the merge table is broadcast state, not a join side).  Encoding
+    is then a NARROW per-row map — zero shuffle, no explode, no join —
+    and the report is one per-source aggregate.  The oracle states the
+    same relation as an explode + left-join + re-group, which is the
+    plan you'd be forced into without broadcast state."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    vocab_rows = (
+        d.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "w")
+        .limit(_VOCAB_K)
+        .collect()
+    )
+    entries = []
+    for vid, row in enumerate(vocab_rows):
+        entries.extend([F.lit(row["w"]), F.lit(vid)])
+    vmap = F.create_map(*entries)
+    ids = F.transform(toks, lambda t: F.coalesce(vmap[t], F.lit(-1)))
+    h = F.md5(F.array_join(F.transform(ids, lambda i: i.cast("string")), ","))
+    enc = d.select(
+        "source",
+        F.size(toks).alias("n_tok"),
+        F.size(F.filter(ids, lambda i: i == -1)).alias("n_oov"),
+        h.alias("h"),
+    )
+    return enc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        F.sum("n_oov").cast("bigint").alias("oov_tokens"),
+        F.round(F.sum("n_oov") / F.sum("n_tok"), 6).alias("oov_rate"),
+        F.sum(
+            F.pmod(
+                F.conv(F.substring("h", 1, 15), 16, 10).cast("bigint"),
+                F.lit(1000000007),
+            )
+        ).cast("bigint").alias("digest"),
+    ).select("source", "n_docs", "total_tokens", "oov_tokens", "oov_rate", "digest")
+
+
+# --- X47: span corruption (T5-style masked example construction) ------------
+#
+# Deterministic schedule instead of T5's RNG: a length-3 span is masked at
+# every 20th token (positions p with (p-1) mod 20 < 3), giving the ~15%
+# corruption rate of the original recipe but bit-reproducible across
+# engines, re-runs, and cluster sizes — the same lineage argument as o12.
+
+_SPAN_EVERY = 20
+_SPAN_LEN = 3
+
+
+@query(
+    "x47_span_corruption",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+    ),
+    built AS (
+      SELECT doc_id, source,
+             len(w) AS n_tok,
+             len([i for i in generate_series(1, len(w))
+                  if (i-1) % {_SPAN_EVERY} < {_SPAN_LEN}]) AS n_masked,
+             md5(array_to_string(flatten(
+               [CASE WHEN (i-1) % {_SPAN_EVERY} = 0
+                       THEN ['<x_' || CAST((i-1) // {_SPAN_EVERY} AS VARCHAR) || '>']
+                     WHEN (i-1) % {_SPAN_EVERY} < {_SPAN_LEN} THEN []
+                     ELSE [w[i]] END
+                for i in generate_series(1, len(w))]), ' ')) AS h_in,
+             md5(array_to_string(flatten(
+               [CASE WHEN (i-1) % {_SPAN_EVERY} = 0
+                       THEN ['<x_' || CAST((i-1) // {_SPAN_EVERY} AS VARCHAR) || '>', w[i]]
+                     WHEN (i-1) % {_SPAN_EVERY} < {_SPAN_LEN} THEN [w[i]]
+                     ELSE [] END
+                for i in generate_series(1, len(w))]), ' ')) AS h_tgt
+      FROM toks
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_examples,
+           round(avg(n_masked * 1.0 / n_tok), 6) AS avg_masked_frac,
+           CAST(sum(CAST('0x' || substr(h_in, 1, 15) AS BIGINT) % 1000000007)
+                AS BIGINT) AS input_digest,
+           CAST(sum(CAST('0x' || substr(h_tgt, 1, 15) AS BIGINT) % 1000000007)
+                AS BIGINT) AS target_digest
+    FROM built
+    GROUP BY source
+    """,
+)
+def x47_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Masked-span training-example construction (T5 span corruption,
+    Raffel et al. 2020): length-{_SPAN_LEN} spans at every
+    {_SPAN_EVERY}th token are replaced by numbered sentinels in the
+    input; the target is sentinel + original tokens per span.  Both
+    sequences are digested per document and summed per source, proving
+    the engines built byte-identical (input, target) example pairs.
+
+    Shape at 100 TB: example construction is a pure NARROW map — all
+    array arithmetic, no explode, no shuffle, no Python — and the report
+    is one per-source aggregate.  This is the terminal pipeline stage
+    that feeds x20's sequence packing."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    seq = F.sequence(F.lit(1), F.size(w))
+    off = lambda i: (i - 1) % _SPAN_EVERY  # noqa: E731
+    span_id = lambda i: F.floor((i - 1) / _SPAN_EVERY).cast("int")  # noqa: E731
+    sentinel = lambda i: F.concat(  # noqa: E731
+        F.lit("<x_"), span_id(i).cast("string"), F.lit(">")
+    )
+    tok = lambda i: F.element_at(w, i)  # noqa: E731
+    inp = F.flatten(
+        F.transform(
+            seq,
+            lambda i: F.when(off(i) == 0, F.array(sentinel(i)))
+            .when(off(i) < _SPAN_LEN, F.array().cast("array<string>"))
+            .otherwise(F.array(tok(i))),
+        )
+    )
+    tgt = F.flatten(
+        F.transform(
+            seq,
+            lambda i: F.when(off(i) == 0, F.array(sentinel(i), tok(i)))
+            .when(off(i) < _SPAN_LEN, F.array(tok(i)))
+            .otherwise(F.array().cast("array<string>")),
+        )
+    )
+    n_masked = F.size(F.filter(seq, lambda i: off(i) < _SPAN_LEN))
+    built = d.select(
+        "source",
+        F.size(w).alias("n_tok"),
+        n_masked.alias("n_masked"),
+        F.md5(F.array_join(inp, " ")).alias("h_in"),
+        F.md5(F.array_join(tgt, " ")).alias("h_tgt"),
+    )
+    dig = lambda c: F.sum(  # noqa: E731
+        F.pmod(F.conv(F.substring(c, 1, 15), 16, 10).cast("bigint"), F.lit(1000000007))
+    ).cast("bigint")
+    return built.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_examples"),
+        F.round(F.avg(F.col("n_masked") / F.col("n_tok")), 6).alias("avg_masked_frac"),
+        dig("h_in").alias("input_digest"),
+        dig("h_tgt").alias("target_digest"),
+    ).select("source", "n_examples", "avg_masked_frac", "input_digest", "target_digest")

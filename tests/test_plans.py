@@ -615,3 +615,28 @@ def test_boilerplate_lines_single_seg_hash_window(spark, qs):
     df = qs["x44_boilerplate_lines"](spark, SF)
     assert num_shuffles(df) <= 3
     assert len(read_schemas(df)) == 1  # one scan of documents
+
+
+def test_span_corruption_single_report_exchange(spark, qs):
+    """x47: example construction is narrow array arithmetic — the only
+    exchange is the per-source report aggregate, and no Python crosses
+    the boundary."""
+    from big_data_project_spark.plans.contracts import num_shuffles
+
+    df = qs["x47_span_corruption"](spark, SF)
+    assert num_shuffles(df) == 1
+    assert count_ops(df, "BatchEvalPython") + count_ops(df, "ArrowEvalPython") == 0
+
+
+def test_vocab_encode_narrow_after_broadcast_vocab(spark, qs):
+    """x46: with the vocabulary shipped as literal map state, the encode
+    plan has NO join at all — only the per-source report exchange — and
+    reads just (source, text)."""
+    from big_data_project_spark.plans.contracts import num_shuffles, read_schemas
+
+    df = qs["x46_vocab_encode"](spark, SF)
+    assert num_shuffles(df) == 1
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert count_ops(df, op) == 0, op
+    (cols,) = read_schemas(df)
+    assert set(cols) <= {"source", "text"}, cols
