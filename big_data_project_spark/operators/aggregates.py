@@ -703,3 +703,32 @@ def a23_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "a24_string_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def a24_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG/string_agg: concatenate a group's values into one ordered
+    string.  Built as collect_set → array_sort → array_join so the result
+    is deterministic regardless of partitioning (raw collect_list order
+    is partition-arrival order, which would never hash-match).  The
+    collect_set partial-aggregates map-side; with a bounded value domain
+    (order statuses) the exchanged state is tiny even at 100 TB."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("o_orderstatus")), ",").alias("statuses"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )

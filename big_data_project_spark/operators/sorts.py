@@ -471,3 +471,68 @@ def o12_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("n_chars").cast("bigint").alias("weight"))
         .orderBy("doc_id")
     )
+
+
+# --- O13: curriculum interleave (difficulty deciles, round-robin) -----------
+
+_CURR_TAKE = 200
+
+
+def _curriculum_oracle() -> str:
+    qs = "[" + ", ".join(str((i + 1) / 10.0) for i in range(9)) + "]"
+    cases = " ".join(
+        f"WHEN n_chars <= q[{i + 1}] THEN {i}" for i in range(9)
+    )
+    return f"""
+    WITH th AS (SELECT quantile_cont(n_chars, {qs}) AS q FROM documents),
+    b AS (
+      SELECT doc_id, CASE {cases} ELSE 9 END AS bucket
+      FROM documents, th
+    ),
+    r AS (
+      SELECT doc_id, bucket,
+             row_number() OVER (PARTITION BY bucket
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM b
+    )
+    SELECT (rn - 1) * 10 + bucket AS pos, doc_id, bucket
+    FROM r
+    WHERE (rn - 1) * 10 + bucket < {_CURR_TAKE}
+    ORDER BY pos
+    """
+
+
+@query("o13_curriculum_interleave", oracle=_curriculum_oracle())
+def o13_curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum data ordering: documents are binned into 10 difficulty
+    deciles (difficulty = n_chars) and the training order round-robins
+    across deciles — every consecutive window of 10 examples spans the
+    full difficulty spectrum (anti-curriculum clumping), with a
+    deterministic md5 shuffle inside each decile.
+
+    Shape at 100 TB: decile boundaries come from ONE exact-percentile
+    aggregate collected as 9 scalars (the o8 two-pass trick — a global
+    ntile/percent_rank window would serialize the corpus through one
+    task); bucket assignment is then a narrow map, and the only shuffle
+    is the per-bucket rank window (10 partitions of n/10 each).  The
+    interleaved position is pure arithmetic on (rank, bucket) — no final
+    global sort is needed to MATERIALIZE the order, only to display it."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    probs = ", ".join(str((i + 1) / 10.0) for i in range(9))
+    th = d.agg(F.expr(f"percentile(n_chars, array({probs}))").alias("q")).collect()[0]["q"]
+    bucket = F.lit(9)
+    for i in reversed(range(9)):
+        bucket = F.when(F.col("n_chars") <= th[i], i).otherwise(bucket)
+    w = Window.partitionBy("bucket").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    b = d.select("doc_id", bucket.alias("bucket"))
+    pos = (F.col("rn") - 1) * 10 + F.col("bucket")
+    return (
+        b.withColumn("rn", F.row_number().over(w))
+        .select(pos.alias("pos"), "doc_id", "bucket")
+        .filter(F.col("pos") < _CURR_TAKE)
+        .orderBy("pos")
+    )

@@ -1436,3 +1436,54 @@ def x40_kmeans_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("training_cost", F.round(F.lit(cost) + F.lit(1e-9), 4))
         .orderBy("cluster_id")
     )
+
+
+# --- X48: embedding-score gate (CLIP-filter shape) --------------------------
+#
+# LAION-style curation: every (text, image) pair gets an alignment score
+# from a frozen model and the corpus keeps rows above a threshold.  The
+# model here is a fixed projection direction (literal weights, shared
+# verbatim with the oracle); swapping in real CLIP weights changes only
+# the literal.
+
+_CLIP_DIR = [((k * 37) % 19 - 9) / 10.0 for k in range(64)]
+_CLIP_THRESH = 0.5
+
+
+def _clip_oracle() -> str:
+    vec = "[" + ", ".join(str(x) for x in _CLIP_DIR) + "]"
+    return f"""
+    WITH scored AS (
+      SELECT vec_id, label,
+             round(list_dot_product(CAST(embedding AS DOUBLE[]), {vec})
+                   + 1e-9, 4) AS score
+      FROM embeddings
+    )
+    SELECT vec_id, label, score
+    FROM scored
+    WHERE score >= {_CLIP_THRESH}
+    ORDER BY vec_id
+    """
+
+
+@query("x48_clip_score_filter", oracle=_clip_oracle())
+def x48_clip_score_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score-threshold curation gate over embeddings: dot product against
+    a broadcast scoring direction, keep rows with rounded score >=
+    {thresh}.  The hot path is a JVM-side zip_with/aggregate fold — no
+    Python boundary, no shuffle (the gate is a scan filter); at 100 TB
+    this is a pure narrow map whose selectivity feeds the downstream
+    pipeline, exactly like the quality gates in the curation funnel."""
+    e = load_table(spark, sf_dir, "embeddings")
+    w = F.array(*[F.lit(x) for x in _CLIP_DIR])
+    dot = F.aggregate(
+        F.zip_with(F.col("embedding").cast("array<double>"), w, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    score = F.round(dot + F.lit(1e-9), 4)
+    return (
+        e.select("vec_id", "label", score.alias("score"))
+        .filter(F.col("score") >= _CLIP_THRESH)
+        .orderBy("vec_id")
+    )

@@ -464,3 +464,68 @@ def t9_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter(F.col("event_type") == "view"),
         e.filter(F.col("event_type") == "purchase"),
     )
+
+
+# --- T12: stream-stream LEFT OUTER join (unmatched emission) ----------------
+
+
+def attribution_left_join(views: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Dual-mode builder: every view, with its attributed purchase when
+    one lands within 30 minutes, else NULLs.  In streaming this is the
+    materially harder variant of T9: Spark buffers each view until the
+    purchase-side watermark has passed view_ts + 30 min, and only then
+    emits the unmatched row — correctness depends on BOTH watermarks and
+    the time-bound join condition, which also cap the state store.  A
+    conversion-rate pipeline (did this impression convert?) needs exactly
+    this unmatched emission; an inner join silently drops the negatives."""
+    v = views.select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+    )
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return (
+        v.join(
+            p,
+            (F.col("v_user") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("view_ts"))
+            & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 30 MINUTES")),
+            "left_outer",
+        )
+        .select(
+            "view_id",
+            "purchase_id",
+            F.col("v_user").alias("user_id"),
+            F.expr(
+                "(unix_micros(purchase_ts) - unix_micros(view_ts)) div 1000000"
+            ).alias("gap_s"),
+            F.col("purchase_id").isNotNull().cast("int").alias("converted"),
+        )
+    )
+
+
+@query(
+    "t12_stream_stream_left_join",
+    oracle="""
+    SELECT v.event_id AS view_id,
+           p.event_id AS purchase_id,
+           v.user_id,
+           (epoch_us(p.ts) - epoch_us(v.ts)) // 1000000 AS gap_s,
+           CAST(p.event_id IS NOT NULL AS INT) AS converted
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON v.user_id = p.user_id
+     AND p.ts >= v.ts
+     AND p.ts <= v.ts + INTERVAL 30 MINUTE
+    """,
+)
+def t12_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return attribution_left_join(
+        e.filter(F.col("event_type") == "view"),
+        e.filter(F.col("event_type") == "purchase"),
+    )

@@ -396,3 +396,72 @@ def test_streaming_curation_gate_dedups_across_batches(spark, tmp_path):
 
     out = spark.read.parquet(out_dir).toPandas()
     assert sorted(out.doc_id.tolist()) == [1, 4, 6]
+
+
+def test_t12_stream_stream_left_outer_emits_unmatched(spark, tmp_path):
+    """Left-outer stream-stream join: the matched pair emits as soon as
+    both sides arrive; the UNMATCHED view is held in state and emitted
+    with NULL purchase only after the purchase-side watermark passes
+    view_ts + 30 min (driven here by a later dummy purchase)."""
+    from big_data_project_spark.streaming.windows import attribution_left_join
+
+    vdir, pdir = str(tmp_path / "views"), str(tmp_path / "purchases")
+    out_dir, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    os.makedirs(vdir)
+    os.makedirs(pdir)
+
+    def run_pass():
+        views = stream_events_from_dir(spark, vdir).withWatermark("ts", "10 minutes")
+        purchases = stream_events_from_dir(spark, pdir).withWatermark("ts", "10 minutes")
+        joined = attribution_left_join(views, purchases)
+
+        def sink(df, batch_id):
+            if df.count():
+                df.write.mode("append").parquet(out_dir)
+
+        run_available_now(joined, out_dir, ck, output_mode="append", foreach_batch=sink)
+
+    # batch 1: two views; user 1 converts within the window, user 2 never does
+    _write_batch(spark, [
+        (10, "2024-06-01 00:00:00", 1, "view", 1.0),
+        (11, "2024-06-01 00:00:00", 2, "view", 1.0),
+    ], vdir, "b1")
+    _write_batch(spark, [
+        (20, "2024-06-01 00:10:00", 1, "purchase", 9.0),
+    ], pdir, "b1")
+    run_pass()
+
+    # the inner match may emit immediately; the unmatched view may not yet
+    matched_only = spark.read.parquet(out_dir).toPandas()
+    assert (10, 20) in {
+        (r.view_id, r.purchase_id) for r in matched_only.itertuples()
+    }
+    assert 11 not in set(matched_only[matched_only.purchase_id.isnull()]["view_id"])
+
+    # batch 2: a dummy purchase far ahead pushes the watermark to 00:50
+    # (> 00:00 + 30 min), forcing the unmatched row for view 11 out
+    _write_batch(spark, [
+        (99, "2024-06-01 01:00:00", 42, "purchase", 9.0),
+    ], pdir, "b2")
+    # the GLOBAL watermark is the MIN across inputs, so the view side
+    # must advance too or the join state never expires
+    _write_batch(spark, [
+        (89, "2024-06-01 01:00:00", 44, "view", 1.0),
+    ], vdir, "b2")
+    run_pass()
+    # the watermark computed from batch 2 only takes effect in the NEXT
+    # micro-batch (availableNow stops before running a no-data batch), so
+    # one more arrival is needed to flush the expired outer-join state
+    _write_batch(spark, [
+        (100, "2024-06-01 01:05:00", 43, "purchase", 9.0),
+    ], pdir, "b3")
+    _write_batch(spark, [
+        (90, "2024-06-01 01:05:00", 45, "view", 1.0),
+    ], vdir, "b3")
+    run_pass()
+
+    out = spark.read.parquet(out_dir).toPandas()
+    unmatched = out[out.purchase_id.isnull()]
+    assert 11 in set(unmatched["view_id"])  # dummy views 89/90 may also flush
+    assert (unmatched["converted"] == 0).all()
+    assert unmatched["gap_s"].isnull().all()
