@@ -54,12 +54,20 @@ HEADLINE = [
     "x8_similarity_topk",
     "x9_word_count",
     "x8_knn_all",
-    "x8_knn_all_blocked",
     "b1_funnel",
     "pipeline_curation_end2end",
     "scale_bucketed_join",
     "sql_q6_forecast_revenue",
     "s13_zorder_write_skipping",
+]
+
+# Scale demonstrators: timed and reported every round, but summed
+# SEPARATELY from the headline value — they were added in round 5, so
+# folding them into `value` would break the round-over-round comparison
+# against the r01-recorded BASELINE (which timed only the 19 headline
+# queries).
+DEMONSTRATORS = [
+    "x8_knn_all_blocked",
     "x7_minhash_x4",
 ]
 
@@ -82,7 +90,7 @@ def main() -> None:
     spark = get_spark(app_name="bdp-spark-bench")
     qs = dict(registry.all_queries())
     qs.update(_extra_rows())
-    names = [n for n in HEADLINE if n in qs]
+    names = [n for n in HEADLINE + DEMONSTRATORS if n in qs]
     # warm the JVM + parquet footers with one untimed flagship run
     if names:
         qs[names[0]](spark, sf_dir).limit(1).collect()
@@ -115,12 +123,14 @@ def main() -> None:
             spark.catalog.clearCache()
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
-    total = round(sum(timings.values()), 3)
+    total = round(sum(t for n, t in timings.items() if n in HEADLINE), 3)
+    demo = {n: t for n, t in timings.items() if n in DEMONSTRATORS}
     print(json.dumps({
         "metric": "headline_query_wall_seconds",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": {n: t for n, t in timings.items() if n in HEADLINE},
+        "demonstrators": demo,
         "calib_jvm_sec": round(calib, 3) if calib is not None else None,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
