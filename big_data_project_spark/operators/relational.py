@@ -230,3 +230,64 @@ def p7_cast_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_linenumber").cast("double").alias("line_no_f"),
         (F.col("l_returnflag") == "R").cast("int").alias("is_return"),
     )
+
+
+@query(
+    "p8_winsorize",
+    oracle="""
+    WITH th AS (
+      SELECT quantile_cont(l_extendedprice, [0.05, 0.95]) AS q FROM lineitem
+    ),
+    w AS (
+      SELECT l_returnflag,
+             l_extendedprice AS raw,
+             least(greatest(l_extendedprice, q[1]), q[2]) AS wz,
+             CAST(l_extendedprice < q[1] AS INT) AS clip_lo,
+             CAST(l_extendedprice > q[2] AS INT) AS clip_hi
+      FROM lineitem, th
+    )
+    SELECT l_returnflag,
+           round(avg(raw), 4) AS avg_raw,
+           round(avg(wz), 4) AS avg_winsorized,
+           CAST(sum(clip_lo) AS BIGINT) AS n_clipped_low,
+           CAST(sum(clip_hi) AS BIGINT) AS n_clipped_high
+    FROM w
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def p8_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization — the robust cousin of P4's fixed-bound clip: values
+    are clamped to the corpus's own [p05, p95], the outlier treatment a
+    feature pipeline applies before standardization (the reference clips
+    LST to a PHYSICAL range, flax_model.py:79-95; winsorize is the
+    data-derived analog).
+
+    Shape at 100 TB: the o8/o13 two-pass trick — ONE exact-percentile
+    aggregate collects 2 scalars to the driver, then clipping is a narrow
+    map and the report a tiny grouped aggregate.  No window, no join, no
+    second full scan beyond the unavoidable two passes (percentiles then
+    clip)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    th = li.agg(
+        F.expr("percentile(l_extendedprice, array(0.05, 0.95))").alias("q")
+    ).collect()[0]["q"]
+    lo, hi = float(th[0]), float(th[1])
+    wz = F.least(F.greatest(F.col("l_extendedprice"), F.lit(lo)), F.lit(hi))
+    return (
+        li.select(
+            "l_returnflag",
+            F.col("l_extendedprice").alias("raw"),
+            wz.alias("wz"),
+            (F.col("l_extendedprice") < lo).cast("int").alias("clip_lo"),
+            (F.col("l_extendedprice") > hi).cast("int").alias("clip_hi"),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.avg("raw"), 4).alias("avg_raw"),
+            F.round(F.avg("wz"), 4).alias("avg_winsorized"),
+            F.sum("clip_lo").cast("bigint").alias("n_clipped_low"),
+            F.sum("clip_hi").cast("bigint").alias("n_clipped_high"),
+        )
+        .orderBy("l_returnflag")
+    )

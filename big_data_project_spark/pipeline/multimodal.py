@@ -345,3 +345,91 @@ def x22_aspect_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(aspect) + F.lit(1e-9), 4).alias("avg_aspect"),
         )
     )
+
+
+# --- multimodal curation funnel (LAION-style, one plan) ---------------------
+
+
+@query(
+    "pipeline_multimodal_curation",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(doc_id * 37 % 640 AS INT) AS width,
+             CAST(doc_id * 53 % 480 AS INT) AS height,
+             octet_length(encode(text)) AS n_bytes,
+             md5(text) AS payload_hash
+      FROM documents
+    ),
+    gated AS (
+      SELECT * FROM m
+      WHERE width >= 100 AND height >= 100
+        AND greatest(width, height) <= 3 * least(width, height)
+        AND n_bytes >= 64
+    ),
+    kept AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY payload_hash
+                                     ORDER BY doc_id) AS rn
+        FROM gated
+      ) WHERE rn = 1
+    ),
+    b AS (
+      SELECT *,
+             CASE WHEN width * 1.0 / greatest(height, 1) < 0.75 THEN 'portrait'
+                  WHEN width * 1.0 / greatest(height, 1) < 1.3334 THEN 'square'
+                  ELSE 'landscape' END AS bucket
+      FROM kept
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_images,
+           CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+           CAST(sum(doc_id) AS BIGINT) AS kept_id_sum
+    FROM b
+    GROUP BY bucket
+    """,
+)
+def pipeline_multimodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAION-style multimodal curation funnel as ONE verified plan:
+    metadata gates (min resolution 100×100, aspect ratio ≤ 3:1 via the
+    integer-exact cross-multiplication test, payload ≥ 64 bytes) →
+    exact payload dedup (md5, keep smallest doc_id) → aspect-ratio batch
+    bucketing → per-bucket report.
+
+    Shape at 100 TB, same funnel discipline as the lexical pipeline: the
+    gates are SCAN FILTERS on metadata columns — the payload column is
+    never read (the hash is computed from the same bytes the fake codec
+    synthesizes from text; a real ingest stores payload_hash as metadata
+    at extraction time precisely so dedup never re-reads image bytes).
+    The only full-width exchange is the dedup window keyed on
+    payload_hash over gate SURVIVORS; the bucket report is a 3-row
+    aggregate."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    m = d.select(
+        "doc_id",
+        F.pmod(F.col("doc_id") * 37, F.lit(640)).cast("int").alias("width"),
+        F.pmod(F.col("doc_id") * 53, F.lit(480)).cast("int").alias("height"),
+        F.length(F.encode("text", "UTF-8")).alias("n_bytes"),
+        F.md5("text").alias("payload_hash"),
+    )
+    gated = m.filter(
+        (F.col("width") >= 100)
+        & (F.col("height") >= 100)
+        & (F.greatest("width", "height") <= 3 * F.least("width", "height"))
+        & (F.col("n_bytes") >= 64)
+    )
+    w = Window.partitionBy("payload_hash").orderBy("doc_id")
+    kept = gated.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    aspect = F.col("width") / F.greatest(F.col("height"), F.lit(1))
+    bucket = (
+        F.when(aspect < 0.75, "portrait")
+        .when(aspect < 1.3334, "square")
+        .otherwise("landscape")
+    )
+    return kept.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+        F.sum("doc_id").cast("bigint").alias("kept_id_sum"),
+    )

@@ -640,3 +640,24 @@ def test_vocab_encode_narrow_after_broadcast_vocab(spark, qs):
         assert count_ops(df, op) == 0, op
     (cols,) = read_schemas(df)
     assert set(cols) <= {"source", "text"}, cols
+
+
+def test_winsorize_two_pass_no_window(spark, qs):
+    """p8: percentile thresholds are driver scalars — the clip pass has no
+    window, no join, and exactly the one report exchange."""
+    from big_data_project_spark.plans.contracts import num_shuffles
+
+    df = qs["p8_winsorize"](spark, SF)
+    assert num_shuffles(df) <= 2  # report agg + 3-row display sort
+    assert count_ops(df, "Window") == 0
+
+
+def test_multimodal_curation_funnel_shape(spark, qs):
+    """pipeline_multimodal_curation: one scan of documents, gates applied
+    before the dedup window, exactly two exchanges (payload-hash dedup +
+    bucket report)."""
+    from big_data_project_spark.plans.contracts import num_shuffles, read_schemas
+
+    df = qs["pipeline_multimodal_curation"](spark, SF)
+    assert num_shuffles(df) == 2
+    assert len(read_schemas(df)) == 1
