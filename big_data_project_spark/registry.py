@@ -74,6 +74,15 @@ _MODULES = (
 _FRONT = (
     "f1_math_functions",       # r02 hash-FAIL — oracle now CASTs floor/ceil
     "t9_stream_stream_join",   # r02 err — NTZ normalize in io.load_table
+    # VERDICT r04 #2: the five r04-deferred oracle-backed queries must land
+    # driver rows in r05 — pinned ahead of the round-5 additions so new
+    # registrations can't displace them past the window again.  Like every
+    # _FRONT pin, they demote to the green tail after their first green row.
+    "x32_line_dedup",
+    "x33_url_canonical_dedup",
+    "x8_ivf_trained_topk",
+    "x34_temperature_mixture",
+    "x35_hard_negatives",
 )
 
 # Names whose existing green row is STALE (earned before a breaking change,
