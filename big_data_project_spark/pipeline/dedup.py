@@ -888,18 +888,30 @@ def star_contract(pairs: DataFrame, max_rounds: int = 12) -> tuple[DataFrame, in
     # the plan to a leaf every round; on a real cluster use
     # df.checkpoint() to reliable storage so executor loss can't orphan
     # the iteration.
+    def _checksum(df: DataFrame) -> tuple:
+        # order-insensitive fingerprint of the canonical edge SET: count +
+        # xor + sum of per-edge hashes.  One narrow scan over the already-
+        # checkpointed frame — exceptAll both ways would cost two full
+        # shuffles per round just to detect convergence.
+        h = F.xxhash64("hi", "lo")
+        row = df.agg(
+            F.count(F.lit(1)),
+            F.expr("bit_xor(xxhash64(hi, lo))"),
+            F.sum(h.cast("decimal(38,0)")),  # decimal: long sum overflows under ANSI
+        ).collect()[0]
+        return tuple(row)
+
     edges = _canonical_edges(pairs).localCheckpoint(eager=True)
+    prev_sum = _checksum(edges)
     rounds = 0
     for _ in range(max_rounds):
         nxt = _small_star(_large_star(edges)).localCheckpoint(eager=True)
         rounds += 1
-        # fixpoint = no edge entered or left the canonical set
-        changed = (
-            nxt.exceptAll(edges).count() + edges.exceptAll(nxt).count()
-        )
+        nxt_sum = _checksum(nxt)
         edges = nxt
-        if changed == 0:
+        if nxt_sum == prev_sum:
             break
+        prev_sum = nxt_sum
     # star read-out: every child appears as `hi` exactly once (star), the
     # center only as `lo`; centers label themselves
     child = edges.select(F.col("hi").alias("doc_id"), F.col("lo").alias("cluster"))

@@ -133,3 +133,49 @@ def test_running_sum_final_value_is_group_sum(spark, data):
     joined = last_run.join(totals, "k").collect()
     for r in joined:
         assert r.final_run == r.total, r
+
+
+edges_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=15),
+        st.integers(min_value=0, max_value=15),
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(edges=edges_strategy)
+def test_star_contraction_matches_union_find(spark, edges):
+    """x43's star contraction must agree with a reference union-find on
+    ANY graph — self-loops, multi-edges, multiple components, cycles —
+    not just the fixture's planted pairs and the chain test's path."""
+    from big_data_project_spark.pipeline.dedup import star_contract
+
+    real = [(u, v) for u, v in edges if u != v]
+    if not real:
+        return
+    # reference: union-find with min-id roots
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in real:
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            lo, hi = min(ru, rv), max(ru, rv)
+            parent[hi] = lo
+    expected = {n: find(n) for n in parent}
+
+    df = spark.createDataFrame(real, schema="u long, v long")
+    labels, _ = star_contract(df, max_rounds=10)
+    got = {r.doc_id: r.cluster for r in labels.collect()}
+    assert got == expected
