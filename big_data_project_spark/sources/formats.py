@@ -111,24 +111,50 @@ def s4_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- S3: binary (npz) records via binaryFile + Arrow decode ----------------
 
 
-@query("s3_binary_npz_scan", oracle=None)
+@query(
+    "s3_binary_npz_scan",
+    oracle="""
+    SELECT 'shard_' || i || '.npz' AS shard,
+           p AS patch_idx,
+           8 AS h, 8 AS w, 3 AS bands,
+           round(avg(((i*97 + p*31 + y*7 + x*13) % 256) * 0.25 + 250), 6) AS lst_mean
+    FROM unnest(generate_series(0, 3)) AS si(i),
+         unnest(generate_series(0, 7)) AS sp(p),
+         unnest(generate_series(0, 7)) AS sy(y),
+         unnest(generate_series(0, 7)) AS sx(x)
+    GROUP BY i, p
+    """,
+)
 def s3_binary_npz_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's native ingest (np.load of npz shards,
     flax_model.py:53-66) on Spark: binaryFile source → mapInPandas npz
-    decode → one row per patch with shape metadata. Shards are synthesized
-    deterministically on first call (the real npz data is gitignored in
-    the reference)."""
+    decode → one row per patch with shape metadata + the per-patch LST
+    mean. Shards are synthesized on first call from a deterministic
+    integer formula (the real npz data is gitignored in the reference) —
+    LST values are exact multiples of 0.25, so the float64 mean is exact
+    in BOTH engines and the oracle can recompute the decoded result
+    without reading npz: the DuckDB check verifies the binary write →
+    binaryFile scan → Arrow-batch np.load roundtrip end to end."""
     import numpy as np
 
     shard_dir = _tmp("s3_npz_shards")
-    if not os.listdir(shard_dir):
+    existing = [f for f in os.listdir(shard_dir) if f.endswith(".npz")]
+    if len(existing) != 4:
+        for f in existing:
+            os.unlink(os.path.join(shard_dir, f))
+        i_ix, p_ix, y_ix, x_ix = np.meshgrid(
+            np.arange(4), np.arange(8), np.arange(8), np.arange(8), indexing="ij"
+        )
+        lst_all = (
+            ((i_ix * 97 + p_ix * 31 + y_ix * 7 + x_ix * 13) % 256) * 0.25 + 250
+        ).astype(np.float32)[..., None]
         for i in range(4):
             rng = np.random.default_rng(seed=100 + i)
             np.savez(
                 os.path.join(shard_dir, f"shard_{i}.npz"),
                 inputs=rng.standard_normal((8, 8, 8, 3)).astype(np.float32),
                 labels_landcover=rng.integers(0, 9, (8, 8, 8, 1)).astype(np.uint8),
-                labels_lst=(rng.standard_normal((8, 8, 8, 1)) * 30 + 280).astype(np.float32),
+                labels_lst=lst_all[i],
             )
 
     def decode(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -149,7 +175,7 @@ def s3_binary_npz_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                             "h": inputs.shape[1],
                             "w": inputs.shape[2],
                             "bands": inputs.shape[3],
-                            "lst_mean": float(lst[p].mean()),
+                            "lst_mean": round(float(lst[p].astype("float64").mean()), 6),
                         })
             yield pd.DataFrame(rows)
 
