@@ -112,7 +112,8 @@ _DEFER = (
 # RNG/sketch invariant checks whose pytest coverage is already strong.
 _ROWS_PRIORITY = (
     "s14_python_datasource",
-    "s3_binary_npz_scan",
+    # s3_binary_npz_scan left this list in r05: the deterministic-formula
+    # content upgrade gave it a full SQL oracle
     "x2_gaussian_smooth",
     "x3_model_inference",
     "raster_forecast_pipeline",

@@ -158,16 +158,19 @@ def test_demoted_query_reenters_window(monkeypatch, tmp_path):
     )
 
 
-def test_deferred_queries_wait_behind_rows_only(monkeypatch):
+def test_deferred_queries_front_pinned_until_green(monkeypatch):
+    # r05 policy: the r04-deferred five are ALSO front-pinned (VERDICT r04
+    # #2), so with nothing green they rank immediately after the flagship —
+    # ahead of every round-5 registration — instead of behind the rows-only
+    # bucket as in the r04 window.
     names = order_with(monkeypatch)  # nothing green, nothing seen
-    rows_only = [n for n in ALL if n not in registry.ORACLES]
-    last_rows_only = max(names.index(n) for n in rows_only)
     for n in registry._DEFER:
-        assert names.index(n) > last_rows_only, (
-            f"never-seen deferred {n} must not displace this round's window"
+        assert n in registry._FRONT
+        assert names.index(n) <= len(registry._FRONT), (
+            f"front-pinned deferred {n} must lead the r05 window"
         )
-    # ...but once the driver records a row, deferral dissolves: green goes
-    # to the back, red re-enters with the unverified
+    # ...and once the driver records a green row, the pin dissolves: green
+    # goes to the back like any verified query
     names_seen = order_with(monkeypatch, green=set(registry._DEFER))
     head = {n for n in names_seen[:50]}
     for n in registry._DEFER:
