@@ -69,6 +69,10 @@ HEADLINE = [
 DEMONSTRATORS = [
     "x8_knn_all_blocked",
     "x7_minhash_x4",
+    # driver-coordinated iteration (large-star/small-star connected
+    # components): tracks the per-round checkpoint + fixpoint-checksum
+    # overhead round-over-round
+    "x43_largestar_components",
 ]
 
 
