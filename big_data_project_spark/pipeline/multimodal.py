@@ -433,3 +433,108 @@ def pipeline_multimodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_bytes").cast("bigint").alias("total_bytes"),
         F.sum("doc_id").cast("bigint").alias("kept_id_sum"),
     )
+
+
+# --- X49: frame-level dedup (video multimodal dedup shape) ------------------
+
+FRAMES_FP_SCHEMA = (
+    "doc_id long, frame_idx int, frame_bytes long, frame_checksum long, "
+    "frame_wsum long"
+)
+
+
+def frame_fingerprint_kernel(frame_size: int, every_k: int):
+    """x10's frame sampler extended with a position-weighted checksum
+    (sum of byte·position): the (size, sum, weighted-sum) triple is the
+    cross-engine frame fingerprint — a real pipeline would md5 the frame
+    bytes, but the triple is byte-arithmetic both engines can mirror
+    exactly, and collisions require two frames agreeing on all three
+    moments simultaneously."""
+
+    def _fp(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdf_iter:
+            ids, idxs, sizes, sums, wsums = [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                frames = [
+                    payload[o : o + frame_size]
+                    for o in range(0, len(payload), frame_size)
+                ]
+                for i in range(0, len(frames), every_k):
+                    fr = frames[i]
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    sizes.append(len(fr))
+                    sums.append(sum(fr))
+                    wsums.append(sum(b * (j + 1) for j, b in enumerate(fr)))
+            yield pd.DataFrame({
+                "doc_id": ids, "frame_idx": idxs, "frame_bytes": sizes,
+                "frame_checksum": sums, "frame_wsum": wsums,
+            })
+
+    return _fp
+
+
+@query(
+    "x49_frame_dedup",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+      FROM documents
+    ), f AS (
+      SELECT doc_id, hx, n, CAST(ceil(n * 1.0 / 16) AS BIGINT) AS n_frames
+      FROM p
+    ), fi AS (
+      SELECT doc_id, hx, n, unnest(generate_series(0, n_frames - 1)) AS i
+      FROM f WHERE n_frames > 0
+    ), kept AS (
+      SELECT * FROM fi WHERE i % 4 = 0
+    ), vals AS (
+      SELECT doc_id, i, k,
+             CAST(('0x' || substr(hx, CAST(2 * (i * 16 + k) - 1 AS INT), 2))
+                  AS BIGINT) AS byte
+      FROM (SELECT doc_id, hx, i,
+                   unnest(generate_series(1, least(16, n - i * 16))) AS k
+            FROM kept)
+    ), frames AS (
+      SELECT doc_id, i,
+             count(*) AS fb, sum(byte) AS fc, sum(byte * k) AS fw
+      FROM vals GROUP BY doc_id, i
+    ), fp AS (
+      SELECT fb, fc, fw, count(*) AS n_copies
+      FROM frames GROUP BY fb, fc, fw
+    )
+    SELECT n_copies,
+           CAST(count(*) AS BIGINT) AS n_fingerprints,
+           CAST(sum(n_copies) AS BIGINT) AS n_frames
+    FROM fp
+    GROUP BY n_copies
+    ORDER BY n_copies
+    """,
+)
+def x49_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-level dedup over video-shaped payloads — the multimodal
+    analog of x32's segment dedup: sampled frames are fingerprinted
+    (size, byte-sum, position-weighted sum) and duplicated frames
+    collapse corpus-wide; the report is the duplication-factor histogram
+    (n_copies → how many distinct frames, how many total frame rows).
+
+    Shape at 100 TB: the frame fan-out is the x10 Arrow kernel (one
+    boundary crossing per batch, frames never re-assembled), then ONE
+    shuffle keyed on the compact fingerprint triple — ~24 bytes/frame
+    crosses the exchange, never frame bytes — and a tiny histogram
+    aggregate.  Exactly the exact-dedup discipline (hash moves, payload
+    does not) applied at sub-document granularity."""
+    d = load_table(spark, sf_dir, "documents")
+    m = attach_payload(d).select("doc_id", "payload")
+    frames = m.mapInPandas(frame_fingerprint_kernel(16, 4), schema=FRAMES_FP_SCHEMA)
+    fp = frames.groupBy("frame_bytes", "frame_checksum", "frame_wsum").agg(
+        F.count(F.lit(1)).alias("n_copies")
+    )
+    return (
+        fp.groupBy("n_copies")
+        .agg(
+            F.count(F.lit(1)).alias("n_fingerprints"),
+            F.sum("n_copies").cast("bigint").alias("n_frames"),
+        )
+        .orderBy("n_copies")
+    )
