@@ -661,3 +661,14 @@ def test_multimodal_curation_funnel_shape(spark, qs):
     df = qs["pipeline_multimodal_curation"](spark, SF)
     assert num_shuffles(df) == 2
     assert len(read_schemas(df)) == 1
+
+
+def test_frame_dedup_fingerprint_only_exchange(spark, qs):
+    """x49: one Arrow kernel crossing for the frame fan-out, then the only
+    exchanges carry the 24-byte fingerprint triple (dedup agg + histogram
+    agg) — frame bytes never shuffle."""
+    from big_data_project_spark.plans.contracts import num_shuffles, plan_str
+
+    df = qs["x49_frame_dedup"](spark, SF)
+    assert plan_str(df, "simple").count("MapInPandas") == 1
+    assert num_shuffles(df) <= 3  # fingerprint agg + histogram agg (+ display sort)
