@@ -611,17 +611,18 @@ def test_replicated_minhash_scales_linearly(spark, sf_dir):
     salted shingles must yield ~4× the near-dup pairs — replicas share no
     shingles, so the replicated corpus is 4 independent copies and the
     band join's candidate set grows linearly, not quadratically.  The
-    bound is ±5% rather than exact: salting changes each replica's
-    minhash signatures, so LSH recall on BORDERLINE pairs (jaccard right
-    at the threshold) can differ per replica (observed: 1023 vs 1024 at
-    sf0.1); verification keeps every counted pair exact."""
+    bound is ±1% (floor of 2 pairs) rather than exact: salting changes
+    each replica's minhash signatures, so LSH recall on BORDERLINE pairs
+    (jaccard right at the threshold) can differ per replica (observed:
+    1023 vs 1024 at sf0.1 — ~0.1%); a looser bound would stop catching
+    recall regressions in banding or salting."""
     from big_data_project_spark.pipeline.dedup import (
         replicated_neardup_pairs, verified_neardup_pairs,
     )
 
     base = verified_neardup_pairs(spark, sf_dir).count()
     x4 = replicated_neardup_pairs(spark, sf_dir, factor=4).count()
-    assert base > 0 and abs(x4 - 4 * base) <= max(1, round(0.05 * 4 * base))
+    assert base > 0 and abs(x4 - 4 * base) <= max(2, round(0.01 * 4 * base))
 
 
 def test_kmeans_parallel_invariants(spark, sf_dir):
