@@ -247,8 +247,8 @@ def p7_cast_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem, th
     )
     SELECT l_returnflag,
-           round(avg(raw), 4) AS avg_raw,
-           round(avg(wz), 4) AS avg_winsorized,
+           round(avg(raw) + 1e-9, 4) AS avg_raw,
+           round(avg(wz) + 1e-9, 4) AS avg_winsorized,
            CAST(sum(clip_lo) AS BIGINT) AS n_clipped_low,
            CAST(sum(clip_hi) AS BIGINT) AS n_clipped_high
     FROM w
@@ -284,8 +284,8 @@ def p8_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("l_returnflag")
         .agg(
-            F.round(F.avg("raw"), 4).alias("avg_raw"),
-            F.round(F.avg("wz"), 4).alias("avg_winsorized"),
+            F.round(F.avg("raw") + F.lit(1e-9), 4).alias("avg_raw"),
+            F.round(F.avg("wz") + F.lit(1e-9), 4).alias("avg_winsorized"),
             F.sum("clip_lo").cast("bigint").alias("n_clipped_low"),
             F.sum("clip_hi").cast("bigint").alias("n_clipped_high"),
         )

@@ -454,20 +454,24 @@ def o12_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     float division, so selection is bit-reproducible across engines,
     re-runs, and cluster sizes (same lineage property as
     o7_hash_stratified_sample; an Efraimidis-Spirakis exp-key top-k
-    would hinge on libm ulps at the boundary).
+    would hinge on libm ulps at the boundary).  Both products run in
+    decimal(38,0): h·ΣW reaches ~10²⁰ at a 100 TB corpus (ΣW ≈ 10¹⁴),
+    past BIGINT under ANSI — DuckDB is safe only because its sum()
+    already returns HUGEINT.
 
     Shape at 100 TB: ΣW is one scalar aggregate broadcast back; the
     filter is a narrow map over the scan.  No shuffle at all in the
     selection itself."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
-    tot = d.agg(F.sum("n_chars").alias("W"))
+    tot = d.agg(F.sum("n_chars").cast("decimal(38,0)").alias("W"))
     h = F.pmod(
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast("long"),
         F.lit(1000000),
-    )
+    ).cast("decimal(38,0)")
+    rhs = (F.lit(_WS_EXPECT) * F.col("n_chars") * F.lit(1000000)).cast("decimal(38,0)")
     return (
         d.crossJoin(F.broadcast(tot))
-        .filter(h * F.col("W") < F.lit(_WS_EXPECT) * F.col("n_chars") * F.lit(1000000))
+        .filter(h * F.col("W") < rhs)
         .select("doc_id", F.col("n_chars").cast("bigint").alias("weight"))
         .orderBy("doc_id")
     )

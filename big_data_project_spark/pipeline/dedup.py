@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from big_data_project_spark.io import load_table
+from big_data_project_spark.pipeline.digest import md5_prefix_digest
 from big_data_project_spark.registry import query
 
 # MinHash parameters: 64 hash functions in 16 bands × 4 rows.
@@ -759,13 +760,7 @@ def x32_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("kept").cast("bigint").alias("kept_segs"),
         F.count(F.when(F.col("kept") > 0, 1)).alias("docs_out"),
         F.sum(
-            F.when(
-                F.col("kept") > 0,
-                F.pmod(
-                    F.conv(F.substring("h", 1, 15), 16, 10).cast("bigint"),
-                    F.lit(1000000007),
-                ),
-            )
+            F.when(F.col("kept") > 0, md5_prefix_digest("h"))
         ).cast("bigint").alias("digest"),
     ).select("lang", "n_docs_in", "total_segs", "kept_segs", "docs_out", "digest")
 
@@ -874,12 +869,16 @@ def star_contract(pairs: DataFrame, max_rounds: int = 12) -> tuple[DataFrame, in
     (labels, rounds_used).  At fixpoint the graph is a union of stars
     centered on component minima, so the label read-out is one
     projection: children label with their (unique) neighbor, centers
-    with themselves."""
+    with themselves.  Raises if max_rounds is exhausted before fixpoint —
+    the read-out is only valid on a star graph, so returning would emit
+    silently corrupted labels.  Superseded per-round checkpoint blocks
+    are released by the ContextCleaner as each round's frame goes out of
+    scope; only the final edge set stays referenced."""
+    # no persist on members: it feeds exactly one join in the read-out
     members = (
         pairs.select(F.col("u").alias("doc_id"))
         .unionByName(pairs.select(F.col("v").alias("doc_id")))
         .distinct()
-        .persist()
     )
     # localCheckpoint (not just persist) each round: persist truncates
     # recomputation but NOT lineage, so after k rounds Catalyst re-plans a
@@ -904,14 +903,22 @@ def star_contract(pairs: DataFrame, max_rounds: int = 12) -> tuple[DataFrame, in
     edges = _canonical_edges(pairs).localCheckpoint(eager=True)
     prev_sum = _checksum(edges)
     rounds = 0
+    converged = False
     for _ in range(max_rounds):
         nxt = _small_star(_large_star(edges)).localCheckpoint(eager=True)
         rounds += 1
         nxt_sum = _checksum(nxt)
         edges = nxt
         if nxt_sum == prev_sum:
+            converged = True
             break
         prev_sum = nxt_sum
+    if not converged:
+        raise RuntimeError(
+            f"star contraction did not reach fixpoint in {max_rounds} rounds; "
+            "the star read-out would produce corrupt labels — raise max_rounds "
+            "(rounds needed grow with log2 of the largest component)"
+        )
     # star read-out: every child appears as `hi` exactly once (star), the
     # center only as `lo`; centers label themselves
     child = edges.select(F.col("hi").alias("doc_id"), F.col("lo").alias("cluster"))

@@ -1469,8 +1469,8 @@ def _clip_oracle() -> str:
 @query("x48_clip_score_filter", oracle=_clip_oracle())
 def x48_clip_score_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Score-threshold curation gate over embeddings: dot product against
-    a broadcast scoring direction, keep rows with rounded score >=
-    {thresh}.  The hot path is a JVM-side zip_with/aggregate fold — no
+    a broadcast scoring direction, keep rows with rounded score >= 0.5
+    (_CLIP_THRESH).  The hot path is a JVM-side zip_with/aggregate fold — no
     Python boundary, no shuffle (the gate is a scan filter); at 100 TB
     this is a pure narrow map whose selectivity feeds the downstream
     pipeline, exactly like the quality gates in the curation funnel."""

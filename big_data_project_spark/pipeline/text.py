@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from big_data_project_spark.io import load_table
+from big_data_project_spark.pipeline.digest import md5_prefix_digest
 from big_data_project_spark.registry import query
 
 # a tiny embedded stopword list (shared verbatim by the oracle SQL)
@@ -742,13 +743,7 @@ def x44_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("total") - F.col("kept")).cast("bigint").alias("removed_segs"),
         F.count(F.when(F.col("kept") > 0, 1)).alias("docs_out"),
         F.sum(
-            F.when(
-                F.col("kept") > 0,
-                F.pmod(
-                    F.conv(F.substring("h", 1, 15), 16, 10).cast("bigint"),
-                    F.lit(1000000007),
-                ),
-            ).otherwise(F.lit(0))
+            F.when(F.col("kept") > 0, md5_prefix_digest("h")).otherwise(F.lit(0))
         ).cast("bigint").alias("digest"),
     ).select("lang", "n_docs_in", "removed_segs", "docs_out", "digest")
 
@@ -895,12 +890,7 @@ def x46_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tok").cast("bigint").alias("total_tokens"),
         F.sum("n_oov").cast("bigint").alias("oov_tokens"),
         F.round(F.sum("n_oov") / F.sum("n_tok"), 6).alias("oov_rate"),
-        F.sum(
-            F.pmod(
-                F.conv(F.substring("h", 1, 15), 16, 10).cast("bigint"),
-                F.lit(1000000007),
-            )
-        ).cast("bigint").alias("digest"),
+        F.sum(md5_prefix_digest("h")).cast("bigint").alias("digest"),
     ).select("source", "n_docs", "total_tokens", "oov_tokens", "oov_rate", "digest")
 
 
@@ -942,7 +932,7 @@ _SPAN_LEN = 3
     )
     SELECT source,
            CAST(count(*) AS BIGINT) AS n_examples,
-           round(avg(n_masked * 1.0 / n_tok), 6) AS avg_masked_frac,
+           round(avg(n_masked * 1.0 / n_tok) + 1e-9, 6) AS avg_masked_frac,
            CAST(sum(CAST('0x' || substr(h_in, 1, 15) AS BIGINT) % 1000000007)
                 AS BIGINT) AS input_digest,
            CAST(sum(CAST('0x' || substr(h_tgt, 1, 15) AS BIGINT) % 1000000007)
@@ -953,9 +943,9 @@ _SPAN_LEN = 3
 )
 def x47_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Masked-span training-example construction (T5 span corruption,
-    Raffel et al. 2020): length-{_SPAN_LEN} spans at every
-    {_SPAN_EVERY}th token are replaced by numbered sentinels in the
-    input; the target is sentinel + original tokens per span.  Both
+    Raffel et al. 2020): length-3 spans at every 20th token (the
+    _SPAN_LEN/_SPAN_EVERY constants) are replaced by numbered sentinels
+    in the input; the target is sentinel + original tokens per span.  Both
     sequences are digested per document and summed per source, proving
     the engines built byte-identical (input, target) example pairs.
 
@@ -996,12 +986,10 @@ def x47_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.array_join(inp, " ")).alias("h_in"),
         F.md5(F.array_join(tgt, " ")).alias("h_tgt"),
     )
-    dig = lambda c: F.sum(  # noqa: E731
-        F.pmod(F.conv(F.substring(c, 1, 15), 16, 10).cast("bigint"), F.lit(1000000007))
-    ).cast("bigint")
+    dig = lambda c: F.sum(md5_prefix_digest(c)).cast("bigint")  # noqa: E731
     return built.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_examples"),
-        F.round(F.avg(F.col("n_masked") / F.col("n_tok")), 6).alias("avg_masked_frac"),
+        F.round(F.avg(F.col("n_masked") / F.col("n_tok")) + F.lit(1e-9), 6).alias("avg_masked_frac"),
         dig("h_in").alias("input_digest"),
         dig("h_tgt").alias("target_digest"),
     ).select("source", "n_examples", "avg_masked_frac", "input_digest", "target_digest")

@@ -137,7 +137,10 @@ def s3_binary_npz_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     binaryFile scan → Arrow-batch np.load roundtrip end to end."""
     import numpy as np
 
-    shard_dir = _tmp("s3_npz_shards")
+    # content-versioned dir name: a formula change regenerates instead of
+    # silently reusing stale shards (the oracle recomputes the formula, so
+    # stale content would read as an engine mismatch)
+    shard_dir = _tmp("s3_npz_shards_v2")
     existing = [f for f in os.listdir(shard_dir) if f.endswith(".npz")]
     if len(existing) != 4:
         for f in existing:
