@@ -298,3 +298,182 @@ def _persistence_eval(pdf: pd.DataFrame) -> pd.DataFrame:
             "lst_mae": mae,
         })
     return pd.DataFrame(rows)
+
+
+# --- X2/X3 oracle-backed variants over formula patches ----------------------
+#
+# x2/x3 above run the REFERENCE-faithful path (RNG patches, Gaussian
+# weights) and are rows-only.  These two variants run the SAME kernel
+# shapes (applyInPandas grouped-map smoothing; broadcast-weight batched
+# inference) over patches synthesized from a deterministic integer
+# formula, so a DuckDB oracle can recompute the result — upgrading the
+# X2/X3 families from invariant-tested to cross-engine hash-verified.
+
+_FP_PATCHES = 24  # patches in the formula dataset
+_FP_N = 8         # 8×8 single-band patches; v = ((pid*13 + y*5 + x*3) % 97) * 0.25
+
+
+def _formula_patch_df(spark: SparkSession):
+    """Patch rows whose LST values follow the shared integer formula —
+    exact multiples of 0.25, so every windowed mean below is a ratio of
+    an exactly-represented sum and an integer count in BOTH engines."""
+    pid = F.col("id").cast("long").alias("patch_id")
+    idx = F.sequence(F.lit(0), F.lit(_FP_N * _FP_N - 1))
+    v = lambda i: (  # noqa: E731
+        F.pmod(
+            F.col("id") * 13 + (i / _FP_N).cast("long") * 5 + (i % _FP_N) * 3,
+            F.lit(97),
+        ).cast("double")
+        * 0.25
+    )
+    return spark.range(_FP_PATCHES).select(
+        pid,
+        F.lit(_FP_N).alias("h"),
+        F.lit(_FP_N).alias("w"),
+        F.transform(idx, v).alias("lst"),
+    )
+
+
+def _box_smooth_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Edge-clipped 5×5 box filter (uniform mean over the in-bounds
+    neighborhood, variable divisor at borders) — the box-filter analog of
+    _smooth_batch with a convention SQL can mirror exactly."""
+    r = 2
+    out = []
+    for lst, h, w in zip(pdf["lst"], pdf["h"], pdf["w"]):
+        a = np.asarray(lst, dtype=np.float64).reshape(h, w)
+        sm = np.empty_like(a)
+        for y in range(h):
+            for x in range(w):
+                win = a[max(0, y - r): y + r + 1, max(0, x - r): x + r + 1]
+                sm[y, x] = win.sum() / win.size
+        out.append(float(sm.sum()))
+    return pd.DataFrame({"patch_id": pdf["patch_id"], "smooth_sum": out})
+
+
+@query(
+    "x2_box_smooth",
+    oracle=f"""
+    WITH vals AS (
+      SELECT pid, y, x,
+             ((pid*13 + y*5 + x*3) % 97) * 0.25 AS v
+      FROM unnest(generate_series(0, {_FP_PATCHES - 1})) AS sp(pid),
+           unnest(generate_series(0, {_FP_N - 1})) AS sy(y),
+           unnest(generate_series(0, {_FP_N - 1})) AS sx(x)
+    ),
+    sm AS (
+      SELECT a.pid, a.y, a.x, avg(b.v) AS s
+      FROM vals a JOIN vals b
+        ON a.pid = b.pid
+       AND abs(b.y - a.y) <= 2 AND abs(b.x - a.x) <= 2
+      GROUP BY a.pid, a.y, a.x
+    )
+    SELECT pid AS patch_id,
+           round(sum(s) + 1e-9, 4) AS smooth_sum
+    FROM sm
+    GROUP BY pid
+    ORDER BY patch_id
+    """,
+)
+def x2_box_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map smoothing kernel, cross-engine verified: the SAME
+    applyInPandas shape as x2_gaussian_smooth, with an edge-clipped 5×5
+    box filter over deterministic quarter-integer patches.  Each windowed
+    mean is an exact integer-valued sum over an integer count, so the
+    only float sensitivity is the final per-patch sum — rounded with the
+    repo's +1e-9 nudge in both engines.  The oracle recomputes the whole
+    convolution via a self-join over the formula grid."""
+    patches = _formula_patch_df(spark)
+    smoothed = patches.groupBy("patch_id").applyInPandas(
+        _box_smooth_batch, schema="patch_id long, smooth_sum double"
+    )
+    return smoothed.select(
+        "patch_id", F.round(F.col("smooth_sum") + F.lit(1e-9), 4).alias("smooth_sum")
+    ).orderBy("patch_id")
+
+
+# x3 variant: per-pixel linear classifier with integer weights — products
+# and sums stay exact, argmax ties break to the smallest class in both
+# engines (numpy argmax returns the first maximum).
+_LIN_W = [[2, -1, 1], [1, 3, -2], [-2, 1, 2]]   # 3 classes × 3 features
+_LIN_B = [1, 0, -1]
+
+
+def _linear_infer_batch(bc_w, bc_b):
+    def _infer(pdf_iter):
+        w = np.asarray(bc_w.value, dtype=np.float64)
+        b = np.asarray(bc_b.value, dtype=np.float64)
+        for pdf in pdf_iter:
+            pids, classes, counts = [], [], []
+            for pid, lst, h, wd in zip(pdf["patch_id"], pdf["lst"], pdf["h"], pdf["w"]):
+                a = np.asarray(lst, dtype=np.float64).reshape(h, wd)
+                # 3 derived per-pixel features from the single band: v, v·y-ish
+                # gradients stand-ins are kept trivial — the kernel SHAPE
+                # (broadcast weights, batch matmul, argmax) is the contract
+                feats = np.stack([a, np.roll(a, 1, axis=0), np.roll(a, 1, axis=1)], -1)
+                logits = feats @ w.T + b
+                cls = np.argmax(logits, axis=-1)
+                ids, cnts = np.unique(cls, return_counts=True)
+                for c, n in zip(ids, cnts):
+                    pids.append(pid)
+                    classes.append(int(c))
+                    counts.append(int(n))
+            yield pd.DataFrame({"patch_id": pids, "pred_class": classes, "n_pixels": counts})
+
+    return _infer
+
+
+@query(
+    "x3_linear_infer",
+    oracle=f"""
+    WITH vals AS (
+      SELECT pid, y, x,
+             ((pid*13 + y*5 + x*3) % 97) * 0.25 AS v
+      FROM unnest(generate_series(0, {_FP_PATCHES - 1})) AS sp(pid),
+           unnest(generate_series(0, {_FP_N - 1})) AS sy(y),
+           unnest(generate_series(0, {_FP_N - 1})) AS sx(x)
+    ),
+    feats AS (
+      SELECT a.pid, a.y, a.x, a.v AS f0, b.v AS f1, c.v AS f2
+      FROM vals a
+      JOIN vals b ON b.pid = a.pid AND b.y = (a.y + {_FP_N} - 1) % {_FP_N} AND b.x = a.x
+      JOIN vals c ON c.pid = a.pid AND c.y = a.y AND c.x = (a.x + {_FP_N} - 1) % {_FP_N}
+    ),
+    logits AS (
+      SELECT pid, y, x, cl,
+             CASE cl
+               WHEN 0 THEN 2*f0 + (-1)*f1 + 1*f2 + 1
+               WHEN 1 THEN 1*f0 + 3*f1 + (-2)*f2 + 0
+               ELSE (-2)*f0 + 1*f1 + 2*f2 - 1
+             END AS score
+      FROM feats, unnest(generate_series(0, 2)) AS t(cl)
+    ),
+    pred AS (
+      SELECT pid, y, x, cl,
+             row_number() OVER (PARTITION BY pid, y, x
+                                ORDER BY score DESC, cl) AS rk
+      FROM logits
+    )
+    SELECT pid AS patch_id, cl AS pred_class,
+           CAST(count(*) AS BIGINT) AS n_pixels
+    FROM pred WHERE rk = 1
+    GROUP BY pid, cl
+    ORDER BY patch_id, pred_class
+    """,
+)
+def x3_linear_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched model inference, cross-engine verified: the SAME
+    broadcast-weights + mapInPandas batch-matmul shape as
+    x3_model_inference, with integer weights over quarter-integer
+    formula patches — every logit is exact in float64, and argmax ties
+    break to the smallest class in both engines (np.argmax returns the
+    first maximum; the oracle ranks score DESC, class ASC).  Output is
+    the per-patch predicted-class histogram."""
+    sc = spark.sparkContext
+    bc_w, bc_b = sc.broadcast(_LIN_W), sc.broadcast(_LIN_B)
+    patches = _formula_patch_df(spark)
+    preds = patches.mapInPandas(
+        _linear_infer_batch(bc_w, bc_b),
+        schema="patch_id long, pred_class int, n_pixels bigint",
+    )
+    return preds.orderBy("patch_id", "pred_class")
