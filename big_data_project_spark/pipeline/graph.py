@@ -1,0 +1,143 @@
+"""Iterative graph analytics: PageRank by power iteration.
+
+Complements the connected-components family (x7_neardup_clusters label
+propagation, x43 large-star/small-star contraction in pipeline/dedup.py)
+with the other canonical iterative graph workload a data-curation stack
+runs — rank-based importance over a link graph (CommonCrawl-style URL
+graphs feed quality priors into crawl filtering; the reference's corpus
+analytics are the same scored-document shape,
+big_data_project/trainer/flax_model.py).
+
+The graph here is the customer–supplier bipartite graph induced by
+orders ⨝ lineitem, made symmetric (each undirected edge becomes two
+directed ones) — so every node has outdegree ≥ 1 and the dangling-mass
+term vanishes, keeping both engines' formulations identical.
+
+Scale design: one iteration = ranks ⨝ edges on src (co-partitioned hash
+join), then a partial-aggregated sum keyed by dst — the exchange carries
+(dst, double) pairs, never adjacency lists.  Ranks for each generation
+are persisted and materialized before the next plan is built and the
+previous generation is unpersisted (the _train_centroids discipline,
+pipeline/similarity.py), so lineage stays one generation deep.  Per-
+iteration ranks quantize to 10 decimals on BOTH engines so float
+reduction-order ulps cannot compound across iterations (§4.3.1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_project_spark.io import load_table
+from big_data_project_spark.registry import query
+
+_PR_ITERS = 3
+_PR_DAMP = 0.85
+
+
+def _pagerank_ctes(iters: int) -> str:
+    """CTE chain unrolling ``iters`` power iterations: r0 = 1/N uniform,
+    r{n} = (1-d)/N + d·Σ_{u→v} r{n-1}(u)/outdeg(u); every generation
+    rounded to 10 decimals (both engines — see module docstring)."""
+    d = _PR_DAMP
+    ctes = [
+        """pairs AS (
+      SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS cnode,
+                      's' || CAST(l.l_suppkey AS VARCHAR) AS snode
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey)""",
+        """edges AS (
+      SELECT cnode AS src, snode AS dst FROM pairs
+      UNION ALL
+      SELECT snode AS src, cnode AS dst FROM pairs)""",
+        "deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM edges GROUP BY src)",
+        "n AS (SELECT count(*) AS n FROM deg)",
+        "r0 AS (SELECT src AS node_id, round(1.0 / (SELECT n FROM n) + 1e-12, 10) AS r FROM deg)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(f"""r{k} AS (
+      SELECT e.dst AS node_id,
+             round((1 - {d}) / (SELECT n FROM n)
+                   + {d} * sum(r.r / dg.outdeg) + 1e-12, 10) AS r
+      FROM edges e
+      JOIN r{k - 1} r ON r.node_id = e.src
+      JOIN deg dg ON dg.src = e.src
+      GROUP BY e.dst)""")
+    return "WITH " + ",\n    ".join(ctes)
+
+
+@query(
+    "x51_pagerank",
+    oracle=_pagerank_ctes(_PR_ITERS) + f"""
+    SELECT r.node_id, round(r.r + 1e-9, 6) AS pagerank, dg.outdeg AS degree
+    FROM r{_PR_ITERS} r JOIN deg dg ON dg.src = r.node_id
+    ORDER BY pagerank DESC, node_id
+    LIMIT 25
+    """,
+)
+def x51_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (d=0.85, 3 power iterations) over the symmetric
+    customer–supplier graph; top-25 nodes by final rank.
+
+    The edge and degree frames are computed once, persisted, and reused
+    by every iteration; each rank generation is materialized before the
+    next join plan is built so lineage never re-derives earlier passes.
+    With symmetric edges every node has in- and out-degree ≥ 1: no
+    dangling mass, and the contribution aggregate covers all N nodes."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("cnode"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("snode"),
+        )
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col("cnode").alias("src"), F.col("snode").alias("dst"))
+        .unionAll(pairs.select(F.col("snode").alias("src"), F.col("cnode").alias("dst")))
+        .persist()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).persist()
+    n = deg.agg(F.count(F.lit(1)).alias("n"))
+    ranks = (
+        deg.crossJoin(F.broadcast(n))
+        .select(
+            F.col("src").alias("node_id"),
+            F.round(F.lit(1.0) / F.col("n") + F.lit(1e-12), 10).alias("r"),
+        )
+        .persist()
+    )
+    ranks.count()
+    for _ in range(_PR_ITERS):
+        new = (
+            edges.join(ranks, edges.src == ranks.node_id)
+            .join(deg, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("r") / F.col("outdeg")).alias("contrib"))
+            .crossJoin(F.broadcast(n))
+            .select(
+                F.col("dst").alias("node_id"),
+                F.round(
+                    F.lit(1.0 - _PR_DAMP) / F.col("n")
+                    + F.lit(_PR_DAMP) * F.col("contrib")
+                    + F.lit(1e-12),
+                    10,
+                ).alias("r"),
+            )
+            .persist()
+        )
+        new.count()
+        ranks.unpersist()
+        ranks = new
+    out = (
+        ranks.join(deg, ranks.node_id == deg.src)
+        .select(
+            "node_id",
+            F.round(F.col("r") + F.lit(1e-9), 6).alias("pagerank"),
+            F.col("outdeg").alias("degree"),
+        )
+        .orderBy(F.col("pagerank").desc(), "node_id")
+        .limit(25)
+    )
+    return out

@@ -993,3 +993,98 @@ def x47_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
         dig("h_in").alias("input_digest"),
         dig("h_tgt").alias("target_digest"),
     ).select("source", "n_examples", "avg_masked_frac", "input_digest", "target_digest")
+
+
+# --- X50: BM25 ranked retrieval ---------------------------------------------
+#
+# The reference's query surface is analytics over curated corpora
+# (big_data_project/trainer/flax_model.py builds its batches from scored
+# documents); BM25 is the standard lexical retriever a training-data
+# pipeline runs to mine topical subsets.  Okapi BM25 with the Lucene
+# idf variant: idf = ln(1 + (N - df + 0.5)/(df + 0.5)), k1=1.2, b=0.75.
+
+_BM25_TERMS = ("query", "join", "vector")
+_BM25_TERMS_SQL = "(" + ", ".join(f"'{t}'" for t in _BM25_TERMS) + ")"
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@query(
+    "x50_bm25_retrieval",
+    oracle=f"""
+    WITH lens AS (
+      SELECT doc_id,
+             len(list_filter(string_split(lower(text), ' '), w -> w != '')) AS dl
+      FROM documents
+    ),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM lens),
+    tf AS (
+      SELECT doc_id, term, count(*) AS f
+      FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+            FROM documents)
+      WHERE term IN {_BM25_TERMS_SQL}
+      GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, count(DISTINCT doc_id) AS d FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+             ln(1 + ((SELECT n FROM stats) - df.d + 0.5) / (df.d + 0.5))
+               * tf.f * ({_BM25_K1} + 1)
+               / (tf.f + {_BM25_K1} * (1 - {_BM25_B}
+                    + {_BM25_B} * lens.dl / (SELECT avgdl FROM stats))) AS s
+      FROM tf
+      JOIN df USING (term)
+      JOIN lens USING (doc_id)
+    )
+    SELECT doc_id,
+           CAST(count(*) AS INT) AS n_terms_hit,
+           round(sum(s) + 1e-9, 4) AS bm25
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 20
+    """,
+)
+def x50_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-20 documents for a literal query-term set.
+
+    Scale design: the term filter lands BEFORE the (doc_id, term) shuffle,
+    so the tf exchange carries only postings for the |Q| query terms — at
+    100 TB that is |Q| × df rows of (id, term, count), never the corpus
+    vocabulary.  df (|Q| rows) and the global (N, avgdl) scalars ride as
+    broadcasts; the final per-doc sum is a partial-aggregated exchange of
+    scalar scores, and the top-20 collapses to TakeOrderedAndProject."""
+    d = load_table(spark, sf_dir, "documents")
+    nonempty = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+    lens = d.select("doc_id", F.size(nonempty).alias("dl"))
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term"))
+        .filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("d"))
+    idf = F.log(
+        F.lit(1.0) + (F.col("n") - F.col("d") + F.lit(0.5)) / (F.col("d") + F.lit(0.5))
+    )
+    denom = F.col("f") + F.lit(_BM25_K1) * (
+        F.lit(1.0 - _BM25_B) + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl")
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("s", idf * F.col("f") * F.lit(_BM25_K1 + 1) / denom)
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_terms_hit"),
+            F.round(F.sum("s") + F.lit(1e-9), 4).alias("bm25"),
+        )
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )

@@ -46,6 +46,7 @@ _MODULES = (
     "big_data_project_spark.pipeline.similarity",
     "big_data_project_spark.sources.formats",
     "big_data_project_spark.pipeline.dedup",
+    "big_data_project_spark.pipeline.graph",
     "big_data_project_spark.pipeline.quality",
     "big_data_project_spark.pipeline.text",
     "big_data_project_spark.pipeline.curation",

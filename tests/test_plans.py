@@ -672,3 +672,29 @@ def test_frame_dedup_fingerprint_only_exchange(spark, qs):
     df = qs["x49_frame_dedup"](spark, SF)
     assert plan_str(df, "simple").count("MapInPandas") == 1
     assert num_shuffles(df) <= 3  # fingerprint agg + histogram agg (+ display sort)
+
+
+def test_bm25_takes_ordered_with_broadcast_stats(spark, qs):
+    """x50: term filter bounds the tf exchange to |Q| postings, df and
+    (N, avgdl) ride as broadcasts, and the top-20 is
+    TakeOrderedAndProject — never a global sort; no Python boundary."""
+    from big_data_project_spark.plans.contracts import has_partial_agg, plan_str
+
+    df = qs["x50_bm25_retrieval"](spark, SF)
+    text = plan_str(df, "simple")
+    assert "TakeOrderedAndProject" in text
+    assert has_partial_agg(df)
+    assert count_ops(df, "BatchEvalPython") + count_ops(df, "ArrowEvalPython") == 0
+    assert count_ops(df, "CartesianProduct") == 0
+
+
+def test_pagerank_iterates_from_cached_generation(spark, qs):
+    """x51: the reported plan must start from the persisted final rank
+    generation (InMemoryTableScan), not re-derive three iterations of
+    joins, and the top-25 must be TakeOrderedAndProject."""
+    from big_data_project_spark.plans.contracts import plan_str
+
+    df = qs["x51_pagerank"](spark, SF)
+    text = plan_str(df, "simple")
+    assert "TakeOrderedAndProject" in text
+    assert "InMemoryTableScan" in text or "InMemoryRelation" in text
