@@ -800,3 +800,128 @@ def s18_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame
             F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
         )
     )
+
+
+# --- S19: SCD2 dimension merge ----------------------------------------------
+#
+# Completes the warehouse-maintenance trio (s8 partition upsert, s9
+# compaction): slowly-changing-dimension type 2 — an update batch closes
+# the matched current rows and appends new versions, no-op updates (same
+# attribute values) leave the dimension untouched.
+
+_SCD2_EFF = "1998-01-01"   # effective date of the update batch
+
+
+@query(
+    "s19_scd2_merge",
+    oracle=f"""
+    WITH base AS (
+      SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS c_acctbal
+      FROM customer
+    ),
+    upd AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 7 = 0 THEN 'MIGRATED' ELSE c_mktsegment END
+               AS new_seg,
+             round(CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 100
+                        ELSE c_acctbal END, 2) AS new_bal
+      FROM base
+      WHERE c_custkey % 5 = 0 OR c_custkey % 7 = 0 OR c_custkey % 11 = 0
+    ),
+    merged AS (
+      SELECT b.c_custkey, b.c_mktsegment, b.c_acctbal,
+             u.new_seg, u.new_bal,
+             u.c_custkey IS NOT NULL
+               AND (u.new_seg <> b.c_mktsegment OR u.new_bal <> b.c_acctbal)
+               AS changed
+      FROM base b LEFT JOIN upd u USING (c_custkey)
+    ),
+    scd AS (
+      SELECT c_custkey, c_mktsegment AS seg, c_acctbal AS bal,
+             1 AS version, DATE '1995-01-01' AS valid_from,
+             CASE WHEN changed THEN DATE '{_SCD2_EFF}' END AS valid_to,
+             NOT changed AS is_current
+      FROM merged
+      UNION ALL
+      SELECT c_custkey, new_seg, new_bal,
+             2, DATE '{_SCD2_EFF}', NULL, true
+      FROM merged WHERE changed
+    )
+    SELECT is_current, version,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(bal) + 1e-9, 2) AS sum_bal,
+           CAST(sum(CAST('0x' || substr(
+                  md5(CAST(c_custkey AS VARCHAR) || '|' || seg || '|'
+                      || CAST(valid_from AS VARCHAR)), 1, 15) AS BIGINT)
+                % 1000000007) AS BIGINT) AS key_digest
+    FROM scd
+    GROUP BY is_current, version
+    """,
+)
+def s19_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 merge of a deterministic update batch into the customer
+    dimension: matched-and-changed keys get their v1 row closed
+    (valid_to = effective date) plus a v2 current row appended; no-op
+    updates (identical attribute values — the %11 stripe) fall through
+    unchanged.
+
+    Scale design: SCD2 is ONE co-partitioned left join on the dimension
+    key followed by a narrow per-row fan-out (array-of-struct explode,
+    ≤2 rows out per row in) — no window over key history is needed
+    because a current dimension holds exactly one open row per key.  At
+    100 TB the update batch is typically small: AQE turns the join
+    broadcast and the merge becomes exchange-free up to the report agg.
+    Verified by per-(is_current, version) counts, balance sums, and the
+    shared 60-bit md5-prefix digest over (key, segment, valid_from)."""
+    from big_data_project_spark.pipeline.digest import md5_prefix_digest
+
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", F.round("c_acctbal", 2).alias("c_acctbal")
+    )
+    k = F.col("c_custkey")
+    upd = (
+        base.filter((k % 5 == 0) | (k % 7 == 0) | (k % 11 == 0))
+        .select(
+            "c_custkey",
+            F.when(k % 7 == 0, F.lit("MIGRATED")).otherwise(F.col("c_mktsegment"))
+              .alias("new_seg"),
+            F.round(
+                F.when(k % 5 == 0, F.col("c_acctbal") + 100).otherwise(F.col("c_acctbal")),
+                2,
+            ).alias("new_bal"),
+        )
+    )
+    changed = F.col("new_seg").isNotNull() & (
+        (F.col("new_seg") != F.col("c_mktsegment"))
+        | (F.col("new_bal") != F.col("c_acctbal"))
+    )
+    eff = F.lit(_SCD2_EFF).cast("date")
+    row = lambda seg, bal, ver, vfrom, vto, cur: F.struct(  # noqa: E731
+        seg.alias("seg"), bal.alias("bal"), ver.alias("version"),
+        vfrom.alias("valid_from"), vto.alias("valid_to"), cur.alias("is_current"),
+    )
+    v1_open = row(F.col("c_mktsegment"), F.col("c_acctbal"), F.lit(1),
+                  F.lit("1995-01-01").cast("date"), F.lit(None).cast("date"), F.lit(True))
+    v1_closed = row(F.col("c_mktsegment"), F.col("c_acctbal"), F.lit(1),
+                    F.lit("1995-01-01").cast("date"), eff, F.lit(False))
+    v2_open = row(F.col("new_seg"), F.col("new_bal"), F.lit(2),
+                  eff, F.lit(None).cast("date"), F.lit(True))
+    scd = (
+        base.join(upd, "c_custkey", "left")
+        .select(
+            "c_custkey",
+            F.explode(
+                F.when(changed, F.array(v1_closed, v2_open)).otherwise(F.array(v1_open))
+            ).alias("r"),
+        )
+        .select("c_custkey", "r.*")
+    )
+    h = F.md5(
+        F.concat_ws("|", F.col("c_custkey").cast("string"), "seg",
+                    F.col("valid_from").cast("string"))
+    )
+    return scd.groupBy("is_current", "version").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("bal") + F.lit(1e-9), 2).alias("sum_bal"),
+        F.sum(md5_prefix_digest(h)).cast("bigint").alias("key_digest"),
+    )

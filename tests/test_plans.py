@@ -698,3 +698,17 @@ def test_pagerank_iterates_from_cached_generation(spark, qs):
     text = plan_str(df, "simple")
     assert "TakeOrderedAndProject" in text
     assert "InMemoryTableScan" in text or "InMemoryRelation" in text
+
+
+def test_scd2_merge_no_window_single_join(spark, qs):
+    """s19: SCD2 is one key join + a narrow ≤2-row fan-out — no window
+    over key history may appear, and the fan-out is a Generate node."""
+    from big_data_project_spark.plans.contracts import plan_str
+
+    df = qs["s19_scd2_merge"](spark, SF)
+    text = plan_str(df, "simple")
+    assert count_ops(df, "Window") == 0
+    assert "Generate" in text  # the explode fan-out
+    joins = sum(count_ops(df, op) for op in
+                ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"))
+    assert joins == 1, joins
