@@ -213,3 +213,54 @@ def b4_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         F.last("day_value", ignorenulls=True).over(w).alias("filled_value"),
     )
+
+
+# --- B5: exponential moving average (ordered fold) ---------------------------
+
+_EMA_ALPHA = 0.2
+
+
+@query(
+    "b5_ema_smoothing",
+    oracle=f"""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(list_reduce(
+                   list(CAST(value AS DOUBLE) ORDER BY ts, event_id),
+                   (acc, x) -> acc * {1 - _EMA_ALPHA} + x * {_EMA_ALPHA})
+                 + 1e-9, 6) AS ema
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def b5_ema_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponential moving average (α=0.2) of event values — the
+    recursive time-series smoother SQL windows cannot express (each value
+    depends on the previous OUTPUT, not a fixed frame).
+
+    Expressed as an ordered array fold: collect each user's (ts,
+    event_id, value) sequence, array_sort (ts then event_id so ties are
+    deterministic), then F.aggregate seeded with the first value — a
+    single JVM-side lambda fold, no Python boundary and no self-join
+    recursion.  Both engines fold the identical sequence left-to-right in
+    doubles, so results are bit-equal before the final rounding.  At
+    100 TB per-key sequences are bounded (one user's events fit a row);
+    the only exchange is the groupBy(user_id) collect."""
+    e = load_table(spark, sf_dir, "events")
+    seq = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", F.col("value").cast("double").alias("v")))
+        ).alias("s"),
+    )
+    rest = F.expr("slice(s, 2, size(s) - 1)")
+    ema = F.aggregate(
+        rest,
+        F.element_at("s", 1).getField("v"),
+        lambda acc, x: acc * F.lit(1 - _EMA_ALPHA) + x.getField("v") * F.lit(_EMA_ALPHA),
+    )
+    return seq.select(
+        "user_id",
+        "n_events",
+        F.round(ema + F.lit(1e-9), 6).alias("ema"),
+    )

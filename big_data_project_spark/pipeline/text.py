@@ -1088,3 +1088,155 @@ def x50_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(20)
     )
+
+
+# --- X52: hybrid retrieval via reciprocal-rank fusion ------------------------
+#
+# The standard RAG-stack retrieval recipe: a lexical leg (the x50 BM25
+# ranking) and a dense leg (cosine to a query embedding) fused by RRF,
+# score = Σ_legs 1/(k + rank), k = 60 (Cormack et al. 2009).  Ranks are
+# integers with explicit tie-breaks, so the fused score is bit-identical
+# across engines with no float-order caveats.
+
+_RRF_K = 60
+_RRF_LEG_N = 100   # per-leg candidate depth
+_RRF_QVEC = 0      # vec_id of the dense-leg query embedding
+
+
+@query(
+    "x52_hybrid_rrf",
+    oracle=f"""
+    WITH lens AS (
+      SELECT doc_id,
+             len(list_filter(string_split(lower(text), ' '), w -> w != '')) AS dl
+      FROM documents
+    ),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM lens),
+    tf AS (
+      SELECT doc_id, term, count(*) AS f
+      FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+            FROM documents)
+      WHERE term IN {_BM25_TERMS_SQL}
+      GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, count(DISTINCT doc_id) AS d FROM tf GROUP BY term),
+    bm25 AS (
+      SELECT doc_id, round(sum(
+               ln(1 + ((SELECT n FROM stats) - df.d + 0.5) / (df.d + 0.5))
+                 * tf.f * ({_BM25_K1} + 1)
+                 / (tf.f + {_BM25_K1} * (1 - {_BM25_B}
+                      + {_BM25_B} * lens.dl / (SELECT avgdl FROM stats)))
+             ) + 1e-9, 4) AS s
+      FROM tf JOIN df USING (term) JOIN lens USING (doc_id)
+      GROUP BY doc_id
+    ),
+    lex AS (
+      SELECT doc_id, CAST(rk AS INT) AS rank_lex
+      FROM (SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS rk
+            FROM bm25)
+      WHERE rk <= {_RRF_LEG_N}
+    ),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    dense AS (
+      SELECT vec_id AS doc_id, CAST(rk AS INT) AS rank_dense
+      FROM (SELECT e.vec_id,
+                   row_number() OVER (
+                     ORDER BY round(list_cosine_similarity(
+                       e.v, (SELECT v FROM e WHERE vec_id = {_RRF_QVEC})) + 1e-9, 4)
+                       DESC, e.vec_id) AS rk
+            FROM e)
+      WHERE rk <= {_RRF_LEG_N}
+    ),
+    fused AS (
+      SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+             l.rank_lex, d.rank_dense,
+             round(COALESCE(1.0 / ({_RRF_K} + l.rank_lex), 0)
+                   + COALESCE(1.0 / ({_RRF_K} + d.rank_dense), 0) + 1e-9, 6) AS rrf
+      FROM lex l FULL OUTER JOIN dense d ON d.doc_id = l.doc_id
+    )
+    SELECT doc_id, rank_lex, rank_dense, rrf
+    FROM fused
+    ORDER BY rrf DESC, doc_id
+    LIMIT 20
+    """,
+)
+def x52_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical top-100 ⊕ dense cosine top-100,
+    reciprocal-rank-fused, top-20 reported with both leg ranks.
+
+    Scale design: each leg ends in a rank-truncated candidate list of
+    ≤100 (id, int) rows — the fusion join and everything after it is
+    driver-trivial no matter the corpus size.  The lexical leg inherits
+    x50's postings-bounded shuffle; the dense leg is a broadcast-query
+    scan (one pass over embeddings, no pairwise blow-up).  The per-leg
+    global row_number over scalar scores is the one intentionally
+    single-task step — its input is already collapsed to (id, score)
+    scalars, and at 100 TB it would swap to the o8 two-pass top-N
+    without changing the contract."""
+    from big_data_project_spark.pipeline.similarity import with_cosine
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    nonempty = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+    lens = d.select("doc_id", F.size(nonempty).alias("dl"))
+    stats = lens.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
+    tf = (
+        d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term"))
+        .filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("d"))
+    idf = F.log(
+        F.lit(1.0) + (F.col("n") - F.col("d") + F.lit(0.5)) / (F.col("d") + F.lit(0.5))
+    )
+    denom = F.col("f") + F.lit(_BM25_K1) * (
+        F.lit(1.0 - _BM25_B) + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl")
+    )
+    bm25 = (
+        tf.join(F.broadcast(df_), "term")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("s", idf * F.col("f") * F.lit(_BM25_K1 + 1) / denom)
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("s") + F.lit(1e-9), 4).alias("s"))
+    )
+    lex = (
+        bm25.withColumn(
+            "rank_lex",
+            F.row_number().over(Window.orderBy(F.col("s").desc(), "doc_id")),
+        )
+        .filter(F.col("rank_lex") <= _RRF_LEG_N)
+        .select("doc_id", "rank_lex")
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == _RRF_QVEC).select(F.col("embedding").alias("va"))
+    dense = (
+        with_cosine(
+            F.broadcast(q).crossJoin(
+                e.select(F.col("vec_id").alias("doc_id"), F.col("embedding").alias("vb"))
+            )
+        )
+        .withColumn("sim", F.round(F.col("sim_raw") + F.lit(1e-9), 4))
+        .withColumn(
+            "rank_dense",
+            F.row_number().over(Window.orderBy(F.col("sim").desc(), "doc_id")),
+        )
+        .filter(F.col("rank_dense") <= _RRF_LEG_N)
+        .select("doc_id", "rank_dense")
+    )
+    fused = (
+        lex.join(dense, "doc_id", "full_outer")
+        .withColumn(
+            "rrf",
+            F.round(
+                F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("rank_lex")), F.lit(0.0))
+                + F.coalesce(
+                    F.lit(1.0) / (F.lit(_RRF_K) + F.col("rank_dense")), F.lit(0.0)
+                )
+                + F.lit(1e-9),
+                6,
+            ),
+        )
+    )
+    return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(20)

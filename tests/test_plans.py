@@ -712,3 +712,27 @@ def test_scd2_merge_no_window_single_join(spark, qs):
     joins = sum(count_ops(df, op) for op in
                 ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"))
     assert joins == 1, joins
+
+
+def test_hybrid_rrf_truncates_legs_before_fusion(spark, qs):
+    """x52: each leg must rank-truncate to ≤100 candidate rows (window
+    group limit or filter over row_number) before the fusion join, and
+    no Python crosses the boundary."""
+    from big_data_project_spark.plans.contracts import plan_str
+
+    df = qs["x52_hybrid_rrf"](spark, SF)
+    text = plan_str(df, "simple")
+    assert count_ops(df, "Window") + text.count("WindowGroupLimit") >= 2
+    assert count_ops(df, "BatchEvalPython") + count_ops(df, "ArrowEvalPython") == 0
+    assert "TakeOrderedAndProject" in text
+
+
+def test_ema_single_collect_exchange_no_python(spark, qs):
+    """b5: the recursive fold is a JVM array lambda — exactly one
+    exchange (the per-user collect) and no Python eval node."""
+    from big_data_project_spark.plans.contracts import num_shuffles
+
+    df = qs["b5_ema_smoothing"](spark, SF)
+    assert num_shuffles(df) == 1
+    assert count_ops(df, "BatchEvalPython") + count_ops(df, "ArrowEvalPython") == 0
+    assert count_ops(df, "Window") == 0
