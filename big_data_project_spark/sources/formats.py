@@ -925,3 +925,73 @@ def s19_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("bal") + F.lit(1e-9), 2).alias("sum_bal"),
         F.sum(md5_prefix_digest(h)).cast("bigint").alias("key_digest"),
     )
+
+
+# --- S20: deletion propagation (right-to-be-forgotten sweep) ----------------
+
+
+@query(
+    "s20_delete_propagation",
+    oracle="""
+    WITH del AS (SELECT c_custkey FROM customer WHERE c_custkey % 13 = 0),
+    o_kept AS (
+      SELECT o.* FROM orders o
+      WHERE NOT EXISTS (SELECT 1 FROM del WHERE del.c_custkey = o.o_custkey)
+    ),
+    o_del AS (
+      SELECT o.o_orderkey FROM orders o
+      WHERE EXISTS (SELECT 1 FROM del WHERE del.c_custkey = o.o_custkey)
+    ),
+    l_kept AS (
+      SELECT l.* FROM lineitem l
+      WHERE NOT EXISTS (SELECT 1 FROM o_del o WHERE o.o_orderkey = l.l_orderkey)
+    )
+    SELECT 'customer' AS tbl,
+           CAST((SELECT count(*) FROM customer) AS BIGINT) AS n_before,
+           CAST((SELECT count(*) FROM customer) -
+                (SELECT count(*) FROM del) AS BIGINT) AS n_after
+    UNION ALL
+    SELECT 'orders',
+           CAST((SELECT count(*) FROM orders) AS BIGINT),
+           CAST((SELECT count(*) FROM o_kept) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem',
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+           CAST((SELECT count(*) FROM l_kept) AS BIGINT)
+    """,
+)
+def s20_delete_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten sweep: a deletion key-list (every 13th
+    customer) cascades customer → orders → lineitem, reporting
+    before/after row counts per table.
+
+    Scale design: every hop anti-joins against the DELETED key set,
+    never the surviving one — the deletion list and the orderkeys it
+    touches stay proportional to the (small) GDPR batch while the
+    survivors are the whole fact table, so each pass is a broadcast
+    anti-join with zero wide shuffles at 100 TB.  The oracle states the
+    same cascade as NOT EXISTS over the deleted sets."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    del_keys = c.filter(F.col("c_custkey") % 13 == 0).select("c_custkey")
+    o_kept = o.join(
+        F.broadcast(del_keys), o.o_custkey == del_keys.c_custkey, "left_anti"
+    )
+    o_del = o.join(
+        F.broadcast(del_keys), o.o_custkey == del_keys.c_custkey, "left_semi"
+    ).select("o_orderkey")
+    l_kept = li.join(
+        F.broadcast(o_del), li.l_orderkey == F.col("o_orderkey"), "left_anti"
+    )
+    def counts(tbl: str, before: DataFrame, after: DataFrame) -> DataFrame:
+        return (
+            before.agg(F.count(F.lit(1)).alias("n_before"))
+            .crossJoin(after.agg(F.count(F.lit(1)).alias("n_after")))
+            .select(F.lit(tbl).alias("tbl"), "n_before", "n_after")
+        )
+    return (
+        counts("customer", c, c.join(F.broadcast(del_keys), "c_custkey", "left_anti"))
+        .unionAll(counts("orders", o, o_kept))
+        .unionAll(counts("lineitem", li, l_kept))
+    )

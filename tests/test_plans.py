@@ -736,3 +736,16 @@ def test_ema_single_collect_exchange_no_python(spark, qs):
     assert num_shuffles(df) == 1
     assert count_ops(df, "BatchEvalPython") + count_ops(df, "ArrowEvalPython") == 0
     assert count_ops(df, "Window") == 0
+
+
+def test_delete_propagation_broadcast_anti_only(spark, qs):
+    """s20: every cascade hop must be a broadcast anti/semi join against
+    the small DELETED key set — no sort-merge join may appear (a SMJ here
+    means the survivors, i.e. the whole fact table, became a join build
+    side)."""
+    from big_data_project_spark.plans.contracts import plan_str
+
+    df = qs["s20_delete_propagation"](spark, SF)
+    text = plan_str(df, "simple")
+    assert count_ops(df, "SortMergeJoin") == 0
+    assert "BroadcastHashJoin" in text
