@@ -374,3 +374,35 @@ def f4b_calendar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("days_to_2002"),
     )
+
+
+# --- F10: bitwise functions + bit aggregates --------------------------------
+
+
+@query(
+    "f10_bitwise",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(bit_and(l_linenumber) AS BIGINT) AS and_ln,
+           CAST(bit_or(l_linenumber) AS BIGINT) AS or_ln,
+           CAST(bit_xor(l_orderkey) AS BIGINT) AS xor_ok,
+           CAST(max(xor(l_orderkey * 8, l_linenumber)) AS BIGINT) AS max_shifted_xor
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def f10_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar ops (shift, xor) and the bit_and/bit_or/bit_xor
+    aggregate family — associative/commutative bit-reductions that
+    partial-aggregate map-side like sums.  shiftleft(k, 3) is stated as
+    k*8 in the oracle (DuckDB's << needs BIT casts; the arithmetic
+    identity keeps both sides in plain bigint)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bit_and("l_linenumber").cast("bigint").alias("and_ln"),
+        F.bit_or("l_linenumber").cast("bigint").alias("or_ln"),
+        F.bit_xor("l_orderkey").cast("bigint").alias("xor_ok"),
+        F.max(F.shiftleft("l_orderkey", 3).bitwiseXOR(F.col("l_linenumber")))
+        .cast("bigint")
+        .alias("max_shifted_xor"),
+    )

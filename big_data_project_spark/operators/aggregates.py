@@ -732,3 +732,34 @@ def a24_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --- A25: linear-regression aggregates ---------------------------------------
+
+
+@query(
+    "a25_regression",
+    oracle="""
+    SELECT l_returnflag,
+           round(regr_slope(l_extendedprice, l_quantity) + 1e-9, 4) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity) + 1e-9, 4) AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity) + 1e-9, 6) AS r2,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def a25_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinary-least-squares aggregate family (slope / intercept / R² /
+    count) per return flag — completes the bivariate statistics surface
+    beyond a17's corr/covar.  Like all moment-based aggregates the
+    state is a handful of associative sums, so the map-side combine
+    holds at any scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x, y = "l_quantity", "l_extendedprice"
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope(y, x) + F.lit(1e-9), 4).alias("slope"),
+        F.round(F.regr_intercept(y, x) + F.lit(1e-9), 4).alias("intercept"),
+        F.round(F.regr_r2(y, x) + F.lit(1e-9), 6).alias("r2"),
+        F.regr_count(y, x).cast("bigint").alias("n"),
+    )

@@ -393,3 +393,54 @@ def j8_binned_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.date_trunc("hour", F.col("p_ts")).alias("hour"))
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+# --- J11: null-safe equality join (<=>) -------------------------------------
+
+
+@query(
+    "j11_null_safe_join",
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 10 = 0 THEN NULL ELSE c_nationkey END AS nk
+      FROM customer
+    ),
+    n AS (
+      SELECT n_nationkey AS nk, n_name FROM nation
+      UNION ALL
+      SELECT NULL, 'UNATTRIBUTED'
+    )
+    SELECT n.n_name,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM c JOIN n ON c.nk IS NOT DISTINCT FROM n.nk
+    GROUP BY n.n_name
+    """,
+)
+def j11_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (Spark's ``eqNullSafe`` / SQL ``<=>``,
+    DuckDB's IS NOT DISTINCT FROM): customers with a nulled-out nation
+    key still match the synthesized UNATTRIBUTED dimension row instead
+    of dropping out, the warehouse idiom for 'unknown member' rollups.
+    NULL<=>NULL hashes like any other key, so the join stays a normal
+    broadcast hash join — no null-bucket special-casing."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 10 == 0, F.lit(None))
+        .otherwise(F.col("c_nationkey"))
+        .alias("nk"),
+    )
+    n = (
+        load_table(spark, sf_dir, "nation")
+        .select(F.col("n_nationkey").alias("nk"), "n_name")
+        .unionAll(
+            load_table(spark, sf_dir, "nation")
+            .limit(1)
+            .select(F.lit(None).cast("int").alias("nk"), F.lit("UNATTRIBUTED").alias("n_name"))
+        )
+    )
+    return (
+        c.join(F.broadcast(n), c.nk.eqNullSafe(n.nk))
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )

@@ -242,3 +242,40 @@ def w7_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value").over(w), 4).alias("hourly_value"),
         F.count(F.lit(1)).over(w).alias("n_last_hour"),
     )
+
+
+# --- W8: nth_value in frame --------------------------------------------------
+
+
+@query(
+    "w8_nth_value",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           round(nth_value(l_quantity, 2) OVER w + 1e-9, 2) AS second_qty,
+           round(nth_value(l_quantity, 3) OVER w + 1e-9, 2) AS third_qty
+    FROM lineitem
+    WHERE l_orderkey < 2000
+    WINDOW w AS (PARTITION BY l_returnflag
+                 ORDER BY l_quantity, l_orderkey, l_linenumber
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def w8_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value over a whole-partition frame — the remaining frame
+    navigation function after W6's first/last (e.g. 'second-lowest
+    quantity in the flag group' benchmarks every row against a
+    near-minimum that ignores the outright minimum).  The ordering key
+    is made unique with the (orderkey, linenumber) tie-break so both
+    engines pick the same physical row; same single-exchange window
+    shape as every W query."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_quantity", "l_orderkey", "l_linenumber"
+    ).rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.round(F.nth_value("l_quantity", 2).over(w) + F.lit(1e-9), 2).alias("second_qty"),
+        F.round(F.nth_value("l_quantity", 3).over(w) + F.lit(1e-9), 2).alias("third_qty"),
+    )
