@@ -73,6 +73,9 @@ DEMONSTRATORS = [
     # components): tracks the per-round checkpoint + fixpoint-checksum
     # overhead round-over-round
     "x43_largestar_components",
+    # fixed-iteration-count power iteration (PageRank): tracks the
+    # per-generation persist/materialize cadence on a join-agg loop
+    "x51_pagerank",
 ]
 
 
