@@ -529,3 +529,74 @@ def t12_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter(F.col("event_type") == "view"),
         e.filter(F.col("event_type") == "purchase"),
     )
+
+
+# --- T13: stream-stream FULL OUTER join (both-side unmatched emission) ------
+
+
+def attribution_full_join(views: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Dual-mode builder: T12 completed — every view AND every purchase,
+    matched when the purchase lands within 30 minutes of the view, each
+    side's orphans emitted with NULLs for the other.  Streaming-wise the
+    state story is symmetric now: a view is held until the purchase
+    watermark passes view_ts + 30 min, a purchase until the view
+    watermark passes purchase_ts (its earliest admissible view is
+    purchase_ts - 30 min), so BOTH watermarks bound BOTH buffers.  An
+    attribution audit needs exactly this shape: un-attributed purchases
+    (organic conversions) are as much a signal as un-converted views."""
+    v = views.select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+    )
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return (
+        v.join(
+            p,
+            (F.col("v_user") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("view_ts"))
+            & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 30 MINUTES")),
+            "full_outer",
+        )
+        .select(
+            "view_id",
+            "purchase_id",
+            F.coalesce(F.col("v_user"), F.col("p_user")).alias("user_id"),
+            F.expr(
+                "(unix_micros(purchase_ts) - unix_micros(view_ts)) div 1000000"
+            ).alias("gap_s"),
+            F.when(F.col("view_id").isNull(), F.lit("organic"))
+            .when(F.col("purchase_id").isNull(), F.lit("unconverted"))
+            .otherwise(F.lit("attributed"))
+            .alias("outcome"),
+        )
+    )
+
+
+@query(
+    "t13_stream_stream_full_join",
+    oracle="""
+    SELECT v.event_id AS view_id,
+           p.event_id AS purchase_id,
+           COALESCE(v.user_id, p.user_id) AS user_id,
+           (epoch_us(p.ts) - epoch_us(v.ts)) // 1000000 AS gap_s,
+           CASE WHEN v.event_id IS NULL THEN 'organic'
+                WHEN p.event_id IS NULL THEN 'unconverted'
+                ELSE 'attributed' END AS outcome
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON v.user_id = p.user_id
+     AND p.ts >= v.ts
+     AND p.ts <= v.ts + INTERVAL 30 MINUTE
+    """,
+)
+def t13_stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return attribution_full_join(
+        e.filter(F.col("event_type") == "view"),
+        e.filter(F.col("event_type") == "purchase"),
+    )

@@ -465,3 +465,61 @@ def test_t12_stream_stream_left_outer_emits_unmatched(spark, tmp_path):
     assert 11 in set(unmatched["view_id"])  # dummy views 89/90 may also flush
     assert (unmatched["converted"] == 0).all()
     assert unmatched["gap_s"].isnull().all()
+
+
+def test_t13_stream_stream_full_outer_emits_both_orphans(spark, tmp_path):
+    """Full-outer stream-stream join: the matched pair emits when both
+    sides arrive; the unconverted view AND the organic purchase are each
+    held in state and emitted with NULLs only after the opposite side's
+    watermark passes their expiry bound."""
+    from big_data_project_spark.streaming.windows import attribution_full_join
+
+    vdir, pdir = str(tmp_path / "views"), str(tmp_path / "purchases")
+    out_dir, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    os.makedirs(vdir)
+    os.makedirs(pdir)
+
+    def run_pass():
+        views = stream_events_from_dir(spark, vdir).withWatermark("ts", "10 minutes")
+        purchases = stream_events_from_dir(spark, pdir).withWatermark("ts", "10 minutes")
+        joined = attribution_full_join(views, purchases)
+
+        def sink(df, batch_id):
+            if df.count():
+                df.write.mode("append").parquet(out_dir)
+
+        run_available_now(joined, out_dir, ck, output_mode="append", foreach_batch=sink)
+
+    # user 1 converts; view 11 (user 2) never converts; purchase 21
+    # (user 3) has no view — organic
+    _write_batch(spark, [
+        (10, "2024-06-01 00:00:00", 1, "view", 1.0),
+        (11, "2024-06-01 00:00:00", 2, "view", 1.0),
+    ], vdir, "b1")
+    _write_batch(spark, [
+        (20, "2024-06-01 00:10:00", 1, "purchase", 9.0),
+        (21, "2024-06-01 00:10:00", 3, "purchase", 9.0),
+    ], pdir, "b1")
+    run_pass()
+    matched_only = spark.read.parquet(out_dir).toPandas()
+    assert (10, 20) in {
+        (r.view_id, r.purchase_id)
+        for r in matched_only.itertuples()
+        if r.view_id is not None and r.purchase_id is not None
+    }
+
+    # advance BOTH watermarks past every expiry bound, twice (the second
+    # pass runs the no-data batch that flushes expired state)
+    for name, ts in (("b2", "2024-06-01 01:00:00"), ("b3", "2024-06-01 01:05:00")):
+        _write_batch(spark, [(80 + int(name[1]), ts, 44, "view", 1.0)], vdir, name)
+        _write_batch(spark, [(90 + int(name[1]), ts, 45, "purchase", 9.0)], pdir, name)
+        run_pass()
+
+    out = spark.read.parquet(out_dir).toPandas()
+    orphan_views = out[out.purchase_id.isnull()]
+    orphan_purch = out[out.view_id.isnull()]
+    assert 11 in set(orphan_views["view_id"])
+    assert (orphan_views["outcome"] == "unconverted").all()
+    assert 21 in set(orphan_purch["purchase_id"])
+    assert (orphan_purch["outcome"] == "organic").all()
+    assert out["gap_s"][out.view_id.isnull() | out.purchase_id.isnull()].isnull().all()
