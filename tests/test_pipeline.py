@@ -673,3 +673,65 @@ def test_star_contraction_on_long_chain(spark):
     assert len(rows) == 64
     assert all(r.cluster == 0 for r in rows)
     assert rounds <= 8, f"star contraction took {rounds} rounds on a 64-chain"
+
+
+# --- round-5 additions: structural invariants beyond the value oracles ------
+
+
+def test_x51_pagerank_rank_properties(spark, sf_dir):
+    """Top-25 PageRanks must be positive, non-increasing, each below the
+    uniform-start upper bound regime (no node can exceed (1-d) + d = 1),
+    and every reported node needs degree ≥ 1 (symmetric edges)."""
+    rows = Q["x51_pagerank"](spark, sf_dir).collect()
+    assert len(rows) == 25
+    ranks = [r.pagerank for r in rows]
+    assert all(0 < x < 1 for x in ranks)
+    assert ranks == sorted(ranks, reverse=True)
+    assert all(r.degree >= 1 for r in rows)
+    assert sum(ranks) < 1.0  # 25 of N nodes can't carry the whole mass
+
+
+def test_s19_scd2_version_identity(spark, sf_dir):
+    """SCD2 conservation laws: closed-v1 count == new-v2 count (every
+    close pairs with an append), and current rows across versions ==
+    the base dimension's key count (exactly one open row per key)."""
+    from big_data_project_spark.io import load_table
+
+    out = {(r.is_current, r.version): r.n_rows
+           for r in Q["s19_scd2_merge"](spark, sf_dir).collect()}
+    n_customers = load_table(spark, sf_dir, "customer").count()
+    closed_v1 = out.get((False, 1), 0)
+    current_v2 = out.get((True, 2), 0)
+    current_v1 = out.get((True, 1), 0)
+    assert closed_v1 == current_v2
+    assert current_v1 + current_v2 == n_customers
+
+
+def test_b5_ema_bounded_by_value_range(spark, sf_dir):
+    """An EMA is a convex combination of observed values — per user it
+    must land inside [min(value), max(value)]."""
+    from big_data_project_spark.io import load_table
+
+    ema = {r.user_id: r.ema for r in Q["b5_ema_smoothing"](spark, sf_dir).collect()}
+    bounds = {
+        r.user_id: (r.lo, r.hi)
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .collect()
+    }
+    assert set(ema) == set(bounds)
+    for uid, e in ema.items():
+        lo, hi = bounds[uid]
+        assert lo - 1e-6 <= e <= hi + 1e-6, (uid, e, lo, hi)
+
+
+def test_x50_bm25_hits_and_ordering(spark, sf_dir):
+    """Every returned doc matched ≥1 query term, scores are positive and
+    non-increasing (Lucene idf variant is always > 0)."""
+    rows = Q["x50_bm25_retrieval"](spark, sf_dir).collect()
+    assert rows
+    assert all(r.n_terms_hit >= 1 for r in rows)
+    scores = [r.bm25 for r in rows]
+    assert all(s > 0 for s in scores)
+    assert scores == sorted(scores, reverse=True)
