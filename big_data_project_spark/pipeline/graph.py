@@ -15,12 +15,13 @@ term vanishes, keeping both engines' formulations identical.
 
 Scale design: one iteration = ranks ⨝ edges on src (co-partitioned hash
 join), then a partial-aggregated sum keyed by dst — the exchange carries
-(dst, double) pairs, never adjacency lists.  Ranks for each generation
-are persisted and materialized before the next plan is built and the
-previous generation is unpersisted (the _train_centroids discipline,
-pipeline/similarity.py), so lineage stays one generation deep.  Per-
-iteration ranks quantize to 10 decimals on BOTH engines so float
-reduction-order ulps cannot compound across iterations (§4.3.1).
+(dst, double) pairs, never adjacency lists.  The degree-annotated edge
+frame is the only cached state (it is read every pass); the rank chain
+is linear, so it stays lazy and the whole fixed-count loop executes as
+one job — contrast x43's star-contraction (pipeline/dedup.py), whose
+data-dependent fixpoint NEEDS per-round materialization.  Per-iteration
+ranks quantize to 10 decimals on BOTH engines so float reduction-order
+ulps cannot compound across iterations (§4.3.1).
 """
 
 from __future__ import annotations
@@ -80,18 +81,21 @@ def x51_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The degree-annotated edge frame is computed once, persisted, and
     reused by every iteration (outdeg is loop-invariant, so each pass is
-    ONE join + one aggregate); each rank generation is materialized
-    before the next join plan is built so lineage never re-derives
-    earlier passes.
+    ONE join + one aggregate); the rank chain itself stays lazy — it is
+    linear, so nothing re-derives and the unrolled loop runs as a single
+    job (see the in-loop comment for the deep-iteration variant).
     With symmetric edges every node has in- and out-degree ≥ 1: no
     dangling mass, and the contribution aggregate covers all N nodes."""
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # Internal node ids are INTEGERS (customer 2k, supplier 2k+1): the
+    # distinct/degree/rank exchanges hash and compare 8-byte longs, not
+    # strings — the display form is concat'd only on the 25 output rows.
     pairs = (
         o.join(l, o.o_orderkey == l.l_orderkey)
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("cnode"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("snode"),
+            (F.col("o_custkey") * 2).alias("cnode"),
+            (F.col("l_suppkey") * 2 + 1).alias("snode"),
         )
         .distinct()
     )
@@ -108,17 +112,20 @@ def x51_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges_deg.count()
     edges.unpersist()
     n = deg.agg(F.count(F.lit(1)).alias("n"))
-    ranks = (
-        deg.crossJoin(F.broadcast(n))
-        .select(
-            F.col("src").alias("node_id"),
-            F.round(F.lit(1.0) / F.col("n") + F.lit(1e-12), 10).alias("r"),
-        )
-        .persist()
+    ranks = deg.crossJoin(F.broadcast(n)).select(
+        F.col("src").alias("node_id"),
+        F.round(F.lit(1.0) / F.col("n") + F.lit(1e-12), 10).alias("r"),
     )
-    ranks.count()
+    # The rank chain is LINEAR (each generation feeds exactly one join),
+    # so nothing is ever re-derived and per-generation materialization
+    # would only add a blocking job per pass — the chain stays lazy and
+    # the whole unrolled loop executes as one job over the cached
+    # edges_deg frame.  Past ~10 iterations the lineage itself becomes
+    # the cost (optimizer re-analysis, task re-serialization) and a
+    # periodic localCheckpoint every ~5 generations — the x43
+    # star-contraction cadence — is the production form.
     for _ in range(_PR_ITERS):
-        new = (
+        ranks = (
             edges_deg.join(ranks, edges_deg.src == ranks.node_id)
             .groupBy("dst")
             .agg(F.sum(F.col("r") / F.col("outdeg")).alias("contrib"))
@@ -132,15 +139,15 @@ def x51_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     10,
                 ).alias("r"),
             )
-            .persist()
         )
-        new.count()
-        ranks.unpersist()
-        ranks = new
+    node_str = F.concat(
+        F.when(F.col("node_id") % 2 == 0, F.lit("c")).otherwise(F.lit("s")),
+        F.shiftright(F.col("node_id").cast("bigint"), 1).cast("string"),
+    )
     out = (
         ranks.join(deg, ranks.node_id == deg.src)
         .select(
-            "node_id",
+            node_str.alias("node_id"),
             F.round(F.col("r") + F.lit(1e-9), 6).alias("pagerank"),
             F.col("outdeg").alias("degree"),
         )
