@@ -74,7 +74,7 @@ DEMONSTRATORS = [
     # overhead round-over-round
     "x43_largestar_components",
     # fixed-iteration-count power iteration (PageRank): tracks the
-    # per-generation persist/materialize cadence on a join-agg loop
+    # single-job lazy-chain cadence on a cached-edge join-agg loop
     "x51_pagerank",
 ]
 

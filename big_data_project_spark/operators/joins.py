@@ -434,9 +434,10 @@ def j11_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "nation")
         .select(F.col("n_nationkey").alias("nk"), "n_name")
         .unionAll(
-            load_table(spark, sf_dir, "nation")
-            .limit(1)
-            .select(F.lit(None).cast("int").alias("nk"), F.lit("UNATTRIBUTED").alias("n_name"))
+            spark.range(1).select(
+                F.lit(None).cast("int").alias("nk"),
+                F.lit("UNATTRIBUTED").alias("n_name"),
+            )
         )
     )
     return (

@@ -79,11 +79,12 @@ def x51_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (d=0.85, 3 power iterations) over the symmetric
     customer–supplier graph; top-25 nodes by final rank.
 
-    The degree-annotated edge frame is computed once, persisted, and
+    The degree-annotated edge frame is computed once, cached, and
     reused by every iteration (outdeg is loop-invariant, so each pass is
     ONE join + one aggregate); the rank chain itself stays lazy — it is
-    linear, so nothing re-derives and the unrolled loop runs as a single
-    job (see the in-loop comment for the deep-iteration variant).
+    linear, so nothing re-derives and the whole query, cache fills
+    included, runs as a single job (see the in-loop comment for the
+    deep-iteration variant).
     With symmetric edges every node has in- and out-degree ≥ 1: no
     dangling mass, and the contribution aggregate covers all N nodes."""
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
@@ -106,11 +107,14 @@ def x51_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).persist()
     # outdeg is loop-invariant: fold it into the edge frame ONCE so each
-    # iteration pays a single join, not an edges⨝ranks⨝deg pair; after it
-    # materializes the raw edge cache is dropped (one copy in memory)
+    # iteration pays a single join, not an edges⨝ranks⨝deg pair.  All
+    # three caches populate lazily inside the terminal action (no eager
+    # count — plan-only callers pay nothing); registry entry points
+    # clearCache() on entry, so registered runs never leak them, but
+    # callers composing this builder outside the registry must clear or
+    # unpersist after their terminal action (the _train_centroids
+    # convention, pipeline/similarity.py).
     edges_deg = edges.join(deg, "src").persist()
-    edges_deg.count()
-    edges.unpersist()
     n = deg.agg(F.count(F.lit(1)).alias("n"))
     ranks = deg.crossJoin(F.broadcast(n)).select(
         F.col("src").alias("node_id"),

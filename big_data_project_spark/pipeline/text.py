@@ -1002,111 +1002,17 @@ def x47_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
 # documents); BM25 is the standard lexical retriever a training-data
 # pipeline runs to mine topical subsets.  Okapi BM25 with the Lucene
 # idf variant: idf = ln(1 + (N - df + 0.5)/(df + 0.5)), k1=1.2, b=0.75.
+# The leg is shared: x50 ranks it directly, x52 fuses it with a dense
+# leg — ONE definition each side (Spark helper + SQL CTE body) so the
+# two retrievers cannot drift apart.
 
 _BM25_TERMS = ("query", "join", "vector")
 _BM25_TERMS_SQL = "(" + ", ".join(f"'{t}'" for t in _BM25_TERMS) + ")"
 _BM25_K1 = 1.2
 _BM25_B = 0.75
 
-
-@query(
-    "x50_bm25_retrieval",
-    oracle=f"""
-    WITH lens AS (
-      SELECT doc_id,
-             len(list_filter(string_split(lower(text), ' '), w -> w != '')) AS dl
-      FROM documents
-    ),
-    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM lens),
-    tf AS (
-      SELECT doc_id, term, count(*) AS f
-      FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
-            FROM documents)
-      WHERE term IN {_BM25_TERMS_SQL}
-      GROUP BY doc_id, term
-    ),
-    df AS (SELECT term, count(DISTINCT doc_id) AS d FROM tf GROUP BY term),
-    scored AS (
-      SELECT tf.doc_id,
-             ln(1 + ((SELECT n FROM stats) - df.d + 0.5) / (df.d + 0.5))
-               * tf.f * ({_BM25_K1} + 1)
-               / (tf.f + {_BM25_K1} * (1 - {_BM25_B}
-                    + {_BM25_B} * lens.dl / (SELECT avgdl FROM stats))) AS s
-      FROM tf
-      JOIN df USING (term)
-      JOIN lens USING (doc_id)
-    )
-    SELECT doc_id,
-           CAST(count(*) AS INT) AS n_terms_hit,
-           round(sum(s) + 1e-9, 4) AS bm25
-    FROM scored
-    GROUP BY doc_id
-    ORDER BY bm25 DESC, doc_id
-    LIMIT 20
-    """,
-)
-def x50_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Okapi BM25 top-20 documents for a literal query-term set.
-
-    Scale design: the term filter lands BEFORE the (doc_id, term) shuffle,
-    so the tf exchange carries only postings for the |Q| query terms — at
-    100 TB that is |Q| × df rows of (id, term, count), never the corpus
-    vocabulary.  df (|Q| rows) and the global (N, avgdl) scalars ride as
-    broadcasts; the final per-doc sum is a partial-aggregated exchange of
-    scalar scores, and the top-20 collapses to TakeOrderedAndProject."""
-    d = load_table(spark, sf_dir, "documents")
-    nonempty = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
-    lens = d.select("doc_id", F.size(nonempty).alias("dl"))
-    stats = lens.agg(
-        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
-    )
-    tf = (
-        d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term"))
-        .filter(F.col("term").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("f"))
-    )
-    df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("d"))
-    idf = F.log(
-        F.lit(1.0) + (F.col("n") - F.col("d") + F.lit(0.5)) / (F.col("d") + F.lit(0.5))
-    )
-    denom = F.col("f") + F.lit(_BM25_K1) * (
-        F.lit(1.0 - _BM25_B) + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl")
-    )
-    scored = (
-        tf.join(F.broadcast(df_), "term")
-        .join(lens, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .withColumn("s", idf * F.col("f") * F.lit(_BM25_K1 + 1) / denom)
-    )
-    return (
-        scored.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("int").alias("n_terms_hit"),
-            F.round(F.sum("s") + F.lit(1e-9), 4).alias("bm25"),
-        )
-        .orderBy(F.col("bm25").desc(), "doc_id")
-        .limit(20)
-    )
-
-
-# --- X52: hybrid retrieval via reciprocal-rank fusion ------------------------
-#
-# The standard RAG-stack retrieval recipe: a lexical leg (the x50 BM25
-# ranking) and a dense leg (cosine to a query embedding) fused by RRF,
-# score = Σ_legs 1/(k + rank), k = 60 (Cormack et al. 2009).  Ranks are
-# integers with explicit tie-breaks, so the fused score is bit-identical
-# across engines with no float-order caveats.
-
-_RRF_K = 60
-_RRF_LEG_N = 100   # per-leg candidate depth
-_RRF_QVEC = 0      # vec_id of the dense-leg query embedding
-
-
-@query(
-    "x52_hybrid_rrf",
-    oracle=f"""
-    WITH lens AS (
+# CTE body ending in bm25(doc_id, n_terms_hit, bm25) — composable after WITH
+_BM25_CTE_BODY = f"""lens AS (
       SELECT doc_id,
              len(list_filter(string_split(lower(text), ' '), w -> w != '')) AS dl
       FROM documents
@@ -1121,18 +1027,98 @@ _RRF_QVEC = 0      # vec_id of the dense-leg query embedding
     ),
     df AS (SELECT term, count(DISTINCT doc_id) AS d FROM tf GROUP BY term),
     bm25 AS (
-      SELECT doc_id, round(sum(
+      SELECT tf.doc_id,
+             CAST(count(*) AS INT) AS n_terms_hit,
+             round(sum(
                ln(1 + ((SELECT n FROM stats) - df.d + 0.5) / (df.d + 0.5))
                  * tf.f * ({_BM25_K1} + 1)
                  / (tf.f + {_BM25_K1} * (1 - {_BM25_B}
                       + {_BM25_B} * lens.dl / (SELECT avgdl FROM stats)))
-             ) + 1e-9, 4) AS s
+             ) + 1e-9, 4) AS bm25
       FROM tf JOIN df USING (term) JOIN lens USING (doc_id)
-      GROUP BY doc_id
-    ),
+      GROUP BY tf.doc_id
+    )"""
+
+
+def _bm25_doc_scores(d: DataFrame) -> DataFrame:
+    """Per-document BM25 over the literal query-term set:
+    (doc_id, n_terms_hit, bm25), bm25 rounded to 4.  The term filter
+    lands BEFORE the (doc_id, term) shuffle, so the tf exchange carries
+    only postings for the |Q| query terms — at 100 TB that is |Q| × df
+    rows of (id, term, count), never the corpus vocabulary; df (|Q|
+    rows) and the global (N, avgdl) scalars ride as broadcasts."""
+    nonempty = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+    lens = d.select("doc_id", F.size(nonempty).alias("dl"))
+    stats = lens.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
+    tf = (
+        d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term"))
+        .filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("d"))
+    idf = F.log(
+        F.lit(1.0) + (F.col("n") - F.col("d") + F.lit(0.5)) / (F.col("d") + F.lit(0.5))
+    )
+    denom = F.col("f") + F.lit(_BM25_K1) * (
+        F.lit(1.0 - _BM25_B) + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl")
+    )
+    return (
+        tf.join(F.broadcast(df_), "term")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("s", idf * F.col("f") * F.lit(_BM25_K1 + 1) / denom)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_terms_hit"),
+            F.round(F.sum("s") + F.lit(1e-9), 4).alias("bm25"),
+        )
+    )
+
+
+@query(
+    "x50_bm25_retrieval",
+    oracle=f"""
+    WITH {_BM25_CTE_BODY}
+    SELECT doc_id, n_terms_hit, bm25
+    FROM bm25
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 20
+    """,
+)
+def x50_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-20 documents for a literal query-term set (see
+    _bm25_doc_scores for the scale design); the final per-doc sum is a
+    partial-aggregated exchange of scalar scores, and the top-20
+    collapses to TakeOrderedAndProject."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        _bm25_doc_scores(d)
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+# --- X52: hybrid retrieval via reciprocal-rank fusion ------------------------
+#
+# The standard RAG-stack retrieval recipe: the x50 BM25 lexical leg and a
+# dense leg (cosine to a query embedding) fused by RRF,
+# score = Σ_legs 1/(k + rank), k = 60 (Cormack et al. 2009).  Ranks are
+# integers with explicit tie-breaks, so the fused score is bit-identical
+# across engines with no float-order caveats.
+
+_RRF_K = 60
+_RRF_LEG_N = 100   # per-leg candidate depth
+_RRF_QVEC = 0      # vec_id of the dense-leg query embedding
+
+
+@query(
+    "x52_hybrid_rrf",
+    oracle=f"""
+    WITH {_BM25_CTE_BODY},
     lex AS (
       SELECT doc_id, CAST(rk AS INT) AS rank_lex
-      FROM (SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS rk
+      FROM (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rk
             FROM bm25)
       WHERE rk <= {_RRF_LEG_N}
     ),
@@ -1166,45 +1152,22 @@ def x52_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale design: each leg ends in a rank-truncated candidate list of
     ≤100 (id, int) rows — the fusion join and everything after it is
-    driver-trivial no matter the corpus size.  The lexical leg inherits
-    x50's postings-bounded shuffle; the dense leg is a broadcast-query
-    scan (one pass over embeddings, no pairwise blow-up).  The per-leg
-    global row_number over scalar scores is the one intentionally
-    single-task step — its input is already collapsed to (id, score)
-    scalars, and at 100 TB it would swap to the o8 two-pass top-N
-    without changing the contract."""
+    driver-trivial no matter the corpus size.  The lexical leg IS the
+    x50 scorer (_bm25_doc_scores — one definition, no drift); the dense
+    leg is a broadcast-query scan (one pass over embeddings, no pairwise
+    blow-up).  The per-leg global row_number over scalar scores is the
+    one intentionally single-task step — its input is already collapsed
+    to (id, score) scalars, and at 100 TB it would swap to the o8
+    two-pass top-N without changing the contract."""
     from big_data_project_spark.pipeline.similarity import with_cosine
     from pyspark.sql.window import Window
 
     d = load_table(spark, sf_dir, "documents")
-    nonempty = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
-    lens = d.select("doc_id", F.size(nonempty).alias("dl"))
-    stats = lens.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
-    tf = (
-        d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term"))
-        .filter(F.col("term").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("f"))
-    )
-    df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("d"))
-    idf = F.log(
-        F.lit(1.0) + (F.col("n") - F.col("d") + F.lit(0.5)) / (F.col("d") + F.lit(0.5))
-    )
-    denom = F.col("f") + F.lit(_BM25_K1) * (
-        F.lit(1.0 - _BM25_B) + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl")
-    )
-    bm25 = (
-        tf.join(F.broadcast(df_), "term")
-        .join(lens, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .withColumn("s", idf * F.col("f") * F.lit(_BM25_K1 + 1) / denom)
-        .groupBy("doc_id")
-        .agg(F.round(F.sum("s") + F.lit(1e-9), 4).alias("s"))
-    )
     lex = (
-        bm25.withColumn(
+        _bm25_doc_scores(d)
+        .withColumn(
             "rank_lex",
-            F.row_number().over(Window.orderBy(F.col("s").desc(), "doc_id")),
+            F.row_number().over(Window.orderBy(F.col("bm25").desc(), "doc_id")),
         )
         .filter(F.col("rank_lex") <= _RRF_LEG_N)
         .select("doc_id", "rank_lex")

@@ -967,23 +967,22 @@ def s20_delete_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale design: every hop anti-joins against the DELETED key set,
     never the surviving one — the deletion list and the orderkeys it
-    touches stay proportional to the (small) GDPR batch while the
-    survivors are the whole fact table, so each pass is a broadcast
-    anti-join with zero wide shuffles at 100 TB.  The oracle states the
-    same cascade as NOT EXISTS over the deleted sets."""
+    touches stay proportional to the deletion batch while the survivors
+    are the whole fact table.  No forced broadcast hint: a realistically
+    small GDPR batch broadcasts via AQE (zero wide shuffles), while an
+    oversized batch — this fixture's every-13th-customer sweep at a big
+    SF would be one — degrades to a shuffle anti-join instead of blowing
+    the broadcast limit.  The oracle states the same cascade as
+    NOT EXISTS over the deleted sets."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     del_keys = c.filter(F.col("c_custkey") % 13 == 0).select("c_custkey")
-    o_kept = o.join(
-        F.broadcast(del_keys), o.o_custkey == del_keys.c_custkey, "left_anti"
-    )
+    o_kept = o.join(del_keys, o.o_custkey == del_keys.c_custkey, "left_anti")
     o_del = o.join(
-        F.broadcast(del_keys), o.o_custkey == del_keys.c_custkey, "left_semi"
+        del_keys, o.o_custkey == del_keys.c_custkey, "left_semi"
     ).select("o_orderkey")
-    l_kept = li.join(
-        F.broadcast(o_del), li.l_orderkey == F.col("o_orderkey"), "left_anti"
-    )
+    l_kept = li.join(o_del, li.l_orderkey == F.col("o_orderkey"), "left_anti")
     def counts(tbl: str, before: DataFrame, after: DataFrame) -> DataFrame:
         return (
             before.agg(F.count(F.lit(1)).alias("n_before"))
@@ -991,7 +990,7 @@ def s20_delete_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.lit(tbl).alias("tbl"), "n_before", "n_after")
         )
     return (
-        counts("customer", c, c.join(F.broadcast(del_keys), "c_custkey", "left_anti"))
+        counts("customer", c, c.join(del_keys, "c_custkey", "left_anti"))
         .unionAll(counts("orders", o, o_kept))
         .unionAll(counts("lineitem", li, l_kept))
     )

@@ -408,12 +408,11 @@ def t11_streaming_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- T9: stream-stream join (view → purchase attribution) -------------------
 
 
-def attribution_join(views: DataFrame, purchases: DataFrame) -> DataFrame:
-    """Dual-mode builder: each purchase joined to every view by the same
-    user within the preceding 30 minutes. In streaming both inputs carry
-    watermarks and the time-bound condition lets Spark expire join state
-    (without it, stream-stream join state grows forever — THE scale
-    constraint for 100 TB/day event joins)."""
+def _attribution_joined(views: DataFrame, purchases: DataFrame, how: str) -> DataFrame:
+    """Shared core of the t9/t12/t13 attribution family: rename both
+    sides, join by user within the 30-minute attribution window with the
+    given join type.  ONE definition of the window condition — a bound
+    change here moves all three builders together."""
     v = views.select(
         F.col("event_id").alias("view_id"),
         F.col("user_id").alias("v_user"),
@@ -424,23 +423,31 @@ def attribution_join(views: DataFrame, purchases: DataFrame) -> DataFrame:
         F.col("user_id").alias("p_user"),
         F.col("ts").alias("purchase_ts"),
     )
-    return (
-        v.join(
-            p,
-            (F.col("v_user") == F.col("p_user"))
-            & (F.col("purchase_ts") >= F.col("view_ts"))
-            & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 30 MINUTES")),
-        )
-        .select(
-            "view_id",
-            "purchase_id",
-            F.col("p_user").alias("user_id"),
-            # gap on µs precision, floored ONCE — flooring each timestamp
-            # first (cast to long) disagrees with the oracle by ±1 s
-            F.expr("(unix_micros(purchase_ts) - unix_micros(view_ts)) div 1000000").alias(
-                "gap_s"
-            ),
-        )
+    return v.join(
+        p,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 30 MINUTES")),
+        how,
+    )
+
+
+# gap on µs precision, floored ONCE — flooring each timestamp first
+# (cast to long) disagrees with the oracle by ±1 s
+_GAP_S = "(unix_micros(purchase_ts) - unix_micros(view_ts)) div 1000000"
+
+
+def attribution_join(views: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Dual-mode builder: each purchase joined to every view by the same
+    user within the preceding 30 minutes. In streaming both inputs carry
+    watermarks and the time-bound condition lets Spark expire join state
+    (without it, stream-stream join state grows forever — THE scale
+    constraint for 100 TB/day event joins)."""
+    return _attribution_joined(views, purchases, "inner").select(
+        "view_id",
+        "purchase_id",
+        F.col("p_user").alias("user_id"),
+        F.expr(_GAP_S).alias("gap_s"),
     )
 
 
@@ -478,33 +485,12 @@ def attribution_left_join(views: DataFrame, purchases: DataFrame) -> DataFrame:
     the time-bound join condition, which also cap the state store.  A
     conversion-rate pipeline (did this impression convert?) needs exactly
     this unmatched emission; an inner join silently drops the negatives."""
-    v = views.select(
-        F.col("event_id").alias("view_id"),
-        F.col("user_id").alias("v_user"),
-        F.col("ts").alias("view_ts"),
-    )
-    p = purchases.select(
-        F.col("event_id").alias("purchase_id"),
-        F.col("user_id").alias("p_user"),
-        F.col("ts").alias("purchase_ts"),
-    )
-    return (
-        v.join(
-            p,
-            (F.col("v_user") == F.col("p_user"))
-            & (F.col("purchase_ts") >= F.col("view_ts"))
-            & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 30 MINUTES")),
-            "left_outer",
-        )
-        .select(
-            "view_id",
-            "purchase_id",
-            F.col("v_user").alias("user_id"),
-            F.expr(
-                "(unix_micros(purchase_ts) - unix_micros(view_ts)) div 1000000"
-            ).alias("gap_s"),
-            F.col("purchase_id").isNotNull().cast("int").alias("converted"),
-        )
+    return _attribution_joined(views, purchases, "left_outer").select(
+        "view_id",
+        "purchase_id",
+        F.col("v_user").alias("user_id"),
+        F.expr(_GAP_S).alias("gap_s"),
+        F.col("purchase_id").isNotNull().cast("int").alias("converted"),
     )
 
 
@@ -544,36 +530,15 @@ def attribution_full_join(views: DataFrame, purchases: DataFrame) -> DataFrame:
     purchase_ts - 30 min), so BOTH watermarks bound BOTH buffers.  An
     attribution audit needs exactly this shape: un-attributed purchases
     (organic conversions) are as much a signal as un-converted views."""
-    v = views.select(
-        F.col("event_id").alias("view_id"),
-        F.col("user_id").alias("v_user"),
-        F.col("ts").alias("view_ts"),
-    )
-    p = purchases.select(
-        F.col("event_id").alias("purchase_id"),
-        F.col("user_id").alias("p_user"),
-        F.col("ts").alias("purchase_ts"),
-    )
-    return (
-        v.join(
-            p,
-            (F.col("v_user") == F.col("p_user"))
-            & (F.col("purchase_ts") >= F.col("view_ts"))
-            & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 30 MINUTES")),
-            "full_outer",
-        )
-        .select(
-            "view_id",
-            "purchase_id",
-            F.coalesce(F.col("v_user"), F.col("p_user")).alias("user_id"),
-            F.expr(
-                "(unix_micros(purchase_ts) - unix_micros(view_ts)) div 1000000"
-            ).alias("gap_s"),
-            F.when(F.col("view_id").isNull(), F.lit("organic"))
-            .when(F.col("purchase_id").isNull(), F.lit("unconverted"))
-            .otherwise(F.lit("attributed"))
-            .alias("outcome"),
-        )
+    return _attribution_joined(views, purchases, "full_outer").select(
+        "view_id",
+        "purchase_id",
+        F.coalesce(F.col("v_user"), F.col("p_user")).alias("user_id"),
+        F.expr(_GAP_S).alias("gap_s"),
+        F.when(F.col("view_id").isNull(), F.lit("organic"))
+        .when(F.col("purchase_id").isNull(), F.lit("unconverted"))
+        .otherwise(F.lit("attributed"))
+        .alias("outcome"),
     )
 
 

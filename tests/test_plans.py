@@ -688,16 +688,19 @@ def test_bm25_takes_ordered_with_broadcast_stats(spark, qs):
     assert count_ops(df, "CartesianProduct") == 0
 
 
-def test_pagerank_iterates_from_cached_generation(spark, qs):
-    """x51: the reported plan must start from the persisted final rank
-    generation (InMemoryTableScan), not re-derive three iterations of
-    joins, and the top-25 must be TakeOrderedAndProject."""
+def test_pagerank_reuses_cached_edge_frame(spark, qs):
+    """x51: every iteration's join must read the CACHED degree-annotated
+    edge frame (InMemoryTableScan per pass — dropping the persist makes
+    each pass re-derive the orders⨝lineitem graph and the count falls to
+    zero), and the top-25 must be TakeOrderedAndProject."""
     from big_data_project_spark.plans.contracts import plan_str
 
     df = qs["x51_pagerank"](spark, SF)
     text = plan_str(df, "simple")
     assert "TakeOrderedAndProject" in text
-    assert "InMemoryTableScan" in text or "InMemoryRelation" in text
+    # ≥3 cache reads: one per iteration (nested InMemoryRelation display
+    # repeats inflate the raw count; zero is the regression signal)
+    assert text.count("InMemoryTableScan") >= 3
 
 
 def test_scd2_merge_no_window_single_join(spark, qs):
