@@ -735,3 +735,18 @@ def test_x50_bm25_hits_and_ordering(spark, sf_dir):
     scores = [r.bm25 for r in rows]
     assert all(s > 0 for s in scores)
     assert scores == sorted(scores, reverse=True)
+
+
+def test_t13_full_outer_partitions_into_t9_and_orphans(spark, sf_dir):
+    """Batch-mode identity over the attribution family: the full-outer
+    result must be exactly the inner matches (t9) plus each side's
+    orphans, and its left-outer projection must agree with t12."""
+    full = Q["t13_stream_stream_full_join"](spark, sf_dir)
+    n_inner = Q["t9_stream_stream_join"](spark, sf_dir).count()
+    n_left = Q["t12_stream_stream_left_join"](spark, sf_dir).count()
+    counts = {r.outcome: r.n for r in
+              full.groupBy("outcome").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts.get("attributed", 0) == n_inner
+    # t12 = attributed + unconverted views
+    assert counts.get("attributed", 0) + counts.get("unconverted", 0) == n_left
+    assert full.count() == sum(counts.values())
