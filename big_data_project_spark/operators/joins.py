@@ -445,3 +445,90 @@ def j11_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.count(F.lit(1)).alias("n_customers"))
     )
+
+
+# --- J12: interval-overlap join (interval × interval) -----------------------
+#
+# j8_binned_interval_join handles POINT-in-window; this is the general
+# overlap join between two sets of variable-length intervals (temporal
+# range intersection, the genomics/IoT shape).  Overlap predicate:
+# a.start <= b.end AND b.start <= a.end.
+
+_J12_EPOCH = "1992-01-01"
+_J12_BUCKET_DAYS = 28  # ≥ max interval length (20d) → ≤2 buckets per interval
+
+
+@query(
+    "j12_interval_overlap_join",
+    oracle=f"""
+    WITH a AS (
+      SELECT o_orderkey AS a_key,
+             CAST(o_orderdate AS DATE) AS a_start,
+             CAST(o_orderdate AS DATE) + INTERVAL (o_orderkey % 20 + 1) DAY AS a_end
+      FROM orders WHERE o_orderkey % 37 = 0
+    ),
+    b AS (
+      SELECT o_orderkey AS b_key,
+             CAST(o_orderdate AS DATE) AS b_start,
+             CAST(o_orderdate AS DATE) + INTERVAL (o_orderkey % 20 + 1) DAY AS b_end
+      FROM orders WHERE o_orderkey % 37 = 1
+    )
+    SELECT strftime(a.a_start, '%Y-%m') AS month,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(date_diff('day',
+                              greatest(a.a_start, CAST(b.b_start AS DATE)),
+                              least(CAST(a.a_end AS DATE), CAST(b.b_end AS DATE))) + 1)
+                AS BIGINT) AS overlap_days
+    FROM a JOIN b
+      ON a.a_start <= b.b_end AND b.b_start <= a.a_end
+    GROUP BY 1
+    """,
+)
+def j12_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval × interval overlap join via bucket binning: each interval
+    explodes into the fixed-width time buckets it covers (bucket width ≥
+    max interval length → at most 2 buckets per interval), the sides
+    hash-join on bucket id, the exact overlap predicate re-applies as a
+    residual, and pair-level DISTINCT removes double-counts from pairs
+    sharing two buckets.  Same n²→equi rewrite as j8b generalized to
+    two interval sides — no nested-loop join at any scale; the oracle
+    states the naive theta join."""
+    o = load_table(spark, sf_dir, "orders")
+    epoch = F.lit(_J12_EPOCH).cast("date")
+
+    def intervals(parity: int, side: str) -> DataFrame:
+        d = o.filter(F.col("o_orderkey") % 37 == parity)
+        start = F.col("o_orderdate").cast("date")
+        end = F.date_add(start, (F.col("o_orderkey") % 20 + 1).cast("int"))
+        return d.select(
+            F.col("o_orderkey").alias(f"{side}_key"),
+            start.alias(f"{side}_start"),
+            end.alias(f"{side}_end"),
+            F.floor(F.datediff(start, epoch) / _J12_BUCKET_DAYS).alias(f"{side}_b0"),
+            F.floor(F.datediff(end, epoch) / _J12_BUCKET_DAYS).alias(f"{side}_b1"),
+        )
+
+    a = intervals(0, "a").withColumn(
+        "bucket", F.explode(F.sequence(F.col("a_b0"), F.col("a_b1")))
+    )
+    b = intervals(1, "b").withColumn(
+        "bucket", F.explode(F.sequence(F.col("b_b0"), F.col("b_b1")))
+    )
+    pairs = (
+        a.join(b, "bucket")
+        .filter(
+            (F.col("a_start") <= F.col("b_end")) & (F.col("b_start") <= F.col("a_end"))
+        )
+        .select("a_key", "b_key", "a_start", "b_start", "a_end", "b_end")
+        .distinct()
+    )
+    overlap = (
+        F.datediff(
+            F.least("a_end", "b_end"), F.greatest("a_start", "b_start")
+        )
+        + 1
+    )
+    return pairs.groupBy(F.date_format("a_start", "yyyy-MM").alias("month")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(overlap).cast("bigint").alias("overlap_days"),
+    )

@@ -279,3 +279,39 @@ def w8_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.nth_value("l_quantity", 2).over(w) + F.lit(1e-9), 2).alias("second_qty"),
         F.round(F.nth_value("l_quantity", 3).over(w) + F.lit(1e-9), 2).alias("third_qty"),
     )
+
+
+# --- W9: moving median (robust sliding smoother) ----------------------------
+
+
+@query(
+    "w9_moving_median",
+    oracle="""
+    SELECT user_id, event_id,
+           round(CAST(quantile_cont(value, 0.5) OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts, event_id
+                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 + 1e-9, 4) AS med4
+    FROM events
+    """,
+)
+def w9_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user moving median over the trailing 4 events — W3's sliding
+    mean made outlier-robust (one spiked reading no longer drags the
+    smoothed series).  Spark's `percentile` and DuckDB's `quantile_cont`
+    share the linear-interpolation definition (the a16 contract), here
+    evaluated as a window aggregate; the (ts, event_id) ordering is
+    unique so both engines see identical frames.  Same single-exchange
+    window shape as every W query."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(F.expr("percentile(value, 0.5)").over(w) + F.lit(1e-9), 4).alias("med4"),
+    )

@@ -1203,3 +1203,160 @@ def x52_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(20)
+
+
+# --- X53: PMI word co-occurrence --------------------------------------------
+
+_PMI_MIN_COOC = 5
+
+
+@query(
+    "x53_pmi_cooccurrence",
+    oracle=f"""
+    WITH postings AS (
+      SELECT DISTINCT doc_id, word
+      FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+            FROM documents)
+      WHERE word != ''
+    ),
+    n_docs AS (SELECT count(DISTINCT doc_id) AS n FROM postings),
+    wc AS (SELECT word, count(*) AS nw FROM postings GROUP BY word),
+    cooc AS (
+      SELECT a.word AS wa, b.word AS wb, count(*) AS nab
+      FROM postings a JOIN postings b
+        ON a.doc_id = b.doc_id AND a.word < b.word
+      GROUP BY a.word, b.word
+      HAVING count(*) >= {_PMI_MIN_COOC}
+    )
+    SELECT wa, wb, CAST(nab AS BIGINT) AS n_cooc,
+           round(ln(nab * 1.0 * (SELECT n FROM n_docs) / (ca.nw * cb.nw))
+                 + 1e-9, 4) AS pmi
+    FROM cooc JOIN wc ca ON ca.word = wa JOIN wc cb ON cb.word = wb
+    ORDER BY pmi DESC, wa, wb
+    LIMIT 50
+    """,
+)
+def x53_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information over within-document co-occurrence —
+    the classic word-association miner (collocation discovery feeds
+    tokenizer merges and phrase detection).  PMI = ln(P(a,b)/(P(a)P(b)))
+    with document-level events.
+
+    Scale design: the pair explosion is the postings self-join on
+    doc_id — quadratic in PER-DOCUMENT distinct vocabulary, not corpus
+    size, and the (wa, wb) aggregate collapses map-side onto the bounded
+    vocab² key space (in production a df band / per-doc top-k caps the
+    blow-up — the same postings discipline as x7c's inverted-index
+    join).  Word counts broadcast back onto the pair table."""
+    d = load_table(spark, sf_dir, "documents")
+    postings = (
+        d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .distinct()
+    ).persist()
+    n_docs = postings.agg(F.countDistinct("doc_id").alias("n"))
+    wc = postings.groupBy("word").agg(F.count(F.lit(1)).alias("nw"))
+    a = postings.select(F.col("doc_id").alias("d"), F.col("word").alias("wa"))
+    b = postings.select(F.col("doc_id").alias("d"), F.col("word").alias("wb"))
+    cooc = (
+        a.join(b, "d")
+        .filter(F.col("wa") < F.col("wb"))
+        .groupBy("wa", "wb")
+        .agg(F.count(F.lit(1)).alias("nab"))
+        .filter(F.col("nab") >= _PMI_MIN_COOC)
+    )
+    ca = wc.select(F.col("word").alias("wa"), F.col("nw").alias("na"))
+    cb = wc.select(F.col("word").alias("wb"), F.col("nw").alias("nb"))
+    return (
+        cooc.join(F.broadcast(ca), "wa")
+        .join(F.broadcast(cb), "wb")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "wa",
+            "wb",
+            F.col("nab").cast("bigint").alias("n_cooc"),
+            F.round(
+                F.log(F.col("nab") * F.lit(1.0) * F.col("n") / (F.col("na") * F.col("nb")))
+                + F.lit(1e-9),
+                4,
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "wa", "wb")
+        .limit(50)
+    )
+
+
+# --- X54: bigram language-model counts --------------------------------------
+
+_BIGRAM_TOP = 3
+
+
+@query(
+    "x54_bigram_lm",
+    oracle=f"""
+    WITH toks AS (
+      SELECT string_split(lower(text), ' ') AS w FROM documents
+    ),
+    bigrams AS (
+      SELECT u.w1, u.w2
+      FROM (
+        SELECT unnest([{{'w1': w[i], 'w2': w[i+1]}}
+                       for i in generate_series(1, len(w) - 1)]) AS u
+        FROM toks
+      ) t
+      WHERE u.w1 != '' AND u.w2 != ''
+    ),
+    vocab AS (SELECT count(DISTINCT w2) AS v FROM bigrams),
+    n12 AS (SELECT w1, w2, count(*) AS n FROM bigrams GROUP BY w1, w2),
+    n1 AS (SELECT w1, sum(n) AS total FROM n12 GROUP BY w1)
+    SELECT w1, w2, CAST(n AS BIGINT) AS n,
+           round((n + 1.0) / (n1.total + (SELECT v FROM vocab)) + 1e-9, 6)
+             AS p_smooth
+    FROM (SELECT *, row_number() OVER (PARTITION BY w1
+                                       ORDER BY n DESC, w2) AS rk
+          FROM n12) r
+    JOIN n1 USING (w1)
+    WHERE rk <= {_BIGRAM_TOP}
+    """,
+)
+def x54_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model estimation: adjacent-token pair counts with
+    add-one smoothing, top-{_BIGRAM_TOP} continuations per context word —
+    the n-gram LM table behind classic perplexity scoring (x27/x41 score
+    against exactly this kind of model).
+
+    Scale design: bigram construction is a NARROW array zip (slice +
+    arrays_zip — no self-join on token position), and the (w1, w2)
+    count collapses map-side onto the bounded vocab² key space; the
+    per-context rank is a scalar-row window partitioned by w1."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split(F.lower("text"), " ")
+    pairs = F.arrays_zip(
+        F.slice(w, 1, F.size(w) - 1).alias("w1"),
+        F.expr("slice(split(lower(text), ' '), 2, size(split(lower(text), ' ')) - 1)").alias("w2"),
+    )
+    bigrams = (
+        d.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+    ).persist()
+    vocab = bigrams.agg(F.countDistinct("w2").alias("v"))
+    n12 = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    n1 = n12.groupBy("w1").agg(F.sum("n").alias("total"))
+    rk = F.row_number().over(Window.partitionBy("w1").orderBy(F.col("n").desc(), "w2"))
+    return (
+        n12.withColumn("rk", rk)
+        .filter(F.col("rk") <= _BIGRAM_TOP)
+        .join(F.broadcast(n1), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(
+                (F.col("n") + F.lit(1.0)) / (F.col("total") + F.col("v")) + F.lit(1e-9), 6
+            ).alias("p_smooth"),
+        )
+    )

@@ -106,6 +106,15 @@ _DEFER = (
     "x8_ivf_trained_topk",
     "x34_temperature_mixture",
     "x35_hard_negatives",
+    # Added after the r05 window packed to exactly 50 (flagship + every
+    # driver-unverified query): deferring keeps the round's full evidence
+    # closure — all four are locally green at both SFs and first in line
+    # for r06.  The r06 builder may simply delete these four entries (the
+    # names then rank tier-3 by registration order).
+    "j12_interval_overlap_join",
+    "w9_moving_median",
+    "x53_pmi_cooccurrence",
+    "x54_bigram_lm",
 )
 
 # Rows-only queries worth the window's leftover slots first (VERDICT r03 #3):

@@ -752,3 +752,34 @@ def test_delete_propagation_broadcast_anti_only(spark, qs):
     text = plan_str(df, "simple")
     assert count_ops(df, "SortMergeJoin") == 0
     assert "BroadcastHashJoin" in text
+
+
+def test_interval_overlap_join_no_nested_loop(spark, qs):
+    """j12: the interval×interval overlap join must run as a bucket
+    equi-join with a residual filter — never a nested-loop/cartesian
+    plan (the n² shape the rewrite exists to avoid)."""
+    df = qs["j12_interval_overlap_join"](spark, SF)
+    assert count_ops(df, "BroadcastNestedLoopJoin") == 0
+    assert count_ops(df, "CartesianProduct") == 0
+    joins = sum(count_ops(df, op) for op in
+                ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"))
+    assert joins >= 1
+
+
+def test_pmi_broadcasts_word_counts(spark, qs):
+    """x53: the word-count and doc-count tables must ride as broadcasts
+    onto the pair table, and the top-50 must be TakeOrderedAndProject."""
+    from big_data_project_spark.plans.contracts import plan_str
+
+    df = qs["x53_pmi_cooccurrence"](spark, SF)
+    text = plan_str(df, "simple")
+    assert "TakeOrderedAndProject" in text
+    assert count_ops(df, "BroadcastHashJoin") >= 2
+
+
+def test_bigram_lm_narrow_construction(spark, qs):
+    """x54: bigram construction is a narrow array zip — no join before
+    the (w1, w2) count aggregate, no Python boundary."""
+    df = qs["x54_bigram_lm"](spark, SF)
+    assert count_ops(df, "BatchEvalPython") + count_ops(df, "ArrowEvalPython") == 0
+    assert count_ops(df, "Generate") >= 1  # the explode fan-out

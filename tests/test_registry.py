@@ -159,18 +159,28 @@ def test_demoted_query_reenters_window(monkeypatch, tmp_path):
 
 
 def test_deferred_queries_front_pinned_until_green(monkeypatch):
-    # r05 policy: the r04-deferred five are ALSO front-pinned (VERDICT r04
-    # #2), so with nothing green they rank immediately after the flagship —
-    # ahead of every round-5 registration — instead of behind the rows-only
-    # bucket as in the r04 window.
+    # r05 policy, two deferral kinds:
+    #  - the r04-deferred five are ALSO front-pinned (VERDICT r04 #2): with
+    #    nothing green they rank immediately after the flagship, ahead of
+    #    every round-5 registration;
+    #  - late-r05 deferrals (NOT in _FRONT) must rank BEHIND every
+    #    never-seen rows-only query — they wait for the next round's window
+    #    instead of evicting this round's evidence closure.
     names = order_with(monkeypatch)  # nothing green, nothing seen
-    for n in registry._DEFER:
-        assert n in registry._FRONT
+    front_deferred = [n for n in registry._DEFER if n in registry._FRONT]
+    late_deferred = [n for n in registry._DEFER if n not in registry._FRONT]
+    for n in front_deferred:
         assert names.index(n) <= len(registry._FRONT), (
             f"front-pinned deferred {n} must lead the r05 window"
         )
-    # ...and once the driver records a green row, the pin dissolves: green
-    # goes to the back like any verified query
+    rows_only = [n for n in registry.QUERIES if n not in registry.ORACLES]
+    last_rows_only = max(names.index(n) for n in rows_only)
+    for n in late_deferred:
+        assert names.index(n) > last_rows_only, (
+            f"late deferred {n} must rank behind every never-seen rows-only query"
+        )
+    # ...and once the driver records a green row, every deferral dissolves:
+    # green goes to the back like any verified query
     names_seen = order_with(monkeypatch, green=set(registry._DEFER))
     head = {n for n in names_seen[:50]}
     for n in registry._DEFER:
