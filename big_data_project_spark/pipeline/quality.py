@@ -920,3 +920,89 @@ def x42_duplicate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
              & (dup3 + F.lit(1e-9) <= _DUP_3GRAM_MAX)).alias("keep"),
         )
     )
+
+
+# --- X55: temporal train/test split (leakage-safe holdout) ------------------
+
+_TSPLIT_FRAC = 0.8  # train fraction of the [min_ts, max_ts] span
+
+
+@query(
+    "x55_temporal_split",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT epoch_us(min(ts)) AS lo, epoch_us(max(ts)) AS hi FROM events
+    ),
+    thr AS (
+      SELECT CAST(lo + CAST(floor((hi - lo) * {_TSPLIT_FRAC}) AS BIGINT) AS BIGINT) AS t
+      FROM bounds
+    ),
+    tagged AS (
+      SELECT CASE WHEN epoch_us(ts) < (SELECT t FROM thr)
+                  THEN 'train' ELSE 'test' END AS split,
+             user_id, ts
+      FROM events
+    ),
+    leaked AS (
+      SELECT count(*) AS n FROM (
+        SELECT user_id FROM tagged GROUP BY user_id
+        HAVING count(DISTINCT split) = 2)
+    )
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(min(ts) AS TIMESTAMP) AS t_lo,
+           CAST(max(ts) AS TIMESTAMP) AS t_hi,
+           CAST((SELECT n FROM leaked) AS BIGINT) AS n_leaked_users
+    FROM tagged
+    GROUP BY split
+    """,
+)
+def x55_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe temporal holdout: events split at the 80% point of
+    the [min, max] time span (integer-µs threshold — exact in both
+    engines, unlike an interpolated timestamp percentile), with the
+    cross-split user-overlap count reported as the leakage signal a
+    user-level split would have to resolve.
+
+    Scale design: the threshold is two scalar aggregates broadcast back
+    (no sort, no window); tagging is a pure scan map; the only
+    exchanges are the split/user aggregates.  This is the split
+    protocol for forecasting data — the reference's own task trains on
+    the past and predicts 6 months ahead (flax_model.py README), where
+    a random row split would leak future pixels into training."""
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.unix_micros(F.min("ts")).alias("lo"), F.unix_micros(F.max("ts")).alias("hi")
+    )
+    thr = bounds.select(
+        (F.col("lo") + F.floor((F.col("hi") - F.col("lo")) * _TSPLIT_FRAC).cast("bigint"))
+        .alias("t")
+    )
+    tagged = e.crossJoin(F.broadcast(thr)).select(
+        F.when(F.unix_micros("ts") < F.col("t"), F.lit("train"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+        "user_id",
+        "ts",
+    )
+    leaked = (
+        tagged.groupBy("user_id")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter(F.col("ns") == 2)
+        .agg(F.count(F.lit(1)).alias("n_leaked"))
+    )
+    return (
+        tagged.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min("ts").alias("t_lo"),
+            F.max("ts").alias("t_hi"),
+        )
+        .crossJoin(F.broadcast(leaked))
+        .select(
+            "split", "n_events", "n_users", "t_lo", "t_hi",
+            F.col("n_leaked").cast("bigint").alias("n_leaked_users"),
+        )
+    )

@@ -1286,29 +1286,66 @@ def x53_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- X54: bigram language-model counts --------------------------------------
+# --- X54/X56: bigram language model — counts + per-document scoring ---------
+#
+# Shared construction (ONE definition each side): doc-tagged adjacent
+# token pairs, and the add-one-smoothed model CTEs derived from them.
+# x54 reports the model's top continuations; x56 scores every document
+# under the same model (self-scored corpus — every bigram is in-model,
+# so no OOV branch).
 
 _BIGRAM_TOP = 3
 
-
-@query(
-    "x54_bigram_lm",
-    oracle=f"""
-    WITH toks AS (
-      SELECT string_split(lower(text), ' ') AS w FROM documents
+# CTE body ending in bigrams(doc_id, w1, w2) + model CTEs vocab/n12/n1
+_BIGRAM_CTE_BODY = """toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
     ),
     bigrams AS (
-      SELECT u.w1, u.w2
+      SELECT doc_id, u.w1, u.w2
       FROM (
-        SELECT unnest([{{'w1': w[i], 'w2': w[i+1]}}
-                       for i in generate_series(1, len(w) - 1)]) AS u
+        SELECT doc_id, unnest([{'w1': w[i], 'w2': w[i+1]}
+                               for i in generate_series(1, len(w) - 1)]) AS u
         FROM toks
       ) t
       WHERE u.w1 != '' AND u.w2 != ''
     ),
     vocab AS (SELECT count(DISTINCT w2) AS v FROM bigrams),
     n12 AS (SELECT w1, w2, count(*) AS n FROM bigrams GROUP BY w1, w2),
-    n1 AS (SELECT w1, sum(n) AS total FROM n12 GROUP BY w1)
+    n1 AS (SELECT w1, sum(n) AS total FROM n12 GROUP BY w1)"""
+
+
+def _bigram_pairs(d: DataFrame) -> DataFrame:
+    """Doc-tagged adjacent token pairs (doc_id, w1, w2) — a NARROW array
+    zip (slice + arrays_zip, no self-join on token position)."""
+    w = F.split(F.lower("text"), " ")
+    pairs = F.arrays_zip(
+        F.slice(w, 1, F.size(w) - 1).alias("w1"),
+        F.expr("slice(split(lower(text), ' '), 2, size(split(lower(text), ' ')) - 1)").alias("w2"),
+    )
+    return (
+        d.select("doc_id", F.explode(pairs).alias("p"))
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+
+
+def _bigram_model(bigrams: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(n12, n1, vocab) add-one-smoothing model tables from the pairs."""
+    n12 = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    n1 = n12.groupBy("w1").agg(F.sum("n").alias("total"))
+    vocab = bigrams.agg(F.countDistinct("w2").alias("v"))
+    return n12, n1, vocab
+
+
+_P_SMOOTH = (  # p(w2|w1) with add-one smoothing — shared by x54 and x56
+    lambda: (F.col("n") + F.lit(1.0)) / (F.col("total") + F.col("v"))
+)
+
+
+@query(
+    "x54_bigram_lm",
+    oracle=f"""
+    WITH {_BIGRAM_CTE_BODY}
     SELECT w1, w2, CAST(n AS BIGINT) AS n,
            round((n + 1.0) / (n1.total + (SELECT v FROM vocab)) + 1e-9, 6)
              AS p_smooth
@@ -1321,30 +1358,20 @@ _BIGRAM_TOP = 3
 )
 def x54_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram language-model estimation: adjacent-token pair counts with
-    add-one smoothing, top-{_BIGRAM_TOP} continuations per context word —
-    the n-gram LM table behind classic perplexity scoring (x27/x41 score
-    against exactly this kind of model).
+    add-one smoothing, top continuations per context word — the n-gram
+    LM table behind classic perplexity scoring (x56 scores documents
+    under exactly this model).
 
-    Scale design: bigram construction is a NARROW array zip (slice +
-    arrays_zip — no self-join on token position), and the (w1, w2)
-    count collapses map-side onto the bounded vocab² key space; the
-    per-context rank is a scalar-row window partitioned by w1."""
+    Scale design: bigram construction is a narrow array zip, the
+    (w1, w2) count collapses map-side onto the bounded vocab² key
+    space; the per-context rank is a scalar-row window partitioned by
+    w1."""
     from pyspark.sql.window import Window
 
-    d = load_table(spark, sf_dir, "documents")
-    w = F.split(F.lower("text"), " ")
-    pairs = F.arrays_zip(
-        F.slice(w, 1, F.size(w) - 1).alias("w1"),
-        F.expr("slice(split(lower(text), ' '), 2, size(split(lower(text), ' ')) - 1)").alias("w2"),
-    )
-    bigrams = (
-        d.select(F.explode(pairs).alias("p"))
-        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
-        .filter((F.col("w1") != "") & (F.col("w2") != ""))
-    ).persist()
-    vocab = bigrams.agg(F.countDistinct("w2").alias("v"))
-    n12 = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
-    n1 = n12.groupBy("w1").agg(F.sum("n").alias("total"))
+    # persisted: the pair table feeds n12, n1 and vocab — without the
+    # cache the corpus explode runs three times (clearCache on entry)
+    bigrams = _bigram_pairs(load_table(spark, sf_dir, "documents")).persist()
+    n12, n1, vocab = _bigram_model(bigrams)
     rk = F.row_number().over(Window.partitionBy("w1").orderBy(F.col("n").desc(), "w2"))
     return (
         n12.withColumn("rk", rk)
@@ -1355,8 +1382,46 @@ def x54_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w1",
             "w2",
             F.col("n").cast("bigint").alias("n"),
-            F.round(
-                (F.col("n") + F.lit(1.0)) / (F.col("total") + F.col("v")) + F.lit(1e-9), 6
-            ).alias("p_smooth"),
+            F.round(_P_SMOOTH() + F.lit(1e-9), 6).alias("p_smooth"),
+        )
+    )
+
+
+@query(
+    "x56_bigram_perplexity",
+    oracle=f"""
+    WITH {_BIGRAM_CTE_BODY}
+    SELECT b.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(-ln((n12.n + 1.0) / (n1.total + (SELECT v FROM vocab))))
+                 + 1e-9, 6) AS avg_nll
+    FROM bigrams b
+    JOIN n12 ON n12.w1 = b.w1 AND n12.w2 = b.w2
+    JOIN n1 ON n1.w1 = b.w1
+    GROUP BY b.doc_id
+    """,
+)
+def x56_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean negative log-likelihood under the x54 bigram
+    model (self-scored corpus) — the CCNet/Wenzek-style LM quality
+    signal computed from an in-engine n-gram model rather than the x27
+    literal scoring table.  High avg_nll = unusual token transitions =
+    candidate for the quality tail.
+
+    Scale design: the model tables are vocab²-bounded → broadcast onto
+    the doc-tagged pair stream; scoring is then a narrow map + one
+    per-doc aggregate.  ONE persisted pass builds both the model and the
+    stream (the pair table is read twice)."""
+    bigrams = _bigram_pairs(load_table(spark, sf_dir, "documents")).persist()
+    n12, n1, vocab = _bigram_model(bigrams)
+    nll = -F.log(_P_SMOOTH())
+    return (
+        bigrams.join(F.broadcast(n12), ["w1", "w2"])
+        .join(F.broadcast(n1), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(nll) + F.lit(1e-9), 6).alias("avg_nll"),
         )
     )

@@ -108,13 +108,16 @@ _DEFER = (
     "x35_hard_negatives",
     # Added after the r05 window packed to exactly 50 (flagship + every
     # driver-unverified query): deferring keeps the round's full evidence
-    # closure — all four are locally green at both SFs and first in line
-    # for r06.  The r06 builder may simply delete these four entries (the
-    # names then rank tier-3 by registration order).
+    # closure — each is locally green at both SFs and first in line for
+    # r06.  The r06 builder may simply delete these entries (the names
+    # then rank tier-3 by registration order).
     "j12_interval_overlap_join",
     "w9_moving_median",
     "x53_pmi_cooccurrence",
     "x54_bigram_lm",
+    "x55_temporal_split",
+    "x56_bigram_perplexity",
+    "s21_incremental_ingest",
 )
 
 # Rows-only queries worth the window's leftover slots first (VERDICT r03 #3):

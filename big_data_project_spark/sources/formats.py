@@ -994,3 +994,73 @@ def s20_delete_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(counts("orders", o, o_kept))
         .unionAll(counts("lineitem", li, l_kept))
     )
+
+
+# --- S21: manifest-based incremental ingest ---------------------------------
+
+
+@query(
+    "s21_incremental_ingest",
+    oracle="""
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value) + 1e-9, 2) AS sum_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def s21_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-driven incremental ingest: batch 1 of a day-partitioned
+    lake is processed and its partitions recorded in a manifest; when
+    batch 2 lands, the incremental pass diffs the partition listing
+    against the manifest and reads ONLY the new days — a partition-
+    column predicate, so the pruning happens at planning time (the s17
+    property), not by scanning and discarding.  The union of the first
+    pass's saved aggregates and the incremental pass must equal the
+    full-table aggregate, which is exactly what the oracle states.
+
+    At 100 TB this is the nightly-append pattern: the manifest bounds
+    每-pass work to the arriving partitions regardless of table size."""
+    import shutil
+
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.col("ts").cast("date").cast("string")
+    )
+    base = _tmp(f"s21_incr_{os.path.basename(sf_dir.rstrip('/'))}")
+    lake, agg_store = os.path.join(base, "lake"), os.path.join(base, "agg")
+    shutil.rmtree(lake, ignore_errors=True)
+    shutil.rmtree(agg_store, ignore_errors=True)
+
+    days = sorted(r.day for r in e.select("day").distinct().collect())
+    cutoff = days[len(days) // 2]
+    batch1 = e.filter(F.col("day") <= cutoff)
+    batch2 = e.filter(F.col("day") > cutoff)
+
+    # batch 1 lands; process it and persist its aggregates + manifest
+    batch1.write.partitionBy("day").parquet(lake)
+    # partition-column inference reads day= back as DATE — normalize to
+    # string so both passes and the oracle agree on the type
+    agg = lambda df: df.groupBy(  # noqa: E731
+        F.col("day").cast("string").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value") + F.lit(1e-9), 2).alias("sum_value"),
+    )
+    agg(spark.read.parquet(lake)).write.parquet(agg_store)
+    manifest = {d for d in days if d <= cutoff}
+
+    # batch 2 lands in the same lake
+    batch2.write.mode("append").partitionBy("day").parquet(lake)
+
+    # incremental pass: diff the partition listing against the manifest,
+    # read only the new day-partitions (planning-time partition pruning)
+    on_disk = {
+        d.split("=", 1)[1]
+        for d in os.listdir(lake)
+        if d.startswith("day=")
+    }
+    new_days = sorted(on_disk - manifest)
+    incr = agg(
+        spark.read.parquet(lake).filter(F.col("day").isin(new_days))
+    )
+    return spark.read.parquet(agg_store).unionByName(incr)

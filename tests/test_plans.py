@@ -783,3 +783,17 @@ def test_bigram_lm_narrow_construction(spark, qs):
     df = qs["x54_bigram_lm"](spark, SF)
     assert count_ops(df, "BatchEvalPython") + count_ops(df, "ArrowEvalPython") == 0
     assert count_ops(df, "Generate") >= 1  # the explode fan-out
+
+
+def test_incremental_ingest_prunes_to_new_partitions(spark, qs):
+    """s21: the incremental leg's day predicate must resolve in the
+    scan's PartitionFilters (planning-time pruning over the manifest
+    diff), never as a row-level filter over the whole lake."""
+    import re
+
+    from big_data_project_spark.plans.contracts import plan_str
+
+    df = qs["s21_incremental_ingest"](spark, SF)
+    plan = plan_str(df)
+    matches = [m.group(1) for m in re.finditer(r"PartitionFilters: \[([^\]]*)\]", plan)]
+    assert any("day" in m for m in matches if m.strip()), matches
