@@ -264,3 +264,43 @@ def b5_ema_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.round(ema + F.lit(1e-9), 6).alias("ema"),
     )
+
+
+# --- B6: rolling distinct active users (trailing-7-day MAU/DAU shape) -------
+
+
+@query(
+    "b6_rolling_active_users",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM du)
+    SELECT CAST(d.day AS VARCHAR) AS day,
+           CAST(count(DISTINCT du.user_id) AS BIGINT) AS active_7d
+    FROM days d
+    JOIN du ON du.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+    GROUP BY d.day
+    """,
+)
+def b6_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day — the rolling
+    MAU/DAU family.  COUNT(DISTINCT) cannot ride a sliding window
+    frame in either engine, so the scalable form is: dedupe to
+    (day, user) once — the big shuffle, corpus → |days|·|users| rows —
+    then a range join of that small frame against the day grid and an
+    exact distinct per grid day.  At 100 TB the heavy input collapses
+    in the first dedup; everything after is proportional to
+    days × active-users, not events."""
+    e = load_table(spark, sf_dir, "events")
+    du = e.select(F.col("ts").cast("date").alias("day"), "user_id").distinct()
+    days = du.select("day").distinct().select(F.col("day").alias("grid_day"))
+    return (
+        days.join(
+            du,
+            (F.col("day") >= F.date_sub(F.col("grid_day"), 6))
+            & (F.col("day") <= F.col("grid_day")),
+        )
+        .groupBy(F.col("grid_day").cast("string").alias("day"))
+        .agg(F.countDistinct("user_id").alias("active_7d"))
+    )

@@ -291,3 +291,48 @@ def p8_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# --- P9: group-wise z-score normalization -----------------------------------
+
+
+@query(
+    "p9_zscore_normalize",
+    oracle="""
+    WITH stats AS (
+      SELECT l_returnflag,
+             avg(l_extendedprice) AS mu,
+             stddev_samp(l_extendedprice) AS sigma
+      FROM lineitem
+      GROUP BY l_returnflag
+    )
+    SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+           round((l.l_extendedprice - s.mu) / s.sigma + 1e-9, 4) AS z
+    FROM lineitem l JOIN stats s USING (l_returnflag)
+    WHERE l.l_orderkey < 2000
+    """,
+)
+def p9_zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score feature transform ((x − μ)/σ, the reference's
+    standardization step, flax_model.py:243 — here grouped): group stats
+    computed in ONE partial-aggregated pass and broadcast back onto the
+    row stream — the two-pass no-window form that scales (a window over
+    the whole group would sort every partition; the stats table is
+    |groups| rows).  Output restricted to a bounded key range so the
+    full rows diff cross-engine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    stats = li.groupBy("l_returnflag").agg(
+        F.avg("l_extendedprice").alias("mu"),
+        F.stddev_samp("l_extendedprice").alias("sigma"),
+    )
+    return (
+        li.filter(F.col("l_orderkey") < 2000)
+        .join(F.broadcast(stats), "l_returnflag")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_returnflag",
+            F.round((F.col("l_extendedprice") - F.col("mu")) / F.col("sigma") + F.lit(1e-9), 4)
+            .alias("z"),
+        )
+    )

@@ -118,6 +118,8 @@ _DEFER = (
     "x55_temporal_split",
     "x56_bigram_perplexity",
     "s21_incremental_ingest",
+    "p9_zscore_normalize",
+    "b6_rolling_active_users",
 )
 
 # Rows-only queries worth the window's leftover slots first (VERDICT r03 #3):
