@@ -406,3 +406,44 @@ def f10_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("max_shifted_xor"),
     )
+
+
+# --- F11: higher-order map functions ----------------------------------------
+
+
+@query(
+    "f11_map_higher_order",
+    oracle="""
+    SELECT o_orderpriority,
+           o_orderstatus AS status,
+           CAST(count(*) * 2 AS BIGINT) AS scaled
+    FROM orders
+    GROUP BY o_orderpriority, o_orderstatus
+    HAVING count(*) * 2 >= 10
+    """,
+)
+def f11_map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The higher-order MAP function surface (F6's structural ops
+    completed): per priority, a status→count map is built with
+    map_from_entries, rescaled with transform_values, thresholded with
+    map_filter, and exploded back to rows — all JVM lambda expressions
+    inside codegen, no Python.  The oracle states the equivalent
+    relational form (group counts + HAVING), so the value check proves
+    the whole map pipeline is lossless."""
+    o = load_table(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    mapped = (
+        counts.groupBy("o_orderpriority")
+        .agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("o_orderstatus", "n")))
+            ).alias("m")
+        )
+        .withColumn("m", F.transform_values("m", lambda k, v: v * 2))
+        .withColumn("m", F.map_filter("m", lambda k, v: v >= 10))
+    )
+    return mapped.select(
+        "o_orderpriority", F.explode("m").alias("status", "scaled")
+    ).select("o_orderpriority", "status", F.col("scaled").cast("bigint").alias("scaled"))

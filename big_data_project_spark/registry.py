@@ -120,6 +120,7 @@ _DEFER = (
     "s21_incremental_ingest",
     "p9_zscore_normalize",
     "b6_rolling_active_users",
+    "f11_map_higher_order",
 )
 
 # Rows-only queries worth the window's leftover slots first (VERDICT r03 #3):
