@@ -293,7 +293,9 @@ def b6_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the first dedup; everything after is proportional to
     days × active-users, not events."""
     e = load_table(spark, sf_dir, "events")
-    du = e.select(F.col("ts").cast("date").alias("day"), "user_id").distinct()
+    # persisted: the deduped frame feeds both the day grid and the join
+    # side — without the cache the corpus-sized distinct runs twice
+    du = e.select(F.col("ts").cast("date").alias("day"), "user_id").distinct().persist()
     days = du.select("day").distinct().select(F.col("day").alias("grid_day"))
     return (
         days.join(

@@ -1320,7 +1320,7 @@ def _bigram_pairs(d: DataFrame) -> DataFrame:
     w = F.split(F.lower("text"), " ")
     pairs = F.arrays_zip(
         F.slice(w, 1, F.size(w) - 1).alias("w1"),
-        F.expr("slice(split(lower(text), ' '), 2, size(split(lower(text), ' ')) - 1)").alias("w2"),
+        F.slice(w, 2, F.size(w) - 1).alias("w2"),
     )
     return (
         d.select("doc_id", F.explode(pairs).alias("p"))

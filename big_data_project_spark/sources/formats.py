@@ -1020,7 +1020,7 @@ def s21_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     full-table aggregate, which is exactly what the oracle states.
 
     At 100 TB this is the nightly-append pattern: the manifest bounds
-    每-pass work to the arriving partitions regardless of table size."""
+    per-pass work to the arriving partitions regardless of table size."""
     import shutil
 
     e = load_table(spark, sf_dir, "events").withColumn(

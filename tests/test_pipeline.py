@@ -749,4 +749,20 @@ def test_t13_full_outer_partitions_into_t9_and_orphans(spark, sf_dir):
     assert counts.get("attributed", 0) == n_inner
     # t12 = attributed + unconverted views
     assert counts.get("attributed", 0) + counts.get("unconverted", 0) == n_left
-    assert full.count() == sum(counts.values())
+    # organic = purchases with NO qualifying view — independently derived
+    # from the purchase side (sum-of-groups == total is true by
+    # construction and would never catch a dropped orphan row)
+    from big_data_project_spark.io import load_table
+
+    n_purchases = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    n_matched_purchases = (
+        Q["t9_stream_stream_join"](spark, sf_dir)
+        .select("purchase_id")
+        .distinct()
+        .count()
+    )
+    assert counts.get("organic", 0) == n_purchases - n_matched_purchases
