@@ -1425,3 +1425,52 @@ def x56_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(nll) + F.lit(1e-9), 6).alias("avg_nll"),
         )
     )
+
+
+# --- X57: boolean AND retrieval (set-containment join) ----------------------
+
+
+@query(
+    "x57_boolean_retrieval",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id, term, count(*) AS f
+      FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+            FROM documents)
+      WHERE term IN {_BM25_TERMS_SQL}
+      GROUP BY doc_id, term
+    )
+    SELECT doc_id,
+           CAST(sum(f) AS BIGINT) AS total_hits
+    FROM tf
+    GROUP BY doc_id
+    HAVING count(*) = {len(_BM25_TERMS)}
+    ORDER BY total_hits DESC, doc_id
+    LIMIT 50
+    """,
+)
+def x57_boolean_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive (AND) retrieval — documents containing EVERY query
+    term, the boolean complement of x50's ranked OR.  Set containment
+    reduces to the tf aggregate x50 already builds plus a
+    count(distinct terms) = |Q| gate: one postings-bounded shuffle, no
+    join at all, and the same pre-shuffle term filter so only |Q|×df
+    postings ever move."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term"))
+        .filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    return (
+        tf.groupBy("doc_id")
+        .agg(
+            F.sum("f").cast("bigint").alias("total_hits"),
+            F.count(F.lit(1)).alias("n_terms"),
+        )
+        .filter(F.col("n_terms") == len(_BM25_TERMS))
+        .select("doc_id", "total_hits")
+        .orderBy(F.col("total_hits").desc(), "doc_id")
+        .limit(50)
+    )

@@ -121,6 +121,8 @@ _DEFER = (
     "p9_zscore_normalize",
     "b6_rolling_active_users",
     "f11_map_higher_order",
+    "x57_boolean_retrieval",
+    "s22_corrupt_records",
 )
 
 # Rows-only queries worth the window's leftover slots first (VERDICT r03 #3):

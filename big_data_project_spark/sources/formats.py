@@ -1064,3 +1064,64 @@ def s21_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(lake).filter(F.col("day").isin(new_days))
     )
     return spark.read.parquet(agg_store).unionByName(incr)
+
+
+# --- S22: corrupt-record handling on semi-structured ingest -----------------
+
+
+@query(
+    "s22_corrupt_records",
+    oracle="""
+    SELECT CASE WHEN event_id % 11 = 3 THEN 'corrupt' ELSE 'valid' END AS status,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN event_id % 11 = 3 THEN 0 ELSE user_id END)
+                AS BIGINT) AS user_id_sum
+    FROM events
+    GROUP BY 1
+    """,
+)
+def s22_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE-mode ingest of a JSON feed with injected corruption:
+    every 11th-ish record is truncated mid-object before the write, and
+    the reader routes it to the _corrupt_record side channel instead of
+    failing the job — the production posture for semi-structured feeds,
+    where one malformed upstream line must not kill a 100 TB ingest.
+    The corrupt rows parse all data columns as NULL, so the valid/
+    corrupt counts and the user_id sum over valid rows (the oracle
+    recomputes both from the injection rule) prove the reader dropped
+    nothing and salvaged nothing it shouldn't."""
+    import shutil
+
+    e = load_table(spark, sf_dir, "events")
+    out = _tmp(f"s22_corrupt_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(out, ignore_errors=True)
+    # serialize each row to a JSON line, truncating the corrupt stripe
+    line = F.to_json(F.struct("event_id", "user_id", "event_type"))
+    mangled = e.select(
+        F.when(
+            F.col("event_id") % 11 == 3, F.substring(line, 1, 10)
+        ).otherwise(line).alias("value")
+    )
+    mangled.write.mode("overwrite").text(out)
+
+    schema = ("event_id long, user_id long, event_type string, "
+              "_corrupt_record string")
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(out)
+    )
+    return (
+        back.select(
+            F.when(F.col("_corrupt_record").isNotNull(), F.lit("corrupt"))
+            .otherwise(F.lit("valid"))
+            .alias("status"),
+            F.coalesce(F.col("user_id"), F.lit(0)).alias("uid"),
+        )
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("uid").cast("bigint").alias("user_id_sum"),
+        )
+    )
