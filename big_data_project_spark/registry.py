@@ -75,15 +75,8 @@ _MODULES = (
 _FRONT = (
     "f1_math_functions",       # r02 hash-FAIL — oracle now CASTs floor/ceil
     "t9_stream_stream_join",   # r02 err — NTZ normalize in io.load_table
-    # VERDICT r04 #2: the five r04-deferred oracle-backed queries must land
-    # driver rows in r05 — pinned ahead of the round-5 additions so new
-    # registrations can't displace them past the window again.  Like every
-    # _FRONT pin, they demote to the green tail after their first green row.
-    "x32_line_dedup",
-    "x33_url_canonical_dedup",
-    "x8_ivf_trained_topk",
-    "x34_temperature_mixture",
-    "x35_hard_negatives",
+    # (r06: the five r04-deferral pins — x32..x35, x8_ivf_trained_topk —
+    # removed; each earned its green row in CORRECTNESS_r05.)
 )
 
 # Names whose existing green row is STALE (earned before a breaking change,
@@ -100,29 +93,10 @@ _REVERIFY = (
 # the next round's window instead of displacing the debt being closed now.
 # The deferral is self-dissolving — once the driver records any row, the
 # normal rules apply.
-_DEFER = (
-    "x32_line_dedup",
-    "x33_url_canonical_dedup",
-    "x8_ivf_trained_topk",
-    "x34_temperature_mixture",
-    "x35_hard_negatives",
-    # Added after the r05 window packed to exactly 50 (flagship + every
-    # driver-unverified query): deferring keeps the round's full evidence
-    # closure — each is locally green at both SFs and first in line for
-    # r06.  The r06 builder may simply delete these entries (the names
-    # then rank tier-3 by registration order).
-    "j12_interval_overlap_join",
-    "w9_moving_median",
-    "x53_pmi_cooccurrence",
-    "x54_bigram_lm",
-    "x55_temporal_split",
-    "x56_bigram_perplexity",
-    "s21_incremental_ingest",
-    "p9_zscore_normalize",
-    "b6_rolling_active_users",
-    "f11_map_higher_order",
-    "x57_boolean_retrieval",
-    "s22_corrupt_records",
+_DEFER: tuple[str, ...] = (
+    # (r06: emptied.  The r05 deferrals — x32..x35, x8_ivf_trained_topk —
+    # earned green rows in CORRECTNESS_r05 and the 12 late-r05 additions
+    # now rank tier-3 by registration order, first in the r06 window.)
 )
 
 # Rows-only queries worth the window's leftover slots first (VERDICT r03 #3):
