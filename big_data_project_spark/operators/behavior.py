@@ -288,21 +288,27 @@ def b6_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     MAU/DAU family.  COUNT(DISTINCT) cannot ride a sliding window
     frame in either engine, so the scalable form is: dedupe to
     (day, user) once — the big shuffle, corpus → |days|·|users| rows —
-    then a range join of that small frame against the day grid and an
-    exact distinct per grid day.  At 100 TB the heavy input collapses
-    in the first dedup; everything after is proportional to
-    days × active-users, not events."""
+    then EXPLODE each (day, user) row into the ≤7 grid days it
+    contributes to (sequence(day, day+6)) and equi-join the bounded
+    day grid, the same bucketing discipline as j12's interval join.
+    A raw BETWEEN join here would plan as a BroadcastNestedLoopJoin
+    (days² × users comparisons); the explode form is a hash join —
+    pinned by a no-nested-loop plan contract.  At 100 TB the heavy
+    input collapses in the first dedup; the 7× fan-out and the
+    per-day distinct are proportional to days × active-users, not
+    events, and the grid (calendar days — ~4k rows/decade) broadcasts."""
     e = load_table(spark, sf_dir, "events")
-    # persisted: the deduped frame feeds both the day grid and the join
-    # side — without the cache the corpus-sized distinct runs twice
+    # persisted: the deduped frame feeds both the day grid and the
+    # exploded join side — without the cache the corpus-sized distinct
+    # runs twice
     du = e.select(F.col("ts").cast("date").alias("day"), "user_id").distinct().persist()
     days = du.select("day").distinct().select(F.col("day").alias("grid_day"))
+    contrib = du.select(
+        F.explode(F.sequence(F.col("day"), F.date_add(F.col("day"), 6))).alias("grid_day"),
+        "user_id",
+    )
     return (
-        days.join(
-            du,
-            (F.col("day") >= F.date_sub(F.col("grid_day"), 6))
-            & (F.col("day") <= F.col("grid_day")),
-        )
+        contrib.join(F.broadcast(days), "grid_day")
         .groupBy(F.col("grid_day").cast("string").alias("day"))
         .agg(F.countDistinct("user_id").alias("active_7d"))
     )

@@ -468,7 +468,14 @@ def o12_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast("long"),
         F.lit(1000000),
     ).cast("decimal(38,0)")
-    rhs = (F.lit(_WS_EXPECT) * F.col("n_chars") * F.lit(1000000)).cast("decimal(38,0)")
+    # each factor cast BEFORE multiplying so the product itself runs in
+    # decimal(38,0) — a bigint product only-then-cast would overflow first
+    # at the 100 TB ΣW the docstring budgets for
+    rhs = (
+        F.lit(_WS_EXPECT).cast("decimal(38,0)")
+        * F.col("n_chars").cast("decimal(38,0)")
+        * F.lit(1000000).cast("decimal(38,0)")
+    )
     return (
         d.crossJoin(F.broadcast(tot))
         .filter(h * F.col("W") < rhs)

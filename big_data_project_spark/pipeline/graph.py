@@ -86,7 +86,16 @@ def x51_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     included, runs as a single job (see the in-loop comment for the
     deep-iteration variant).
     With symmetric edges every node has in- and out-degree ≥ 1: no
-    dangling mass, and the contribution aggregate covers all N nodes."""
+    dangling mass, and the contribution aggregate covers all N nodes.
+
+    Cache contract: this builder persists THREE intermediates (edges,
+    deg, edges_deg), all filled lazily inside the caller's terminal
+    action.  The registered entry point clearCache()s on entry, so
+    driver/registry runs never accumulate them; callers composing the
+    raw builder outside the registry own cleanup — run
+    ``spark.catalog.clearCache()`` (or unpersist the three frames)
+    after the terminal action, the `_train_centroids` convention
+    (pipeline/similarity.py)."""
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     # Internal node ids are INTEGERS (customer 2k, supplier 2k+1): the
@@ -109,11 +118,8 @@ def x51_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # outdeg is loop-invariant: fold it into the edge frame ONCE so each
     # iteration pays a single join, not an edges⨝ranks⨝deg pair.  All
     # three caches populate lazily inside the terminal action (no eager
-    # count — plan-only callers pay nothing); registry entry points
-    # clearCache() on entry, so registered runs never leak them, but
-    # callers composing this builder outside the registry must clear or
-    # unpersist after their terminal action (the _train_centroids
-    # convention, pipeline/similarity.py).
+    # count — plan-only callers pay nothing); the cleanup contract lives
+    # in the public docstring above.
     edges_deg = edges.join(deg, "src").persist()
     n = deg.agg(F.count(F.lit(1)).alias("n"))
     ranks = deg.crossJoin(F.broadcast(n)).select(

@@ -1026,7 +1026,14 @@ def s21_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").withColumn(
         "day", F.col("ts").cast("date").cast("string")
     )
-    base = _tmp(f"s21_incr_{os.path.basename(sf_dir.rstrip('/'))}")
+    # keyed on applicationId on top of _tmp's per-pid base: the lake is
+    # rmtree'd at entry, so any concurrent session sharing the path (e.g.
+    # two SparkSessions in one process) would delete the other's
+    # lake/manifest mid-query
+    base = _tmp(
+        f"s21_incr_{os.path.basename(sf_dir.rstrip('/'))}_"
+        f"{spark.sparkContext.applicationId}"
+    )
     lake, agg_store = os.path.join(base, "lake"), os.path.join(base, "agg")
     shutil.rmtree(lake, ignore_errors=True)
     shutil.rmtree(agg_store, ignore_errors=True)

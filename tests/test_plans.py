@@ -797,3 +797,76 @@ def test_incremental_ingest_prunes_to_new_partitions(spark, qs):
     plan = plan_str(df)
     matches = [m.group(1) for m in re.finditer(r"PartitionFilters: \[([^\]]*)\]", plan)]
     assert any("day" in m for m in matches if m.strip()), matches
+
+
+def test_rolling_actives_explode_equi_join_no_nested_loop(spark, qs):
+    """b6 (ADVICE r05): the trailing-7-day membership must run as an
+    explode(sequence(day, day+6)) fan-out + grid equi-join — the raw
+    BETWEEN formulation plans as a BroadcastNestedLoopJoin whose cost is
+    days² × users.  The bounded calendar grid must be the broadcast
+    side."""
+    df = qs["b6_rolling_active_users"](spark, SF)
+    assert count_ops(df, "BroadcastNestedLoopJoin") == 0
+    assert count_ops(df, "CartesianProduct") == 0
+    assert count_ops(df, "Generate") >= 1  # the ≤7-day explode fan-out
+    assert count_ops(df, "BroadcastHashJoin") >= 1
+
+
+def test_boolean_retrieval_no_join_tf_gate(spark, qs):
+    """x57: conjunctive retrieval is the tf aggregate + a count(terms)
+    gate — NO join anywhere in the plan, the query-term filter applied
+    before the postings exchange (only |Q|×df postings move), and the
+    top-50 as TakeOrderedAndProject (never a global sort)."""
+    from big_data_project_spark.plans.contracts import plan_str
+
+    df = qs["x57_boolean_retrieval"](spark, SF)
+    plan = plan_str(df, "simple")
+    assert "Join" not in plan, "boolean retrieval must not join"
+    assert "TakeOrderedAndProject" in plan
+    assert count_ops(df, "Sort") == 0, "top-50 must not plan a global sort"
+
+
+def test_corrupt_records_single_scan_permissive_routing(spark, qs):
+    """s22: PERMISSIVE routing is ONE json scan + one status aggregate —
+    no join, a single shuffle exchange, map-side partial agg in front of
+    it (the 100 TB ingest posture: corrupt rows ride the same scan, not
+    a second pass)."""
+    from big_data_project_spark.plans.contracts import has_partial_agg, num_shuffles, plan_str
+
+    df = qs["s22_corrupt_records"](spark, SF)
+    assert "Join" not in plan_str(df, "simple")
+    assert num_shuffles(df) == 1
+    assert has_partial_agg(df)
+
+
+def test_moving_median_single_window_exchange(spark, qs):
+    """w9: the sliding median is ONE window operator over ONE hash
+    exchange on user_id — no Python eval (percentile is a JVM
+    aggregate), no extra sort beyond the window's own."""
+    from big_data_project_spark.plans.contracts import num_shuffles
+
+    df = qs["w9_moving_median"](spark, SF)
+    assert num_shuffles(df) == 1
+    assert count_ops(df, "Window") == 1
+    assert count_ops(df, "BatchEvalPython") + count_ops(df, "ArrowEvalPython") == 0
+
+
+def test_temporal_split_broadcast_scalars_no_wide_join(spark, qs):
+    """x55: the split threshold and the leakage count ride 1-row
+    broadcasts back onto the scan — never a sort-merge or shuffled hash
+    join, and no global sort anywhere."""
+    df = qs["x55_temporal_split"](spark, SF)
+    assert count_ops(df, "SortMergeJoin") == 0
+    assert count_ops(df, "ShuffledHashJoin") == 0
+    assert count_ops(df, "BroadcastExchange") >= 2  # thr + leaked scalars
+
+
+def test_bigram_perplexity_broadcast_model_persisted_pairs(spark, qs):
+    """x56: the vocab²-bounded model tables must BROADCAST onto the
+    doc-tagged pair stream (no SMJ), and the persisted pair table must
+    back both the model and the scoring stream (InMemoryTableScan
+    reuse) — without it the corpus tokenizes twice."""
+    df = qs["x56_bigram_perplexity"](spark, SF)
+    assert count_ops(df, "SortMergeJoin") == 0
+    assert count_ops(df, "BroadcastHashJoin") >= 2  # n12 + n1 model joins
+    assert count_ops(df, "InMemoryTableScan") >= 2, "persisted pair table not reused"
