@@ -36,6 +36,98 @@ _PR_ITERS = 3
 _PR_DAMP = 0.85
 
 
+def _graph_frames(spark: SparkSession, sf_dir: str):
+    """(edges_deg, deg, n) for the symmetric customer–supplier graph.
+    Persists edges/deg/edges_deg lazily — see x51_pagerank's cache
+    contract; callers outside the registry own cleanup."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # Internal node ids are INTEGERS (customer 2k, supplier 2k+1): the
+    # distinct/degree/rank exchanges hash and compare 8-byte longs, not
+    # strings — the display form is concat'd only on the output rows.
+    pairs = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("cnode"),
+            (F.col("l_suppkey") * 2 + 1).alias("snode"),
+        )
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col("cnode").alias("src"), F.col("snode").alias("dst"))
+        .unionAll(pairs.select(F.col("snode").alias("src"), F.col("cnode").alias("dst")))
+        .persist()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).persist()
+    # outdeg is loop-invariant: fold it into the edge frame ONCE so each
+    # iteration pays a single join, not an edges⨝ranks⨝deg pair.  All
+    # three caches populate lazily inside the terminal action (no eager
+    # count — plan-only callers pay nothing).
+    edges_deg = edges.join(deg, "src").persist()
+    n = deg.agg(F.count(F.lit(1)).alias("n"))
+    return edges_deg, deg, n
+
+
+def _seed_ranks(deg: DataFrame, n: DataFrame) -> DataFrame:
+    """Uniform 1/N seed over every node (outdeg ≥ 1 ⇒ deg covers all)."""
+    return deg.crossJoin(F.broadcast(n)).select(
+        F.col("src").alias("node_id"),
+        F.round(F.lit(1.0) / F.col("n") + F.lit(1e-12), 10).alias("r"),
+    )
+
+
+def _pr_step(edges_deg: DataFrame, ranks: DataFrame, n: DataFrame) -> DataFrame:
+    """One power iteration: ranks ⨝ cached edges on src, partial-agg sum
+    keyed by dst — the exchange carries (dst, double) pairs only — then
+    the damping affine map, quantized to 10 decimals (§4.3.1)."""
+    return (
+        edges_deg.join(ranks, edges_deg.src == ranks.node_id)
+        .groupBy("dst")
+        .agg(F.sum(F.col("r") / F.col("outdeg")).alias("contrib"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("dst").alias("node_id"),
+            F.round(
+                F.lit(1.0 - _PR_DAMP) / F.col("n")
+                + F.lit(_PR_DAMP) * F.col("contrib")
+                + F.lit(1e-12),
+                10,
+            ).alias("r"),
+        )
+    )
+
+
+def pagerank_ranks_deep(
+    spark: SparkSession,
+    sf_dir: str,
+    iters: int = 12,
+    checkpoint_every: int | None = 5,
+) -> DataFrame:
+    """Deep-iteration PageRank: the x51 power iteration driven past the
+    lazy-chain sweet spot, with a ``localCheckpoint`` every
+    ``checkpoint_every`` generations (the x43 star-contraction cadence).
+    Each checkpoint truncates lineage to a materialized RDD scan, so
+    optimizer re-analysis and task re-serialization stay bounded by the
+    window since the last checkpoint instead of growing with total
+    iteration count — the production form past ~10 iterations.
+    ``checkpoint_every=None`` keeps the whole chain lazy (the x51 form),
+    which is exactly equivalent in values: every generation quantizes to
+    10 decimals on write, so chain topology cannot change results.
+    Returns the (node_id, r) rank frame after ``iters`` generations.
+
+    Same cache contract as x51_pagerank: composing callers must
+    clearCache()/unpersist after their terminal action."""
+    edges_deg, deg, n = _graph_frames(spark, sf_dir)
+    ranks = _seed_ranks(deg, n)
+    for k in range(1, iters + 1):
+        ranks = _pr_step(edges_deg, ranks, n)
+        if checkpoint_every and k % checkpoint_every == 0 and k < iters:
+            # eager=True: materialize NOW so the next generation's plan
+            # starts from the checkpointed RDD, not the full chain
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks
+
+
 def _pagerank_ctes(iters: int) -> str:
     """CTE chain unrolling ``iters`` power iterations: r0 = 1/N uniform,
     r{n} = (1-d)/N + d·Σ_{u→v} r{n-1}(u)/outdeg(u); every generation
@@ -96,36 +188,8 @@ def x51_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``spark.catalog.clearCache()`` (or unpersist the three frames)
     after the terminal action, the `_train_centroids` convention
     (pipeline/similarity.py)."""
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    # Internal node ids are INTEGERS (customer 2k, supplier 2k+1): the
-    # distinct/degree/rank exchanges hash and compare 8-byte longs, not
-    # strings — the display form is concat'd only on the 25 output rows.
-    pairs = (
-        o.join(l, o.o_orderkey == l.l_orderkey)
-        .select(
-            (F.col("o_custkey") * 2).alias("cnode"),
-            (F.col("l_suppkey") * 2 + 1).alias("snode"),
-        )
-        .distinct()
-    )
-    edges = (
-        pairs.select(F.col("cnode").alias("src"), F.col("snode").alias("dst"))
-        .unionAll(pairs.select(F.col("snode").alias("src"), F.col("cnode").alias("dst")))
-        .persist()
-    )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).persist()
-    # outdeg is loop-invariant: fold it into the edge frame ONCE so each
-    # iteration pays a single join, not an edges⨝ranks⨝deg pair.  All
-    # three caches populate lazily inside the terminal action (no eager
-    # count — plan-only callers pay nothing); the cleanup contract lives
-    # in the public docstring above.
-    edges_deg = edges.join(deg, "src").persist()
-    n = deg.agg(F.count(F.lit(1)).alias("n"))
-    ranks = deg.crossJoin(F.broadcast(n)).select(
-        F.col("src").alias("node_id"),
-        F.round(F.lit(1.0) / F.col("n") + F.lit(1e-12), 10).alias("r"),
-    )
+    edges_deg, deg, n = _graph_frames(spark, sf_dir)
+    ranks = _seed_ranks(deg, n)
     # The rank chain is LINEAR (each generation feeds exactly one join),
     # so nothing is ever re-derived and per-generation materialization
     # would only add a blocking job per pass — the chain stays lazy and
@@ -133,23 +197,11 @@ def x51_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # edges_deg frame.  Past ~10 iterations the lineage itself becomes
     # the cost (optimizer re-analysis, task re-serialization) and a
     # periodic localCheckpoint every ~5 generations — the x43
-    # star-contraction cadence — is the production form.
+    # star-contraction cadence — is the production form
+    # (pagerank_ranks_deep below; equivalence + bounded-lineage pinned in
+    # tests/test_scale_runtime.py).
     for _ in range(_PR_ITERS):
-        ranks = (
-            edges_deg.join(ranks, edges_deg.src == ranks.node_id)
-            .groupBy("dst")
-            .agg(F.sum(F.col("r") / F.col("outdeg")).alias("contrib"))
-            .crossJoin(F.broadcast(n))
-            .select(
-                F.col("dst").alias("node_id"),
-                F.round(
-                    F.lit(1.0 - _PR_DAMP) / F.col("n")
-                    + F.lit(_PR_DAMP) * F.col("contrib")
-                    + F.lit(1e-12),
-                    10,
-                ).alias("r"),
-            )
-        )
+        ranks = _pr_step(edges_deg, ranks, n)
     node_str = F.concat(
         F.when(F.col("node_id") % 2 == 0, F.lit("c")).otherwise(F.lit("s")),
         F.shiftright(F.col("node_id").cast("bigint"), 1).cast("string"),

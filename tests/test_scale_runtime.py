@@ -105,3 +105,41 @@ def test_sql_ddl_ctas_insert_roundtrip(spark, sf_dir):
     cols = {r.col_name for r in spark.sql("DESCRIBE TABLE t_region_copy").collect()}
     assert {"r_regionkey", "r_name"} <= cols
     spark.sql("DROP TABLE t_region_copy")
+
+
+def test_deep_pagerank_checkpoint_cadence(spark):
+    """x51's in-code promise (graph.py): past ~10 iterations the lazy
+    rank chain must switch to a localCheckpoint-every-5-generations
+    cadence.  Prove the cadence at 12 iterations on the small fixture:
+
+    - mass conservation: with symmetric edges there is no dangling
+      mass, so Σ ranks ≈ 1 after any number of iterations;
+    - bounded lineage: the final frame's analyzed plan contains only
+      the joins since the LAST checkpoint (≤ cadence window), not all
+      12 generations;
+    - checkpoint neutrality: every generation quantizes to 10 decimals,
+      so the checkpointed run must return EXACTLY the lazy chain's rows.
+    """
+    from big_data_project_spark.pipeline.graph import pagerank_ranks_deep
+
+    sf = "/root/testdata/sf0.001"
+    try:
+        deep = pagerank_ranks_deep(spark, sf, iters=12, checkpoint_every=5)
+        rows = deep.collect()
+        total = sum(r["r"] for r in rows)
+        assert abs(total - 1.0) < 1e-4, f"rank mass drifted: {total}"
+
+        # lineage bounded by the cadence window: each live generation
+        # contributes exactly one ranks⨝edges join on node_id, so the
+        # analyzed plan of 12 iters with checkpoints at 5 and 10 carries
+        # only the 2 post-checkpoint generations — the lazy chain has 12
+        plan = deep._jdf.queryExecution().analyzed().toString()
+        assert plan.count("= node_id#") == 2, f"lineage not truncated:\n{plan[:2000]}"
+
+        lazy = pagerank_ranks_deep(spark, sf, iters=12, checkpoint_every=None)
+        lazy_plan = lazy._jdf.queryExecution().analyzed().toString()
+        assert lazy_plan.count("= node_id#") == 12
+        lazy_rows = lazy.collect()
+        assert sorted(map(tuple, rows)) == sorted(map(tuple, lazy_rows))
+    finally:
+        spark.catalog.clearCache()
