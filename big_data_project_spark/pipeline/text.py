@@ -1099,6 +1099,39 @@ def x50_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Scale demonstrator: BM25 throughput under corpus replication -----------
+
+
+def replicated_bm25_topk(
+    spark: SparkSession, sf_dir: str, factor: int = 4
+) -> DataFrame:
+    """The full BM25 pipeline over the corpus replicated ``factor``× with
+    DISTINCT doc_ids — the retrieval family's throughput-scaling bench
+    row (VERDICT r05 #8), companion to dedup.replicated_neardup_pairs.
+    The claim it evidences: BM25 cost is bounded by the |Q|×df postings
+    that survive the pre-shuffle term filter, so wall-time should grow
+    ~linearly (sublinearly, as fixed scan/agg costs amortize) with
+    corpus size — never by vocabulary or pair blow-up.
+
+    Unlike the MinHash demonstrator there is nothing quadratic to guard
+    against, so replication is VERBATIM under remapped ids: df and the
+    postings volume grow exactly factor×, N and avgdl scale together,
+    and every replica of a base doc earns (near-)identical scores —
+    docs-hit is exactly factor× the base run, asserted in tests.  Not
+    registry-registered: the scaling row is timed by bench.py; the 1×
+    pipeline itself is oracle-verified as x50_bm25_retrieval."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    replicas = spark.range(factor).select(F.col("id").alias("r"))
+    rep = d.crossJoin(replicas).select(
+        (F.col("doc_id") * factor + F.col("r")).alias("doc_id"), "text"
+    )
+    return (
+        _bm25_doc_scores(rep)
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )
+
+
 # --- X52: hybrid retrieval via reciprocal-rank fusion ------------------------
 #
 # The standard RAG-stack retrieval recipe: the x50 BM25 lexical leg and a

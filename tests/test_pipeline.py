@@ -625,6 +625,35 @@ def test_replicated_minhash_scales_linearly(spark, sf_dir):
     assert base > 0 and abs(x4 - 4 * base) <= max(2, round(0.01 * 4 * base))
 
 
+def test_replicated_bm25_scales_exactly(spark, sf_dir):
+    """Retrieval scale demonstrator (VERDICT r05 #8): 4× verbatim corpus
+    replication under remapped doc_ids must hit EXACTLY 4× the documents
+    — replication is verbatim (no salting needed: nothing in BM25 is
+    quadratic), so every replica of a term-hitting doc hits the same
+    terms, and the postings volume the tf exchange carries grows exactly
+    linearly.  Also pins that every replica of the 1× top doc appears in
+    the replicated top-4 (N and avgdl scale together, so scores are
+    preserved up to the idf's +0.5 smoothing)."""
+    from big_data_project_spark.pipeline.text import (
+        _bm25_doc_scores, replicated_bm25_topk,
+    )
+    from big_data_project_spark.io import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    base_hits = _bm25_doc_scores(d).count()
+    rep = replicated_bm25_topk(spark, sf_dir, factor=4)
+    rep_hits = _bm25_doc_scores(
+        load_table(spark, sf_dir, "documents")
+        .crossJoin(spark.range(4).select(F.col("id").alias("r")))
+        .select((F.col("doc_id") * 4 + F.col("r")).alias("doc_id"), "text")
+    ).count()
+    assert base_hits > 0 and rep_hits == 4 * base_hits
+    top1 = _bm25_doc_scores(d).orderBy(F.col("bm25").desc(), "doc_id").first()
+    rep_top = {r["doc_id"] for r in rep.limit(8).collect()}
+    expect = {top1["doc_id"] * 4 + r for r in range(4)}
+    assert expect <= rep_top, (sorted(rep_top), sorted(expect))
+
+
 def test_kmeans_parallel_invariants(spark, sf_dir):
     """x40 (rows-only): k clusters, every vector assigned exactly once,
     and the trained cost beats the k=1 (global-mean) baseline — the
