@@ -312,3 +312,113 @@ def b6_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("grid_day").cast("string").alias("day"))
         .agg(F.countDistinct("user_id").alias("active_7d"))
     )
+
+
+# --- B7: time-series gap fill by linear interpolation -----------------------
+
+
+@query(
+    "b7_gap_fill_interpolate",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             round(avg(value) + 1e-9, 6) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    kept AS (
+      SELECT * FROM daily
+      WHERE CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || '@' || CAST(day AS VARCHAR)), 1, 15)) AS BIGINT) % 10 < 6
+    ),
+    grid AS (
+      SELECT k.user_id, CAST(g.d AS DATE) AS day
+      FROM (SELECT user_id, min(day) AS lo, max(day) AS hi FROM kept GROUP BY user_id) k,
+           LATERAL (SELECT unnest(generate_series(k.lo, k.hi, INTERVAL 1 DAY)) AS d) g
+    ),
+    joined AS (
+      SELECT g.user_id, g.day, k.v,
+             last_value(k.v IGNORE NULLS) OVER w_prev AS pv,
+             last_value(CASE WHEN k.v IS NOT NULL THEN g.day END IGNORE NULLS)
+               OVER w_prev AS pd,
+             first_value(k.v IGNORE NULLS) OVER w_next AS nv,
+             first_value(CASE WHEN k.v IS NOT NULL THEN g.day END IGNORE NULLS)
+               OVER w_next AS nd
+      FROM grid g LEFT JOIN kept k ON k.user_id = g.user_id AND k.day = g.day
+      WINDOW
+        w_prev AS (PARTITION BY g.user_id ORDER BY g.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        w_next AS (PARTITION BY g.user_id ORDER BY g.day
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, CAST(day AS VARCHAR) AS day,
+           CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END AS observed,
+           round(CASE WHEN v IS NOT NULL THEN v
+                      ELSE pv + (nv - pv) * (day - pd) / (nd - pd)
+                 END + 1e-9, 4) AS value_filled
+    FROM joined
+    """,
+)
+def b7_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill by LINEAR INTERPOLATION between the nearest
+    observed anchors — b4's resample/forward-fill sibling for signals
+    where a flat hold is wrong (sensor readings, engagement scores).
+    A deterministic md5 gate drops ~40% of the per-user daily points
+    first (the simulated outage — same integer-hash reproducibility as
+    o7/o12), the per-user calendar grid is densified with
+    explode(sequence(lo, hi)), and each missing day takes
+    pv + (nv-pv)·(day-pd)/(nd-pd) from the bracketing anchors.
+
+    Scale design: ONE (user, day) collapse shuffle, then the grid
+    explode is a narrow ≤|days| fan-out and both anchor scans ride a
+    single per-user window exchange (two frames over the same sort —
+    Spark plans one Window node pair, one exchange).  Interpolation
+    inputs are pre-rounded to 6 so both engines interpolate identical
+    anchors; the grid's first/last day are always observed, so no
+    edge-extrapolation branch exists."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("user_id", F.col("ts").cast("date").alias("day"))
+        .agg(F.round(F.avg("value") + F.lit(1e-9), 6).alias("v"))
+    )
+    gate = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("user_id").cast("string"), F.lit("@"),
+                               F.col("day").cast("string"))), 1, 15),
+            16, 10,
+        ).cast("long"),
+        F.lit(10),
+    ) < 6
+    kept = daily.filter(gate)
+    grid = (
+        kept.groupBy("user_id")
+        .agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        .select("user_id", F.explode(F.sequence("lo", "hi")).alias("day"))
+    )
+    j = grid.join(kept, ["user_id", "day"], "left")
+    w_prev = (
+        Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("v").isNotNull(), F.col("day"))
+    j = j.select(
+        "user_id", "day", "v",
+        F.last("v", ignorenulls=True).over(w_prev).alias("pv"),
+        F.last(obs_day, ignorenulls=True).over(w_prev).alias("pd"),
+        F.first("v", ignorenulls=True).over(w_next).alias("nv"),
+        F.first(obs_day, ignorenulls=True).over(w_next).alias("nd"),
+    )
+    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * (
+        F.datediff("day", "pd") / F.datediff("nd", "pd")
+    )
+    return j.select(
+        "user_id",
+        F.col("day").cast("string").alias("day"),
+        F.when(F.col("v").isNotNull(), 1).otherwise(0).alias("observed"),
+        F.round(
+            F.when(F.col("v").isNotNull(), F.col("v")).otherwise(interp) + F.lit(1e-9), 4
+        ).alias("value_filled"),
+    )

@@ -547,3 +547,77 @@ def o13_curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pos") < _CURR_TAKE)
         .orderBy("pos")
     )
+
+
+# --- O14: deterministic Poisson bootstrap (eval-pipeline resampling) --------
+
+_BOOT_REPS = 20
+# Poisson(1) inverse-CDF thresholds scaled to the md5-mod-10^6 uniform:
+# cumulative P(X<=k)*1e6 for k = 0..3; the >=4 tail (~1.9%) collapses to 4
+_BOOT_CDF = (367879, 735758, 919698, 981011)
+
+
+def _boot_weight_sql(h: str) -> str:
+    cases = " ".join(
+        f"WHEN {h} < {t} THEN {k}" for k, t in enumerate(_BOOT_CDF)
+    )
+    return f"CASE {cases} ELSE 4 END"
+
+
+@query(
+    "o14_poisson_bootstrap",
+    oracle=f"""
+    WITH w AS (
+      SELECT d.doc_id, d.n_chars, r.b,
+             {_boot_weight_sql("CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '#' || CAST(r.b AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000")} AS w
+      FROM documents d
+      CROSS JOIN (SELECT unnest(range({_BOOT_REPS})) AS b) r
+    )
+    SELECT CAST(b AS INT) AS replicate,
+           CAST(sum(w) AS BIGINT) AS n_eff,
+           round(sum(w * n_chars) / sum(w) + 1e-9, 4) AS est_mean_chars
+    FROM w
+    GROUP BY b
+    """,
+)
+def o14_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap (Chamandy et al. 2012 — the resampling scheme
+    that works in one streaming pass): each of {reps} replicates gives
+    every row an i.i.d.-Poisson(1) multiplicity, and the per-replicate
+    weighted means form the bootstrap distribution of the corpus-mean
+    statistic (here mean n_chars) — the standard error bars an eval
+    pipeline puts on quality metrics without materializing resamples.
+
+    The multiplicity is DETERMINISTIC: u = md5(doc_id # replicate) mod
+    10⁶ through the Poisson(1) inverse CDF (≥4 tail collapsed) — the
+    same integer-hash reproducibility contract as o7/o12, so both
+    engines and any cluster size agree bit-for-bit.  Shape at 100 TB:
+    the replicate fan-out is a broadcast crossJoin (×{reps} narrow map
+    rows, never stored), and the only exchange is the partial-aggregated
+    {reps}-group sum — bootstrap CIs at corpus scale for one extra scan,
+    no shuffles of data rows."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    reps = spark.range(_BOOT_REPS).select(F.col("id").cast("int").alias("b"))
+    h = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#"),
+                               F.col("b").cast("string"))), 1, 15),
+            16, 10,
+        ).cast("long"),
+        F.lit(1000000),
+    )
+    w = F.lit(4)
+    for k, t in reversed(list(enumerate(_BOOT_CDF))):
+        w = F.when(h < t, F.lit(k)).otherwise(w)
+    return (
+        d.crossJoin(F.broadcast(reps))
+        .select(F.col("b"), w.alias("w"), "n_chars")
+        .groupBy(F.col("b").alias("replicate"))
+        .agg(
+            F.sum("w").cast("bigint").alias("n_eff"),
+            F.round(
+                F.sum(F.col("w") * F.col("n_chars")) / F.sum("w") + F.lit(1e-9), 4
+            ).alias("est_mean_chars"),
+        )
+    )

@@ -1487,3 +1487,169 @@ def x48_clip_score_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("score") >= _CLIP_THRESH)
         .orderBy("vec_id")
     )
+
+
+# --- X59: embedding Gram matrix (the single-pass PCA/whitening input) -------
+
+
+@query(
+    "x59_embedding_gram",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    n AS (SELECT count(*) AS n FROM e),
+    flat AS (SELECT vec_id, generate_subscripts(v, 1) - 1 AS i, unnest(v) AS x FROM e)
+    SELECT a.i AS i, b.i AS j,
+           round(sum(a.x * b.x) / (SELECT n FROM n) + 1e-9, 4) AS g
+    FROM flat a JOIN flat b USING (vec_id)
+    WHERE a.i <= b.i
+    GROUP BY a.i, b.i
+    """,
+)
+def x59_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncentered Gram (second-moment) matrix G = Σ v·vᵀ / n over the
+    embedding table, upper triangle as (i, j, g) cells — the one-pass
+    distributed input to PCA / whitening / covariance-based pruning (the
+    eigendecomposition of a d×d matrix is a driver-side numpy call on
+    these d(d+1)/2 scalars; the DATA pass is what has to scale).
+
+    Scale design: each row expands to its d(d+1)/2 upper-triangle
+    products via a JVM-side nested transform + flatten (no Python, no
+    self-join — the DuckDB oracle's flat⨝flat formulation would shuffle
+    n·d rows twice), then ONE partial-aggregated exchange whose payload
+    is d(d+1)/2 cells PER PARTITION, not per row: at 100 TB the shuffle
+    carries ~2080·partitions doubles for d=64, regardless of corpus
+    size.  Mean-scaling (÷n) keeps cell magnitudes O(1) so the round(4)
+    parity contract holds at any n."""
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.agg(F.count(F.lit(1)).alias("n"))
+    v = F.col("embedding").cast("array<double>")
+    # upper-triangle outer product per row: for i ≤ j emit struct(i, j,
+    # v[i]*v[j]) — nested transform over the index range, flattened
+    idx = F.sequence(F.lit(0), F.size(v) - 1)
+    cells = F.flatten(
+        F.transform(
+            idx,
+            lambda i: F.transform(
+                F.slice(idx, i + 1, F.size(v) - i),
+                lambda j: F.struct(
+                    i.alias("i"),
+                    j.alias("j"),
+                    (F.element_at(v, i + 1) * F.element_at(v, j + 1)).alias("p"),
+                ),
+            ),
+        )
+    )
+    return (
+        e.select(F.explode(cells).alias("c"))
+        .groupBy(F.col("c.i").alias("i"), F.col("c.j").alias("j"))
+        .agg(F.sum("c.p").alias("s"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "i",
+            "j",
+            F.round(F.col("s") / F.col("n") + F.lit(1e-9), 4).alias("g"),
+        )
+    )
+
+
+# --- X60: Matryoshka prefix-dim retrieval (truncation recall eval) ----------
+
+_MRL_PREFIX = 16   # retrieval dims (of 64): the 4× cheaper index
+_MRL_TOPK = 10
+
+
+@query(
+    "x60_matryoshka_recall",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS vq FROM e WHERE vec_id < 10),
+    full_rank AS (
+      SELECT query_id, vec_id AS neighbor_id
+      FROM (
+        SELECT q.query_id, e.vec_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY round(list_cosine_similarity(q.vq, e.v) + 1e-9, 4) DESC,
+                          e.vec_id) AS rk
+        FROM q JOIN e ON e.vec_id != q.query_id)
+      WHERE rk <= {_MRL_TOPK}
+    ),
+    trunc_rank AS (
+      SELECT query_id, vec_id AS neighbor_id
+      FROM (
+        SELECT q.query_id, e.vec_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY round(list_cosine_similarity(
+                            q.vq[1:{_MRL_PREFIX}], e.v[1:{_MRL_PREFIX}]) + 1e-9, 4) DESC,
+                          e.vec_id) AS rk
+        FROM q JOIN e ON e.vec_id != q.query_id)
+      WHERE rk <= {_MRL_TOPK}
+    )
+    SELECT f.query_id,
+           CAST(count(t.neighbor_id) AS INT) AS n_overlap,
+           round(count(t.neighbor_id) / {_MRL_TOPK}.0 + 1e-9, 4) AS recall
+    FROM full_rank f
+    LEFT JOIN trunc_rank t
+      ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+    GROUP BY f.query_id
+    """,
+)
+def x60_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation eval (Kusupati et al. 2022): rank the
+    corpus by cosine over only the FIRST {prefix} dims (the cheap
+    prefix index an MRL-trained embedding ships), and report recall@10
+    against the full-dim exact ranking per query — the measurement that
+    decides how many dims the production index actually needs.
+
+    Scale design: both rankings are the x8 broadcast-crossJoin shape
+    (bounded query batch streams past the corpus; WindowGroupLimit
+    prunes to top-k map-side); the prefix leg folds only {prefix} of 64
+    dims — on a real column-pruned layout (FixedSizeList slices) that is
+    a 4× I/O and FLOP cut.  The overlap join is top-k×top-k per query:
+    scalars only."""
+
+    def _topk(prefix_dims: int | None) -> DataFrame:
+        e = load_table(spark, sf_dir, "embeddings")
+        vec = F.col("embedding").cast("array<double>")
+        v = F.slice(vec, 1, prefix_dims) if prefix_dims else vec
+        base = e.select("vec_id", v.alias("v"))
+        q = base.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("va")
+        )
+        c = base.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("vb"))
+        scored = (
+            with_cosine(F.broadcast(q).crossJoin(c))
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .withColumn("sim", F.round(F.col("sim_raw") + 1e-9, 4))
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("sim").desc(), F.col("neighbor_id")
+        )
+        return (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= _MRL_TOPK)
+            .select("query_id", "neighbor_id")
+        )
+
+    full_rank = _topk(None)
+    trunc = _topk(_MRL_PREFIX).withColumnRenamed("neighbor_id", "t_neighbor")
+    # the overlap join is |Q|·k × |Q|·k — bounded by the query batch at
+    # any corpus size, so force the broadcast (window outputs carry no
+    # size stats and would otherwise plan a sort-merge join)
+    return (
+        full_rank.join(
+            F.broadcast(trunc),
+            (full_rank.query_id == trunc.query_id)
+            & (F.col("neighbor_id") == F.col("t_neighbor")),
+            "left",
+        )
+        .drop(trunc.query_id)
+        .groupBy("query_id")
+        .agg(
+            F.count("t_neighbor").cast("int").alias("n_overlap"),
+            F.round(
+                F.count("t_neighbor") / F.lit(float(_MRL_TOPK)) + F.lit(1e-9), 4
+            ).alias("recall"),
+        )
+    )

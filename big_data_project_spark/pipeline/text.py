@@ -1507,3 +1507,121 @@ def x57_boolean_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("total_hits").desc(), "doc_id")
         .limit(50)
     )
+
+
+# --- X58: BPE tokenizer training (the merge loop itself) --------------------
+#
+# x45 computes one round of pair statistics; this trains the actual merge
+# table: N greedy merge steps, each picking the globally most frequent
+# adjacent symbol pair and fusing every occurrence (Sennrich et al. 2016).
+# The token sequence rides as a '|t1||t2||...|' delimited STRING and each
+# merge is ONE string replace of '|a||b|' with '|ab|' — both engines'
+# replace() scans left-to-right non-overlapping, which IS greedy BPE
+# application, and the delimiters make a pair match impossible inside a
+# previously merged symbol.
+
+_BPE_STEPS = 3
+
+
+def _bpe_oracle(steps: int) -> str:
+    ctes = [
+        """words AS (
+      SELECT term AS word, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents)
+      WHERE regexp_matches(term, '^[a-z]+$')
+      GROUP BY term)""",
+        r"""w0 AS (
+      SELECT '|' || substr(s, 1, length(s) - 1) AS w, freq
+      FROM (SELECT regexp_replace(word, '(.)', '\1||', 'g') AS s, freq FROM words))""",
+    ]
+    for k in range(1, steps + 1):
+        ctes.append(f"""p{k} AS (
+      SELECT t[g] AS a, t[g + 1] AS b, CAST(sum(freq) AS BIGINT) AS cnt
+      FROM (SELECT freq, string_split(substr(w, 2, length(w) - 2), '||') AS t
+            FROM w{k - 1}),
+           LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS g) s
+      GROUP BY 1, 2)""")
+        ctes.append(f"""t{k} AS (
+      SELECT a, b, cnt FROM p{k} ORDER BY cnt DESC, a, b LIMIT 1)""")
+        ctes.append(f"""w{k} AS (
+      SELECT replace(w, '|' || t.a || '||' || t.b || '|',
+                        '|' || t.a || t.b || '|') AS w, freq
+      FROM w{k - 1}, t{k} t)""")
+    finals = " UNION ALL ".join(
+        f"SELECT {k} AS merge_step, a AS left_tok, b AS right_tok, cnt AS pair_count FROM t{k}"
+        for k in range(1, steps + 1)
+    )
+    return "WITH " + ",\n    ".join(ctes) + f"\n    {finals}"
+
+
+@query("x58_bpe_train", oracle=_bpe_oracle(_BPE_STEPS))
+def x58_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING over the corpus: 3 greedy merge steps from
+    the character alphabet, returning the learned merge table
+    (merge_step, left_tok, right_tok, pair_count) — the loop that
+    actually produces a tokenizer, with x45's pair statistics as its
+    per-step body.  Mirrored CTE-for-CTE in DuckDB (same delimited-
+    string state, same replace-based merge).
+
+    Scale design: the state is the WORD-FREQUENCY table (vocab-bounded,
+    like the x31 centroid generations — persisted and re-derived never),
+    not the corpus: one corpus-wide tokenize/count shuffle up front,
+    then each merge step touches |vocab| rows.  Per step: pair counts
+    are a partial-aggregated explode over the state (pairs-per-word ≤
+    word length), the argmax is a 1-row TakeOrdered, and the merge
+    rides back as a broadcast onto a pure map — no driver collect, no
+    corpus re-scan, lineage cut per generation by persist.  At 100 TB
+    the corpus pays exactly one shuffle; 50k merge steps would iterate
+    on a ~1M-row state table."""
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .filter(F.col("word").rlike("^[a-z]+$"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    s = F.regexp_replace("word", "(.)", "$1||")
+    state = words.select(
+        F.concat(F.lit("|"), F.substring(s, F.lit(1), F.length(s) - 1)).alias("w"),
+        "freq",
+    ).persist()
+    merges = []
+    for step in range(1, _BPE_STEPS + 1):
+        toks = F.split(F.substring(F.col("w"), F.lit(2), F.length("w") - 2), r"\|\|")
+        pairs = F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+        )
+        top = (
+            state.select(F.explode(pairs).alias("p"), "freq")
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").cast("bigint").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "a", "b")
+            .limit(1)
+            .persist()
+        )
+        merges.append(
+            top.select(
+                F.lit(step).alias("merge_step"),
+                F.col("a").alias("left_tok"),
+                F.col("b").alias("right_tok"),
+                F.col("cnt").alias("pair_count"),
+            )
+        )
+        state = (
+            state.crossJoin(F.broadcast(top))
+            .select(
+                F.replace(
+                    F.col("w"),
+                    F.concat(F.lit("|"), F.col("a"), F.lit("||"), F.col("b"), F.lit("|")),
+                    F.concat(F.lit("|"), F.col("a"), F.col("b"), F.lit("|")),
+                ).alias("w"),
+                "freq",
+            )
+            .persist()
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionAll(m)
+    return out

@@ -67,8 +67,12 @@ def has_partial_agg(df: DataFrame) -> bool:
 
 
 def num_shuffles(df: DataFrame) -> int:
-    """Shuffle exchanges only (broadcast exchanges excluded)."""
-    return count_ops(df, "Exchange") - count_ops(df, "BroadcastExchange")
+    """Shuffle exchanges only.  count_ops' \\b-anchored regex already
+    excludes Broadcast/ReusedExchange (no word boundary inside either
+    token), so the bare count IS the shuffle count — the previous
+    `- count_ops("BroadcastExchange")` subtracted broadcasts a second
+    time and undercounted every plan that contained one."""
+    return count_ops(df, "Exchange")
 
 
 def whole_stage_codegen_spans(df: DataFrame) -> int:
