@@ -107,7 +107,7 @@ def test_sql_ddl_ctas_insert_roundtrip(spark, sf_dir):
     spark.sql("DROP TABLE t_region_copy")
 
 
-def test_deep_pagerank_checkpoint_cadence(spark):
+def test_deep_pagerank_checkpoint_cadence(spark, sf_dir):
     """x51's in-code promise (graph.py): past ~10 iterations the lazy
     rank chain must switch to a localCheckpoint-every-5-generations
     cadence.  Prove the cadence at 12 iterations on the small fixture:
@@ -122,9 +122,8 @@ def test_deep_pagerank_checkpoint_cadence(spark):
     """
     from big_data_project_spark.pipeline.graph import pagerank_ranks_deep
 
-    sf = "/root/testdata/sf0.001"
     try:
-        deep = pagerank_ranks_deep(spark, sf, iters=12, checkpoint_every=5)
+        deep = pagerank_ranks_deep(spark, sf_dir, iters=12, checkpoint_every=5)
         rows = deep.collect()
         total = sum(r["r"] for r in rows)
         assert abs(total - 1.0) < 1e-4, f"rank mass drifted: {total}"
@@ -136,7 +135,7 @@ def test_deep_pagerank_checkpoint_cadence(spark):
         plan = deep._jdf.queryExecution().analyzed().toString()
         assert plan.count("= node_id#") == 2, f"lineage not truncated:\n{plan[:2000]}"
 
-        lazy = pagerank_ranks_deep(spark, sf, iters=12, checkpoint_every=None)
+        lazy = pagerank_ranks_deep(spark, sf_dir, iters=12, checkpoint_every=None)
         lazy_plan = lazy._jdf.queryExecution().analyzed().toString()
         assert lazy_plan.count("= node_id#") == 12
         lazy_rows = lazy.collect()
