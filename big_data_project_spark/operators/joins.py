@@ -532,3 +532,99 @@ def j12_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_pairs"),
         F.sum(overlap).cast("bigint").alias("overlap_days"),
     )
+
+
+# --- J13: as-of NEAREST join (closest anchor either direction) --------------
+
+
+@query(
+    "j13_asof_nearest_join",
+    oracle="""
+    WITH m AS (
+      SELECT user_id, ts, ts AS view_ts, 0 AS side, CAST(NULL AS BIGINT) AS event_id
+      FROM events WHERE event_type = 'view'
+      UNION ALL
+      SELECT user_id, ts, CAST(NULL AS TIMESTAMP) AS view_ts, 1 AS side, event_id
+      FROM events WHERE event_type = 'purchase'
+    ),
+    anch AS (
+      SELECT *,
+             last_value(view_ts IGNORE NULLS) OVER w_prev AS pv,
+             first_value(view_ts IGNORE NULLS) OVER w_next AS nv
+      FROM m
+      WINDOW
+        w_prev AS (PARTITION BY user_id ORDER BY ts, side
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        w_next AS (PARTITION BY user_id ORDER BY ts, side
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_id AS purchase_id, user_id,
+           CASE WHEN pv IS NOT NULL AND (nv IS NULL
+                     OR epoch_us(ts) - epoch_us(pv) <= epoch_us(nv) - epoch_us(ts))
+                THEN pv ELSE nv END AS nearest_view_ts,
+           CASE WHEN pv IS NULL AND nv IS NULL THEN NULL
+                WHEN pv IS NOT NULL AND (nv IS NULL
+                     OR epoch_us(ts) - epoch_us(pv) <= epoch_us(nv) - epoch_us(ts))
+                THEN 'backward' ELSE 'forward' END AS direction,
+           CASE WHEN pv IS NOT NULL AND (nv IS NULL
+                     OR epoch_us(ts) - epoch_us(pv) <= epoch_us(nv) - epoch_us(ts))
+                THEN (epoch_us(ts) - epoch_us(pv)) // 1000000
+                ELSE (epoch_us(nv) - epoch_us(ts)) // 1000000 END AS gap_s
+    FROM anch WHERE side = 1
+    """,
+)
+def j13_asof_nearest_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, direction=NEAREST (pandas merge_asof's third mode —
+    sensor/label alignment where the closest reading wins regardless of
+    side): each purchase pairs with its nearest view in TIME, backward
+    or forward, ties to backward.  Same scale-first shape as j9: union
+    both sides, ONE shuffle+sort per user, and BOTH anchors
+    (last-prior + first-following view) ride the same sorted window
+    pass — a linear merge, never a per-row top-1 subjoin and never the
+    |purchases|×|views| candidate blow-up of a naive range join.  Gap
+    arithmetic stays in integer microseconds so both engines agree
+    exactly (§4.3)."""
+    e = load_table(spark, sf_dir, "events")
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("ts").alias("view_ts"),
+        F.lit(0).alias("side"), F.lit(None).cast("long").alias("event_id"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(None).cast("timestamp").alias("view_ts"),
+        F.lit(1).alias("side"), "event_id",
+    )
+    # views sort before purchases at equal ts (side 0 < 1): an equal-ts
+    # view is a gap-0 BACKWARD match, which wins every nearest contest,
+    # so the forward window not seeing equal-ts views is unobservable
+    w_prev = (
+        Window.partitionBy("user_id").orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("user_id").orderBy("ts", "side")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    anch = (
+        views.unionByName(purchases)
+        .select(
+            "*",
+            F.last("view_ts", ignorenulls=True).over(w_prev).alias("pv"),
+            F.first("view_ts", ignorenulls=True).over(w_next).alias("nv"),
+        )
+        .filter(F.col("side") == 1)
+    )
+    gb = F.unix_micros("ts") - F.unix_micros("pv")
+    gf = F.unix_micros("nv") - F.unix_micros("ts")
+    use_b = F.col("pv").isNotNull() & (F.col("nv").isNull() | (gb <= gf))
+    return anch.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.when(use_b, F.col("pv")).otherwise(F.col("nv")).alias("nearest_view_ts"),
+        F.when(F.col("pv").isNull() & F.col("nv").isNull(), F.lit(None).cast("string"))
+        .when(use_b, F.lit("backward"))
+        .otherwise(F.lit("forward"))
+        .alias("direction"),
+        F.when(use_b, F.expr("(unix_micros(ts) - unix_micros(pv)) div 1000000"))
+        .otherwise(F.expr("(unix_micros(nv) - unix_micros(ts)) div 1000000"))
+        .alias("gap_s"),
+    )

@@ -565,3 +565,64 @@ def t13_stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter(F.col("event_type") == "view"),
         e.filter(F.col("event_type") == "purchase"),
     )
+
+
+# --- T14: watermark-bounded streaming dedup (dropDuplicatesWithinWatermark) --
+
+
+@query(
+    "t14_dedup_within_watermark",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_unique,
+           CAST(sum(user_id) AS BIGINT) AS user_id_sum
+    FROM events
+    """,
+)
+def t14_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T14: dropDuplicatesWithinWatermark — T5's unbounded-state dedup
+    made production-viable: per-key dedup state is EVICTED once the
+    watermark passes the key's event time + delay, so state size is
+    bounded by the stream's rate × the watermark horizon instead of its
+    entire history (the property that lets a 100 TB/day feed dedup
+    forever).  This genuinely RUNS the stream (the T6/T8 cadence): the
+    fixture is doubled on every ``event_id % 7 == 0`` row, the doubled
+    input streams file-per-micro-batch, and the sink must hold exactly
+    the ORIGINAL row set — the oracle recomputes it from the clean
+    fixture.
+
+    Determinism note: duplicates are byte-identical re-emissions
+    hash-co-located into the SAME input file (repartition on event_id),
+    so every duplicate pair shares a micro-batch and sits trivially
+    inside the 30-minute horizon — the API only guarantees dedup for
+    duplicates within the watermark, and a random file split could
+    otherwise let a late duplicate outlive the key's state."""
+    import tempfile
+
+    from big_data_project_spark.streaming.runner import (
+        EVENTS_SCHEMA, run_available_now,
+    )
+
+    root = tempfile.mkdtemp(prefix="bdp_stream_")
+    input_dir, out_dir, ck = f"{root}/in", f"{root}/out", f"{root}/ck"
+    e = load_table(spark, sf_dir, "events")
+    dups = e.filter(F.col("event_id") % 7 == 0)
+    e.unionAll(dups).repartition(4, "event_id").write.parquet(input_dir)
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+    deduped = stream.withWatermark("ts", "35 days").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+    def sink(df: DataFrame, batch_id: int) -> None:
+        if df.count():
+            df.write.mode("append").parquet(out_dir)
+
+    run_available_now(deduped, out_dir, ck, foreach_batch=sink)
+    return spark.read.parquet(out_dir).agg(
+        F.count(F.lit(1)).alias("n_unique"),
+        F.sum("user_id").cast("bigint").alias("user_id_sum"),
+    )

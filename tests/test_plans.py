@@ -947,3 +947,17 @@ def test_bpe_train_iterates_on_persisted_state(spark, qs):
     assert count_ops(df, "InMemoryTableScan") >= 3, "state generations not cached"
     assert "TakeOrderedAndProject" in plan
     assert count_ops(df, "BatchEvalPython") + count_ops(df, "ArrowEvalPython") == 0
+
+
+def test_asof_nearest_is_windowed_merge_not_join(spark, qs):
+    """j13: nearest-asof must run as the union + per-user sorted window
+    merge — ZERO join operators anywhere (a per-row top-1 subjoin or
+    range join would put |purchases|×|views| candidates in flight), and
+    both anchor frames fused over one sort."""
+    from big_data_project_spark.plans.contracts import num_shuffles, plan_str
+
+    df = qs["j13_asof_nearest_join"](spark, SF)
+    plan = plan_str(df, "simple")
+    assert "Join" not in plan, "nearest-asof must not plan a join"
+    assert count_ops(df, "Window") <= 2
+    assert num_shuffles(df) <= 2  # union-side scans + the per-user sort
