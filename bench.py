@@ -81,6 +81,11 @@ DEMONSTRATORS = [
     # row: the postings-bounded retrieval claim's trend line
     "x50_bm25_retrieval",
     "x50_bm25_x4",
+    # exact top-k under 4× corpus replication (1× comparator is the
+    # x8_similarity_topk headline row): the broadcast-query + linear
+    # corpus-stream claim's trend line — the third family after dedup
+    # (x7_minhash_x4) and retrieval (x50_bm25_x4)
+    "x8_topk_x4",
 ]
 
 
@@ -101,6 +106,7 @@ def _extra_rows():
     oracle would be prohibitive but whose wall-time the rounds track."""
     from big_data_project_spark.pipeline.dedup import replicated_neardup_pairs
 
+    from big_data_project_spark.pipeline.similarity import replicated_topk
     from big_data_project_spark.pipeline.text import replicated_bm25_topk
 
     # MinHash throughput under 4× corpus replication (distinct ids, salted
@@ -112,6 +118,8 @@ def _extra_rows():
         "x7_minhash_x4": lambda spark, sf_dir: replicated_neardup_pairs(
             spark, sf_dir, factor=4),
         "x50_bm25_x4": lambda spark, sf_dir: replicated_bm25_topk(
+            spark, sf_dir, factor=4),
+        "x8_topk_x4": lambda spark, sf_dir: replicated_topk(
             spark, sf_dir, factor=4),
     }
 

@@ -1655,3 +1655,51 @@ def x60_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+# --- Scale demonstrator: top-k search under corpus replication ---------------
+
+
+def replicated_topk(spark: SparkSession, sf_dir: str, factor: int = 4) -> DataFrame:
+    """Exact cosine top-5 for the 10 base query vectors over the corpus
+    replicated ``factor``× with DISTINCT vec_ids — the similarity
+    family's throughput-scaling bench row, completing the trend-line
+    trio (x7_minhash_x4 for dedup, x50_bm25_x4 for retrieval).  The
+    claim it evidences: the broadcast-query + corpus-stream shape is
+    LINEAR in corpus size (queries are a bounded batch; each corpus row
+    is scored once and WindowGroupLimit prunes map-side), so 4× data
+    should cost ~4× scan work minus amortized fixed costs — never the
+    ~16× a corpus×corpus formulation would pay.
+
+    Replication is verbatim under remapped ids (vec_id*factor + r); all
+    replicas of the QUERY vector itself are excluded (they would score
+    1.0 and displace the real neighbors), so the result is exactly the
+    base top-k with each neighbor expanded into its replicas — the
+    multiset of sims is [s1×factor, s2, ...] truncated to k, asserted
+    in tests.  Not registry-registered: the 1× pipeline is the
+    oracle-verified x8_similarity_topk; this row exists for bench.py."""
+    e = load_table(spark, sf_dir, "embeddings")
+    reps = spark.range(factor).select(F.col("id").alias("r"))
+    corpus = e.crossJoin(F.broadcast(reps)).select(
+        (F.col("vec_id") * factor + F.col("r")).alias("neighbor_id"),
+        F.col("embedding").alias("vb"),
+    )
+    q = e.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") * factor).alias("query_id"), F.col("embedding").alias("va")
+    )
+    scored = (
+        with_cosine(F.broadcast(q).crossJoin(corpus))
+        # exclude every replica of the query vector, not just the id-equal
+        # row — replicas are bit-identical and would all score 1.0
+        .filter(
+            (F.col("neighbor_id") - F.pmod(F.col("neighbor_id"), factor))
+            != F.col("query_id")
+        )
+        .withColumn("sim", F.round(F.col("sim_raw") + 1e-9, 4))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "neighbor_id", "sim")
+    )

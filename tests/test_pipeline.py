@@ -795,3 +795,28 @@ def test_t13_full_outer_partitions_into_t9_and_orphans(spark, sf_dir):
         .count()
     )
     assert counts.get("organic", 0) == n_purchases - n_matched_purchases
+
+
+def test_replicated_topk_expands_base_neighbors(spark, sf_dir):
+    """Similarity scale demonstrator: 4× verbatim replication must
+    return, per query, exactly the base top-k sims with each neighbor
+    expanded into its 4 replicas and the list truncated to k — i.e. the
+    multiset of sims is (s1 s1 s1 s1 s2) for base top-2 (s1, s2).
+    Proves the replicated run exercises 4× the scan/score work without
+    changing WHAT is retrieved — throughput scaling, not output drift."""
+    from big_data_project_spark.pipeline.similarity import replicated_topk
+    from big_data_project_spark.registry import all_queries
+
+    base = all_queries()["x8_similarity_topk"](spark, sf_dir).collect()
+    rep = replicated_topk(spark, sf_dir, factor=4).collect()
+    assert len(rep) == len(base) == 50
+    by_q_base: dict = {}
+    for r in base:
+        by_q_base.setdefault(r["query_id"], []).append(r["sim"])
+    for qid, sims in by_q_base.items():
+        top = sorted(sims, reverse=True)
+        want = sorted((top[0],) * 4 + (top[1],), reverse=True)
+        got = sorted(
+            (r["sim"] for r in rep if r["query_id"] == qid * 4), reverse=True
+        )
+        assert got == want, (qid, got, want)
