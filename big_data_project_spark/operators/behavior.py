@@ -300,7 +300,10 @@ def b6_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     # persisted: the deduped frame feeds both the day grid and the
     # exploded join side — without the cache the corpus-sized distinct
-    # runs twice
+    # runs twice.  Cache-release contract (the _train_centroids
+    # convention): the registry entry point clears caches on entry, so
+    # a caller COMPOSING this builder into a larger plan owns the
+    # unpersist after its terminal action.
     du = e.select(F.col("ts").cast("date").alias("day"), "user_id").distinct().persist()
     days = du.select("day").distinct().select(F.col("day").alias("grid_day"))
     contrib = du.select(

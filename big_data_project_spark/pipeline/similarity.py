@@ -425,9 +425,7 @@ def _assign_nearest(e: DataFrame, cent: DataFrame) -> DataFrame:
 
 
 @query("x8_ivf_ann_topk", oracle=_ivf_oracle_sql())
-def x8_ivf_ann_topk(
-    spark: SparkSession, sf_dir: str, nprobe: int = _IVF_NPROBE
-) -> DataFrame:
+def x8_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF sketch: k-means-style coarse quantizer seeded from the
     per-label mean vectors (deterministic, no RNG), one assignment pass,
     then queries probe the nprobe nearest centroids only. CrossJoin cost
@@ -436,11 +434,14 @@ def x8_ivf_ann_topk(
     assignment, probing, re-rank — is mirrored and hash-verified in the
     DuckDB oracle; recall vs brute force is additionally asserted in
     tests/test_pipeline.py (fixture vectors are near-random, so recall
-    here demonstrates the machinery, not clustering magic)."""
+    here demonstrates the machinery, not clustering magic).  The nprobe
+    knob lives on the private `_ivf_search` helper: the decoration-time
+    oracle bakes `_IVF_NPROBE`, so the public entry point must not
+    accept a value the oracle can't follow (the x31 `iters` lesson)."""
     e = load_table(spark, sf_dir, "embeddings")
     cent = _label_centroids(e)
     assigned = _assign_nearest(e, cent)
-    return _ivf_search(cent, assigned, nprobe)
+    return _ivf_search(cent, assigned, _IVF_NPROBE)
 
 
 def _ivf_search(cent: DataFrame, assigned: DataFrame, nprobe: int) -> DataFrame:
@@ -1537,11 +1538,13 @@ def x59_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
         if acc is None:
             return  # empty partition contributes nothing
         iu = np.triu_indices(acc.shape[0])
+        # int64 (long) on i/j to match the oracle's generate_subscripts BIGINT:
+        # the driver's value-hash is dtype-WIDTH-sensitive (r06 red row).
         yield pd.DataFrame(
-            {"i": iu[0].astype("int32"), "j": iu[1].astype("int32"), "s": acc[iu]}
+            {"i": iu[0].astype("int64"), "j": iu[1].astype("int64"), "s": acc[iu]}
         )
 
-    cells = e.mapInPandas(_partition_gram, "i int, j int, s double")
+    cells = e.mapInPandas(_partition_gram, "i long, j long, s double")
     return (
         cells.groupBy("i", "j")
         .agg(F.sum("s").alias("s"))

@@ -1570,9 +1570,13 @@ def x58_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     are a partial-aggregated explode over the state (pairs-per-word ≤
     word length), the argmax is a 1-row TakeOrdered, and the merge
     rides back as a broadcast onto a pure map — no driver collect, no
-    corpus re-scan, lineage cut per generation by persist.  At 100 TB
-    the corpus pays exactly one shuffle; 50k merge steps would iterate
-    on a ~1M-row state table."""
+    corpus re-scan, lineage cut per generation by persist, and the
+    PREVIOUS generation unpersisted once the new one is materialized
+    (the x31 `_train_centroids` cadence) so cached generations never
+    accumulate.  At 100 TB the corpus pays exactly one shuffle; 50k
+    merge steps would iterate on a ~1M-row state table (past ~10
+    generations, add the localCheckpoint-every-5 cadence
+    `pagerank_ranks_deep` demonstrates)."""
     d = load_table(spark, sf_dir, "documents")
     words = (
         d.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
@@ -1609,6 +1613,7 @@ def x58_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("cnt").alias("pair_count"),
             )
         )
+        prev = state
         state = (
             state.crossJoin(F.broadcast(top))
             .select(
@@ -1621,6 +1626,10 @@ def x58_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .persist()
         )
+        # materialize the new generation (and the 1-row top it reads),
+        # then release the previous one — bounded cache at any step count
+        state.count()
+        prev.unpersist()
     out = merges[0]
     for m in merges[1:]:
         out = out.unionAll(m)

@@ -592,10 +592,12 @@ def t14_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism note: duplicates are byte-identical re-emissions
     hash-co-located into the SAME input file (repartition on event_id),
-    so every duplicate pair shares a micro-batch and sits trivially
-    inside the 30-minute horizon — the API only guarantees dedup for
-    duplicates within the watermark, and a random file split could
-    otherwise let a late duplicate outlive the key's state."""
+    so every duplicate pair shares a micro-batch; the 35-day watermark
+    horizon is load-bearing and must EXCEED the fixture's full time span,
+    because the hash-split files are not time-ordered — an early-timestamp
+    file arriving after a late one would otherwise advance the watermark
+    past (and evict) state a still-pending duplicate needs.  The API only
+    guarantees dedup for duplicates within the watermark."""
     import tempfile
 
     from big_data_project_spark.streaming.runner import (

@@ -113,14 +113,24 @@ def compare(name: str, spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> Co
     # Spark → BIGINT).  Catch int-vs-float drift here, before the driver
     # does; skip columns with nulls (pandas coerces nullable ints to float,
     # which would false-positive).
+    # The hash is also integer-WIDTH-sensitive: int32 vs int64 on otherwise
+    # identical values failed at the driver (r06 x59) while sailing through
+    # a kind-only check — compare itemsize too when both sides are integer.
     for c in sorted(sp.columns):
         sk, dk = sp[c].dtype.kind, du[c].dtype.kind
-        if {sk, dk} <= {"i", "u", "f"} and ("f" in (sk, dk)) != (sk == dk == "f"):
-            if not (sp[c].isna().any() or du[c].isna().any()):
+        if {sk, dk} <= {"i", "u", "f"}:
+            if sp[c].isna().any() or du[c].isna().any():
+                continue  # pandas coerces nullable ints to float — skip
+            kind_drift = ("f" in (sk, dk)) != (sk == dk == "f")
+            width_drift = (
+                {sk, dk} <= {"i", "u"}
+                and sp[c].dtype.itemsize != du[c].dtype.itemsize
+            )
+            if kind_drift or width_drift:
                 return CompareResult(
                     name, False,
                     f"dtype mismatch on {c!r}: spark={sp[c].dtype} oracle={du[c].dtype} "
-                    "(driver hash is type-sensitive — CAST the oracle or the query)",
+                    "(driver hash is type- and width-sensitive — CAST the oracle or the query)",
                     len(sp), len(du),
                 )
     sp, du = _canon(sp), _canon(du)

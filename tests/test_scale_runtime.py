@@ -129,15 +129,29 @@ def test_deep_pagerank_checkpoint_cadence(spark, sf_dir):
         assert abs(total - 1.0) < 1e-4, f"rank mass drifted: {total}"
 
         # lineage bounded by the cadence window: each live generation
-        # contributes exactly one ranks⨝edges join on node_id, so the
-        # analyzed plan of 12 iters with checkpoints at 5 and 10 carries
-        # only the 2 post-checkpoint generations — the lazy chain has 12
-        plan = deep._jdf.queryExecution().analyzed().toString()
-        assert plan.count("= node_id#") == 2, f"lineage not truncated:\n{plan[:2000]}"
+        # contributes exactly one ranks⨝edges join ON node_id (our own
+        # stable column name), so the analyzed plan of 12 iters with
+        # checkpoints at 5 and 10 carries only the 2 post-checkpoint
+        # generations — the lazy chain has 12.  The regex tolerates
+        # attribute renumbering and whitespace changes across Spark
+        # versions; raw Join-node counts don't work here because the
+        # cached edge frame's logical lineage (with its own joins) is
+        # repeated under every generation in the ANALYZED plan.
+        import re
+
+        def n_gen_joins(df):
+            plan = df._jdf.queryExecution().analyzed().toString()
+            return len(re.findall(r"=\s*node_id#\d+", plan))
+
+        deep_plan_len = len(deep._jdf.queryExecution().analyzed().toString())
+        assert n_gen_joins(deep) == 2, "lineage not truncated"
 
         lazy = pagerank_ranks_deep(spark, sf_dir, iters=12, checkpoint_every=None)
-        lazy_plan = lazy._jdf.queryExecution().analyzed().toString()
-        assert lazy_plan.count("= node_id#") == 12
+        assert n_gen_joins(lazy) == 12
+        # structural backstop independent of any attribute name: the
+        # checkpointed plan must be a small fraction of the lazy chain's
+        lazy_plan_len = len(lazy._jdf.queryExecution().analyzed().toString())
+        assert deep_plan_len * 4 < lazy_plan_len, (deep_plan_len, lazy_plan_len)
         lazy_rows = lazy.collect()
         assert sorted(map(tuple, rows)) == sorted(map(tuple, lazy_rows))
     finally:
