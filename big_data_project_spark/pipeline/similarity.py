@@ -1557,6 +1557,114 @@ def x59_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- X61: PCA projection via power iteration on the Gram matrix -------------
+
+_PCA_ITERS = 4  # fixed: determinism (not convergence) is the contract
+
+
+def _pca_oracle_sql(iters: int) -> str:
+    """Unrolled power-iteration CTE chain: matvec = join + group-sum,
+    window-normalized each step, projection = one more join-sum.  Every
+    step rounds to 4 decimals (+1e-9 nudge) so both engines iterate on
+    identical state."""
+    steps = []
+    prev = "v0"
+    for k in range(1, iters + 1):
+        steps.append(
+            f"""y{k} AS (
+      SELECT m.i AS i, round(sum(m.g * v.x) + 1e-9, 4) AS y
+      FROM gsym m JOIN {prev} v ON m.j = v.i GROUP BY m.i),
+    v{k} AS (
+      SELECT i, round(y / round(sqrt(sum(y * y) OVER ()) + 1e-9, 4) + 1e-9, 4) AS x
+      FROM y{k})"""
+        )
+        prev = f"v{k}"
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    n AS (SELECT count(*) AS n FROM e),
+    flat AS (SELECT vec_id, generate_subscripts(v, 1) - 1 AS i, unnest(v) AS x FROM e),
+    gram AS (
+      SELECT a.i AS i, b.i AS j,
+             round(sum(a.x * b.x) / (SELECT n FROM n) + 1e-9, 4) AS g
+      FROM flat a JOIN flat b USING (vec_id)
+      WHERE a.i <= b.i
+      GROUP BY a.i, b.i),
+    gsym AS (
+      SELECT i, j, g FROM gram
+      UNION ALL
+      SELECT j AS i, i AS j, g FROM gram WHERE i != j),
+    v0 AS (SELECT DISTINCT i, CAST(0.125 AS DOUBLE) AS x FROM gsym),
+    {chain}
+    SELECT f.vec_id, round(sum(f.x * v.x) + 1e-9, 4) AS proj
+    FROM flat f JOIN {prev} v USING (i)
+    GROUP BY f.vec_id
+    """
+
+
+@query("x61_pca_project", oracle=_pca_oracle_sql(_PCA_ITERS))
+def x61_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Project every embedding onto the LEADING principal direction of
+    the (uncentered) Gram matrix — the fit→transform consumer that
+    closes the x59 loop (the seed→train→index→search closure the
+    x31→x8_ivf_trained pair set).  The direction comes from a fixed
+    {_PCA_ITERS}-step power iteration STARTED FROM A CONSTANT vector, so
+    there is no eigensolver sign/degeneracy ambiguity: both engines run
+    the identical rounded recurrence and the result is deterministic
+    whether or not it has converged.
+
+    Scale design: the corpus is touched exactly twice — once by x59's
+    per-partition Arrow Gram kernel (ONE d(d+1)/2-cell exchange), once
+    by the final projection map (1-row direction broadcast + zip_with
+    fold, no shuffle).  The symmetric cell frame is localCheckpoint-ed
+    ONCE (the x43 lineage-cut cadence — d² tiny rows, one eager job) so
+    the iteration's plan references an in-memory leaf instead of
+    re-deriving the Gram per step; each step is then a broadcast-hash
+    matvec join plus a d-row partial-aggregated group-sum, and the lazy
+    chain is LINEAR in steps (norm via a global window, not a second
+    branch).  At 100 TB the data pass is the two corpus scans; the
+    iteration cost is d-bounded."""
+    gram = x59_embedding_gram(spark, sf_dir)
+    gsym = gram.unionByName(
+        gram.filter(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "g"
+        )
+    ).localCheckpoint()
+    v = gsym.select("i").distinct().select("i", F.lit(0.125).alias("x"))
+    # constant partition key == OVER () semantics on the d-row frame,
+    # without WindowExec's no-partition warning flood
+    w_all = Window.partitionBy(F.lit(0))
+    for _ in range(_PCA_ITERS):
+        y = (
+            gsym.join(
+                F.broadcast(v.withColumnRenamed("i", "vi")),
+                F.col("j") == F.col("vi"),
+            )
+            .groupBy("i")
+            .agg(F.round(F.sum(F.col("g") * F.col("x")) + F.lit(1e-9), 4).alias("y"))
+        )
+        nrm = F.round(
+            F.sqrt(F.sum(F.col("y") * F.col("y")).over(w_all)) + F.lit(1e-9), 4
+        )
+        v = y.select(
+            "i", F.round(F.col("y") / nrm + F.lit(1e-9), 4).alias("x")
+        )
+    direction = v.agg(
+        F.array_sort(F.collect_list(F.struct("i", "x"))).alias("s")
+    ).select(F.transform("s", lambda s: s["x"]).alias("pc"))
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    dot = F.aggregate(
+        F.zip_with("v", "pc", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    return e.crossJoin(F.broadcast(direction)).select(
+        "vec_id", F.round(dot + F.lit(1e-9), 4).alias("proj")
+    )
+
+
 # --- X60: Matryoshka prefix-dim retrieval (truncation recall eval) ----------
 
 _MRL_PREFIX = 16   # retrieval dims (of 64): the 4× cheaper index

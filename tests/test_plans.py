@@ -897,6 +897,27 @@ def test_embedding_gram_single_cell_exchange_arrow_kernel(spark, qs):
     assert "SortMergeJoin" not in plan
 
 
+def test_pca_project_iteration_never_rederives_gram(spark, qs):
+    """x61: the power iteration runs on a localCheckpoint-ed d×d cell
+    frame (in-memory leaf), so the corpus appears in the plan exactly
+    once (the final projection scan) and the Gram kernel never re-runs
+    per step; every matvec is a broadcast-hash join; the direction
+    rides to the projection as a 1-row broadcast."""
+    from big_data_project_spark.plans.contracts import num_shuffles, plan_str
+
+    df = qs["x61_pca_project"](spark, SF)
+    plan = plan_str(df, "simple")
+    assert plan.count("Scan parquet") == 1, "corpus must be scanned once here"
+    assert count_ops(df, "MapInPandas") == 0, "Gram kernel must sit behind the lineage cut"
+    assert count_ops(df, "BroadcastHashJoin") == 4  # one matvec per iteration
+    assert count_ops(df, "SortMergeJoin") == 0
+    assert count_ops(df, "BatchEvalPython") == 0
+    assert count_ops(df, "BroadcastNestedLoopJoin") == 1  # 1-row direction only
+    # d-bounded exchanges only: 4×(matvec agg + norm window) + v0 distinct
+    assert num_shuffles(df) <= 10
+    assert has_partial_agg(df)
+
+
 def test_matryoshka_broadcasts_query_batch_both_legs(spark, qs):
     """x60: both ranking legs are the x8 broadcast-crossJoin shape (the
     bounded query batch streams past the corpus twice); the corpus is
