@@ -1634,3 +1634,75 @@ def x58_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     for m in merges[1:]:
         out = out.unionAll(m)
     return out
+
+
+# --- X63: token-distribution drift between corpus splits (KL) ----------------
+
+
+@query(
+    "x63_token_kl_drift",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id % 2 AS half, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents),
+    vc AS (
+      SELECT token,
+             sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS ca,
+             sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS cb
+      FROM tok GROUP BY token),
+    tot AS (
+      SELECT sum(ca) AS ta, sum(cb) AS tb, count(*) AS v FROM vc)
+    SELECT token,
+           CAST(ca AS BIGINT) AS cnt_a, CAST(cb AS BIGINT) AS cnt_b,
+           round((ca + 1.0) / (ta + v) + 1e-9, 6) AS p_a,
+           round((cb + 1.0) / (tb + v) + 1e-9, 6) AS p_b,
+           round((ca + 1.0) / (ta + v)
+                 * ln(((ca + 1.0) / (ta + v)) / ((cb + 1.0) / (tb + v)))
+                 + 1e-9, 6) AS kl_term
+    FROM vc, tot
+    """,
+)
+def x63_token_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution drift monitor: Laplace-smoothed unigram
+    distributions of two corpus halves (doc_id parity stands in for
+    old-snapshot vs new-increment) with the per-token KL(A‖B)
+    contribution — the Σ of kl_term is the drift scalar a 100 TB
+    ingestion pipeline alerts on before a distribution shift poisons a
+    training mix (the same smoothed-unigram machinery as x54's LM, but
+    pointed at pipeline monitoring).  Per-token rows are returned
+    instead of the bare Σ so the TOP drift contributors — the actionable
+    part of the alert — are in the result.
+
+    Scale design: one corpus scan exploding to tokens, ONE
+    vocab-bounded partial-aggregated exchange building both splits'
+    counts in the same pass (conditional sums, no self-join of the two
+    halves); the count frame is persisted (vocab-bounded — registry
+    clearCache releases it, the b6 contract) because both the totals
+    branch and the output read it — without the cache the corpus
+    tokenizes twice; totals and vocab size ride back as a broadcast
+    1-row frame.  Every term derives from exact integer counts, so the
+    only float ops are the final division/ln — rounded identically in
+    both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        (F.col("doc_id") % 2).alias("half"),
+        F.explode(F.split(F.lower("text"), " ")).alias("token"),
+    )
+    vc = tok.groupBy("token").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("cb"),
+    ).persist()
+    tot = vc.agg(
+        F.sum("ca").alias("ta"), F.sum("cb").alias("tb"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    pa = (F.col("ca") + 1.0) / (F.col("ta") + F.col("v"))
+    pb = (F.col("cb") + 1.0) / (F.col("tb") + F.col("v"))
+    return vc.crossJoin(F.broadcast(tot)).select(
+        "token",
+        F.col("ca").cast("bigint").alias("cnt_a"),
+        F.col("cb").cast("bigint").alias("cnt_b"),
+        F.round(pa + F.lit(1e-9), 6).alias("p_a"),
+        F.round(pb + F.lit(1e-9), 6).alias("p_b"),
+        F.round(pa * F.log(pa / pb) + F.lit(1e-9), 6).alias("kl_term"),
+    )
