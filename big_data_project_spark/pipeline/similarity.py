@@ -1499,8 +1499,11 @@ def x48_clip_score_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     n AS (SELECT count(*) AS n FROM e),
     flat AS (SELECT vec_id, generate_subscripts(v, 1) - 1 AS i, unnest(v) AS x FROM e)
+    -- "+ 0.0" normalizes -0.0 -> +0.0: DuckDB's round keeps the float sign
+    -- bit, Spark's BigDecimal round never emits -0.0, and the driver hash
+    -- tells the two zeros apart (the r06 red row).
     SELECT a.i AS i, b.i AS j,
-           round(sum(a.x * b.x) / (SELECT n FROM n) + 1e-9, 4) AS g
+           round(sum(a.x * b.x) / (SELECT n FROM n) + 1e-9, 4) + 0.0 AS g
     FROM flat a JOIN flat b USING (vec_id)
     WHERE a.i <= b.i
     GROUP BY a.i, b.i
@@ -1572,10 +1575,10 @@ def _pca_oracle_sql(iters: int) -> str:
     for k in range(1, iters + 1):
         steps.append(
             f"""y{k} AS (
-      SELECT m.i AS i, round(sum(m.g * v.x) + 1e-9, 4) AS y
+      SELECT m.i AS i, round(sum(m.g * v.x) + 1e-9, 4) + 0.0 AS y
       FROM gsym m JOIN {prev} v ON m.j = v.i GROUP BY m.i),
     v{k} AS (
-      SELECT i, round(y / round(sqrt(sum(y * y) OVER ()) + 1e-9, 4) + 1e-9, 4) AS x
+      SELECT i, round(y / round(sqrt(sum(y * y) OVER ()) + 1e-9, 4) + 1e-9, 4) + 0.0 AS x
       FROM y{k})"""
         )
         prev = f"v{k}"
@@ -1586,7 +1589,7 @@ def _pca_oracle_sql(iters: int) -> str:
     flat AS (SELECT vec_id, generate_subscripts(v, 1) - 1 AS i, unnest(v) AS x FROM e),
     gram AS (
       SELECT a.i AS i, b.i AS j,
-             round(sum(a.x * b.x) / (SELECT n FROM n) + 1e-9, 4) AS g
+             round(sum(a.x * b.x) / (SELECT n FROM n) + 1e-9, 4) + 0.0 AS g
       FROM flat a JOIN flat b USING (vec_id)
       WHERE a.i <= b.i
       GROUP BY a.i, b.i),
@@ -1596,7 +1599,7 @@ def _pca_oracle_sql(iters: int) -> str:
       SELECT j AS i, i AS j, g FROM gram WHERE i != j),
     v0 AS (SELECT DISTINCT i, CAST(0.125 AS DOUBLE) AS x FROM gsym),
     {chain}
-    SELECT f.vec_id, round(sum(f.x * v.x) + 1e-9, 4) AS proj
+    SELECT f.vec_id, round(sum(f.x * v.x) + 1e-9, 4) + 0.0 AS proj
     FROM flat f JOIN {prev} v USING (i)
     GROUP BY f.vec_id
     """

@@ -1656,9 +1656,11 @@ def x58_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(ca AS BIGINT) AS cnt_a, CAST(cb AS BIGINT) AS cnt_b,
            round((ca + 1.0) / (ta + v) + 1e-9, 6) AS p_a,
            round((cb + 1.0) / (tb + v) + 1e-9, 6) AS p_b,
+           -- "+ 0.0" normalizes a possible -0.0 (DuckDB round keeps the
+           -- sign bit; Spark's never emits it; the driver hash differs)
            round((ca + 1.0) / (ta + v)
                  * ln(((ca + 1.0) / (ta + v)) / ((cb + 1.0) / (tb + v)))
-                 + 1e-9, 6) AS kl_term
+                 + 1e-9, 6) + 0.0 AS kl_term
     FROM vc, tot
     """,
 )

@@ -84,6 +84,14 @@ def _values_equal(a, b) -> bool:
             return False
         if math.isnan(af) and math.isnan(bf):
             return True
+        # SIGNED ZERO: -0.0 == 0.0 numerically, but the driver hash tells
+        # them apart (x59's r06 red row: 64 Gram cells were -0.0 in DuckDB
+        # vs +0.0 in Spark while every value compared ==).  Spark's round()
+        # goes through BigDecimal and never emits -0.0; DuckDB's keeps the
+        # float sign bit — normalize the producing query (`+ 0.0` after the
+        # oracle's round) when this fires.
+        if af == 0.0 and bf == 0.0:
+            return math.copysign(1.0, af) == math.copysign(1.0, bf)
         # EXACT float equality — the driver's value-hash is exact, so any
         # ulp drift that an epsilon would forgive here becomes a red driver
         # row.  The repo's rounding convention (round(x + 1e-9, 4) on both
@@ -113,24 +121,19 @@ def compare(name: str, spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> Co
     # Spark → BIGINT).  Catch int-vs-float drift here, before the driver
     # does; skip columns with nulls (pandas coerces nullable ints to float,
     # which would false-positive).
-    # The hash is also integer-WIDTH-sensitive: int32 vs int64 on otherwise
-    # identical values failed at the driver (r06 x59) while sailing through
-    # a kind-only check — compare itemsize too when both sides are integer.
+    # NOT width-sensitive: int32-vs-int64 pairs (b2 day_offset, x9 counts,
+    # x39, x3) are all driver-GREEN, so the driver hash canonicalizes
+    # integer widths (consistent with hashing stringified values: "3" is
+    # "3" at any width, but 3 != 3.0 and -0.0 != 0.0 — the latter was
+    # x59's actual r06 red-row cause, caught per-value below).
     for c in sorted(sp.columns):
         sk, dk = sp[c].dtype.kind, du[c].dtype.kind
-        if {sk, dk} <= {"i", "u", "f"}:
-            if sp[c].isna().any() or du[c].isna().any():
-                continue  # pandas coerces nullable ints to float — skip
-            kind_drift = ("f" in (sk, dk)) != (sk == dk == "f")
-            width_drift = (
-                {sk, dk} <= {"i", "u"}
-                and sp[c].dtype.itemsize != du[c].dtype.itemsize
-            )
-            if kind_drift or width_drift:
+        if {sk, dk} <= {"i", "u", "f"} and ("f" in (sk, dk)) != (sk == dk == "f"):
+            if not (sp[c].isna().any() or du[c].isna().any()):
                 return CompareResult(
                     name, False,
                     f"dtype mismatch on {c!r}: spark={sp[c].dtype} oracle={du[c].dtype} "
-                    "(driver hash is type- and width-sensitive — CAST the oracle or the query)",
+                    "(driver hash is type-sensitive — CAST the oracle or the query)",
                     len(sp), len(du),
                 )
     sp, du = _canon(sp), _canon(du)
