@@ -86,6 +86,9 @@ DEMONSTRATORS = [
     # corpus-stream claim's trend line — the third family after dedup
     # (x7_minhash_x4) and retrieval (x50_bm25_x4)
     "x8_topk_x4",
+    # Arrow Gram kernel + localCheckpoint-ed d-bounded power iteration +
+    # broadcast projection (added r07): the linear-algebra pipeline shape
+    "x61_pca_project",
 ]
 
 

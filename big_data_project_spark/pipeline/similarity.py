@@ -1634,8 +1634,9 @@ def x61_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).localCheckpoint()
     v = gsym.select("i").distinct().select("i", F.lit(0.125).alias("x"))
-    # constant partition key == OVER () semantics on the d-row frame,
-    # without WindowExec's no-partition warning flood
+    # OVER () on the d-row frame: WindowExec warns about the single
+    # partition, but the frame is d-bounded by construction (even a
+    # lit(0) partition key gets constant-folded back to the warning)
     w_all = Window.partitionBy(F.lit(0))
     for _ in range(_PCA_ITERS):
         y = (

@@ -10,7 +10,12 @@ Parity rules baked into every registered query (SURVEY.md §4.3):
   - float aggregates rounded to 4 decimals on BOTH sides;
   - every computed column aliased identically on both sides;
   - total ordering with unique tie-break wherever LIMIT/top-k is observable;
-  - integer sums cast to BIGINT in DuckDB (whose SUM(int) yields HUGEINT).
+  - integer sums cast to BIGINT in DuckDB (whose SUM(int) yields HUGEINT);
+  - any rounded float that can hit exact zero gets `+ 0.0` after the
+    DuckDB round: DuckDB's round keeps the float sign bit, Spark's
+    BigDecimal round never emits -0.0, and the driver hash tells the two
+    zeros apart (the r06 x59 red row).  Integer WIDTH (int32 vs int64)
+    is NOT hash-relevant — don't add casts for it.
 """
 
 from __future__ import annotations
