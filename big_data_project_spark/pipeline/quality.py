@@ -1007,65 +1007,3 @@ def x55_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-
-# --- X62: eval-set decontamination (n-gram overlap) --------------------------
-
-_DECON_N = 3        # discriminative on this fixture's small vocab; real
-                    # pipelines use 8-13-gram windows — the plan is identical
-_DECON_EVAL_MOD = 50  # doc_id % 50 == 0 is the held-out benchmark set
-
-
-@query(
-    "x62_decontaminate",
-    oracle=f"""
-    WITH toks AS (
-      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
-    grams AS (
-      SELECT t.doc_id, array_to_string(t.w[s.i:s.i+{_DECON_N}-1], ' ') AS gram
-      FROM toks t,
-           LATERAL (SELECT unnest(generate_series(1, len(t.w) - {_DECON_N} + 1)) AS i) s
-      WHERE len(t.w) >= {_DECON_N}),
-    ev AS (SELECT DISTINCT gram FROM grams WHERE doc_id % {_DECON_EVAL_MOD} = 0)
-    SELECT g.doc_id, CAST(count(DISTINCT g.gram) AS BIGINT) AS n_shared_grams
-    FROM grams g JOIN ev USING (gram)
-    WHERE g.doc_id % {_DECON_EVAL_MOD} != 0
-    GROUP BY g.doc_id
-    """,
-)
-def x62_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark decontamination: flag every TRAINING document sharing
-    at least one word n-gram with the held-out eval set (doc_id %
-    {mod} == 0), reporting the distinct shared-gram count per
-    contaminated doc — the GPT-3/Llama-style overlap filter that keeps
-    eval numbers honest (their reports use 8-13-gram windows; this
-    fixture's small vocabulary makes n={n} the discriminative
-    equivalent, and the plan is n-independent).  The kept corpus is the
-    anti-join of this result against the training set.
-
-    Scale design: eval n-grams are the SMALL side by construction (a
-    benchmark is ~0.01% of a 100 TB corpus) — distinct-reduced and
-    broadcast, so the corpus-side gram explode is scanned ONCE,
-    hash-joined map-side with no corpus shuffle; the only exchanges
-    are the eval distinct and the per-doc count partial agg, both
-    bounded by matches, never by corpus grams.  Gram generation is a
-    pure per-row transform (sequence+slice), guarded against
-    shorter-than-n docs (Spark's sequence(1, 0) is DESCENDING, not
-    empty)."""
-    d = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.lower("text"), " ")
-    grams_col = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - _DECON_N + 1),
-        lambda i: F.array_join(F.slice(toks, i, _DECON_N), " "),
-    )
-    grams = (
-        d.filter(F.size(toks) >= _DECON_N)
-        .select("doc_id", F.explode(grams_col).alias("gram"))
-    )
-    is_eval = F.col("doc_id") % _DECON_EVAL_MOD == 0
-    ev = grams.filter(is_eval).select("gram").distinct()
-    return (
-        grams.filter(~is_eval)
-        .join(F.broadcast(ev), "gram")
-        .groupBy("doc_id")
-        .agg(F.countDistinct("gram").alias("n_shared_grams"))
-    )

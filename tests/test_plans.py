@@ -918,23 +918,6 @@ def test_pca_project_iteration_never_rederives_gram(spark, qs):
     assert has_partial_agg(df)
 
 
-def test_decontaminate_broadcasts_eval_grams(spark, qs):
-    """x62: the eval n-gram set (the small side by construction) must
-    broadcast so the corpus-side gram explode streams map-side with no
-    corpus shuffle; exchanges are the eval distinct + the per-doc
-    match-count partial agg only.  Two parquet scans are BY DESIGN
-    (eval leg + train leg) — caching corpus-sized exploded grams would
-    be worse than a pruned re-scan at 100 TB."""
-    from big_data_project_spark.plans.contracts import num_shuffles
-
-    df = qs["x62_decontaminate"](spark, SF)
-    assert count_ops(df, "BroadcastHashJoin") == 1
-    assert count_ops(df, "SortMergeJoin") == 0
-    assert count_ops(df, "BatchEvalPython") == 0
-    assert num_shuffles(df) <= 3
-    assert has_partial_agg(df)
-
-
 def test_kl_drift_single_pass_both_splits(spark, qs):
     """x63: both splits' counts come from ONE conditional-sum aggregate
     (no half-vs-half self-join), the count frame is cached so the
