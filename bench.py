@@ -89,6 +89,7 @@ DEMONSTRATORS = [
     # Arrow Gram kernel + localCheckpoint-ed d-bounded power iteration +
     # broadcast projection (added r07): the linear-algebra pipeline shape
     "x61_pca_project",
+    "x59_gram_x4",
 ]
 
 
@@ -109,7 +110,9 @@ def _extra_rows():
     oracle would be prohibitive but whose wall-time the rounds track."""
     from big_data_project_spark.pipeline.dedup import replicated_neardup_pairs
 
-    from big_data_project_spark.pipeline.similarity import replicated_topk
+    from big_data_project_spark.pipeline.similarity import (
+        replicated_gram, replicated_topk,
+    )
     from big_data_project_spark.pipeline.text import replicated_bm25_topk
 
     # MinHash throughput under 4× corpus replication (distinct ids, salted
@@ -123,6 +126,11 @@ def _extra_rows():
         "x50_bm25_x4": lambda spark, sf_dir: replicated_bm25_topk(
             spark, sf_dir, factor=4),
         "x8_topk_x4": lambda spark, sf_dir: replicated_topk(
+            spark, sf_dir, factor=4),
+        # Gram kernel under 4x replication: linear kernel work, d-bounded
+        # exchange, IDENTICAL output (invariance pinned in test_pipeline) —
+        # compare against the x61 pipeline's kernel stage.
+        "x59_gram_x4": lambda spark, sf_dir: replicated_gram(
             spark, sf_dir, factor=4),
     }
 

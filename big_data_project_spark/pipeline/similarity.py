@@ -1526,7 +1526,13 @@ def x59_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle's flat⨝flat formulation would shuffle n·d rows twice).
     Mean-scaling (÷n) keeps cell magnitudes O(1) so the round(4) parity
     contract holds at any n."""
-    e = load_table(spark, sf_dir, "embeddings").select("embedding")
+    return _mean_gram(load_table(spark, sf_dir, "embeddings").select("embedding"))
+
+
+def _mean_gram(e: DataFrame) -> DataFrame:
+    """(i, j, g) upper-triangle cells of Σ v·vᵀ / n over `e.embedding`
+    — the x59 Arrow kernel over an arbitrary embedding frame (also the
+    body of the `replicated_gram` scale demonstrator)."""
     n = e.agg(F.count(F.lit(1)).alias("n"))
 
     def _partition_gram(batches):
@@ -1541,8 +1547,9 @@ def x59_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
         if acc is None:
             return  # empty partition contributes nothing
         iu = np.triu_indices(acc.shape[0])
-        # int64 (long) on i/j to match the oracle's generate_subscripts BIGINT:
-        # the driver's value-hash is dtype-WIDTH-sensitive (r06 red row).
+        # int64 (long) i/j keys, matching the oracle's generate_subscripts
+        # BIGINT (cosmetic width parity; the r06 red row's actual cause was
+        # signed zero in the oracle — see the `+ 0.0` note above).
         yield pd.DataFrame(
             {"i": iu[0].astype("int64"), "j": iu[1].astype("int64"), "s": acc[iu]}
         )
@@ -1818,3 +1825,21 @@ def replicated_topk(spark: SparkSession, sf_dir: str, factor: int = 4) -> DataFr
         .filter(F.col("rk") <= 5)
         .select("query_id", "neighbor_id", "sim")
     )
+
+
+def replicated_gram(spark: SparkSession, sf_dir: str, factor: int = 4) -> DataFrame:
+    """The x59 Gram kernel over the corpus replicated ``factor``× — the
+    linear-algebra family's throughput-scaling bench row (fourth trend
+    line after x7_minhash_x4 / x50_bm25_x4 / x8_topk_x4).  The claims it
+    evidences: kernel work is LINEAR in corpus size (each row enters one
+    batch matmul once) while the exchange stays d-BOUNDED (d(d+1)/2
+    cells per partition regardless of rows) — and the mean-scaled output
+    is IDENTICAL to the 1× Gram, since Σ over the replicas divides by
+    the replicated count ((factor·Σ)/(factor·n) = Σ/n, exact at the
+    4-decimal parity rounding).  That output-invariance is asserted in
+    tests against x59's output; this row exists for bench.py, not the
+    registry (the 1× pipeline is the oracle-verified x59)."""
+    e = load_table(spark, sf_dir, "embeddings").select("embedding")
+    reps = spark.range(factor).select(F.col("id").alias("r"))
+    corpus = e.crossJoin(F.broadcast(reps)).select("embedding")
+    return _mean_gram(corpus)

@@ -820,3 +820,20 @@ def test_replicated_topk_expands_base_neighbors(spark, sf_dir):
             (r["sim"] for r in rep if r["query_id"] == qid * 4), reverse=True
         )
         assert got == want, (qid, got, want)
+
+
+def test_replicated_gram_is_invariant(spark, sf_dir):
+    """Linear-algebra scale demonstrator: the mean-scaled Gram of the
+    corpus replicated 4x must equal the 1x Gram CELL-FOR-CELL
+    ((4*sum)/(4*n) = sum/n at the 4-decimal parity rounding) — the
+    replicated run does 4x the kernel matmul work while the d-bounded
+    cell exchange and the answer stay fixed.  Throughput scaling with
+    zero output drift, the strongest form of the x7/x50/x8 trend-line
+    claims."""
+    from big_data_project_spark.pipeline.similarity import replicated_gram
+    from big_data_project_spark.registry import all_queries
+
+    base = sorted(map(tuple, all_queries()["x59_embedding_gram"](spark, sf_dir).collect()))
+    rep = sorted(map(tuple, replicated_gram(spark, sf_dir, factor=4).collect()))
+    assert len(base) == 2080
+    assert rep == base
