@@ -156,3 +156,21 @@ def test_deep_pagerank_checkpoint_cadence(spark, sf_dir):
         assert sorted(map(tuple, rows)) == sorted(map(tuple, lazy_rows))
     finally:
         spark.catalog.clearCache()
+
+
+def test_bpe_train_releases_previous_generations(spark, sf_dir):
+    """x58's deep-iteration claim needs bounded cache: each merge step
+    persists a new state generation and must UNPERSIST the previous one
+    after materializing.  Pin it by counting persistent RDDs after the
+    run: 3 one-row top frames (kept for the output union) + the final
+    state generation — NOT one state per step."""
+    from big_data_project_spark.registry import all_queries
+
+    spark.catalog.clearCache()
+    try:
+        rows = all_queries()["x58_bpe_train"](spark, sf_dir).collect()
+        assert len(rows) == 3
+        n_cached = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+        assert n_cached <= 4, f"cached generations leaked: {n_cached}"
+    finally:
+        spark.catalog.clearCache()
