@@ -1006,4 +1006,3 @@ def x55_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_leaked").cast("bigint").alias("n_leaked_users"),
         )
     )
-
