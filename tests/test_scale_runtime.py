@@ -167,10 +167,13 @@ def test_bpe_train_releases_previous_generations(spark, sf_dir):
     from big_data_project_spark.registry import all_queries
 
     spark.catalog.clearCache()
+    # DELTA, not absolute: clearCache drops DataFrame caches but not
+    # localCheckpoint RDDs other tests in the session may have left
+    before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
     try:
         rows = all_queries()["x58_bpe_train"](spark, sf_dir).collect()
         assert len(rows) == 3
-        n_cached = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
-        assert n_cached <= 4, f"cached generations leaked: {n_cached}"
+        after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+        assert after - before <= 4, f"cached generations leaked: {after - before}"
     finally:
         spark.catalog.clearCache()
