@@ -87,8 +87,10 @@ DEMONSTRATORS = [
     # (x7_minhash_x4) and retrieval (x50_bm25_x4)
     "x8_topk_x4",
     # Arrow Gram kernel + localCheckpoint-ed d-bounded power iteration +
-    # broadcast projection (added r07): the linear-algebra pipeline shape
+    # broadcast projection (added r07): the linear-algebra pipeline shape,
+    # with the 1x Gram comparator row for the 4x replication trend line
     "x61_pca_project",
+    "x59_embedding_gram",
     "x59_gram_x4",
 ]
 
@@ -102,6 +104,9 @@ _MIN_OF_3 = {
     "x43_largestar_components",
     "x51_pagerank",
     "pipeline_curation_end2end",
+    # localCheckpoint inside the builder: cache-fill jitter measured
+    # 0.95 vs 1.32 s across same-code runs at sf0.1
+    "x61_pca_project",
 }
 
 
