@@ -1,0 +1,61 @@
+"""Unit tests for the oracle harness's comparison semantics — the local
+mirror of the driver's value hash.  These pin the failure classes the
+rounds have actually hit: signed zero (r07/x59), int-vs-float kind drift
+(floor/ceil), NaN, and nested arrays — so a harness refactor can't
+silently reopen one."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+
+from tests.oracle_harness import _canon, _is_na, _values_equal
+
+
+def test_signed_zero_distinct():
+    # the r06 x59 red row: -0.0 == 0.0 numerically but hash-distinct
+    assert not _values_equal(0.0, -0.0)
+    assert not _values_equal(-0.0, 0.0)
+    assert _values_equal(-0.0, -0.0)
+    assert _values_equal(0.0, 0.0)
+
+
+def test_nan_and_null_semantics():
+    assert _values_equal(float("nan"), float("nan"))
+    assert _values_equal(None, None)
+    assert not _values_equal(None, 0.0)
+    assert _is_na(None) and not _is_na(0.0) and not _is_na((1, 2))
+
+
+def test_exact_float_equality_no_epsilon():
+    # the driver hash is exact: one ulp of drift must fail locally too
+    assert _values_equal(0.1234, 0.1234)
+    assert not _values_equal(0.1234, 0.1234 + 1e-16 * 8)
+    # cross-type numeric equality is fine at VALUE level (the column-level
+    # dtype check owns kind drift)
+    assert _values_equal(3, 3.0)
+
+
+def test_nested_tuple_values():
+    assert _values_equal((1.0, 2.0), (1.0, 2.0))
+    assert not _values_equal((1.0, -0.0), (1.0, 0.0))
+    assert not _values_equal((1.0,), (1.0, 2.0))
+
+
+def test_canon_sorts_columns_and_rows():
+    a = pd.DataFrame({"b": [2, 1], "a": ["y", "x"]})
+    c = _canon(a)
+    assert list(c.columns) == ["a", "b"]
+    assert c["a"].tolist() == ["x", "y"] and c["b"].tolist() == [1, 2]
+
+
+def test_canon_tuples_lists_for_sorting():
+    a = pd.DataFrame({"v": [[3, 4], [1, 2]]})
+    c = _canon(a)
+    assert c["v"].tolist() == [(1, 2), (3, 4)]
+
+
+def test_math_copysign_guard():
+    # the implementation detail the signed-zero check relies on
+    assert math.copysign(1.0, -0.0) == -1.0
