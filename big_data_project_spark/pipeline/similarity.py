@@ -1572,25 +1572,33 @@ def _mean_gram(e: DataFrame) -> DataFrame:
 _PCA_ITERS = 4  # fixed: determinism (not convergence) is the contract
 
 
-def _pca_oracle_sql(iters: int) -> str:
-    """Unrolled power-iteration CTE chain: matvec = join + group-sum,
-    window-normalized each step, projection = one more join-sum.  Every
-    step rounds to 4 decimals (+1e-9 nudge) so both engines iterate on
-    identical state."""
+def _power_chain_sql(mat: str, vec: str, iters: int) -> str:
+    """Unrolled power-iteration CTE fragments over matrix CTE ``mat``
+    starting from the constant-vector CTE ``{vec}0``: each step a matvec
+    (join + group-sum) then a window normalization.  Every step rounds
+    to 4 decimals (+1e-9 nudge) so both engines iterate on identical
+    state.  The norm is clamped with greatest(.., 0.0001) — mirrored by
+    F.greatest on the Spark side — so a pathological all-zero step
+    divides by the clamp on BOTH engines instead of NULL (Spark's
+    Divide) vs ±inf/nan (DuckDB ieee_floating_point_ops); ADVICE r07."""
     steps = []
-    prev = "v0"
+    prev = f"{vec}0"
     for k in range(1, iters + 1):
         steps.append(
-            f"""y{k} AS (
+            f"""{vec}y{k} AS (
       SELECT m.i AS i, round(sum(m.g * v.x) + 1e-9, 4) + 0.0 AS y
-      FROM gsym m JOIN {prev} v ON m.j = v.i GROUP BY m.i),
-    v{k} AS (
-      SELECT i, round(y / round(sqrt(sum(y * y) OVER ()) + 1e-9, 4) + 1e-9, 4) + 0.0 AS x
-      FROM y{k})"""
+      FROM {mat} m JOIN {prev} v ON m.j = v.i GROUP BY m.i),
+    {vec}{k} AS (
+      SELECT i, round(y / greatest(round(sqrt(sum(y * y) OVER ()) + 1e-9, 4), 0.0001) + 1e-9, 4) + 0.0 AS x
+      FROM {vec}y{k})"""
         )
-        prev = f"v{k}"
-    chain = ",\n    ".join(steps)
-    return f"""
+        prev = f"{vec}{k}"
+    return ",\n    ".join(steps)
+
+
+# Shared oracle preamble: embeddings → flat (vec_id, i, x) → mean-scaled
+# upper-triangle Gram → symmetrized gsym.  The "+ 0.0" normalizes -0.0.
+_GRAM_PREAMBLE_SQL = """
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     n AS (SELECT count(*) AS n FROM e),
     flat AS (SELECT vec_id, generate_subscripts(v, 1) - 1 AS i, unnest(v) AS x FROM e),
@@ -1603,11 +1611,19 @@ def _pca_oracle_sql(iters: int) -> str:
     gsym AS (
       SELECT i, j, g FROM gram
       UNION ALL
-      SELECT j AS i, i AS j, g FROM gram WHERE i != j),
+      SELECT j AS i, i AS j, g FROM gram WHERE i != j)"""
+
+
+def _pca_oracle_sql(iters: int) -> str:
+    """x61 oracle: power-iteration CTE chain on gsym, then projection =
+    one more join-sum."""
+    chain = _power_chain_sql("gsym", "v", iters)
+    return f"""
+    {_GRAM_PREAMBLE_SQL},
     v0 AS (SELECT DISTINCT i, CAST(0.125 AS DOUBLE) AS x FROM gsym),
     {chain}
     SELECT f.vec_id, round(sum(f.x * v.x) + 1e-9, 4) + 0.0 AS proj
-    FROM flat f JOIN {prev} v USING (i)
+    FROM flat f JOIN v{iters} v USING (i)
     GROUP BY f.vec_id
     """
 
@@ -1634,12 +1650,44 @@ def x61_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     chain is LINEAR in steps (norm via a global window, not a second
     branch).  At 100 TB the data pass is the two corpus scans; the
     iteration cost is d-bounded."""
+    gsym = _checkpointed_gsym(spark, sf_dir)
+    v = _power_direction(gsym)
+    direction = _as_dense_vector(v, "pc")
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    return e.crossJoin(F.broadcast(direction)).select(
+        "vec_id", F.round(_array_dot("v", "pc") + F.lit(1e-9), 4).alias("proj")
+    )
+
+
+def _checkpointed_gsym(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetrized mean-scaled Gram cell frame, localCheckpoint-ed ONCE
+    so the downstream iteration references an in-memory d²-row leaf.
+
+    Checkpoint-lifetime note (ADVICE r07): spark.catalog.clearCache()
+    does NOT free localCheckpoint RDD blocks, so repeated invocations in
+    one long session accumulate them.  The footprint is d² doubles
+    (~33 KB at d=64) per call — bounded and tiny — and bench.py frees
+    each query's leftover checkpoint RDDs between rows via the
+    delta-based getPersistentRDDs pattern."""
     gram = x59_embedding_gram(spark, sf_dir)
-    gsym = gram.unionByName(
+    return gram.unionByName(
         gram.filter(F.col("i") != F.col("j")).select(
             F.col("j").alias("i"), F.col("i").alias("j"), "g"
         )
     ).localCheckpoint()
+
+
+def _power_direction(gsym: DataFrame) -> DataFrame:
+    """Fixed {_PCA_ITERS}-step rounded power iteration on a symmetric
+    (i, j, g) cell frame, started from the constant 0.125 vector:
+    returns the d-row (i, x) direction frame.  Each step is a
+    broadcast-hash matvec join + d-row partial-aggregated group-sum; the
+    lazy chain is LINEAR in steps.  The norm denominator is clamped at
+    1e-4 (mirroring the oracle's greatest(.., 0.0001)) so an all-zero
+    step degrades identically on both engines instead of Spark NULL vs
+    DuckDB ±inf — ADVICE r07."""
     v = gsym.select("i").distinct().select("i", F.lit(0.125).alias("x"))
     # OVER () on the d-row frame: WindowExec warns about the single
     # partition, but the frame is d-bounded by construction (even a
@@ -1654,25 +1702,124 @@ def x61_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("i")
             .agg(F.round(F.sum(F.col("g") * F.col("x")) + F.lit(1e-9), 4).alias("y"))
         )
-        nrm = F.round(
-            F.sqrt(F.sum(F.col("y") * F.col("y")).over(w_all)) + F.lit(1e-9), 4
+        nrm = F.greatest(
+            F.round(
+                F.sqrt(F.sum(F.col("y") * F.col("y")).over(w_all)) + F.lit(1e-9), 4
+            ),
+            F.lit(1e-4),
         )
         v = y.select(
             "i", F.round(F.col("y") / nrm + F.lit(1e-9), 4).alias("x")
         )
-    direction = v.agg(
+    return v
+
+
+def _as_dense_vector(v: DataFrame, name: str) -> DataFrame:
+    """Collapse a d-row (i, x) direction frame into a 1-row dense-array
+    frame (column ``name``) that rides to the projection as a broadcast."""
+    return v.agg(
         F.array_sort(F.collect_list(F.struct("i", "x"))).alias("s")
-    ).select(F.transform("s", lambda s: s["x"]).alias("pc"))
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
-    dot = F.aggregate(
-        F.zip_with("v", "pc", lambda a, b: a * b),
+    ).select(F.transform("s", lambda s: s["x"]).alias(name))
+
+
+def _array_dot(a: str, b: str):
+    """zip_with/aggregate fold: dot product of two array<double> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, t: acc + t,
     )
-    return e.crossJoin(F.broadcast(direction)).select(
-        "vec_id", F.round(dot + F.lit(1e-9), 4).alias("proj")
+
+
+# --- X62: top-2 PCA via deflation (whitening / dim-reduction stage) ---------
+
+
+def _pca2_oracle_sql(iters: int) -> str:
+    """x62 oracle: leading-direction chain on gsym, Rayleigh eigenvalue,
+    rank-1 deflation G' = G − λ·v·vᵀ (one more pair of d-row joins over
+    the d²-cell frame), second chain on gsym2, then a two-direction
+    projection join-sum."""
+    chain1 = _power_chain_sql("gsym", "v", iters)
+    chain2 = _power_chain_sql("gsym2", "u", iters)
+    return f"""
+    {_GRAM_PREAMBLE_SQL},
+    v0 AS (SELECT DISTINCT i, CAST(0.125 AS DOUBLE) AS x FROM gsym),
+    {chain1},
+    lam AS (
+      SELECT round(sum(m.g * a.x * b.x) + 1e-9, 4) AS l
+      FROM gsym m JOIN v{iters} a ON m.i = a.i JOIN v{iters} b ON m.j = b.i),
+    gsym2 AS (
+      SELECT m.i AS i, m.j AS j,
+             round(m.g - (SELECT l FROM lam) * a.x * b.x + 1e-9, 4) AS g
+      FROM gsym m JOIN v{iters} a ON m.i = a.i JOIN v{iters} b ON m.j = b.i),
+    u0 AS (SELECT DISTINCT i, CAST(0.125 AS DOUBLE) AS x FROM gsym2),
+    {chain2}
+    SELECT f.vec_id,
+           round(sum(f.x * v.x) + 1e-9, 4) + 0.0 AS proj1,
+           round(sum(f.x * u.x) + 1e-9, 4) + 0.0 AS proj2
+    FROM flat f JOIN v{iters} v ON f.i = v.i JOIN u{iters} u ON f.i = u.i
+    GROUP BY f.vec_id
+    """
+
+
+@query("x62_pca_top2", oracle=_pca2_oracle_sql(_PCA_ITERS))
+def x62_pca_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Project every embedding onto the TOP-2 principal directions of
+    the uncentered Gram matrix — x61's fit→transform loop closed to a
+    genuine dimensionality-reduction/whitening stage via rank-1
+    DEFLATION: after the leading direction v converges (fixed rounded
+    {_PCA_ITERS}-step recurrence, constant start — no eigensolver
+    sign/degeneracy ambiguity), the Rayleigh quotient λ = vᵀGv is
+    subtracted as G' = G − λ·v·vᵀ with one broadcast map over the
+    d²-cell frame, and the SAME iteration runs on G' for the second
+    direction.  Reference analog: the feature standardize/decorrelate
+    step at trainer/flax_model.py:243, 340-341.
+
+    Scale design: the corpus is still touched exactly TWICE — x59's
+    per-partition Arrow Gram kernel (ONE d(d+1)/2-cell exchange) and the
+    final two-dot projection map (1-row broadcast of both directions,
+    no shuffle).  Everything between is d-bounded: the leading
+    direction (d rows) and the deflated cell frame (d² rows) are each
+    localCheckpoint-ed once (the x43 lineage-cut cadence; freed between
+    bench rows — see _checkpointed_gsym's lifetime note), so the second
+    chain iterates on an in-memory leaf and neither the Gram kernel nor
+    chain 1 ever re-runs per step.  λ and the deflation share one
+    broadcast-join shape; at 100 TB the added cost over x61 is a few
+    d²-row local jobs — invariant to corpus size."""
+    gsym = _checkpointed_gsym(spark, sf_dir)
+    v1 = _power_direction(gsym).localCheckpoint()
+    a = F.broadcast(v1.select(F.col("i").alias("ai"), F.col("x").alias("xa")))
+    b = F.broadcast(v1.select(F.col("i").alias("bi"), F.col("x").alias("xb")))
+    rank1 = gsym.join(a, F.col("i") == F.col("ai")).join(
+        b, F.col("j") == F.col("bi")
+    )
+    lam = rank1.agg(
+        F.round(
+            F.sum(F.col("g") * F.col("xa") * F.col("xb")) + F.lit(1e-9), 4
+        ).alias("l")
+    )
+    gsym2 = (
+        rank1.crossJoin(F.broadcast(lam))
+        .select(
+            "i",
+            "j",
+            F.round(
+                F.col("g") - F.col("l") * F.col("xa") * F.col("xb") + F.lit(1e-9), 4
+            ).alias("g"),
+        )
+        .localCheckpoint()
+    )
+    v2 = _power_direction(gsym2)
+    directions = _as_dense_vector(v1, "pc1").crossJoin(
+        F.broadcast(_as_dense_vector(v2, "pc2"))
+    )
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    return e.crossJoin(F.broadcast(directions)).select(
+        "vec_id",
+        F.round(_array_dot("v", "pc1") + F.lit(1e-9), 4).alias("proj1"),
+        F.round(_array_dot("v", "pc2") + F.lit(1e-9), 4).alias("proj2"),
     )
 
 

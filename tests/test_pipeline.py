@@ -836,4 +836,26 @@ def test_replicated_gram_is_invariant(spark, sf_dir):
     base = sorted(map(tuple, all_queries()["x59_embedding_gram"](spark, sf_dir).collect()))
     rep = sorted(map(tuple, replicated_gram(spark, sf_dir, factor=4).collect()))
     assert len(base) == 2080
-    assert rep == base
+    assert [r[:2] for r in rep] == [b[:2] for b in base]
+    # cell values equal up to ONE 4-decimal rounding step, not bit-exact:
+    # the 1x and 4x runs sum partition partials in different orders, so a
+    # pre-round value within an ulp of a 0.00005 boundary may legally
+    # round to the adjacent step (ADVICE r07).  In practice the +1e-9
+    # nudge keeps sums off boundaries and the cells come back identical.
+    assert all(abs(r[2] - b[2]) <= 1e-4 + 1e-12 for r, b in zip(rep, base))
+
+
+def test_pca_top2_extends_x61_and_orders_energy(spark, sf_dir):
+    """x62's first component must be x61's projection verbatim (same
+    rounded recurrence on the same checkpointed Gram — deflation only
+    ADDS a component), and the leading direction must capture at least
+    as much energy as the deflated one: mean(proj1²) ≥ mean(proj2²)
+    (the Rayleigh-quotient ordering, up to the 4-decimal rounding)."""
+    x61 = {r.vec_id: r.proj for r in Q["x61_pca_project"](spark, sf_dir).collect()}
+    rows = Q["x62_pca_top2"](spark, sf_dir).collect()
+    assert len(rows) == len(x61) > 0
+    for r in rows:
+        assert r.proj1 == x61[r.vec_id], (r.vec_id, r.proj1, x61[r.vec_id])
+    e1 = sum(r.proj1 ** 2 for r in rows) / len(rows)
+    e2 = sum(r.proj2 ** 2 for r in rows) / len(rows)
+    assert e1 >= e2 - 1e-4, (e1, e2)

@@ -918,6 +918,29 @@ def test_pca_project_iteration_never_rederives_gram(spark, qs):
     assert has_partial_agg(df)
 
 
+def test_pca_top2_deflation_stays_behind_lineage_cuts(spark, qs):
+    """x62: deflation adds NO corpus work — the leading direction and
+    the deflated d²-cell frame are localCheckpoint-ed, so the live plan
+    is exactly x61's shape plus the second chain: one parquet scan (the
+    final projection), the second chain's 4 broadcast-hash matvecs, and
+    the two 1-row direction broadcasts.  Chain 1, λ, and the deflation
+    joins must all sit behind the in-memory leaves."""
+    from big_data_project_spark.plans.contracts import has_partial_agg, num_shuffles, plan_str
+
+    df = qs["x62_pca_top2"](spark, SF)
+    plan = plan_str(df, "simple")
+    assert plan.count("Scan parquet") == 1, "corpus must be scanned once here"
+    assert count_ops(df, "MapInPandas") == 0, "Gram kernel must sit behind the lineage cut"
+    assert count_ops(df, "BroadcastHashJoin") == 4  # chain 2's matvecs only
+    assert count_ops(df, "SortMergeJoin") == 0
+    assert count_ops(df, "BatchEvalPython") == 0
+    # pc1×pc2 combine + the 1-row two-direction broadcast onto the corpus
+    assert count_ops(df, "BroadcastNestedLoopJoin") == 2
+    # 4×(matvec agg + norm window) + u0 distinct + the direction collects
+    assert num_shuffles(df) <= 11
+    assert has_partial_agg(df)
+
+
 def test_kl_drift_single_pass_both_splits(spark, qs):
     """x63: both splits' counts come from ONE conditional-sum aggregate
     (no half-vs-half self-join), the count frame is cached so the

@@ -66,14 +66,15 @@ def test_reverify_pinned_while_row_is_stale(monkeypatch):
 
 
 def test_reverify_dissolves_after_fresh_row(monkeypatch):
-    # any row in a round AFTER stale_through_round -> pin dissolves
+    # any row in a round AFTER each pin's own stale_through_round ->
+    # pin dissolves (thresholds differ per entry, so simulate through+1)
     names = order_with(
         monkeypatch, green=set(REVERIFY_NAMES),
-        last_round={n: 3 for n in REVERIFY_NAMES},
+        last_round={n: through + 1 for n, through in registry._REVERIFY},
     )
     window = names[:50]
     for n in REVERIFY_NAMES:
-        assert n not in window, f"{n} was re-checked in r03 — pin must dissolve"
+        assert n not in window, f"{n} was re-checked past its threshold — pin must dissolve"
 
 
 def test_unverified_oracles_fill_window_before_green(monkeypatch):
