@@ -92,6 +92,9 @@ DEMONSTRATORS = [
     "x61_pca_project",
     "x59_embedding_gram",
     "x59_gram_x4",
+    # top-2 PCA via rank-1 deflation (added r08): tracks the cost of the
+    # second d-bounded iteration + deflation map over the x61 shape
+    "x62_pca_top2",
 ]
 
 
@@ -107,6 +110,14 @@ _MIN_OF_3 = {
     # localCheckpoint inside the builder: cache-fill jitter measured
     # 0.95 vs 1.32 s across same-code runs at sf0.1
     "x61_pca_project",
+    "x62_pca_top2",
+    # the first two POSITIONS run on the coldest JVM: despite the global
+    # and per-query warm-ups, r07 recorded flagship +0.154 s / j2 +0.242 s
+    # vs r06 purely from run order (both ≤1.04× of their r01 per-query
+    # baselines).  A third sample absorbs the residual JIT tail so
+    # head-row deltas reflect plans, not position (VERDICT r07 #4).
+    "flagship_pricing_summary",
+    "j2_orders_lineitem_join",
 }
 
 
@@ -166,7 +177,14 @@ def main() -> None:
         if i > 0:
             calib = dt if calib is None else min(calib, dt)
     timings: dict[str, float] = {}
+    jsc = spark.sparkContext._jsc
     for name in names:
+        # clearCache below drops DataFrame caches but NOT localCheckpoint
+        # RDD blocks (x61/x62 checkpoint d²-cell frames per invocation) —
+        # free each row's leftovers so min-of-N reruns and the long bench
+        # session don't accumulate them (ADVICE r07; delta-based so
+        # anything persisted before this row survives).
+        before_rdds = set(jsc.getPersistentRDDs().keySet())
         qs[name](spark, sf_dir).count()  # warm-up: codegen + JIT compile
         spark.catalog.clearCache()  # timed runs must recompute, not read cache
         best, n = None, 0
@@ -177,6 +195,9 @@ def main() -> None:
             elapsed = time.perf_counter() - t0
             best = elapsed if best is None else min(best, elapsed)
             spark.catalog.clearCache()
+        leaked = jsc.getPersistentRDDs()
+        for rid in [r for r in leaked.keySet() if r not in before_rdds]:
+            leaked.get(rid).unpersist()
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
     total = round(sum(t for n, t in timings.items() if n in HEADLINE), 3)
