@@ -50,12 +50,44 @@ def decode_features(pdf_iter: Iterator[pd.DataFrame], use_real_codec: bool = Fal
     """Arrow-batched 'decode': real codecs are unavailable in this
     container, so the feature extractor is a deterministic fake over the
     raw bytes. The batch shape/schema contract is exactly what a real
-    PIL/ffmpeg kernel would use."""
+    PIL/ffmpeg kernel would use — and when PIL IS importable (a real
+    cluster), ``use_real_codec=True`` decodes for real: width/height and
+    mean luma come from the pixels, not the metadata.  The activating
+    test (tests/test_env_gated.py) un-skips itself the moment the
+    sandbox gains PIL."""
     if use_real_codec:
-        raise NotImplementedError(
-            "image/audio codecs are not installed in this environment; "
-            "plug PIL.Image.open / torchaudio.load here on a real cluster"
-        )
+        try:
+            from PIL import Image
+        except ImportError as exc:  # pragma: no cover - env-bound
+            raise NotImplementedError(
+                "image codecs are not installed in this environment; the "
+                "real-codec branch activates when PIL is importable "
+                "(audio/video analogs: torchaudio.load / ffmpeg)"
+            ) from exc
+        import io as _io
+
+        def _decode(b: bytes) -> tuple[int, int, float]:
+            img = Image.open(_io.BytesIO(b)).convert("L")
+            px = list(img.getdata())
+            return img.width, img.height, (sum(px) / max(len(px), 1)) / 255.0
+
+        for pdf in pdf_iter:
+            payloads = pdf["payload"]
+            decoded = payloads.map(_decode)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": payloads.map(len),
+                    "header_u32": payloads.map(
+                        lambda b: int.from_bytes(b[:4].ljust(4, b"\0"), "little")
+                    ),
+                    "byte_sum": payloads.map(lambda b: sum(b)),
+                    "width": decoded.map(lambda t: t[0]),
+                    "height": decoded.map(lambda t: t[1]),
+                    "fake_mean_luma": decoded.map(lambda t: t[2]),
+                }
+            )
+        return
     for pdf in pdf_iter:
         payloads = pdf["payload"]
         yield pd.DataFrame(
@@ -111,9 +143,30 @@ def resize_kernel(target_w: int, target_h: int, use_real_codec: bool = False):
 
     def _resize(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if use_real_codec:
-            raise NotImplementedError(
-                "plug PIL.Image.resize / cv2.resize here on a real cluster"
-            )
+            try:
+                from PIL import Image
+            except ImportError as exc:  # pragma: no cover - env-bound
+                raise NotImplementedError(
+                    "image codecs are not installed in this environment; "
+                    "the real-codec branch activates when PIL is "
+                    "importable (cv2.resize is the other real kernel)"
+                ) from exc
+            import io as _io
+
+            def _real(b: bytes) -> bytes:
+                img = Image.open(_io.BytesIO(b)).convert("L")
+                return img.resize((target_w, target_h)).tobytes()
+
+            for pdf in pdf_iter:
+                out = pdf["payload"].map(_real)
+                yield pd.DataFrame({
+                    "doc_id": pdf["doc_id"],
+                    "out_w": target_w,
+                    "out_h": target_h,
+                    "n_bytes_out": out.map(len),
+                    "checksum": out.map(lambda b: sum(b)),
+                })
+            return
         budget = target_w * target_h
         for pdf in pdf_iter:
             out = pdf["payload"].map(
