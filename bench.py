@@ -151,6 +151,24 @@ def _extra_rows():
     }
 
 
+def snapshot_rdd_ids(spark) -> set:
+    """IDs of currently persisted RDDs (includes localCheckpoint blocks,
+    which spark.catalog.clearCache() does NOT release)."""
+    return set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+
+
+def free_new_rdds(spark, before: set) -> int:
+    """Unpersist every persisted RDD not present in ``before`` (the
+    delta-based cleanup between bench rows — ADVICE r07: x61/x62
+    localCheckpoint d²-cell frames per invocation and nothing else ever
+    frees them).  Returns how many were released."""
+    leaked = spark.sparkContext._jsc.getPersistentRDDs()
+    new_ids = [r for r in leaked.keySet() if r not in before]
+    for rid in new_ids:
+        leaked.get(rid).unpersist()
+    return len(new_ids)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -177,14 +195,12 @@ def main() -> None:
         if i > 0:
             calib = dt if calib is None else min(calib, dt)
     timings: dict[str, float] = {}
-    jsc = spark.sparkContext._jsc
     for name in names:
         # clearCache below drops DataFrame caches but NOT localCheckpoint
-        # RDD blocks (x61/x62 checkpoint d²-cell frames per invocation) —
-        # free each row's leftovers so min-of-N reruns and the long bench
-        # session don't accumulate them (ADVICE r07; delta-based so
-        # anything persisted before this row survives).
-        before_rdds = set(jsc.getPersistentRDDs().keySet())
+        # RDD blocks — free each row's leftovers after timing so min-of-N
+        # reruns and the long bench session don't accumulate them
+        # (delta-based: anything persisted before this row survives).
+        before_rdds = snapshot_rdd_ids(spark)
         qs[name](spark, sf_dir).count()  # warm-up: codegen + JIT compile
         spark.catalog.clearCache()  # timed runs must recompute, not read cache
         best, n = None, 0
@@ -195,9 +211,7 @@ def main() -> None:
             elapsed = time.perf_counter() - t0
             best = elapsed if best is None else min(best, elapsed)
             spark.catalog.clearCache()
-        leaked = jsc.getPersistentRDDs()
-        for rid in [r for r in leaked.keySet() if r not in before_rdds]:
-            leaked.get(rid).unpersist()
+        free_new_rdds(spark, before_rdds)
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
     total = round(sum(t for n, t in timings.items() if n in HEADLINE), 3)

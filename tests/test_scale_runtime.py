@@ -158,6 +158,32 @@ def test_deep_pagerank_checkpoint_cadence(spark, sf_dir):
         spark.catalog.clearCache()
 
 
+def test_bench_frees_checkpoint_rdds_between_rows(spark, sf_dir):
+    """bench.py's delta-based cleanup (ADVICE r07): clearCache does not
+    release localCheckpoint RDD blocks, so the bench frees each row's
+    leftovers itself.  Pin the mechanism: after an x61 run (which
+    checkpoints the d²-cell gsym frame) free_new_rdds must release every
+    RDD the row pinned — and leave anything persisted beforehand alone."""
+    import bench
+    from big_data_project_spark.registry import all_queries
+
+    pre = spark.range(10).cache()
+    pre.count()  # persisted BEFORE the row: must survive the cleanup
+    try:
+        before = bench.snapshot_rdd_ids(spark)
+        all_queries()["x61_pca_project"](spark, sf_dir).count()
+        spark.catalog.clearCache()  # the bench's between-run reset...
+        leaked = bench.snapshot_rdd_ids(spark) - before
+        assert leaked, "x61 should leave localCheckpoint RDDs behind"
+        freed = bench.free_new_rdds(spark, before)
+        assert freed == len(leaked)
+        assert bench.snapshot_rdd_ids(spark) <= before
+        assert pre.count() == 10  # pre-existing cache untouched and usable
+    finally:
+        pre.unpersist()
+        spark.catalog.clearCache()
+
+
 def test_bpe_train_releases_previous_generations(spark, sf_dir):
     """x58's deep-iteration claim needs bounded cache: each merge step
     persists a new state generation and must UNPERSIST the previous one
