@@ -158,6 +158,23 @@ def test_deep_pagerank_checkpoint_cadence(spark, sf_dir):
         spark.catalog.clearCache()
 
 
+def test_bench_rows_all_resolve_to_registered_queries():
+    """bench.py filters its row lists with `if n in qs` — a renamed query
+    would silently VANISH from the bench output and quietly break the
+    round-over-round comparison.  Pin that every HEADLINE and
+    DEMONSTRATORS name resolves to a registry query or an _extra_rows
+    builder, and that the headline set still matches the 19 rows the r01
+    BASELINE recorded."""
+    import bench
+    from big_data_project_spark.registry import all_queries
+
+    known = set(all_queries()) | set(bench._extra_rows())
+    missing = [n for n in bench.HEADLINE + bench.DEMONSTRATORS if n not in known]
+    assert not missing, f"bench rows silently dropped: {missing}"
+    assert len(bench.HEADLINE) == 19  # the BASELINE-comparable set
+    assert set(bench._MIN_OF_3) <= set(bench.HEADLINE) | set(bench.DEMONSTRATORS)
+
+
 def test_bench_frees_checkpoint_rdds_between_rows(spark, sf_dir):
     """bench.py's delta-based cleanup (ADVICE r07): clearCache does not
     release localCheckpoint RDD blocks, so the bench frees each row's
