@@ -217,3 +217,170 @@ def x51_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(25)
     )
     return out
+
+
+# --------------------------------------------------------------------------
+# x64: triangle counting by degree-ordered edge orientation
+# --------------------------------------------------------------------------
+
+_TRI_ORACLE_CTES = """WITH supo AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS s FROM lineitem),
+    pairs AS (
+      SELECT DISTINCT a.s AS u, b.s AS v
+      FROM supo a JOIN supo b ON a.ok = b.ok AND a.s < b.s),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS degree
+      FROM (SELECT u AS node FROM pairs UNION ALL SELECT v AS node FROM pairs)
+      GROUP BY node),
+    oriented AS (
+      SELECT CASE WHEN du.degree < dv.degree
+                    OR (du.degree = dv.degree AND p.u < p.v)
+                  THEN p.u ELSE p.v END AS src,
+             CASE WHEN du.degree < dv.degree
+                    OR (du.degree = dv.degree AND p.u < p.v)
+                  THEN p.v ELSE p.u END AS dst,
+             CASE WHEN du.degree < dv.degree
+                    OR (du.degree = dv.degree AND p.u < p.v)
+                  THEN dv.degree ELSE du.degree END AS dst_deg
+      FROM pairs p
+      JOIN deg du ON du.node = p.u
+      JOIN deg dv ON dv.node = p.v),
+    tri AS (
+      SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      FROM oriented e1
+      JOIN oriented e2 ON e2.src = e1.src
+       AND (e1.dst_deg < e2.dst_deg
+            OR (e1.dst_deg = e2.dst_deg AND e1.dst < e2.dst))
+      JOIN oriented e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+    tnodes AS (
+      SELECT a AS node FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri),
+    cnt AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS triangles
+      FROM tnodes GROUP BY node)"""
+
+
+def _cooccurrence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct undirected part co-occurrence edges (u < v): two parts are
+    adjacent iff some order contains lineitems for both (the co-purchase
+    graph).  Per-order distinct part count is bounded (TPC-H orders
+    carry ≤ 7 lineitems), so the orderkey-co-partitioned self-join emits
+    ≤ 21 pairs per key — never a corpus-quadratic blowup."""
+    supo = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("s"))
+        .distinct()
+    )
+    a, b = supo.alias("a"), supo.alias("b")
+    return (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.s") < F.col("b.s")))
+        .select(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .distinct()
+    )
+
+
+def triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All triangles (a, b, c) of the part co-occurrence graph, each
+    emitted exactly once with rank(a) < rank(b) < rank(c) under the
+    (degree, id) total order.
+
+    Orientation argument: every undirected edge points from its
+    lower-(degree, id) endpoint to the higher one, so each node's
+    oriented out-degree is O(sqrt(m)) — the wedge self-join below is
+    bounded by Σ outdeg², the classic bound that survives power-law
+    degree skew, instead of Σ deg² which does not.  A triangle
+    {x, y, z} with rank x < y < z is found exactly once: as the wedge
+    (x→y, x→z) closed by the oriented edge y→z.
+
+    Cache contract: persists the oriented edge frame (read three times:
+    both wedge legs + the closure probe); the registry entry point
+    clearCache()s on entry, composing callers own cleanup (the
+    x51_pagerank convention)."""
+    pairs = _cooccurrence_edges(spark, sf_dir)
+    deg = (
+        pairs.select(F.col("u").alias("node"))
+        .unionAll(pairs.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    du, dv = deg.alias("du"), deg.alias("dv")
+    lt = (F.col("du.degree") < F.col("dv.degree")) | (
+        (F.col("du.degree") == F.col("dv.degree")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        pairs.join(du, F.col("du.node") == F.col("u"))
+        .join(dv, F.col("dv.node") == F.col("v"))
+        .select(
+            F.when(lt, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(lt, F.col("v")).otherwise(F.col("u")).alias("dst"),
+            F.when(lt, F.col("dv.degree")).otherwise(F.col("du.degree")).alias("dst_deg"),
+        )
+        .persist()
+    )
+    e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
+    wedge_ord = (F.col("e1.dst_deg") < F.col("e2.dst_deg")) | (
+        (F.col("e1.dst_deg") == F.col("e2.dst_deg")) & (F.col("e1.dst") < F.col("e2.dst"))
+    )
+    return (
+        e1.join(e2, (F.col("e2.src") == F.col("e1.src")) & wedge_ord)
+        .join(e3, (F.col("e3.src") == F.col("e1.dst")) & (F.col("e3.dst") == F.col("e2.dst")))
+        .select(F.col("e1.src").alias("a"), F.col("e1.dst").alias("b"), F.col("e2.dst").alias("c"))
+    )
+
+
+@query(
+    "x64_triangle_count",
+    oracle=_TRI_ORACLE_CTES + """
+    SELECT c.node AS part_key, c.triangles, d.degree
+    FROM cnt c JOIN deg d ON d.node = c.node
+    ORDER BY triangles DESC, part_key
+    LIMIT 20
+    """,
+)
+def x64_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle counts over the part co-occurrence ("bought
+    together") graph (top 20 by count): the canonical graph
+    density/cohesion signal alongside x51's PageRank and x43's
+    components — triangle-rich neighborhoods flag tightly-coupled
+    clusters (link-farm detection in crawl graphs, community cores in
+    citation/co-purchase graphs).  The part graph is chosen over the
+    supplier graph deliberately: at every fixture SF it is sparse with
+    varied degrees (sf0.01: 2 000 nodes, 116 k edges, degree 42-206),
+    so ordering by triangle count is a real ranking, not a clique tie.  Reference's
+    corpus analytics are the same scored-entity shape
+    (big_data_project/trainer/flax_model.py).
+
+    Every column is an exact integer — no float rounding anywhere in the
+    pipeline, so cross-engine parity is definitional (§4.3.1 never
+    engages).  Each triangle credits all three of its vertices; a node's
+    `triangles` is its closed-wedge count, the numerator of its local
+    clustering coefficient (denominator = degree·(degree−1)/2 from the
+    same output row).
+
+    Scale design: (1) pair generation is co-partitioned on orderkey with
+    a bounded per-order supplier count; (2) the wedge join shuffles on
+    `src` and both legs reuse ONE exchange of the persisted oriented
+    frame; (3) degree-ordering bounds oriented out-degree by O(sqrt(m)),
+    taming power-law hubs — the wedge set is Σ outdeg², not Σ deg²;
+    (4) the closure probe is an equi-join on (src, dst) — no nested
+    loop anywhere (plan-pinned in tests/test_plans.py)."""
+    tri = triangles(spark, sf_dir)
+    pairs = _cooccurrence_edges(spark, sf_dir)
+    deg = (
+        pairs.select(F.col("u").alias("node"))
+        .unionAll(pairs.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    cnt = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return (
+        cnt.join(deg, "node")
+        .select(F.col("node").alias("part_key"), "triangles", "degree")
+        .orderBy(F.col("triangles").desc(), "part_key")
+        .limit(20)
+    )

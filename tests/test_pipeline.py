@@ -859,3 +859,28 @@ def test_pca_top2_extends_x61_and_orders_energy(spark, sf_dir):
     e1 = sum(r.proj1 ** 2 for r in rows) / len(rows)
     e2 = sum(r.proj2 ** 2 for r in rows) / len(rows)
     assert e1 >= e2 - 1e-4, (e1, e2)
+
+
+def test_x64_triangles_match_bruteforce(spark, sf_dir):
+    """The degree-ordered oriented wedge count must equal the canonical
+    id-ordered brute-force 3-way edge join (every triangle found once,
+    none invented — the orientation is pure bookkeeping), and each
+    reported node's triangle count is bounded by its wedge capacity
+    C(degree, 2).  When the top-20 limit doesn't bind, per-node credits
+    must sum to exactly 3× the global count (each triangle credits all
+    three vertices)."""
+    from big_data_project_spark.pipeline.graph import _cooccurrence_edges, triangles
+
+    tri_n = triangles(spark, sf_dir).count()
+    p = _cooccurrence_edges(spark, sf_dir)
+    p1, p2, p3 = p.alias("p1"), p.alias("p2"), p.alias("p3")
+    brute = (
+        p1.join(p2, (F.col("p2.u") == F.col("p1.u")) & (F.col("p1.v") < F.col("p2.v")))
+        .join(p3, (F.col("p3.u") == F.col("p1.v")) & (F.col("p3.v") == F.col("p2.v")))
+        .count()
+    )
+    assert tri_n == brute and tri_n > 0
+    rows = Q["x64_triangle_count"](spark, sf_dir).collect()
+    assert all(r.triangles <= r.degree * (r.degree - 1) // 2 for r in rows)
+    if len(rows) < 20:  # limit not binding → the 3T identity is checkable
+        assert sum(r.triangles for r in rows) == 3 * tri_n
