@@ -95,6 +95,11 @@ DEMONSTRATORS = [
     # top-2 PCA via rank-1 deflation (added r08): tracks the cost of the
     # second d-bounded iteration + deflation map over the x61 shape
     "x62_pca_top2",
+    # triangle counting (added r08): tracks the degree-ordered wedge
+    # join — the one demonstrator whose shuffle volume (Σ outdeg² wedge
+    # rows) is a superlinear function of edge count, so drift here flags
+    # orientation/hint regressions before they'd hit a real graph
+    "x64_triangle_count",
 ]
 
 
@@ -111,6 +116,9 @@ _MIN_OF_3 = {
     # 0.95 vs 1.32 s across same-code runs at sf0.1
     "x61_pca_project",
     "x62_pca_top2",
+    # two persisted frames (pairs diamond + oriented edges) fill inside
+    # the first action: cache-fill jitter dominates run 1
+    "x64_triangle_count",
     # the first two POSITIONS run on the coldest JVM: despite the global
     # and per-query warm-ups, r07 recorded flagship +0.154 s / j2 +0.242 s
     # vs r06 purely from run order (both ≤1.04× of their r01 per-query

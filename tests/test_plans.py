@@ -1024,19 +1024,21 @@ def test_asof_nearest_is_windowed_merge_not_join(spark, qs):
 
 
 def test_triangle_count_bounded_joins_no_nested_loop(spark, qs):
-    """x64: every join in the triangle pipeline must be an equi-join
-    (hash/sort-merge — the wedge and closure probes carry equality keys;
-    a nested-loop or cartesian anywhere means the orientation predicate
-    fell out of the join condition and the plan went n²), the persisted
-    oriented frame must actually be read from cache (≥2 InMemoryTableScan
-    — both wedge legs + closure probe), no Python crosses the boundary,
-    and the top-20 is TakeOrderedAndProject, never a global sort."""
+    """x64: the wedge and closure probes must be SHUFFLE_HASH equi-joins
+    (≥2 ShuffledHashJoin — a sort-merge would SORT the Σ outdeg²-row
+    wedge stream, measured 1.7× slower at sf0.1; a nested-loop or
+    cartesian anywhere means the orientation predicate fell out of the
+    join condition and the plan went n²), the persisted oriented frame
+    must actually be read from cache (≥2 InMemoryTableScan — wedge legs
+    + closure probe), no Python crosses the boundary, and the top-20 is
+    TakeOrderedAndProject, never a global sort."""
     from big_data_project_spark.plans.contracts import plan_str
 
     df = qs["x64_triangle_count"](spark, SF)
     text = plan_str(df, "simple")
     assert count_ops(df, "CartesianProduct") == 0
     assert count_ops(df, "BroadcastNestedLoopJoin") == 0
+    assert count_ops(df, "ShuffledHashJoin") >= 2
     assert count_ops(df, "BatchEvalPython") + count_ops(df, "ArrowEvalPython") == 0
     assert "TakeOrderedAndProject" in text
     assert text.count("InMemoryTableScan") >= 2
