@@ -308,18 +308,19 @@ def _tri_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]
     wedge legs + the closure probe); the registry entry point
     clearCache()s on entry, composing callers own cleanup (the
     x51_pagerank convention)."""
-    pairs = _cooccurrence_edges(spark, sf_dir).persist()
-    deg = (
-        pairs.select(F.col("u").alias("node"))
-        .unionAll(pairs.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("degree"))
-    )
+    return triangles_of_edges(_cooccurrence_edges(spark, sf_dir))
+
+
+def _orient(pairs: DataFrame, deg: DataFrame) -> DataFrame:
+    """Point every undirected edge (u, v) from its lower-(degree, id)
+    endpoint to the higher one, carrying the destination's degree for
+    the wedge-ordering predicate.  This is the whole skew defense: a
+    hub's raw degree never becomes its oriented out-degree."""
     du, dv = deg.alias("du"), deg.alias("dv")
     lt = (F.col("du.degree") < F.col("dv.degree")) | (
         (F.col("du.degree") == F.col("dv.degree")) & (F.col("u") < F.col("v"))
     )
-    oriented = (
+    return (
         pairs.join(du, F.col("du.node") == F.col("u"))
         .join(dv, F.col("dv.node") == F.col("v"))
         .select(
@@ -327,8 +328,26 @@ def _tri_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]
             F.when(lt, F.col("v")).otherwise(F.col("u")).alias("dst"),
             F.when(lt, F.col("dv.degree")).otherwise(F.col("du.degree")).alias("dst_deg"),
         )
-        .persist()
     )
+
+
+def triangles_of_edges(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Graph-generic triangle core over any undirected edge frame with
+    columns (u, v), u < v, no duplicates: returns (tri, deg).  Split
+    from `_tri_frames` so the orientation's skew-taming claim is
+    testable on synthetic topologies (a star hub's n−1 raw degree must
+    collapse to per-leaf O(1) oriented out-degrees — pinned in
+    tests/test_pipeline.py on a hub graph the fixture tables can't
+    produce).  Algorithm, join strategy, and cache contract: see
+    `_tri_frames`."""
+    pairs = edges.persist()
+    deg = (
+        pairs.select(F.col("u").alias("node"))
+        .unionAll(pairs.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    oriented = _orient(pairs, deg).persist()
     e1 = oriented.alias("e1")
     e2 = oriented.hint("shuffle_hash").alias("e2")
     e3 = oriented.hint("shuffle_hash").alias("e3")

@@ -884,3 +884,32 @@ def test_x64_triangles_match_bruteforce(spark, sf_dir):
     assert all(r.triangles <= r.degree * (r.degree - 1) // 2 for r in rows)
     if len(rows) < 20:  # limit not binding → the 3T identity is checkable
         assert sum(r.triangles for r in rows) == 3 * tri_n
+
+
+def test_x64_orientation_tames_star_hub_skew(spark):
+    """The scale claim behind x64: on a hub-and-spoke graph (one node
+    adjacent to all n−1 others — the power-law worst case), the degree
+    orientation must point every hub edge INTO the hub, so the hub's
+    oriented out-degree is 0 and every leaf's is ≤ 2: the wedge stream
+    stays Σ outdeg² = O(n), never the hub's C(n−1, 2) ≈ 80k wedges.
+    Count correctness on the same graph: each leaf-leaf cross edge
+    closes exactly one triangle through the hub, nothing else."""
+    from big_data_project_spark.pipeline.graph import _orient, triangles_of_edges
+
+    n = 400
+    hub = [(0, i) for i in range(1, n)]
+    cross = [(2 * k, 2 * k + 1) for k in range(1, 40)]  # 39 leaf-leaf edges
+    edges = spark.createDataFrame(hub + cross, "u long, v long")
+    tri, deg = triangles_of_edges(edges)
+    rows = tri.collect()
+    assert len(rows) == 39
+    assert all(0 in (r.a, r.b, r.c) for r in rows)  # all go through the hub
+    deg_map = {r.node: r.degree for r in deg.collect()}
+    assert deg_map[0] == n - 1  # raw hub degree IS the worst case
+    outdeg = {
+        r.src: r.od
+        for r in _orient(edges, deg).groupBy("src").agg(F.count(F.lit(1)).alias("od")).collect()
+    }
+    assert 0 not in outdeg  # hub emits ZERO oriented edges
+    assert max(outdeg.values()) <= 2  # leaves: ≤1 hub edge + ≤1 cross edge
+    spark.catalog.clearCache()
