@@ -66,10 +66,16 @@ def decode_features(pdf_iter: Iterator[pd.DataFrame], use_real_codec: bool = Fal
             ) from exc
         import io as _io
 
+        import numpy as np
+
         def _decode(b: bytes) -> tuple[int, int, float]:
             img = Image.open(_io.BytesIO(b)).convert("L")
-            px = list(img.getdata())
-            return img.width, img.height, (sum(px) / max(len(px), 1)) / 255.0
+            # C-side mean over the pixel buffer — a Python list/sum here
+            # would cost an O(pixels) interpreted loop per image, dwarfing
+            # the decode itself on megapixel inputs
+            arr = np.asarray(img, dtype=np.float64)
+            luma = float(arr.mean()) if arr.size else 0.0
+            return img.width, img.height, luma / 255.0
 
         for pdf in pdf_iter:
             payloads = pdf["payload"]

@@ -1477,11 +1477,7 @@ def x48_clip_score_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline, exactly like the quality gates in the curation funnel."""
     e = load_table(spark, sf_dir, "embeddings")
     w = F.array(*[F.lit(x) for x in _CLIP_DIR])
-    dot = F.aggregate(
-        F.zip_with(F.col("embedding").cast("array<double>"), w, lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    dot = _array_dot(F.col("embedding").cast("array<double>"), w)
     score = F.round(dot + F.lit(1e-9), 4)
     return (
         e.select("vec_id", "label", score.alias("score"))
@@ -1722,8 +1718,11 @@ def _as_dense_vector(v: DataFrame, name: str) -> DataFrame:
     ).select(F.transform("s", lambda s: s["x"]).alias(name))
 
 
-def _array_dot(a: str, b: str):
-    """zip_with/aggregate fold: dot product of two array<double> columns."""
+def _array_dot(a, b):
+    """zip_with/aggregate fold: dot product of two array<double> columns
+    (column name or Column expression — zip_with resolves both).  The
+    single home of the fold convention for pre-cast double arrays; `_dot`
+    above is the sibling for arrays that still need an element cast."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),

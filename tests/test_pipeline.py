@@ -854,8 +854,12 @@ def test_pca_top2_extends_x61_and_orders_energy(spark, sf_dir):
     x61 = {r.vec_id: r.proj for r in Q["x61_pca_project"](spark, sf_dir).collect()}
     rows = Q["x62_pca_top2"](spark, sf_dir).collect()
     assert len(rows) == len(x61) > 0
+    # same one-rounding-step tolerance as test_replicated_gram_is_invariant:
+    # the two invocations run the Gram kernel separately, and partition
+    # partials summing in a different order may flip a 4-decimal boundary
     for r in rows:
-        assert r.proj1 == x61[r.vec_id], (r.vec_id, r.proj1, x61[r.vec_id])
+        assert abs(r.proj1 - x61[r.vec_id]) <= 1e-4 + 1e-12, (
+            r.vec_id, r.proj1, x61[r.vec_id])
     e1 = sum(r.proj1 ** 2 for r in rows) / len(rows)
     e2 = sum(r.proj2 ** 2 for r in rows) / len(rows)
     assert e1 >= e2 - 1e-4, (e1, e2)

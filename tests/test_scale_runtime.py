@@ -184,8 +184,16 @@ def test_bench_frees_checkpoint_rdds_between_rows(spark, sf_dir):
     import bench
     from big_data_project_spark.registry import all_queries
 
-    pre = spark.range(10).cache()
-    pre.count()  # persisted BEFORE the row: must survive the cleanup
+    # The pre-existing entry must be localCheckpoint-backed, NOT .cache():
+    # both the x61 entry point and the bench's between-run reset call
+    # clearCache(), which drops DataFrame caches — a cached `pre` would be
+    # gone before free_new_rdds ever ran and the leave-older-RDDs-alone
+    # property would be vacuously true.  clearCache does not release
+    # checkpoint RDD blocks, so this survives to make the assertion real.
+    base = bench.snapshot_rdd_ids(spark)
+    pre = spark.range(10).localCheckpoint(eager=True)
+    pre_ids = bench.snapshot_rdd_ids(spark) - base
+    assert pre_ids, "pre-existing localCheckpoint should be persisted"
     try:
         before = bench.snapshot_rdd_ids(spark)
         all_queries()["x61_pca_project"](spark, sf_dir).count()
@@ -194,10 +202,12 @@ def test_bench_frees_checkpoint_rdds_between_rows(spark, sf_dir):
         assert leaked, "x61 should leave localCheckpoint RDDs behind"
         freed = bench.free_new_rdds(spark, before)
         assert freed == len(leaked)
-        assert bench.snapshot_rdd_ids(spark) <= before
-        assert pre.count() == 10  # pre-existing cache untouched and usable
+        after = bench.snapshot_rdd_ids(spark)
+        assert after <= before
+        # the pre-existing checkpoint RDD is still persisted, not freed
+        assert pre_ids <= after, "free_new_rdds released a pre-existing RDD"
+        assert pre.count() == 10
     finally:
-        pre.unpersist()
         spark.catalog.clearCache()
 
 
