@@ -301,7 +301,14 @@ def _tri_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]
     sort-merge join would SORT that stream (measured 1.7× slower at
     sf0.1: 4.6 s vs 2.8 s for the triangle core).  Per-partition hash
     build = |E|/shuffle_partitions — skew-immune because orientation
-    bounds every src's fan-out.
+    bounds every src's fan-out.  The classic edge-iterator alternative
+    (collect_list out-neighbor arrays, array_intersect per edge) was
+    measured and rejected: joining the adjacency frame onto both edge
+    endpoints replicates each node's array onto every incident edge, so
+    the join output MATERIALIZES Σ outdeg² array entries per batch
+    (OOMs the default heap at sf0.1), while the wedge join streams the
+    same Σ outdeg² exploration as transient 3-int rows through hash
+    probes that are never resident at once.
 
     Cache contract: persists the pairs frame (read by deg + oriented —
     a diamond) and the oriented edge frame (read three times: both
