@@ -24,7 +24,11 @@ pure-JVM workload (sum of id*id over spark.range(2e8)) on the same
 session. Cross-round wall-clock comparisons are only meaningful at equal
 host speed — measured same-commit drift of 8.2s → 12.4s across hours on
 this container — so the calibration pins what the machine was worth when
-the numbers were taken; divide by it to compare rounds fairly.
+the numbers were taken; divide by it to compare rounds fairly.  Since
+r08 a second axis, ``calib_shuffle_sec``, times a fixed groupBy exchange:
+the CPU calib alone mis-normalizes when the container's shuffle/IO path
+drifts independently of its ALU speed (observed same-commit: walls +9%
+while calib_jvm_sec fell 12%).
 """
 
 from __future__ import annotations
@@ -204,6 +208,21 @@ def main() -> None:
         dt = time.perf_counter() - t0
         if i > 0:
             calib = dt if calib is None else min(calib, dt)
+    # Second calibration axis (added r08): a fixed EXCHANGE workload.  The
+    # pure-JVM calib above tracks only the CPU path; same-commit drift was
+    # observed where query walls rose while calib_jvm_sec fell, because the
+    # container's shuffle/IO path degrades independently of its ALU speed.
+    # 20M rows hashed into 10k groups crosses a real partial-agg exchange
+    # whose cost moves with the same machinery the query rows exercise.
+    calib_sh = None
+    for i in range(3):
+        t0 = time.perf_counter()
+        spark.range(20_000_000).selectExpr("id % 10000 AS k").groupBy(
+            "k"
+        ).count().selectExpr("sum(count)").collect()
+        dt = time.perf_counter() - t0
+        if i > 0:
+            calib_sh = dt if calib_sh is None else min(calib_sh, dt)
     timings: dict[str, float] = {}
     for name in names:
         # clearCache below drops DataFrame caches but NOT localCheckpoint
@@ -233,6 +252,7 @@ def main() -> None:
         "queries": {n: t for n, t in timings.items() if n in HEADLINE},
         "demonstrators": demo,
         "calib_jvm_sec": round(calib, 3) if calib is not None else None,
+        "calib_shuffle_sec": round(calib_sh, 3) if calib_sh is not None else None,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
     spark.stop()
