@@ -873,7 +873,9 @@ def test_x64_triangles_match_bruteforce(spark, sf_dir):
     C(degree, 2).  When the top-20 limit doesn't bind, per-node credits
     must sum to exactly 3× the global count (each triangle credits all
     three vertices)."""
-    from big_data_project_spark.pipeline.graph import _cooccurrence_edges, triangles
+    from big_data_project_spark.pipeline.graph import (
+        _cooccurrence_edges, _tri_frames, triangles,
+    )
 
     tri_n = triangles(spark, sf_dir).count()
     p = _cooccurrence_edges(spark, sf_dir)
@@ -886,7 +888,14 @@ def test_x64_triangles_match_bruteforce(spark, sf_dir):
     assert tri_n == brute and tri_n > 0
     rows = Q["x64_triangle_count"](spark, sf_dir).collect()
     assert all(r.triangles <= r.degree * (r.degree - 1) // 2 for r in rows)
-    if len(rows) < 20:  # limit not binding → the 3T identity is checkable
+    # the 3T identity over ALL nodes (the query's top-20 limit would hide
+    # it, so recount unlimited): each triangle credits its 3 vertices
+    tri, _ = _tri_frames(spark, sf_dir)
+    total_credits = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node")).count()
+    )
+    assert total_credits == 3 * tri_n
+    if len(rows) < 20:  # limit not binding → output rows carry all credits
         assert sum(r.triangles for r in rows) == 3 * tri_n
 
 
