@@ -424,3 +424,139 @@ def x64_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("triangles").desc(), "part_key")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# Label-propagation communities (prepped for the next verification window)
+# --------------------------------------------------------------------------
+
+_LPA_ROUNDS = 3
+_LPA_MIN_WEIGHT = 2
+
+
+def _copurchase_weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric part co-purchase edges pruned to pairs co-occurring in at
+    least ``_LPA_MIN_WEIGHT`` distinct orders.  The pruning is what makes
+    community detection non-degenerate here: the unweighted graph is so
+    dense that synchronous propagation collapses it into 1-3 giant labels
+    in two rounds (measured at both fixture tiers), while weight >= 2
+    drops incidental single-order co-occurrences and leaves real cluster
+    structure (sf0.01: 440 communities, sizes 44/44/40/35/...).  Same
+    bounded per-order pair generation as `_cooccurrence_edges`."""
+    supo = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("s"))
+        .distinct()
+    )
+    a, b = supo.alias("a"), supo.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= _LPA_MIN_WEIGHT)
+        .select("u", "v")
+    )
+    return pairs.unionAll(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+
+
+def _lpa_step(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """One synchronous label-propagation round: every node adopts the most
+    frequent label among its neighbours, ties broken by SMALLEST label —
+    the deterministic tie-break that makes sync LPA (Raghavan 2007)
+    oracle-mirrorable.  Two partial-aggregated exchanges, both carrying
+    (int, int[, count]) rows only — never adjacency lists: groupBy
+    (node, label) vote counts, then a min_by((-count, label)) reduction
+    per node (an aggregation, not a window — no per-node sort)."""
+    votes = (
+        edges.join(labels, F.col("v") == F.col("node"))
+        .groupBy("u", "lbl")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        votes.groupBy("u")
+        .agg(F.expr("min_by(lbl, struct(-c, lbl))").alias("lbl"))
+        .select(F.col("u").alias("node"), "lbl")
+    )
+
+
+def lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community sizes after ``_LPA_ROUNDS`` synchronous label-propagation
+    rounds over the weight-pruned part co-purchase graph (top 20 by size,
+    ties by community id) — the fourth canonical graph workload next to
+    x51 PageRank, x43 components, and x64 triangles: community detection
+    is the domain-clustering stage of a crawl-curation stack (group pages
+    or products into topical clusters, then sample per cluster).
+    Raghavan et al. 2007's async LPA is run-order-dependent; the
+    synchronous variant with a (max count, min label) tie-break is fully
+    deterministic, so the DuckDB oracle can unroll it CTE-for-CTE.
+    Every value is an exact integer — no float rounding anywhere
+    (the x64 convention; SURVEY §4.3.1 never engages).
+
+    NOT yet registered: the r08 verification window is packed (VERDICT
+    r07 #2 caps new queries at 2 — x62/x64 took the slots); register as
+    `x65_lpa_communities` with `_LPA_ORACLE` when the next round's
+    window opens.
+
+    Scale design: fixed rounds over a persisted integer edge frame —
+    a lazy LINEAR chain, one job (the x51 cadence; no per-round persist
+    because nothing is data-dependent); each round's exchanges carry
+    (node, label) int pairs bounded by |E| and |V|, and the vote
+    aggregation partial-aggregates map-side.  Label universe = node ids,
+    so state never grows.  Composing callers own cache cleanup (the
+    registry entry point clearCache()s on entry)."""
+    edges = _copurchase_weighted_edges(spark, sf_dir).persist()
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lbl"))
+    )
+    for _ in range(_LPA_ROUNDS):
+        labels = _lpa_step(edges, labels)
+    return (
+        labels.groupBy(F.col("lbl").alias("community"))
+        .agg(F.count(F.lit(1)).alias("size"))
+        .orderBy(F.col("size").desc(), "community")
+        .limit(20)
+    )
+
+
+def _lpa_ctes(rounds: int) -> str:
+    """CTE chain unrolling ``rounds`` synchronous LPA steps — the same
+    weight-pruned edges, seed labels = node ids, and (count DESC, label
+    ASC) vote pick, expressed as a row_number window per round."""
+    ctes = [
+        """supo AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS s FROM lineitem)""",
+        f"""pairs AS (
+      SELECT a.s AS u, b.s AS v
+      FROM supo a JOIN supo b ON a.ok = b.ok AND a.s < b.s
+      GROUP BY a.s, b.s
+      HAVING count(*) >= {_LPA_MIN_WEIGHT})""",
+        """edges AS (
+      SELECT u, v FROM pairs
+      UNION ALL
+      SELECT v AS u, u AS v FROM pairs)""",
+        "lab0 AS (SELECT DISTINCT u AS node, u AS lbl FROM edges)",
+    ]
+    for k in range(1, rounds + 1):
+        ctes.append(f"""v{k} AS (
+      SELECT e.u AS node, l.lbl, count(*) AS c
+      FROM edges e JOIN lab{k - 1} l ON l.node = e.v
+      GROUP BY e.u, l.lbl)""")
+        ctes.append(f"""lab{k} AS (
+      SELECT node, lbl FROM (
+        SELECT node, lbl,
+               row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+        FROM v{k}) WHERE rn = 1)""")
+    return "WITH " + ",\n    ".join(ctes)
+
+
+_LPA_ORACLE = _lpa_ctes(_LPA_ROUNDS) + f"""
+    SELECT lbl AS community, CAST(count(*) AS BIGINT) AS size
+    FROM lab{_LPA_ROUNDS}
+    GROUP BY lbl
+    ORDER BY size DESC, community
+    LIMIT 20
+"""

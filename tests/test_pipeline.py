@@ -926,3 +926,45 @@ def test_x64_orientation_tames_star_hub_skew(spark):
     assert 0 not in outdeg  # hub emits ZERO oriented edges
     assert max(outdeg.values()) <= 2  # leaves: ≤1 hub edge + ≤1 cross edge
     spark.catalog.clearCache()
+
+
+def test_lpa_communities_parity_both_tiers(spark):
+    """Sync label propagation (prepped for the next window, not yet
+    registered): the unrolled-CTE oracle must hash-match at BOTH fixture
+    tiers — the exact check the driver will run once `x65_lpa_communities`
+    takes a slot.  All-integer output, so parity is definitional."""
+    from big_data_project_spark.pipeline.graph import _LPA_ORACLE, lpa_communities
+    from tests.conftest import SF_DIR, SF_DIR_ORACLE
+    from tests.oracle_harness import compare, duckdb_connect
+
+    for sf in (SF_DIR, SF_DIR_ORACLE):
+        try:
+            con = duckdb_connect(sf)
+            res = compare("lpa_communities", lpa_communities(spark, sf), con, _LPA_ORACLE)
+            assert res.ok, (sf, res.detail, res.mismatches[:3])
+            assert res.spark_rows > 1  # real cluster structure, not one blob
+        finally:
+            spark.catalog.clearCache()
+
+
+def test_lpa_converges_on_bridged_triangles(spark):
+    """Deterministic sync-LPA semantics on a hand-simulable graph: two
+    triangles {1,2,3} and {5,6,7} joined by one bridge edge 3–5 must end
+    as exactly two communities split at the bridge after 3 rounds (the
+    (max count, min label) tie-break propagates 1 through the left
+    triangle and 3 — carried over the bridge in round 1 — through the
+    right one; hand-traced round by round)."""
+    from big_data_project_spark.pipeline.graph import _lpa_step
+
+    und = [(1, 2), (1, 3), (2, 3), (5, 6), (5, 7), (6, 7), (3, 5)]
+    sym = und + [(v, u) for u, v in und]
+    edges = spark.createDataFrame(sym, "u long, v long")
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lbl"))
+    )
+    for _ in range(3):
+        labels = _lpa_step(edges, labels)
+    got = {r.node: r.lbl for r in labels.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 5: 3, 6: 3, 7: 3}
