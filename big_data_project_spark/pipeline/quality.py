@@ -1006,3 +1006,100 @@ def x55_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_leaked").cast("bigint").alias("n_leaked_users"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Domain routing (prepped for the next verification window)
+# --------------------------------------------------------------------------
+
+# Domain -> keyword list: the topic-mixing taxonomy public LLM-data
+# pipelines route on (Dolma / RedPajama domain buckets); keywords drawn
+# from the fixture vocabulary so every domain has real mass at all tiers.
+_DOMAINS: dict[str, tuple[str, ...]] = {
+    "aggregation": ("agg", "group", "key"),
+    "joins": ("join", "merge", "hash"),
+    "ordering": ("sort", "order", "window"),
+    "retrieval": ("query", "filter", "vector"),
+    "scan_io": ("scan", "table", "column", "line"),
+    "streaming": ("stream", "batch", "spark"),
+}
+
+
+def domain_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Route every document to the domain whose keywords OCCUR most often
+    in it (ties → alphabetically first domain), then report per-domain
+    corpus composition: (domain, n_docs, total_hits), total_hits summing
+    each routed doc's WINNING-domain occurrence count — the domain-mixing
+    census a pretraining pipeline runs before setting sampling weights
+    (each public mixture recipe starts from exactly this table).
+    Occurrence counts, not distinct-keyword hits: on short docs over a
+    small vocabulary distinct-hit scores saturate and the argmax
+    degenerates into the tie-break.  All-integer output.
+
+    NOT yet registered (same deferral as `lpa_communities`,
+    pipeline/graph.py): register as `x66_domain_router` with
+    `_DOMAIN_ORACLE` when the next round's window opens.
+
+    Scale design: explode to (doc_id, token), broadcast-join the ~20-row
+    keyword→domain map (never a shuffle against the fact side), then two
+    partial-aggregated exchanges — (doc_id, domain) hit counts bounded by
+    |docs|×|domains|, and the final |domains|-row census.  The argmax is
+    a min_by aggregation, not a window — no per-doc sort."""
+    kw_rows = [
+        (kw, dom) for dom, kws in sorted(_DOMAINS.items()) for kw in kws
+    ]
+    kw = F.broadcast(
+        spark.createDataFrame(kw_rows, "token string, domain string")
+    )
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token"))
+    )
+    hits = (
+        toks.join(kw, "token")
+        .groupBy("doc_id", "domain")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    routed = hits.groupBy("doc_id").agg(
+        F.expr("min_by(domain, struct(-c, domain))").alias("domain"),
+        F.expr("min_by(c, struct(-c, domain))").alias("doc_hits"),
+    )
+    return (
+        routed.groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_hits").alias("total_hits"),
+        )
+        .orderBy("domain")
+    )
+
+
+def _domain_oracle() -> str:
+    vals = ", ".join(
+        f"('{kw}', '{dom}')"
+        for dom, kws in sorted(_DOMAINS.items())
+        for kw in kws
+    )
+    return f"""
+    WITH kw(token, domain) AS (VALUES {vals}),
+    toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents),
+    hits AS (
+      SELECT t.doc_id, k.domain, count(*) AS c
+      FROM toks t JOIN kw k ON k.token = t.token
+      GROUP BY t.doc_id, k.domain),
+    routed AS (
+      SELECT doc_id, domain, CAST(c AS BIGINT) AS doc_hits FROM (
+        SELECT doc_id, domain, c,
+               row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, domain) AS rn
+        FROM hits) WHERE rn = 1)
+    SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_hits) AS BIGINT) AS total_hits
+    FROM routed
+    GROUP BY domain
+    ORDER BY domain
+    """
+
+
+_DOMAIN_ORACLE = _domain_oracle()

@@ -968,3 +968,27 @@ def test_lpa_converges_on_bridged_triangles(spark):
         labels = _lpa_step(edges, labels)
     got = {r.node: r.lbl for r in labels.collect()}
     assert got == {1: 1, 2: 1, 3: 1, 5: 3, 6: 3, 7: 3}
+
+
+def test_domain_router_parity_both_tiers(spark):
+    """Domain routing census (prepped for the next window alongside
+    lpa_communities): the oracle must hash-match at BOTH fixture tiers,
+    every doc must route somewhere (the keyword lists cover the fixture
+    vocabulary), and the census must partition the corpus exactly —
+    Σ n_docs = |documents|."""
+    from big_data_project_spark.io import load_table
+    from big_data_project_spark.pipeline.quality import (
+        _DOMAIN_ORACLE, domain_route_counts,
+    )
+    from tests.conftest import SF_DIR, SF_DIR_ORACLE
+    from tests.oracle_harness import compare, duckdb_connect
+
+    for sf in (SF_DIR, SF_DIR_ORACLE):
+        con = duckdb_connect(sf)
+        df = domain_route_counts(spark, sf)
+        res = compare("domain_route_counts", df, con, _DOMAIN_ORACLE)
+        assert res.ok, (sf, res.detail, res.mismatches[:3])
+        rows = df.collect()
+        assert len(rows) >= 4  # a real mixture, not one catch-all bucket
+        n_docs = load_table(spark, sf, "documents").count()
+        assert sum(r.n_docs for r in rows) == n_docs
