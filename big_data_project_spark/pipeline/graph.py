@@ -456,9 +456,16 @@ def _copurchase_weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("w") >= _LPA_MIN_WEIGHT)
         .select("u", "v")
     )
-    return pairs.unionAll(
-        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    # Symmetrize with an explode over BOTH orientations, not
+    # pairs.unionAll(pairs.swap): a self-union re-plans the whole weighted
+    # self-join as two independent subtrees, doubling the cache-build work
+    # (observed as two SortMergeJoin pyramids inside the persist boundary)
+    # — the explode is a narrow map over one pass.
+    both = F.array(
+        F.struct(F.col("u"), F.col("v")),
+        F.struct(F.col("v").alias("u"), F.col("u").alias("v")),
     )
+    return pairs.select(F.explode(both).alias("e")).select("e.u", "e.v")
 
 
 def _lpa_step(edges: DataFrame, labels: DataFrame) -> DataFrame:
@@ -506,6 +513,12 @@ def lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation partial-aggregates map-side.  Label universe = node ids,
     so state never grows.  Composing callers own cache cleanup (the
     registry entry point clearCache()s on entry)."""
+    # Plain persist, NO pre-repartition on the join key: under AQE a
+    # cached frame reports UnknownPartitioning to its consumers, so a
+    # repartition("v").persist() still gets an exchange on every round's
+    # join and just pays one extra exchange in the cache build (verified
+    # on the physical plan).  The per-round label exchange is inherent —
+    # the same trade x51's power iteration makes.
     edges = _copurchase_weighted_edges(spark, sf_dir).persist()
     labels = (
         edges.select(F.col("u").alias("node"))

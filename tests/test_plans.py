@@ -10,6 +10,7 @@ from big_data_project_spark.plans.contracts import (
     count_ops,
     has_broadcast_join,
     has_partial_agg,
+    num_shuffles,
     pushed_filters,
     read_schemas,
 )
@@ -1042,3 +1043,43 @@ def test_triangle_count_bounded_joins_no_nested_loop(spark, qs):
     assert count_ops(df, "BatchEvalPython") + count_ops(df, "ArrowEvalPython") == 0
     assert "TakeOrderedAndProject" in text
     assert text.count("InMemoryTableScan") >= 2
+
+
+def test_lpa_communities_plan_contract(spark):
+    """Prepped x65 (unregistered): the 3-round sync-LPA chain must stay a
+    single lazy plan with the edge frame read from cache once per round
+    plus the seed (4 InMemoryTableScan), argmax as aggregation (zero
+    Window nodes), no Python, no cartesian, and a bounded exchange count
+    — the weighted-edge build is ONE self-join pyramid (the explode
+    symmetrization; a self-union doubles it) so the whole plan stays
+    under 24 exchanges where the union form measured 34."""
+    from big_data_project_spark.pipeline.graph import lpa_communities
+    from big_data_project_spark.plans.contracts import plan_str
+
+    try:
+        df = lpa_communities(spark, SF)
+        text = plan_str(df, "simple")
+        assert count_ops(df, "CartesianProduct") == 0
+        assert count_ops(df, "BatchEvalPython") + count_ops(df, "ArrowEvalPython") == 0
+        assert count_ops(df, "Window") == 0
+        assert text.count("InMemoryTableScan") == 4
+        assert num_shuffles(df) <= 24, num_shuffles(df)
+        assert "TakeOrderedAndProject" in text
+    finally:
+        spark.catalog.clearCache()
+
+
+def test_domain_router_plan_contract(spark):
+    """Prepped x66 (unregistered): the keyword map must broadcast (1
+    BroadcastHashJoin, 0 sort-merge — the fact side never shuffles for
+    the join), the argmax is aggregation not Window, and the whole census
+    is ≤4 exchanges (doc-domain votes, per-doc argmax, domain census +
+    output sort), all JVM-side."""
+    from big_data_project_spark.pipeline.quality import domain_route_counts
+
+    df = domain_route_counts(spark, SF)
+    assert count_ops(df, "BroadcastHashJoin") == 1
+    assert count_ops(df, "SortMergeJoin") + count_ops(df, "ShuffledHashJoin") == 0
+    assert count_ops(df, "Window") == 0
+    assert count_ops(df, "BatchEvalPython") + count_ops(df, "ArrowEvalPython") == 0
+    assert num_shuffles(df) <= 4, num_shuffles(df)
