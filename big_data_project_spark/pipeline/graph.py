@@ -53,11 +53,15 @@ def _graph_frames(spark: SparkSession, sf_dir: str):
         )
         .distinct()
     )
-    edges = (
-        pairs.select(F.col("cnode").alias("src"), F.col("snode").alias("dst"))
-        .unionAll(pairs.select(F.col("snode").alias("src"), F.col("cnode").alias("dst")))
-        .persist()
+    # Symmetrize with an explode over both orientations in ONE pass — a
+    # pairs.unionAll(pairs.swap) would re-plan the orders⨝lineitem join
+    # as two independent subtrees and double the cache-fill work (the
+    # r08 LPA finding, `_copurchase_weighted_edges`).
+    both = F.array(
+        F.struct(F.col("cnode").alias("src"), F.col("snode").alias("dst")),
+        F.struct(F.col("snode").alias("src"), F.col("cnode").alias("dst")),
     )
+    edges = pairs.select(F.explode(both).alias("e")).select("e.src", "e.dst").persist()
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).persist()
     # outdeg is loop-invariant: fold it into the edge frame ONCE so each
     # iteration pays a single join, not an edges⨝ranks⨝deg pair.  All
