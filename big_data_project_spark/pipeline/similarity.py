@@ -1668,11 +1668,24 @@ def _checkpointed_gsym(spark: SparkSession, sf_dir: str) -> DataFrame:
     each query's leftover checkpoint RDDs between rows via the
     delta-based getPersistentRDDs pattern."""
     gram = x59_embedding_gram(spark, sf_dir)
-    return gram.unionByName(
-        gram.filter(F.col("i") != F.col("j")).select(
-            F.col("j").alias("i"), F.col("i").alias("j"), "g"
-        )
-    ).localCheckpoint()
+    # Mirror the upper triangle with an explode over one pass, NOT
+    # gram.unionByName(gram.filter(...)): a self-union re-plans the whole
+    # Arrow Gram kernel (and its corpus scan) as two independent subtrees,
+    # and the checkpoint materialization ran BOTH — the corpus was scanned
+    # twice just to build gsym (the r08 self-union finding, see
+    # graph.py:_copurchase_weighted_edges).
+    cell = F.struct("i", "j", "g")
+    mirror = F.struct(
+        F.col("j").alias("i"), F.col("i").alias("j"), F.col("g").alias("g")
+    )
+    both = F.when(F.col("i") == F.col("j"), F.array(cell)).otherwise(
+        F.array(cell, mirror)
+    )
+    return (
+        gram.select(F.explode(both).alias("c"))
+        .select("c.i", "c.j", "c.g")
+        .localCheckpoint()
+    )
 
 
 def _power_direction(gsym: DataFrame) -> DataFrame:
