@@ -874,12 +874,6 @@ def star_contract(pairs: DataFrame, max_rounds: int = 12) -> tuple[DataFrame, in
     silently corrupted labels.  Superseded per-round checkpoint blocks
     are released by the ContextCleaner as each round's frame goes out of
     scope; only the final edge set stays referenced."""
-    # no persist on members: it feeds exactly one join in the read-out
-    members = (
-        pairs.select(F.col("u").alias("doc_id"))
-        .unionByName(pairs.select(F.col("v").alias("doc_id")))
-        .distinct()
-    )
     # localCheckpoint (not just persist) each round: persist truncates
     # recomputation but NOT lineage, so after k rounds Catalyst re-plans a
     # 2^k-deep nested tree (the exceptAll doubles it) — measured minutes of
@@ -901,6 +895,19 @@ def star_contract(pairs: DataFrame, max_rounds: int = 12) -> tuple[DataFrame, in
         return tuple(row)
 
     edges = _canonical_edges(pairs).localCheckpoint(eager=True)
+    # Node membership from the CHECKPOINTED canonical leaf, not from
+    # `pairs`: a pairs.unionByName(pairs.swap) would re-plan the caller's
+    # whole pair pipeline (for x43, LSH generation) as two more subtrees
+    # executed at the read-out action — the eager checkpoint above is the
+    # only execution of it now (r08 self-union finding).  Equivalent
+    # because canonicalization preserves endpoints; callers must pass a
+    # loop-free pair list (u != v) or self-loop-only nodes are dropped,
+    # which the star read-out could not label meaningfully anyway.
+    members = (
+        edges.select(F.col("hi").alias("doc_id"))
+        .unionByName(edges.select(F.col("lo").alias("doc_id")))
+        .distinct()
+    )
     prev_sum = _checksum(edges)
     rounds = 0
     converged = False
