@@ -212,12 +212,15 @@ def main() -> None:
     # pure-JVM calib above tracks only the CPU path; same-commit drift was
     # observed where query walls rose while calib_jvm_sec fell, because the
     # container's shuffle/IO path degrades independently of its ALU speed.
-    # 20M rows hashed into 10k groups crosses a real partial-agg exchange
-    # whose cost moves with the same machinery the query rows exercise.
+    # The key space must be HIGH-cardinality (10M distinct over 20M rows):
+    # with few groups, map-side partial aggregation collapses each task to
+    # |groups| rows before the exchange and the "shuffle" calib would time
+    # the same ALU path as calib_jvm_sec — here nearly all 20M rows
+    # genuinely serialize through the exchange.
     calib_sh = None
     for i in range(3):
         t0 = time.perf_counter()
-        spark.range(20_000_000).selectExpr("id % 10000 AS k").groupBy(
+        spark.range(20_000_000).selectExpr("id % 10000000 AS k").groupBy(
             "k"
         ).count().selectExpr("sum(count)").collect()
         dt = time.perf_counter() - t0

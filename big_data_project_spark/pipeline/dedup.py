@@ -865,8 +865,10 @@ def _small_star(edges: DataFrame) -> DataFrame:
 
 def star_contract(pairs: DataFrame, max_rounds: int = 12) -> tuple[DataFrame, int]:
     """Alternate large-star / small-star over an undirected edge list
-    (columns u, v) until the canonical edge set reaches fixpoint; return
-    (labels, rounds_used).  At fixpoint the graph is a union of stars
+    (columns u, v; PRECONDITION: loop-free, u != v — self-loop-only
+    nodes would be silently absent from the output labels since r08's
+    membership read-out, see the members note below) until the canonical
+    edge set reaches fixpoint; return (labels, rounds_used).  At fixpoint the graph is a union of stars
     centered on component minima, so the label read-out is one
     projection: children label with their (unique) neighbor, centers
     with themselves.  Raises if max_rounds is exhausted before fixpoint —
@@ -903,10 +905,16 @@ def star_contract(pairs: DataFrame, max_rounds: int = 12) -> tuple[DataFrame, in
     # because canonicalization preserves endpoints; callers must pass a
     # loop-free pair list (u != v) or self-loop-only nodes are dropped,
     # which the star read-out could not label meaningfully anyway.
+    # Eager checkpoint on members too: left lazy, it would keep a lineage
+    # reference to the round-0 edge blocks until the read-out action,
+    # defeating the docstring's promise that superseded per-round
+    # checkpoints are released as the loop advances.  It is one tiny job
+    # over node ids, off the already-materialized leaf.
     members = (
         edges.select(F.col("hi").alias("doc_id"))
         .unionByName(edges.select(F.col("lo").alias("doc_id")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     prev_sum = _checksum(edges)
     rounds = 0

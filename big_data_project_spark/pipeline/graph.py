@@ -416,17 +416,27 @@ def x64_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     out-degree by O(sqrt(m)), taming power-law hubs — the wedge set is
     Σ outdeg², not Σ deg²; (4) the degree frame is computed once and
     shared between orientation and the output join (`_tri_frames`)."""
+    return (
+        triangle_counts_per_node(spark, sf_dir)
+        .orderBy(F.col("triangles").desc(), "part_key")
+        .limit(20)
+    )
+
+
+def triangle_counts_per_node(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UNLIMITED (part_key, triangles, degree) frame behind x64 —
+    split out so the 3T credit identity (Σ triangles = 3·|triangles|,
+    each triangle crediting all three vertices) is testable through the
+    query's OWN explode/aggregate/join path even when the top-20 limit
+    binds (tests/test_pipeline.py)."""
     tri, deg = _tri_frames(spark, sf_dir)
     cnt = (
         tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("triangles"))
     )
-    return (
-        cnt.join(deg, "node")
-        .select(F.col("node").alias("part_key"), "triangles", "degree")
-        .orderBy(F.col("triangles").desc(), "part_key")
-        .limit(20)
+    return cnt.join(deg, "node").select(
+        F.col("node").alias("part_key"), "triangles", "degree"
     )
 
 

@@ -1034,7 +1034,10 @@ def domain_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (each public mixture recipe starts from exactly this table).
     Occurrence counts, not distinct-keyword hits: on short docs over a
     small vocabulary distinct-hit scores saturate and the argmax
-    degenerates into the tie-break.  All-integer output.
+    degenerates into the tie-break.  All-integer output.  Documents with
+    ZERO keyword occurrences land in an explicit 'unrouted' bucket (left
+    join from the corpus), so the census partitions the corpus BY
+    CONSTRUCTION — a silently dropped doc cannot under-report the total.
 
     NOT yet registered (same deferral as `lpa_communities`,
     pipeline/graph.py): register as `x66_domain_router` with
@@ -1044,25 +1047,30 @@ def domain_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyword→domain map (never a shuffle against the fact side), then two
     partial-aggregated exchanges — (doc_id, domain) hit counts bounded by
     |docs|×|domains|, and the final |domains|-row census.  The argmax is
-    a min_by aggregation, not a window — no per-doc sort."""
+    a min_by aggregation, not a window — no per-doc sort; the unrouted
+    backfill is one id-keyed join of two |docs|-row integer frames."""
     kw_rows = [
         (kw, dom) for dom, kws in sorted(_DOMAINS.items()) for kw in kws
     ]
     kw = F.broadcast(
         spark.createDataFrame(kw_rows, "token string, domain string")
     )
-    toks = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token"))
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
     )
     hits = (
         toks.join(kw, "token")
         .groupBy("doc_id", "domain")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    routed = hits.groupBy("doc_id").agg(
+    scored = hits.groupBy("doc_id").agg(
         F.expr("min_by(domain, struct(-c, domain))").alias("domain"),
         F.expr("min_by(c, struct(-c, domain))").alias("doc_hits"),
+    )
+    routed = docs.select("doc_id").join(scored, "doc_id", "left").select(
+        F.coalesce("domain", F.lit("unrouted")).alias("domain"),
+        F.coalesce("doc_hits", F.lit(0).cast("long")).alias("doc_hits"),
     )
     return (
         routed.groupBy("domain")
@@ -1089,11 +1097,15 @@ def _domain_oracle() -> str:
       SELECT t.doc_id, k.domain, count(*) AS c
       FROM toks t JOIN kw k ON k.token = t.token
       GROUP BY t.doc_id, k.domain),
-    routed AS (
+    scored AS (
       SELECT doc_id, domain, CAST(c AS BIGINT) AS doc_hits FROM (
         SELECT doc_id, domain, c,
                row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, domain) AS rn
-        FROM hits) WHERE rn = 1)
+        FROM hits) WHERE rn = 1),
+    routed AS (
+      SELECT COALESCE(s.domain, 'unrouted') AS domain,
+             COALESCE(s.doc_hits, 0) AS doc_hits
+      FROM documents d LEFT JOIN scored s USING (doc_id))
     SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(doc_hits) AS BIGINT) AS total_hits
     FROM routed

@@ -874,7 +874,7 @@ def test_x64_triangles_match_bruteforce(spark, sf_dir):
     must sum to exactly 3× the global count (each triangle credits all
     three vertices)."""
     from big_data_project_spark.pipeline.graph import (
-        _cooccurrence_edges, _tri_frames, triangles,
+        _cooccurrence_edges, triangle_counts_per_node, triangles,
     )
 
     tri_n = triangles(spark, sf_dir).count()
@@ -888,15 +888,16 @@ def test_x64_triangles_match_bruteforce(spark, sf_dir):
     assert tri_n == brute and tri_n > 0
     rows = Q["x64_triangle_count"](spark, sf_dir).collect()
     assert all(r.triangles <= r.degree * (r.degree - 1) // 2 for r in rows)
-    # the 3T identity over ALL nodes (the query's top-20 limit would hide
-    # it, so recount unlimited): each triangle credits its 3 vertices
-    tri, _ = _tri_frames(spark, sf_dir)
-    total_credits = (
-        tri.select(F.explode(F.array("a", "b", "c")).alias("node")).count()
-    )
-    assert total_credits == 3 * tri_n
-    if len(rows) < 20:  # limit not binding → output rows carry all credits
-        assert sum(r.triangles for r in rows) == 3 * tri_n
+    # the 3T identity over ALL nodes THROUGH the query's own
+    # explode/aggregate/join path (the unlimited builder behind x64 —
+    # recounting from the tri frame directly would be a tautology and
+    # the top-20 limit would hide a miscrediting aggregation)
+    try:
+        full = triangle_counts_per_node(spark, sf_dir).collect()
+        assert sum(r.triangles for r in full) == 3 * tri_n
+        assert len({r.part_key for r in full}) == len(full)  # one row per node
+    finally:
+        spark.catalog.clearCache()
 
 
 def test_x64_orientation_tames_star_hub_skew(spark):

@@ -150,8 +150,11 @@ edges_strategy = st.lists(
 @given(edges=edges_strategy)
 def test_star_contraction_matches_union_find(spark, edges):
     """x43's star contraction must agree with a reference union-find on
-    ANY graph — self-loops, multi-edges, multiple components, cycles —
-    not just the fixture's planted pairs and the chain test's path."""
+    ANY loop-free graph — multi-edges, multiple components, cycles —
+    not just the fixture's planted pairs and the chain test's path.
+    Self-loops are pre-filtered here because they are OUTSIDE
+    star_contract's documented contract (u != v): a self-loop-only node
+    would be absent from its labels output."""
     from big_data_project_spark.pipeline.dedup import star_contract
 
     real = [(u, v) for u, v in edges if u != v]

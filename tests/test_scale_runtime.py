@@ -208,6 +208,9 @@ def test_bench_frees_checkpoint_rdds_between_rows(spark, sf_dir):
         assert pre_ids <= after, "free_new_rdds released a pre-existing RDD"
         assert pre.count() == 10
     finally:
+        # clearCache does NOT release checkpoint RDDs — free everything
+        # this test created (pre included) so the session stays clean
+        bench.free_new_rdds(spark, base)
         spark.catalog.clearCache()
 
 
