@@ -508,7 +508,9 @@ def lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     ties by community id) — the fourth canonical graph workload next to
     x51 PageRank, x43 components, and x64 triangles: community detection
     is the domain-clustering stage of a crawl-curation stack (group pages
-    or products into topical clusters, then sample per cluster).
+    or products into topical clusters, then sample per cluster; the
+    reference's corpus analytics are the same scored-entity shape,
+    big_data_project/trainer/flax_model.py).
     Raghavan et al. 2007's async LPA is run-order-dependent; the
     synchronous variant with a (max count, min label) tie-break is fully
     deterministic, so the DuckDB oracle can unroll it CTE-for-CTE.

@@ -1041,7 +1041,10 @@ def domain_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     NOT yet registered (same deferral as `lpa_communities`,
     pipeline/graph.py): register as `x66_domain_router` with
-    `_DOMAIN_ORACLE` when the next round's window opens.
+    `_DOMAIN_ORACLE` when the next round's window opens.  Reference
+    analog: the validity-gated input routing ahead of training
+    (big_data_project/trainer/flax_model.py:70-95) — same
+    classify-then-partition shape over a corpus.
 
     Scale design: explode to (doc_id, token), broadcast-join the ~20-row
     keyword→domain map (never a shuffle against the fact side), then two
