@@ -551,6 +551,37 @@ def lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lpa_labels_deep(
+    spark: SparkSession,
+    sf_dir: str,
+    rounds: int = 10,
+    checkpoint_every: int | None = 5,
+) -> DataFrame:
+    """Deep-iteration sync LPA: the `lpa_communities` round driven past
+    the lazy-chain sweet spot with a ``localCheckpoint`` every
+    ``checkpoint_every`` generations — the `pagerank_ranks_deep` cadence
+    (graph.py:100): each checkpoint truncates lineage to a materialized
+    leaf so optimizer re-analysis stays bounded by the window since the
+    last checkpoint, the production form past ~10 rounds.  Exactly
+    value-equivalent to the all-lazy chain at ANY cadence — every value
+    in the recurrence is an exact integer, so chain topology cannot
+    change results (no float-quantization caveat needed, unlike
+    PageRank).  Returns the (node, lbl) frame after ``rounds`` steps.
+    Same cache contract as lpa_communities: composing callers own
+    cleanup."""
+    edges = _copurchase_weighted_edges(spark, sf_dir).persist()
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lbl"))
+    )
+    for k in range(1, rounds + 1):
+        labels = _lpa_step(edges, labels)
+        if checkpoint_every and k % checkpoint_every == 0 and k < rounds:
+            labels = labels.localCheckpoint(eager=True)
+    return labels
+
+
 def _lpa_ctes(rounds: int) -> str:
     """CTE chain unrolling ``rounds`` synchronous LPA steps — the same
     weight-pruned edges, seed labels = node ids, and (count DESC, label

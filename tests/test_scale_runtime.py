@@ -233,3 +233,25 @@ def test_bpe_train_releases_previous_generations(spark, sf_dir):
         assert after - before <= 4, f"cached generations leaked: {after - before}"
     finally:
         spark.catalog.clearCache()
+
+
+def test_lpa_deep_checkpoint_cadence_value_equivalent(spark, sf_dir):
+    """lpa_labels_deep (prepped x65 family): the checkpointed 6-round run
+    must return EXACTLY the all-lazy chain's labels — the recurrence is
+    all-integer, so chain topology cannot change values (stronger than
+    the PageRank analog, which needs per-step quantization for this) —
+    and each checkpoint must truncate the plan: the checkpointed chain's
+    analyzed plan is a small fraction of the lazy one's."""
+    from big_data_project_spark.pipeline.graph import lpa_labels_deep
+
+    try:
+        deep = lpa_labels_deep(spark, sf_dir, rounds=6, checkpoint_every=3)
+        lazy = lpa_labels_deep(spark, sf_dir, rounds=6, checkpoint_every=None)
+        deep_plan = len(deep._jdf.queryExecution().analyzed().toString())
+        lazy_plan = len(lazy._jdf.queryExecution().analyzed().toString())
+        assert deep_plan * 2 < lazy_plan, (deep_plan, lazy_plan)
+        d = sorted(map(tuple, deep.collect()))
+        l = sorted(map(tuple, lazy.collect()))
+        assert d == l and len(d) > 0
+    finally:
+        spark.catalog.clearCache()
