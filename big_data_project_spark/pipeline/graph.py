@@ -517,10 +517,9 @@ def lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     Every value is an exact integer — no float rounding anywhere
     (the x64 convention; SURVEY §4.3.1 never engages).
 
-    NOT yet registered: the r08 verification window is packed (VERDICT
-    r07 #2 caps new queries at 2 — x62/x64 took the slots); register as
-    `x65_lpa_communities` with `_LPA_ORACLE` when the next round's
-    window opens.
+    Registered as `x65_lpa_communities` at module bottom (the oracle CTE
+    chain is built below this function); held out of the packed r08
+    window per VERDICT r07 #2, registered r09 per VERDICT r08 #2.
 
     Scale design: fixed rounds over a persisted integer edge frame —
     a lazy LINEAR chain, one job (the x51 cadence; no per-round persist
@@ -620,3 +619,7 @@ _LPA_ORACLE = _lpa_ctes(_LPA_ROUNDS) + f"""
     ORDER BY size DESC, community
     LIMIT 20
 """
+
+# Registered here (not via decorator) because the oracle CTE chain above
+# is generated from the same _LPA_ROUNDS constant the function iterates.
+query("x65_lpa_communities", oracle=_LPA_ORACLE)(lpa_communities)

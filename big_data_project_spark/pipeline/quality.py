@@ -1039,9 +1039,9 @@ def domain_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     join from the corpus), so the census partitions the corpus BY
     CONSTRUCTION — a silently dropped doc cannot under-report the total.
 
-    NOT yet registered (same deferral as `lpa_communities`,
-    pipeline/graph.py): register as `x66_domain_router` with
-    `_DOMAIN_ORACLE` when the next round's window opens.  Reference
+    Registered as `x66_domain_router` at module bottom (the oracle is
+    generated from the same _DOMAINS map); held out of the packed r08
+    window, registered r09 per VERDICT r08 #2.  Reference
     analog: the validity-gated input routing ahead of training
     (big_data_project/trainer/flax_model.py:70-95) — same
     classify-then-partition shape over a corpus.
@@ -1118,3 +1118,7 @@ def _domain_oracle() -> str:
 
 
 _DOMAIN_ORACLE = _domain_oracle()
+
+# Registered here (not via decorator) because the oracle is generated
+# from the same _DOMAINS map the function broadcasts.
+query("x66_domain_router", oracle=_DOMAIN_ORACLE)(domain_route_counts)
