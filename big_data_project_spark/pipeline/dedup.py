@@ -865,9 +865,10 @@ def _small_star(edges: DataFrame) -> DataFrame:
 
 def star_contract(pairs: DataFrame, max_rounds: int = 12) -> tuple[DataFrame, int]:
     """Alternate large-star / small-star over an undirected edge list
-    (columns u, v; PRECONDITION: loop-free, u != v — self-loop-only
-    nodes would be silently absent from the output labels since r08's
-    membership read-out, see the members note below) until the canonical
+    (columns u, v; PRECONDITION: loop-free, u != v — ENFORCED below with
+    a raise, because self-loop-only nodes would otherwise be silently
+    absent from the output labels since r08's membership read-out, see
+    the members note below) until the canonical
     edge set reaches fixpoint; return (labels, rounds_used).  At fixpoint the graph is a union of stars
     centered on component minima, so the label read-out is one
     projection: children label with their (unique) neighbor, centers
@@ -896,15 +897,35 @@ def star_contract(pairs: DataFrame, max_rounds: int = 12) -> tuple[DataFrame, in
         ).collect()[0]
         return tuple(row)
 
-    edges = _canonical_edges(pairs).localCheckpoint(eager=True)
+    # Canonicalize WITHOUT the loop filter so the precondition is
+    # checkable on the checkpointed leaf itself: checking `pairs` directly
+    # would re-execute the caller's whole pair pipeline (for x43, LSH
+    # generation) just to validate, where this costs one narrow isEmpty
+    # job over the already-materialized leaf.
+    raw = (
+        pairs.select(
+            F.greatest("u", "v").alias("hi"), F.least("u", "v").alias("lo")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if not raw.filter(F.col("hi") == F.col("lo")).isEmpty():
+        raise ValueError(
+            "star_contract requires a loop-free pair list (u != v): "
+            "self-loop-only nodes cannot be labeled by the star read-out "
+            "and would be silently dropped from the output"
+        )
+    edges = raw.filter(F.col("hi") != F.col("lo"))
+    # Drop the extra name so `edges` is the only reference to the round-0
+    # leaf and its blocks release on rebinding, as the docstring promises.
+    del raw
     # Node membership from the CHECKPOINTED canonical leaf, not from
     # `pairs`: a pairs.unionByName(pairs.swap) would re-plan the caller's
-    # whole pair pipeline (for x43, LSH generation) as two more subtrees
-    # executed at the read-out action — the eager checkpoint above is the
-    # only execution of it now (r08 self-union finding).  Equivalent
-    # because canonicalization preserves endpoints; callers must pass a
-    # loop-free pair list (u != v) or self-loop-only nodes are dropped,
-    # which the star read-out could not label meaningfully anyway.
+    # whole pair pipeline as two more subtrees executed at the read-out
+    # action — the eager checkpoint above is the only execution of it now
+    # (r08 self-union finding).  Equivalent because canonicalization
+    # preserves endpoints, and the loop guard above makes the loop-free
+    # precondition fail loudly instead of corrupting the label set.
     # Eager checkpoint on members too: left lazy, it would keep a lineage
     # reference to the round-0 edge blocks until the read-out action,
     # defeating the docstring's promise that superseded per-round

@@ -315,8 +315,9 @@ def _tri_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]
     probes that are never resident at once.
 
     Cache contract: persists the pairs frame (read by deg + oriented —
-    a diamond) and the oriented edge frame (read three times: both
-    wedge legs + the closure probe); the registry entry point
+    a diamond), the |V|-bounded deg frame (read by oriented and by
+    per-node output joins), and the oriented edge frame (read three
+    times: both wedge legs + the closure probe); the registry entry point
     clearCache()s on entry, composing callers own cleanup (the
     x51_pagerank convention)."""
     return triangles_of_edges(_cooccurrence_edges(spark, sf_dir))
@@ -352,11 +353,16 @@ def triangles_of_edges(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
     produce).  Algorithm, join strategy, and cache contract: see
     `_tri_frames`."""
     pairs = edges.persist()
+    # deg is |V|-bounded and consumed twice (materializing the oriented
+    # frame here, and again in per-node output joins) — persist it so the
+    # union+groupBy over pairs genuinely runs once, as _tri_frames'
+    # "computed once" contract promises.
     deg = (
         pairs.select(F.col("u").alias("node"))
         .unionAll(pairs.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("degree"))
+        .persist()
     )
     oriented = _orient(pairs, deg).persist()
     e1 = oriented.alias("e1")

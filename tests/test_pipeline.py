@@ -704,6 +704,19 @@ def test_star_contraction_on_long_chain(spark):
     assert rounds <= 8, f"star contraction took {rounds} rounds on a 64-chain"
 
 
+def test_star_contract_rejects_self_loops(spark):
+    """The loop-free precondition fails LOUDLY (ADVICE r08): since the
+    membership read-out derives from the canonical (loop-filtered) edge
+    leaf, a self-loop-only node would silently vanish from the labels —
+    the guard turns that into a ValueError at the checkpointed leaf,
+    without re-executing the caller's pair pipeline."""
+    from big_data_project_spark.pipeline.dedup import star_contract
+
+    pairs = spark.createDataFrame([(1, 2), (3, 3)], "u long, v long")
+    with pytest.raises(ValueError, match="loop-free"):
+        star_contract(pairs)
+
+
 # --- round-5 additions: structural invariants beyond the value oracles ------
 
 
@@ -843,6 +856,11 @@ def test_replicated_gram_is_invariant(spark, sf_dir):
     # round to the adjacent step (ADVICE r07).  In practice the +1e-9
     # nudge keeps sums off boundaries and the cells come back identical.
     assert all(abs(r[2] - b[2]) <= 1e-4 + 1e-12 for r, b in zip(rep, base))
+    # ...and boundary flips must stay ISOLATED: a genuine sub-1e-4 kernel
+    # regression shifts cells systematically, while rounding-order ulps
+    # touch at most a handful of boundary-straddling cells (ADVICE r08).
+    n_diff = sum(1 for r, b in zip(rep, base) if r[2] != b[2])
+    assert n_diff < 0.01 * len(base), f"{n_diff}/{len(base)} cells drifted"
 
 
 def test_pca_top2_extends_x61_and_orders_energy(spark, sf_dir):
@@ -914,19 +932,23 @@ def test_x64_orientation_tames_star_hub_skew(spark):
     hub = [(0, i) for i in range(1, n)]
     cross = [(2 * k, 2 * k + 1) for k in range(1, 40)]  # 39 leaf-leaf edges
     edges = spark.createDataFrame(hub + cross, "u long, v long")
-    tri, deg = triangles_of_edges(edges)
-    rows = tri.collect()
-    assert len(rows) == 39
-    assert all(0 in (r.a, r.b, r.c) for r in rows)  # all go through the hub
-    deg_map = {r.node: r.degree for r in deg.collect()}
-    assert deg_map[0] == n - 1  # raw hub degree IS the worst case
-    outdeg = {
-        r.src: r.od
-        for r in _orient(edges, deg).groupBy("src").agg(F.count(F.lit(1)).alias("od")).collect()
-    }
-    assert 0 not in outdeg  # hub emits ZERO oriented edges
-    assert max(outdeg.values()) <= 2  # leaves: ≤1 hub edge + ≤1 cross edge
-    spark.catalog.clearCache()
+    try:
+        tri, deg = triangles_of_edges(edges)
+        rows = tri.collect()
+        assert len(rows) == 39
+        assert all(0 in (r.a, r.b, r.c) for r in rows)  # all go through the hub
+        deg_map = {r.node: r.degree for r in deg.collect()}
+        assert deg_map[0] == n - 1  # raw hub degree IS the worst case
+        outdeg = {
+            r.src: r.od
+            for r in _orient(edges, deg).groupBy("src").agg(F.count(F.lit(1)).alias("od")).collect()
+        }
+        assert 0 not in outdeg  # hub emits ZERO oriented edges
+        assert max(outdeg.values()) <= 2  # leaves: ≤1 hub edge + ≤1 cross edge
+    finally:
+        # persisted frames must not leak into the shared session on an
+        # assertion failure (ADVICE r08)
+        spark.catalog.clearCache()
 
 
 def test_lpa_communities_parity_both_tiers(spark):
