@@ -454,7 +454,9 @@ _LPA_ROUNDS = 3
 _LPA_MIN_WEIGHT = 2
 
 
-def _copurchase_weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _copurchase_weighted_edges(
+    spark: SparkSession, sf_dir: str, keep_weight: bool = False
+) -> DataFrame:
     """Symmetric part co-purchase edges pruned to pairs co-occurring in at
     least ``_LPA_MIN_WEIGHT`` distinct orders.  The pruning is what makes
     community detection non-degenerate here: the unweighted graph is so
@@ -462,7 +464,11 @@ def _copurchase_weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     in two rounds (measured at both fixture tiers), while weight >= 2
     drops incidental single-order co-occurrences and leaves real cluster
     structure (sf0.01: 440 communities, sizes 44/44/40/35/...).  Same
-    bounded per-order pair generation as `_cooccurrence_edges`."""
+    bounded per-order pair generation as `_cooccurrence_edges`.
+    ``keep_weight=True`` keeps the co-occurrence count as an integer
+    ``w`` column on every directed edge (the x67 personalized-PageRank
+    edge weight); the unweighted shape stays the LPA default so its
+    persisted frame and oracle are unchanged."""
     supo = (
         load_table(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("s"))
@@ -474,7 +480,6 @@ def _copurchase_weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
         .agg(F.count(F.lit(1)).alias("w"))
         .filter(F.col("w") >= _LPA_MIN_WEIGHT)
-        .select("u", "v")
     )
     # Symmetrize with an explode over BOTH orientations, not
     # pairs.unionAll(pairs.swap): a self-union re-plans the whole weighted
@@ -482,10 +487,11 @@ def _copurchase_weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (observed as two SortMergeJoin pyramids inside the persist boundary)
     # — the explode is a narrow map over one pass.
     both = F.array(
-        F.struct(F.col("u"), F.col("v")),
-        F.struct(F.col("v").alias("u"), F.col("u").alias("v")),
+        F.struct(F.col("u"), F.col("v"), F.col("w")),
+        F.struct(F.col("v").alias("u"), F.col("u").alias("v"), F.col("w")),
     )
-    return pairs.select(F.explode(both).alias("e")).select("e.u", "e.v")
+    cols = ["e.u", "e.v"] + (["e.w"] if keep_weight else [])
+    return pairs.select(F.explode(both).alias("e")).select(*cols)
 
 
 def _lpa_step(edges: DataFrame, labels: DataFrame) -> DataFrame:
@@ -629,3 +635,173 @@ _LPA_ORACLE = _lpa_ctes(_LPA_ROUNDS) + f"""
 # Registered here (not via decorator) because the oracle CTE chain above
 # is generated from the same _LPA_ROUNDS constant the function iterates.
 query("x65_lpa_communities", oracle=_LPA_ORACLE)(lpa_communities)
+
+
+# --------------------------------------------------------------------------
+# Weighted personalized PageRank (VERDICT r08 #6)
+# --------------------------------------------------------------------------
+
+_PPR_ITERS = 3
+_PPR_DAMP = 0.85
+# Topic = one brand's parts: decent seed mass in the pruned graph at every
+# fixture tier (sf0.001: 10 of 200 nodes; sf0.01: 88 of 3 445).
+_PPR_SEED_BRAND = "Brand#19"
+
+
+def _ppr_ctes(iters: int) -> str:
+    """CTE chain unrolling ``iters`` weighted personalized-PageRank steps
+    over the weight-pruned co-purchase graph: teleport mass uniform over
+    the seed set (one brand's parts), edge contributions weighted by
+    co-occurrence count / total out-weight, each iteration quantized to
+    10 decimals — the x51 convention so float reduction-order ulps
+    cannot compound."""
+    d = _PPR_DAMP
+    ctes = [
+        """supo AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS s FROM lineitem)""",
+        f"""pw AS (
+      SELECT a.s AS u, b.s AS v, count(*) AS w
+      FROM supo a JOIN supo b ON a.ok = b.ok AND a.s < b.s
+      GROUP BY a.s, b.s
+      HAVING count(*) >= {_LPA_MIN_WEIGHT})""",
+        """edges AS (
+      SELECT u, v, w FROM pw
+      UNION ALL
+      SELECT v AS u, u AS v, w FROM pw)""",
+        """wdeg AS (
+      SELECT u AS src, CAST(sum(w) AS BIGINT) AS wout FROM edges GROUP BY u)""",
+        f"""seeds AS (
+      SELECT DISTINCT e.u AS node
+      FROM edges e JOIN part p
+        ON p.p_partkey = e.u AND p.p_brand = '{_PPR_SEED_BRAND}')""",
+        """tp AS (
+      SELECT node, round(1.0 / (SELECT count(*) FROM seeds) + 1e-12, 10) AS p
+      FROM seeds)""",
+        "r0 AS (SELECT node AS node_id, p AS r FROM tp)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(f"""c{k} AS (
+      SELECT e.v AS node_id, sum(r.r * e.w / dg.wout) AS contrib
+      FROM edges e
+      JOIN r{k - 1} r ON r.node_id = e.u
+      JOIN wdeg dg ON dg.src = e.u
+      GROUP BY e.v)""")
+        ctes.append(f"""r{k} AS (
+      SELECT c.node_id,
+             round((1 - {d}) * coalesce(t.p, 0) + {d} * c.contrib + 1e-12,
+                   10) AS r
+      FROM c{k} c LEFT JOIN tp t ON t.node = c.node_id)""")
+    return "WITH " + ",\n    ".join(ctes)
+
+
+@query(
+    "x67_personalized_pagerank",
+    oracle=_ppr_ctes(_PPR_ITERS) + f"""
+    SELECT r.node_id AS part_key, round(r.r + 1e-9, 6) AS ppr,
+           dg.wout AS wdeg,
+           CASE WHEN t.node IS NULL THEN 0 ELSE 1 END AS is_seed
+    FROM r{_PPR_ITERS} r
+    JOIN wdeg dg ON dg.src = r.node_id
+    LEFT JOIN tp t ON t.node = r.node_id
+    ORDER BY ppr DESC, part_key
+    LIMIT 25
+    """,
+)
+def x67_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted personalized PageRank (d=0.85, 3 power iterations) over
+    the weight-pruned part co-purchase graph, teleporting uniformly to
+    ONE brand's parts (``_PPR_SEED_BRAND``): top-25 parts by brand-conditioned
+    importance — the topic-conditioned curation signal that completes the
+    graph family (x51 global importance, x43 components, x64 cohesion,
+    x65 communities): a crawl frontier prioritizes pages by PPR from a
+    trusted topical seed set, and a recommender surfaces 'customers who
+    bought this brand also buy' exactly this way (Haveliwala 2002,
+    topic-sensitive PageRank).  Reference analog: the scored-entity
+    corpus analytics shape, big_data_project/trainer/flax_model.py.
+
+    Semantics: r0 = teleport vector (1/|S| on seeds, 0 elsewhere);
+    each step r' = (1-d)·p + d·Σ_in r·w/W(u), with W(u) the node's total
+    out-weight — W(u) ≥ 2 by the weight pruning, so the division needs
+    no clamp (provably nonzero integer, unlike the x61 norm recurrence).
+    Mass stays on reached nodes only: both engines inner-join ranks to
+    edges, so nodes the seed set hasn't reached are absent rather than
+    zero — identical row sets by construction.  Per-iteration values
+    quantize to 10 decimals on BOTH engines (§4.3.1, the x51
+    convention); the teleport term re-adds mass at seeds via a
+    broadcast left join.
+
+    Scale design: the x51 cadence verbatim — total out-weight is
+    loop-invariant and folded into the persisted edge frame ONCE, so
+    each iteration is one co-partitioned join + partial-aggregated sum
+    whose exchange carries (node, double) pairs, never adjacency lists;
+    the rank chain is lazy and linear (one job; past ~10 iterations use
+    the `pagerank_ranks_deep` checkpoint cadence).  The teleport vector
+    is |S|-bounded and BROADCAST — personalization adds zero shuffle
+    over global PageRank.  Seeds derive from the persisted edge frame's
+    node set (one broadcast hash join against the brand-filtered part
+    dim, pushdown-pruned).  Cache contract: persists the weighted edge
+    frame, its |V|-bounded out-weight frame, and the |S|-bounded
+    teleport frame; the registry entry point clearCache()s on entry,
+    composing callers own cleanup."""
+    d = _PPR_DAMP
+    edges = _copurchase_weighted_edges(spark, sf_dir, keep_weight=True).persist()
+    # wout is loop-invariant: persist (|V|-bounded) and fold into the edge
+    # frame once, so each iteration pays a single join (the x51 shape and
+    # the r08 deg-persist lesson in triangles_of_edges).
+    wdeg = edges.groupBy("u").agg(F.sum("w").alias("wout")).persist()
+    edges_w = edges.join(wdeg, "u").persist()
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == _PPR_SEED_BRAND)
+        .select("p_partkey")
+    )
+    seeds = (
+        wdeg.select(F.col("u").alias("node"))
+        .join(F.broadcast(part), F.col("node") == F.col("p_partkey"))
+        .select("node")
+    )
+    m = seeds.agg(F.count(F.lit(1)).alias("m"))
+    # Teleport vector: tiny (|S| rows) but referenced by r0 AND every
+    # iteration's left join — persist so the seed derivation runs once.
+    tp = (
+        seeds.crossJoin(F.broadcast(m))
+        .select(
+            "node",
+            F.round(F.lit(1.0) / F.col("m") + F.lit(1e-12), 10).alias("p"),
+        )
+        .persist()
+    )
+    ranks = tp.select(F.col("node").alias("node_id"), F.col("p").alias("r"))
+    # The rank chain embeds tp's subtree (r0 derives from it), so every
+    # further tp join uses a RENAMED projection — otherwise Spark's
+    # ambiguous-self-join check rejects the attribute reference.
+    tpj = tp.select(F.col("node").alias("tnode"), F.col("p").alias("tp_p"))
+    for _ in range(_PPR_ITERS):
+        contrib = (
+            edges_w.join(ranks, edges_w.u == ranks.node_id)
+            .groupBy("v")
+            .agg(F.sum(F.col("r") * F.col("w") / F.col("wout")).alias("contrib"))
+        )
+        ranks = contrib.join(
+            F.broadcast(tpj), contrib.v == F.col("tnode"), "left"
+        ).select(
+            F.col("v").alias("node_id"),
+            F.round(
+                F.lit(1.0 - d) * F.coalesce("tp_p", F.lit(0.0))
+                + F.lit(d) * F.col("contrib")
+                + F.lit(1e-12),
+                10,
+            ).alias("r"),
+        )
+    return (
+        ranks.join(wdeg, ranks.node_id == wdeg.u)
+        .join(F.broadcast(tpj), ranks.node_id == F.col("tnode"), "left")
+        .select(
+            F.col("node_id").alias("part_key"),
+            F.round(F.col("r") + F.lit(1e-9), 6).alias("ppr"),
+            F.col("wout").alias("wdeg"),
+            F.when(F.col("tnode").isNull(), 0).otherwise(1).cast("int").alias("is_seed"),
+        )
+        .orderBy(F.col("ppr").desc(), "part_key")
+        .limit(25)
+    )

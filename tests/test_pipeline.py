@@ -952,10 +952,10 @@ def test_x64_orientation_tames_star_hub_skew(spark):
 
 
 def test_lpa_communities_parity_both_tiers(spark):
-    """Sync label propagation (prepped for the next window, not yet
-    registered): the unrolled-CTE oracle must hash-match at BOTH fixture
-    tiers — the exact check the driver will run once `x65_lpa_communities`
-    takes a slot.  All-integer output, so parity is definitional."""
+    """Sync label propagation (registered r09 as `x65_lpa_communities`):
+    the unrolled-CTE oracle must hash-match at BOTH fixture tiers — the
+    exact check the driver runs on the registered slot.  All-integer
+    output, so parity is definitional."""
     from big_data_project_spark.pipeline.graph import _LPA_ORACLE, lpa_communities
     from tests.conftest import SF_DIR, SF_DIR_ORACLE
     from tests.oracle_harness import compare, duckdb_connect
@@ -994,8 +994,9 @@ def test_lpa_converges_on_bridged_triangles(spark):
 
 
 def test_domain_router_parity_both_tiers(spark):
-    """Domain routing census (prepped for the next window alongside
-    lpa_communities): the oracle must hash-match at BOTH fixture tiers,
+    """Domain routing census (registered r09 as `x66_domain_router`
+    alongside lpa_communities's x65):
+    the oracle must hash-match at BOTH fixture tiers,
     every doc must route somewhere (the keyword lists cover the fixture
     vocabulary), and the census must partition the corpus exactly —
     Σ n_docs = |documents|."""
@@ -1015,3 +1016,60 @@ def test_domain_router_parity_both_tiers(spark):
         assert len(rows) >= 4  # a real mixture, not one catch-all bucket
         n_docs = load_table(spark, sf, "documents").count()
         assert sum(r.n_docs for r in rows) == n_docs
+
+
+def test_x67_ppr_parity_both_tiers(spark):
+    """Weighted personalized PageRank (registered r09): the unrolled-CTE
+    oracle must hash-match at BOTH fixture tiers — rank floats quantize
+    to 10 decimals per iteration on both engines (the x51 convention),
+    so the 6-decimal output parity is exact, not probabilistic."""
+    from big_data_project_spark.registry import ORACLES, all_queries
+    from tests.conftest import SF_DIR, SF_DIR_ORACLE
+    from tests.oracle_harness import compare, duckdb_connect
+
+    q = all_queries()["x67_personalized_pagerank"]
+    sql = ORACLES["x67_personalized_pagerank"]
+    for sf in (SF_DIR, SF_DIR_ORACLE):
+        try:
+            con = duckdb_connect(sf)
+            res = compare("x67_ppr", q(spark, sf), con, sql)
+            assert res.ok, (sf, res.detail, res.mismatches[:3])
+            assert res.spark_rows > 0
+        finally:
+            spark.catalog.clearCache()
+
+
+def test_x67_ppr_is_brand_conditioned(spark, sf_dir):
+    """Personalization must actually condition the ranking: every rank is
+    positive, part_keys are unique, ranks are non-increasing in output
+    order, seeds exist in the top-25 (teleport re-injects (1-d)/|S| at
+    every seed each round — at d=0.85 over a pruned graph that keeps
+    seeds near the top), the is_seed flag agrees with the brand dim, and
+    NON-seeds also appear (mass genuinely propagates off the seed set
+    through weighted edges — at sf0.01 the top node is a non-seed,
+    a low-out-weight neighbor of seeds that concentrates their mass)."""
+    from big_data_project_spark.io import load_table
+    from big_data_project_spark.pipeline.graph import _PPR_SEED_BRAND
+    from big_data_project_spark.registry import all_queries
+
+    try:
+        rows = all_queries()["x67_personalized_pagerank"](spark, sf_dir).collect()
+        assert 0 < len(rows) <= 25
+        assert all(r.ppr > 0 for r in rows)
+        assert len({r.part_key for r in rows}) == len(rows)
+        assert all(a.ppr >= b.ppr for a, b in zip(rows, rows[1:]))
+        brand_keys = {
+            r.p_partkey
+            for r in load_table(spark, sf_dir, "part")
+            .filter(F.col("p_brand") == _PPR_SEED_BRAND)
+            .select("p_partkey")
+            .collect()
+        }
+        for r in rows:
+            assert r.is_seed == int(r.part_key in brand_keys), r
+        seeds = [r for r in rows if r.is_seed]
+        non_seeds = [r for r in rows if not r.is_seed]
+        assert seeds, "teleport set absent from its own top-25"
+        assert non_seeds, "mass never propagated off the seed set"
+    finally:
+        spark.catalog.clearCache()

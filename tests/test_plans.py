@@ -711,6 +711,24 @@ def test_pagerank_reuses_cached_edge_frame(spark, qs):
     assert text.count("InMemoryTableScan") >= 3
 
 
+def test_x67_ppr_broadcast_teleport_cached_edges(spark, qs):
+    """x67: the x51 pins extended to the personalized variant — every
+    iteration reads the CACHED weighted edge frame (InMemoryTableScan per
+    pass), the top-25 is TakeOrderedAndProject, and personalization adds
+    ZERO shuffle over global PageRank: the teleport vector joins as a
+    BroadcastHashJoin in every iteration plus the seed/flag joins (≥4
+    broadcasts total), with no Python eval and no cartesian product."""
+    from big_data_project_spark.plans.contracts import plan_str
+
+    df = qs["x67_personalized_pagerank"](spark, SF)
+    text = plan_str(df, "simple")
+    assert "TakeOrderedAndProject" in text
+    assert text.count("InMemoryTableScan") >= 3
+    assert count_ops(df, "BroadcastHashJoin") >= 4
+    assert count_ops(df, "BatchEvalPython") + count_ops(df, "ArrowEvalPython") == 0
+    assert count_ops(df, "CartesianProduct") == 0
+
+
 def test_scd2_merge_no_window_single_join(spark, qs):
     """s19: SCD2 is one key join + a narrow ≤2-row fan-out — no window
     over key history may appear, and the fan-out is a Generate node."""
