@@ -805,3 +805,249 @@ def x67_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("ppr").desc(), "part_key")
         .limit(25)
     )
+
+
+# --------------------------------------------------------------------------
+# k-hop BFS reachability census (prepped for the r10 window)
+# --------------------------------------------------------------------------
+
+_BFS_ROUNDS = 3
+
+
+def khop_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop-distance census of ``_BFS_ROUNDS`` BFS rounds from the
+    ``_PPR_SEED_BRAND`` seed set over the weight-pruned co-purchase
+    graph: one row per distance 0..k with node count and min/max node id
+    — the reachability profile a crawl scheduler reads before budgeting
+    frontier depth (how much of the graph is within k hops of the
+    trusted seeds), and the sixth canonical graph workload after
+    importance (x51), components (x43), cohesion (x64), communities
+    (x65), and topic-conditioned importance (x67).  All-integer output
+    (the x64 convention; §4.3.1 never engages).  Reference analog: the
+    scored-entity corpus analytics shape,
+    big_data_project/trainer/flax_model.py.
+
+    NOT yet registered: the r09 verification window is packed (3 new
+    queries is the budget while the ≥46-re-stamp target stands);
+    register as `x68_khop_bfs` with `_BFS_ORACLE` when the r10 window
+    opens.
+
+    Scale design: DELTA-FRONTIER expansion, the textbook distributed
+    BFS — each round joins edges against only the nodes FIRST REACHED
+    last round (never the whole reached set), then one anti-join
+    discards already-visited nodes; every exchange carries bare
+    integer node ids bounded by the frontier/reached sizes, never
+    adjacency lists.  Each round's new-frontier frame is persisted: it
+    is read three times (next round's expansion, the anti-join target
+    chain, and the final census union), and the persist truncates the
+    otherwise-doubling anti+union diamond the way x43's per-round
+    materialization does.  Fixed round count, so no driver-side
+    fixpoint collect at all.  Cache contract: the registry entry point
+    clearCache()s on entry; composing callers own cleanup."""
+    edges = _copurchase_weighted_edges(spark, sf_dir).persist()
+    brand_parts = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == _PPR_SEED_BRAND)
+        .select("p_partkey")
+    )
+    seeds = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .join(F.broadcast(brand_parts), F.col("node") == F.col("p_partkey"))
+        .select("node")
+        .persist()
+    )
+    frontier = seeds
+    reached = seeds
+    layers = [seeds.select("node", F.lit(0).alias("dist"))]
+    for k in range(1, _BFS_ROUNDS + 1):
+        cand = (
+            edges.join(frontier, edges.u == frontier.node)
+            .select(F.col("v").alias("node"))
+            .distinct()
+        )
+        new = cand.join(reached, "node", "left_anti").persist()
+        layers.append(new.select("node", F.lit(k).alias("dist")))
+        reached = reached.unionByName(new)  # union of persisted layers: cheap
+        frontier = new
+    census = layers[0]
+    for extra in layers[1:]:
+        census = census.unionByName(extra)
+    return (
+        census.groupBy("dist")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("node").alias("min_node"),
+            F.max("node").alias("max_node"),
+        )
+        .orderBy("dist")
+    )
+
+
+def _bfs_ctes(rounds: int) -> str:
+    """CTE chain unrolling ``rounds`` delta-frontier BFS steps — same
+    pruned symmetric edges and brand seed set as the Spark builder; the
+    anti-join is the LEFT JOIN ... IS NULL form."""
+    ctes = [
+        """supo AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS s FROM lineitem)""",
+        f"""pw AS (
+      SELECT a.s AS u, b.s AS v
+      FROM supo a JOIN supo b ON a.ok = b.ok AND a.s < b.s
+      GROUP BY a.s, b.s
+      HAVING count(*) >= {_LPA_MIN_WEIGHT})""",
+        """edges AS (
+      SELECT u, v FROM pw
+      UNION ALL
+      SELECT v AS u, u AS v FROM pw)""",
+        f"""seeds AS (
+      SELECT DISTINCT e.u AS node
+      FROM edges e JOIN part p
+        ON p.p_partkey = e.u AND p.p_brand = '{_PPR_SEED_BRAND}')""",
+        "r0 AS (SELECT node, 0 AS dist FROM seeds)",
+        "f0 AS (SELECT node FROM seeds)",
+    ]
+    for k in range(1, rounds + 1):
+        ctes.append(f"""c{k} AS (
+      SELECT DISTINCT e.v AS node
+      FROM edges e JOIN f{k - 1} f ON f.node = e.u)""")
+        ctes.append(f"""f{k} AS (
+      SELECT c.node FROM c{k} c
+      LEFT JOIN r{k - 1} r ON r.node = c.node
+      WHERE r.node IS NULL)""")
+        ctes.append(f"""r{k} AS (
+      SELECT node, dist FROM r{k - 1}
+      UNION ALL
+      SELECT node, {k} AS dist FROM f{k})""")
+    return "WITH " + ",\n    ".join(ctes)
+
+
+_BFS_ORACLE = _bfs_ctes(_BFS_ROUNDS) + f"""
+    SELECT dist, CAST(count(*) AS BIGINT) AS n_nodes,
+           min(node) AS min_node, max(node) AS max_node
+    FROM r{_BFS_ROUNDS}
+    GROUP BY dist
+    ORDER BY dist
+"""
+
+
+# --------------------------------------------------------------------------
+# Adamic-Adar link prediction (prepped for the r10 window)
+# --------------------------------------------------------------------------
+
+
+def adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 NON-adjacent part pairs by Adamic-Adar score over the
+    weight-pruned co-purchase graph: AA(a,b) = Σ_{z ∈ Γ(a)∩Γ(b)}
+    1/ln(deg z) (Adamic & Adar 2003) — the canonical link-prediction /
+    related-item signal ("parts that share many low-degree co-purchase
+    neighbors but were never bought together" = the strongest
+    recommendation candidates; on a crawl graph, the missing-link
+    candidates a frontier explores next).  Common neighbors weighted by
+    1/ln(degree) so promiscuous hub neighbors count less than rare
+    shared ones.  Reference analog: the scored-entity corpus analytics
+    shape, big_data_project/trainer/flax_model.py.
+
+    NOT yet registered (same r09 window deferral as
+    `khop_bfs_distances`): register as `x69_adamic_adar` with
+    `_AA_ORACLE` when the r10 window opens.
+
+    Parity: each pair's score is rounded to 6 decimals INSIDE the
+    aggregation on both engines and the ranking orders by the ROUNDED
+    value (tie-broken by the pair ids), so engines cannot disagree on
+    near-tie orderings; every wedge center has degree ≥ 2 by
+    construction (it has two distinct neighbors in the wedge), so
+    ln(deg) ≥ ln 2 — the divisor is provably > 0.5 and needs no clamp
+    (documented per the §4.3 clamp rule; both engines' ln are IEEE
+    doubles of the same argument).
+
+    Scale design: degree is loop-free here — folded onto the symmetric
+    edge frame once (persisted, the x51/x67 fold) — and the wedge
+    enumeration is ONE self-join on the center column emitting
+    Σ C(deg, 2) transient 3-int rows, exactly x64's wedge stream shape:
+    the build side carries a SHUFFLE_HASH hint so the Σ deg²-row probe
+    stream is never sorted (the r08 x64 measurement, 1.7×).  Degree
+    skew is capped by the weight pruning (unlike x64's raw graph the
+    pruned graph has no unbounded hubs); at 100 TB you would
+    additionally top-k-truncate per-center neighbor lists by edge
+    weight before wedging — the standard production cap.  The
+    adjacency exclusion is one anti-join against the (u < v) canonical
+    pair frame, and the top-20 is a TakeOrderedAndProject, never a
+    global sort."""
+    edges = _copurchase_weighted_edges(spark, sf_dir).persist()
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
+    # fold 1/ln(deg) onto each edge's CENTER endpoint once: the wedge
+    # join then carries the weight for free instead of re-joining deg
+    # against the much larger wedge stream.  Degree-1 centers are
+    # filtered BEFORE the division: they cannot center a wedge (the join
+    # needs two distinct neighbors), but ln(1) = 0 would still trip the
+    # ANSI divide-by-zero when the persisted fold materializes — the
+    # filter removes the row instead of guarding the expression, which
+    # also shrinks both wedge-join inputs.
+    edges_d = (
+        edges.join(deg, "u")
+        .filter(F.col("degree") >= 2)
+        .select("u", "v", (F.lit(1.0) / F.log(F.col("degree"))).alias("inv_ln_deg"))
+        .persist()
+    )
+    e1 = edges_d.alias("e1")
+    e2 = edges_d.hint("shuffle_hash").alias("e2")
+    wedge = e1.join(
+        e2, (F.col("e2.u") == F.col("e1.u")) & (F.col("e1.v") < F.col("e2.v"))
+    ).select(
+        F.col("e1.v").alias("a"),
+        F.col("e2.v").alias("b"),
+        F.col("e1.inv_ln_deg").alias("w"),
+    )
+    scores = wedge.groupBy("a", "b").agg(
+        F.round(F.sum("w") + F.lit(1e-9), 6).alias("aa_score"),
+        F.count(F.lit(1)).alias("common_neighbors"),
+    )
+    pairs = edges.filter(F.col("u") < F.col("v"))
+    cand = scores.join(
+        pairs, (scores.a == pairs.u) & (scores.b == pairs.v), "left_anti"
+    )
+    return (
+        cand.select(
+            F.col("a").alias("part_a"),
+            F.col("b").alias("part_b"),
+            "aa_score",
+            "common_neighbors",
+        )
+        .orderBy(F.col("aa_score").desc(), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+_AA_ORACLE = f"""
+    WITH supo AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS s FROM lineitem),
+    pw AS (
+      SELECT a.s AS u, b.s AS v
+      FROM supo a JOIN supo b ON a.ok = b.ok AND a.s < b.s
+      GROUP BY a.s, b.s
+      HAVING count(*) >= {_LPA_MIN_WEIGHT}),
+    edges AS (
+      SELECT u, v FROM pw
+      UNION ALL
+      SELECT v AS u, u AS v FROM pw),
+    deg AS (
+      SELECT u AS node, count(*) AS degree FROM edges GROUP BY u),
+    wedge AS (
+      SELECT e1.v AS a, e2.v AS b, 1.0 / ln(d.degree) AS w
+      FROM edges e1
+      JOIN edges e2 ON e2.u = e1.u AND e1.v < e2.v
+      JOIN deg d ON d.node = e1.u),
+    sc AS (
+      SELECT a, b, round(sum(w) + 1e-9, 6) AS aa_score,
+             CAST(count(*) AS BIGINT) AS common_neighbors
+      FROM wedge GROUP BY a, b),
+    cand AS (
+      SELECT s.* FROM sc s
+      LEFT JOIN pw p ON p.u = s.a AND p.v = s.b
+      WHERE p.u IS NULL)
+    SELECT a AS part_a, b AS part_b, aa_score, common_neighbors
+    FROM cand
+    ORDER BY aa_score DESC, part_a, part_b
+    LIMIT 20
+"""

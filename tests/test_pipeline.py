@@ -1073,3 +1073,85 @@ def test_x67_ppr_is_brand_conditioned(spark, sf_dir):
         assert non_seeds, "mass never propagated off the seed set"
     finally:
         spark.catalog.clearCache()
+
+
+def test_khop_bfs_parity_both_tiers(spark):
+    """Delta-frontier BFS census (prepped for the r10 window, not yet
+    registered — the x65/x66 pattern): the unrolled-CTE oracle must
+    hash-match at BOTH fixture tiers, layer 0 must be exactly the seed
+    set, distances must be contiguous from 0, and the census must never
+    exceed the graph's node count."""
+    from big_data_project_spark.pipeline.graph import (
+        _BFS_ORACLE, _copurchase_weighted_edges, khop_bfs_distances,
+    )
+    from tests.conftest import SF_DIR, SF_DIR_ORACLE
+    from tests.oracle_harness import compare, duckdb_connect
+
+    for sf in (SF_DIR, SF_DIR_ORACLE):
+        try:
+            con = duckdb_connect(sf)
+            df = khop_bfs_distances(spark, sf)
+            res = compare("khop_bfs", df, con, _BFS_ORACLE)
+            assert res.ok, (sf, res.detail, res.mismatches[:3])
+            rows = df.collect()
+            assert [r.dist for r in rows] == list(range(len(rows)))
+            assert rows[0].n_nodes > 0  # seeds exist in the graph
+            n_nodes = (
+                _copurchase_weighted_edges(spark, sf)
+                .select("u").distinct().count()
+            )
+            assert sum(r.n_nodes for r in rows) <= n_nodes
+        finally:
+            spark.catalog.clearCache()
+
+
+def test_adamic_adar_parity_and_bruteforce(spark):
+    """Adamic-Adar link prediction (prepped for the r10 window): the
+    oracle must hash-match at BOTH fixture tiers, and at sf0.001 the
+    top-20 must agree with an independent driver-side brute force over
+    the (200-node) pruned graph — every returned pair non-adjacent,
+    score = Σ 1/ln(deg) over its common neighbors within 1e-6, and no
+    excluded pair scoring above the returned minimum."""
+    import math
+
+    from big_data_project_spark.pipeline.graph import (
+        _AA_ORACLE, _copurchase_weighted_edges, adamic_adar_links,
+    )
+    from tests.conftest import SF_DIR, SF_DIR_ORACLE
+    from tests.oracle_harness import compare, duckdb_connect
+
+    for sf in (SF_DIR, SF_DIR_ORACLE):
+        try:
+            con = duckdb_connect(sf)
+            res = compare(
+                "adamic_adar", adamic_adar_links(spark, sf), con, _AA_ORACLE
+            )
+            assert res.ok, (sf, res.detail, res.mismatches[:3])
+        finally:
+            spark.catalog.clearCache()
+    try:
+        got = adamic_adar_links(spark, SF_DIR).collect()
+        sym = _copurchase_weighted_edges(spark, SF_DIR).collect()
+        adj: dict[int, set[int]] = {}
+        for r in sym:
+            adj.setdefault(r.u, set()).add(r.v)
+        brute = {}
+        nodes = sorted(adj)
+        for i, a in enumerate(nodes):
+            for b in nodes[i + 1:]:
+                if b in adj[a]:
+                    continue
+                common = adj[a] & adj[b]
+                if common:
+                    brute[(a, b)] = sum(1 / math.log(len(adj[z])) for z in common)
+        assert got, "pruned fixture graph should yield AA candidates"
+        for r in got:
+            assert r.part_b not in adj[r.part_a]  # genuinely non-adjacent
+            assert r.common_neighbors == len(adj[r.part_a] & adj[r.part_b])
+            assert abs(r.aa_score - brute[(r.part_a, r.part_b)]) < 1e-6
+        floor = min(r.aa_score for r in got)
+        missed = [p for p, s in brute.items() if s > floor + 1e-6
+                  and p not in {(r.part_a, r.part_b) for r in got}]
+        assert not missed, f"brute force outranks returned top-20: {missed[:3]}"
+    finally:
+        spark.catalog.clearCache()

@@ -729,6 +729,43 @@ def test_x67_ppr_broadcast_teleport_cached_edges(spark, qs):
     assert count_ops(df, "CartesianProduct") == 0
 
 
+def test_khop_bfs_delta_frontier_plan(spark):
+    """Prepped x68: each BFS round reads the PERSISTED previous frontier
+    (InMemoryTableScan per round — zero means the delta-frontier caching
+    broke and every round re-derives the whole chain), and the whole
+    expansion stays JVM-side with no cartesian product."""
+    from big_data_project_spark.pipeline.graph import khop_bfs_distances
+    from big_data_project_spark.plans.contracts import plan_str
+
+    df = khop_bfs_distances(spark, SF)
+    try:
+        text = plan_str(df, "simple")
+        assert text.count("InMemoryTableScan") >= 3
+        assert count_ops(df, "BatchEvalPython") + count_ops(df, "ArrowEvalPython") == 0
+        assert count_ops(df, "CartesianProduct") == 0
+    finally:
+        spark.catalog.clearCache()
+
+
+def test_adamic_adar_hashed_wedge_topk_plan(spark):
+    """Prepped x69: the wedge self-join must honor the SHUFFLE_HASH hint
+    (a sort-merge join would sort the Σ deg²-row wedge stream — the r08
+    x64 measurement), the top-20 is TakeOrderedAndProject, and nothing
+    crosses into Python."""
+    from big_data_project_spark.pipeline.graph import adamic_adar_links
+    from big_data_project_spark.plans.contracts import plan_str
+
+    df = adamic_adar_links(spark, SF)
+    try:
+        text = plan_str(df, "simple")
+        assert count_ops(df, "ShuffledHashJoin") >= 1
+        assert "TakeOrderedAndProject" in text
+        assert count_ops(df, "BatchEvalPython") + count_ops(df, "ArrowEvalPython") == 0
+        assert count_ops(df, "CartesianProduct") == 0
+    finally:
+        spark.catalog.clearCache()
+
+
 def test_scd2_merge_no_window_single_join(spark, qs):
     """s19: SCD2 is one key join + a narrow ≤2-row fan-out — no window
     over key history may appear, and the fan-out is a Generate node."""
