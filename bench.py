@@ -104,6 +104,13 @@ DEMONSTRATORS = [
     # rows) is a superlinear function of edge count, so drift here flags
     # orientation/hint regressions before they'd hit a real graph
     "x64_triangle_count",
+    # r09 graph-family additions: sync LPA (vote-aggregate iteration —
+    # the third iterative cadence next to x43's fixpoint and x51's
+    # lazy chain) and brand-seeded weighted personalized PageRank
+    # (x51's shape + a broadcast teleport; drift at equal calib flags
+    # a lost broadcast or cache)
+    "x65_lpa_communities",
+    "x67_personalized_pagerank",
 ]
 
 
@@ -123,6 +130,9 @@ _MIN_OF_3 = {
     # two persisted frames (pairs diamond + oriented edges) fill inside
     # the first action: cache-fill jitter dominates run 1
     "x64_triangle_count",
+    # persisted edge frames fill inside the first action (same class)
+    "x65_lpa_communities",
+    "x67_personalized_pagerank",
     # the first two POSITIONS run on the coldest JVM: despite the global
     # and per-query warm-ups, r07 recorded flagship +0.154 s / j2 +0.242 s
     # vs r06 purely from run order (both ≤1.04× of their r01 per-query
