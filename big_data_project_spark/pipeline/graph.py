@@ -814,6 +814,43 @@ def x67_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BFS_ROUNDS = 3
 
 
+def bfs_layers(edges: DataFrame, seeds: DataFrame, rounds: int) -> DataFrame:
+    """Graph-generic delta-frontier BFS core: given a SYMMETRIC edge
+    frame (columns u, v) and a seed frame (column node, a subset of the
+    graph's nodes), return the (node, dist) layer frame after ``rounds``
+    expansions — each node carries the hop count at which it was FIRST
+    reached; unreached nodes are absent.  Split from
+    `khop_bfs_distances` so BFS semantics are property-testable on
+    synthetic topologies against a pure-Python BFS (the
+    star_contract/union-find pattern, tests/test_properties.py).
+
+    Each round joins edges against only the nodes first reached last
+    round (the delta frontier), then one anti-join discards
+    already-visited nodes; every exchange carries bare integer node
+    ids.  Each new-frontier frame is persisted — it is read three times
+    (next expansion, the anti-join target chain, the final union) and
+    the persist truncates the otherwise-doubling anti+union diamond.
+    Callers should persist `edges` and `seeds` (both are read every
+    round) and own cache cleanup."""
+    frontier = seeds
+    reached = seeds
+    layers = [seeds.select("node", F.lit(0).alias("dist"))]
+    for k in range(1, rounds + 1):
+        cand = (
+            edges.join(frontier, edges.u == frontier.node)
+            .select(F.col("v").alias("node"))
+            .distinct()
+        )
+        new = cand.join(reached, "node", "left_anti").persist()
+        layers.append(new.select("node", F.lit(k).alias("dist")))
+        reached = reached.unionByName(new)  # union of persisted layers: cheap
+        frontier = new
+    census = layers[0]
+    for extra in layers[1:]:
+        census = census.unionByName(extra)
+    return census
+
+
 def khop_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hop-distance census of ``_BFS_ROUNDS`` BFS rounds from the
     ``_PPR_SEED_BRAND`` seed set over the weight-pruned co-purchase
@@ -857,22 +894,7 @@ def khop_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("node")
         .persist()
     )
-    frontier = seeds
-    reached = seeds
-    layers = [seeds.select("node", F.lit(0).alias("dist"))]
-    for k in range(1, _BFS_ROUNDS + 1):
-        cand = (
-            edges.join(frontier, edges.u == frontier.node)
-            .select(F.col("v").alias("node"))
-            .distinct()
-        )
-        new = cand.join(reached, "node", "left_anti").persist()
-        layers.append(new.select("node", F.lit(k).alias("dist")))
-        reached = reached.unionByName(new)  # union of persisted layers: cheap
-        frontier = new
-    census = layers[0]
-    for extra in layers[1:]:
-        census = census.unionByName(extra)
+    census = bfs_layers(edges, seeds, _BFS_ROUNDS)
     return (
         census.groupBy("dist")
         .agg(

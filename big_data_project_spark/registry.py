@@ -91,11 +91,8 @@ _FRONT = (
 _REVERIFY = (
     ("w2_lag_lead", 2),        # r01 green, broken by NTZ fixtures, fixed r03
     ("w7_range_frame", 2),
-    # r08: oracle text changed (norm clamped with greatest(.., 0.0001) on
-    # both engines, CTE chain renamed) — outputs are value-identical at
-    # fixture scale (norm >> clamp), but the changed code deserves a fresh
-    # driver stamp; pin dissolves once any row lands after r07.
-    ("x61_pca_project", 7),
+    # (r09: the r08 x61_pca_project pin removed — its fresh stamp landed
+    # in CORRECTNESS_r08, dissolving the pin.)
 )
 
 # Oracle-backed queries added AFTER this round's verification window was

@@ -182,3 +182,41 @@ def test_star_contraction_matches_union_find(spark, edges):
     labels, _ = star_contract(df, max_rounds=10)
     got = {r.doc_id: r.cluster for r in labels.collect()}
     assert got == expected
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(edges=edges_strategy, n_seeds=st.integers(min_value=1, max_value=3))
+def test_bfs_layers_match_python_bfs(spark, edges, n_seeds):
+    """The delta-frontier BFS core must agree with a reference Python
+    BFS on ANY symmetric graph — multi-edges, cycles, disconnected
+    components — for every layer up to the round budget: same reached
+    set, same first-reach distance for each node, unreached nodes
+    absent.  Seeds are the smallest n node ids, so every example is
+    deterministic."""
+    from big_data_project_spark.pipeline.graph import bfs_layers
+
+    real = [(u, v) for u, v in edges if u != v]
+    if not real:
+        return
+    sym = real + [(v, u) for u, v in real]
+    adj: dict[int, set[int]] = {}
+    for u, v in sym:
+        adj.setdefault(u, set()).add(v)
+    nodes = sorted(adj)
+    seed_nodes = nodes[:n_seeds]
+    rounds = 3
+    expected = {n: 0 for n in seed_nodes}
+    frontier = set(seed_nodes)
+    for k in range(1, rounds + 1):
+        nxt = {v for u in frontier for v in adj[u]} - expected.keys()
+        for v in nxt:
+            expected[v] = k
+        frontier = nxt
+    edges_df = spark.createDataFrame(sym, schema="u long, v long")
+    seeds_df = spark.createDataFrame([(n,) for n in seed_nodes], schema="node long")
+    try:
+        got = {r.node: r.dist for r in bfs_layers(edges_df, seeds_df, rounds).collect()}
+        assert got == expected
+    finally:
+        spark.catalog.clearCache()
