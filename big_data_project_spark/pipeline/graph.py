@@ -814,7 +814,12 @@ def x67_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BFS_ROUNDS = 3
 
 
-def bfs_layers(edges: DataFrame, seeds: DataFrame, rounds: int) -> DataFrame:
+def bfs_layers(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int,
+    checkpoint_every: int | None = None,
+) -> DataFrame:
     """Graph-generic delta-frontier BFS core: given a SYMMETRIC edge
     frame (columns u, v) and a seed frame (column node, a subset of the
     graph's nodes), return the (node, dist) layer frame after ``rounds``
@@ -830,8 +835,19 @@ def bfs_layers(edges: DataFrame, seeds: DataFrame, rounds: int) -> DataFrame:
     ids.  Each new-frontier frame is persisted — it is read three times
     (next expansion, the anti-join target chain, the final union) and
     the persist truncates the otherwise-doubling anti+union diamond.
-    Callers should persist `edges` and `seeds` (both are read every
-    round) and own cache cleanup."""
+    persist() bounds RE-COMPUTATION but not PLAN size — and here the
+    plan grows EXPONENTIALLY, not linearly: each round's anti-join
+    references `reached` (a union of every earlier layer) while each
+    earlier layer's plan in turn nests its own anti+union diamond, so
+    the un-checkpointed logical tree roughly ×6 per round (measured:
+    the 12-round plan string overflows the JVM's 2^31-char cap and
+    analysis alone takes minutes).  For deep runs set
+    ``checkpoint_every`` to localCheckpoint every K-th frontier — the
+    pagerank_ranks_deep / lpa_labels_deep cadence — which resets its
+    plan to a leaf; exactly value-equivalent at any cadence because the
+    recurrence is all-integer set algebra.  Callers should persist
+    `edges` and `seeds` (both are read every round) and own cache
+    cleanup."""
     frontier = seeds
     reached = seeds
     layers = [seeds.select("node", F.lit(0).alias("dist"))]
@@ -841,7 +857,11 @@ def bfs_layers(edges: DataFrame, seeds: DataFrame, rounds: int) -> DataFrame:
             .select(F.col("v").alias("node"))
             .distinct()
         )
-        new = cand.join(reached, "node", "left_anti").persist()
+        new = cand.join(reached, "node", "left_anti")
+        if checkpoint_every and k % checkpoint_every == 0 and k < rounds:
+            new = new.localCheckpoint(eager=True)
+        else:
+            new = new.persist()
         layers.append(new.select("node", F.lit(k).alias("dist")))
         reached = reached.unionByName(new)  # union of persisted layers: cheap
         frontier = new

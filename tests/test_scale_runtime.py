@@ -255,3 +255,40 @@ def test_lpa_deep_checkpoint_cadence_value_equivalent(spark, sf_dir):
         assert d == l and len(d) > 0
     finally:
         spark.catalog.clearCache()
+
+
+def test_bfs_deep_checkpoint_cadence_value_equivalent(spark):
+    """bfs_layers (prepped x68 family): on a 64-node path graph seeded at
+    node 0, the checkpointed 8-round run must return EXACTLY the
+    persist-only run's layers (all-integer set recurrence — cadence
+    cannot change values) and reach exactly nodes 0..8 at dist = node
+    id; each checkpoint must truncate the plan (the checkpointed
+    chain's analyzed plan is a small fraction of the persist-only
+    one's).  The lazy arm stays at 8 rounds on purpose: the
+    un-checkpointed plan tree grows ~×6 per round (a first draft of
+    this test at 12 rounds overflowed the JVM's 2^31-char plan-string
+    cap and spent 8 minutes in analysis — the very pathology the
+    cadence exists to prevent, now recorded in the bfs_layers
+    docstring)."""
+    from pyspark.sql import functions as F
+
+    from big_data_project_spark.pipeline.graph import bfs_layers
+
+    try:
+        chain = spark.range(63).select(
+            F.col("id").alias("u"), (F.col("id") + 1).alias("v")
+        )
+        sym = chain.unionByName(
+            chain.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).persist()
+        seeds = spark.range(1).select(F.col("id").alias("node")).persist()
+        deep = bfs_layers(sym, seeds, rounds=8, checkpoint_every=3)
+        lazy = bfs_layers(sym, seeds, rounds=8, checkpoint_every=None)
+        deep_plan = len(deep._jdf.queryExecution().analyzed().toString())
+        lazy_plan = len(lazy._jdf.queryExecution().analyzed().toString())
+        assert deep_plan * 2 < lazy_plan, (deep_plan, lazy_plan)
+        d = sorted(map(tuple, deep.collect()))
+        l = sorted(map(tuple, lazy.collect()))
+        assert d == l == [(n, n) for n in range(9)]
+    finally:
+        spark.catalog.clearCache()
