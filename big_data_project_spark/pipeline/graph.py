@@ -1093,3 +1093,183 @@ _AA_ORACLE = f"""
     ORDER BY aa_score DESC, part_a, part_b
     LIMIT 20
 """
+
+
+# --------------------------------------------------------------------------
+# k-core peeling census (prepped for a future window)
+# --------------------------------------------------------------------------
+
+_KCORE_ROUNDS = 3
+
+
+def kcore_peel(
+    edges: DataFrame,
+    kk: DataFrame,
+    rounds: int,
+    checkpoint_every: int | None = None,
+) -> DataFrame:
+    """Graph-generic synchronous k-core peeling: given a SYMMETRIC edge
+    frame (columns u, v) and a 1-row threshold frame (column kk), run
+    ``rounds`` peel sweeps — each sweep simultaneously removes every
+    still-alive node whose degree WITHIN the surviving subgraph is
+    < kk — and return (node, peel_round): the sweep (1-based) at which
+    each node was removed, or 0 for nodes surviving all sweeps.  Split
+    from `kcore_census` so peeling semantics are property-testable on
+    synthetic topologies against a pure-Python peel
+    (tests/test_properties.py), the bfs_layers pattern — it is BFS's
+    structural dual (monotone shrinking alive set instead of a monotone
+    growing reached set).
+
+    Each sweep is two integer semi-joins (restrict edges to surviving
+    endpoints), one partial-aggregated degree count, and one anti-join
+    (the removed delta); every exchange carries bare integer node ids —
+    never adjacency lists.  Alive-but-isolated nodes (all neighbours
+    already peeled) vanish from the degree frame and are therefore
+    removed, as 0 < kk requires.  The threshold stays a lazily
+    broadcast 1-row frame, so data-derived thresholds (mean degree,
+    a percentile) never touch the driver.  Each sweep's alive frame is
+    persisted — it is read three times (two semi-joins, the removed
+    anti-join) and, as with bfs_layers, persist() bounds recomputation
+    but NOT plan size: the triple self-reference grows the
+    un-checkpointed logical tree exponentially in rounds, so past ~10
+    sweeps set ``checkpoint_every`` (the pagerank_ranks_deep cadence);
+    exactly value-equivalent at any cadence — all-integer set algebra.
+    Callers should persist `edges` and own cache cleanup."""
+    alive = edges.select(F.col("u").alias("node")).distinct().persist()
+    labels = []
+    for r in range(1, rounds + 1):
+        au = alive.select(F.col("node").alias("au"))
+        av = alive.select(F.col("node").alias("av"))
+        deg = (
+            edges.join(au, edges.u == F.col("au"), "left_semi")
+            .join(av, edges.v == F.col("av"), "left_semi")
+            .groupBy("u")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        nxt = (
+            deg.crossJoin(F.broadcast(kk))
+            .filter(F.col("deg") >= F.col("kk"))
+            .select(F.col("u").alias("node"))
+        )
+        if checkpoint_every and r % checkpoint_every == 0 and r < rounds:
+            nxt = nxt.localCheckpoint(eager=True)
+        else:
+            nxt = nxt.persist()
+        removed = alive.join(nxt, "node", "left_anti")
+        labels.append(removed.select("node", F.lit(r).alias("peel_round")))
+        alive = nxt
+    out = alive.select("node", F.lit(0).alias("peel_round"))
+    for extra in labels:
+        out = out.unionByName(extra)
+    return out
+
+
+def kcore_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coreness census of ``_KCORE_ROUNDS`` synchronous peel sweeps over
+    the weight-pruned part co-purchase graph at the mean-degree
+    threshold: one row per peel round (0 = the surviving core) with node
+    count and min/max node id, plus the threshold itself — the
+    dense-subgraph profile a curation stack reads to separate
+    well-embedded entities from peripheral ones (k-core is the classic
+    web-spam / bot-cluster signal: link farms survive aggressive
+    peeling, organic pages shed early — Seidman 1983's coreness, the
+    seventh canonical graph workload after importance (x51), components
+    (x43), cohesion (x64), communities (x65), topic importance (x67),
+    and reachability (x68-prepped)).  Threshold kk = (9·|directed
+    edges|) div (10·|V|) — 90 % of mean degree in PURE INTEGER
+    arithmetic, so both engines compute the identical scalar and the
+    census adapts to fixture density (sf0.001's pruned graph is dense,
+    kk=20; sf0.01's sparse, kk=3; both tiers peel non-degenerately with
+    survivors).  All-integer output (the x64 convention; §4.3.1 never
+    engages).  Reference analog: the scored-entity corpus analytics
+    shape, big_data_project/trainer/flax_model.py.
+
+    NOT yet registered (the x68/x69 window deferral): register as
+    `x70_kcore_census` with `_KCORE_ORACLE` when a window slot opens.
+
+    Scale design: each sweep's exchanges are bounded by |E| (semi-join
+    restriction + map-side partial degree count) and |V| (the alive /
+    removed deltas) integer rows; the threshold is a 1-row broadcast
+    computed from two scalar aggregates of the persisted edge frame —
+    no driver-side collect anywhere, the whole fixed-sweep loop is one
+    lazy job.  The alive chain persists per sweep (read 3× each — see
+    kcore_peel); the census union reads each removed delta once.
+    Cache contract: the registry entry point clearCache()s on entry;
+    composing callers own cleanup."""
+    edges = _copurchase_weighted_edges(spark, sf_dir).persist()
+    kk = (
+        edges.agg(
+            F.count(F.lit(1)).alias("m"),
+            F.count_distinct(F.col("u")).alias("nv"),
+        )
+        .select(F.expr("(9 * m) div (10 * nv)").alias("kk"))
+    )
+    peel = kcore_peel(edges, kk, _KCORE_ROUNDS)
+    return (
+        peel.groupBy("peel_round")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("node").alias("min_node"),
+            F.max("node").alias("max_node"),
+        )
+        .crossJoin(F.broadcast(kk))
+        .select(
+            "peel_round",
+            "n_nodes",
+            "min_node",
+            "max_node",
+            F.col("kk").cast("bigint").alias("k_threshold"),
+        )
+        .orderBy("peel_round")
+    )
+
+
+def _kcore_ctes(rounds: int) -> str:
+    """CTE chain unrolling ``rounds`` synchronous peel sweeps — the same
+    pruned symmetric edges, the same integer mean-degree threshold, the
+    anti-join as LEFT JOIN ... IS NULL."""
+    ctes = [
+        """supo AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS s FROM lineitem)""",
+        f"""pw AS (
+      SELECT a.s AS u, b.s AS v
+      FROM supo a JOIN supo b ON a.ok = b.ok AND a.s < b.s
+      GROUP BY a.s, b.s
+      HAVING count(*) >= {_LPA_MIN_WEIGHT})""",
+        """edges AS (
+      SELECT u, v FROM pw
+      UNION ALL
+      SELECT v AS u, u AS v FROM pw)""",
+        """kk AS (
+      SELECT (9 * (SELECT count(*) FROM edges))
+             // (10 * (SELECT count(DISTINCT u) FROM edges)) AS kk)""",
+        "a0 AS (SELECT DISTINCT u AS node FROM edges)",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""d{r} AS (
+      SELECT e.u AS node, count(*) AS deg
+      FROM edges e
+      JOIN a{r - 1} x ON x.node = e.u
+      JOIN a{r - 1} y ON y.node = e.v
+      GROUP BY e.u)""")
+        ctes.append(f"""a{r} AS (
+      SELECT d.node FROM d{r} d, kk WHERE d.deg >= kk.kk)""")
+        ctes.append(f"""rm{r} AS (
+      SELECT a.node FROM a{r - 1} a
+      LEFT JOIN a{r} b ON b.node = a.node
+      WHERE b.node IS NULL)""")
+    labels = [f"SELECT node, 0 AS peel_round FROM a{rounds}"] + [
+        f"SELECT node, {r} AS peel_round FROM rm{r}" for r in range(1, rounds + 1)
+    ]
+    ctes.append("lab AS (" + "\n      UNION ALL ".join(labels) + ")")
+    return "WITH " + ",\n    ".join(ctes)
+
+
+_KCORE_ORACLE = _kcore_ctes(_KCORE_ROUNDS) + """
+    SELECT peel_round, CAST(count(*) AS BIGINT) AS n_nodes,
+           min(node) AS min_node, max(node) AS max_node,
+           CAST((SELECT kk FROM kk) AS BIGINT) AS k_threshold
+    FROM lab
+    GROUP BY peel_round
+    ORDER BY peel_round
+"""

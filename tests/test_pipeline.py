@@ -1155,3 +1155,54 @@ def test_adamic_adar_parity_and_bruteforce(spark):
         assert not missed, f"brute force outranks returned top-20: {missed[:3]}"
     finally:
         spark.catalog.clearCache()
+
+
+def test_kcore_census_parity_and_bruteforce(spark):
+    """k-core peel census (prepped for a future window, the x68/x69
+    pattern): the unrolled-CTE oracle must hash-match at BOTH fixture
+    tiers; the census must cover every graph node exactly once; the
+    threshold must equal (9·|directed edges|) div (10·|V|); and at the
+    sf0.01 tier the whole census must agree with an independent
+    driver-side Python peel of the pruned graph."""
+    from big_data_project_spark.pipeline.graph import (
+        _KCORE_ORACLE, _KCORE_ROUNDS, _copurchase_weighted_edges, kcore_census,
+    )
+    from tests.conftest import SF_DIR, SF_DIR_ORACLE
+    from tests.oracle_harness import compare, duckdb_connect
+
+    for sf in (SF_DIR, SF_DIR_ORACLE):
+        try:
+            con = duckdb_connect(sf)
+            df = kcore_census(spark, sf)
+            res = compare("kcore_census", df, con, _KCORE_ORACLE)
+            assert res.ok, (sf, res.detail, res.mismatches[:3])
+            rows = df.collect()
+            sym = _copurchase_weighted_edges(spark, sf).collect()
+            adj: dict[int, set[int]] = {}
+            for e in sym:
+                adj.setdefault(e.u, set()).add(e.v)
+            assert sum(r.n_nodes for r in rows) == len(adj)
+            k = (9 * len(sym)) // (10 * len(adj))
+            assert all(r.k_threshold == k for r in rows)
+        finally:
+            spark.catalog.clearCache()
+    # independent brute force at the loop's last tier (rows/adj/k in scope)
+    alive = set(adj)
+    expected_round = {}
+    for r in range(1, _KCORE_ROUNDS + 1):
+        nxt = {u for u in alive if len(adj[u] & alive) >= k}
+        for u in alive - nxt:
+            expected_round[u] = r
+        alive = nxt
+    expected_round.update({u: 0 for u in alive})
+    by_round: dict[int, list[int]] = {}
+    for node, r in expected_round.items():
+        by_round.setdefault(r, []).append(node)
+    expected = sorted(
+        (r, len(ns), min(ns), max(ns), k) for r, ns in by_round.items()
+    )
+    got = sorted(
+        (r.peel_round, r.n_nodes, r.min_node, r.max_node, r.k_threshold)
+        for r in rows
+    )
+    assert got == expected

@@ -1142,3 +1142,23 @@ def test_domain_router_plan_contract(spark):
     assert count_ops(df, "Window") == 0
     assert count_ops(df, "BatchEvalPython") + count_ops(df, "ArrowEvalPython") == 0
     assert num_shuffles(df) <= 6, num_shuffles(df)
+
+
+def test_kcore_alive_chain_plan(spark):
+    """Prepped x70: each peel sweep reads the PERSISTED previous alive
+    frame (InMemoryTableScan per sweep — zero means the alive-delta
+    caching broke and every sweep re-derives the whole chain), the
+    1-row threshold joins as a broadcast (never a CartesianProduct),
+    and the whole peel stays JVM-side."""
+    from big_data_project_spark.pipeline.graph import kcore_census
+    from big_data_project_spark.plans.contracts import plan_str
+
+    df = kcore_census(spark, SF)
+    try:
+        text = plan_str(df, "simple")
+        assert text.count("InMemoryTableScan") >= 3
+        assert count_ops(df, "BroadcastNestedLoopJoin") >= 1
+        assert count_ops(df, "CartesianProduct") == 0
+        assert count_ops(df, "BatchEvalPython") + count_ops(df, "ArrowEvalPython") == 0
+    finally:
+        spark.catalog.clearCache()

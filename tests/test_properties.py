@@ -220,3 +220,43 @@ def test_bfs_layers_match_python_bfs(spark, edges, n_seeds):
         assert got == expected
     finally:
         spark.catalog.clearCache()
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(edges=edges_strategy, k=st.integers(min_value=1, max_value=4))
+def test_kcore_peel_matches_python_peel(spark, edges, k):
+    """The synchronous k-core peel core must agree with a reference
+    Python peel on ANY symmetric graph — multi-edges collapse to simple
+    edges, cycles, disconnected components — for every sweep up to the
+    round budget: same peel round for every removed node, 0 for
+    survivors, and alive-but-isolated nodes removed the sweep their
+    last neighbour goes (degree 0 < k)."""
+    from big_data_project_spark.pipeline.graph import kcore_peel
+
+    real = {(u, v) for u, v in edges if u != v}
+    if not real:
+        return
+    sym = sorted(real | {(v, u) for u, v in real})
+    adj: dict[int, set[int]] = {}
+    for u, v in sym:
+        adj.setdefault(u, set()).add(v)
+    rounds = 3
+    alive = set(adj)
+    expected = {}
+    for r in range(1, rounds + 1):
+        nxt = {u for u in alive if len(adj[u] & alive) >= k}
+        for u in alive - nxt:
+            expected[u] = r
+        alive = nxt
+    expected.update({u: 0 for u in alive})
+    edges_df = spark.createDataFrame(sym, schema="u long, v long")
+    kk_df = spark.createDataFrame([(k,)], schema="kk long")
+    try:
+        got = {
+            r.node: r.peel_round
+            for r in kcore_peel(edges_df, kk_df, rounds).collect()
+        }
+        assert got == expected
+    finally:
+        spark.catalog.clearCache()

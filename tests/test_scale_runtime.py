@@ -292,3 +292,42 @@ def test_bfs_deep_checkpoint_cadence_value_equivalent(spark):
         assert d == l == [(n, n) for n in range(9)]
     finally:
         spark.catalog.clearCache()
+
+
+def test_kcore_deep_checkpoint_cadence_value_equivalent(spark):
+    """kcore_peel (prepped x70 family): on a 40-node path graph at k=2,
+    the checkpointed 8-sweep run must return EXACTLY the persist-only
+    run's labels (all-integer set recurrence — cadence cannot change
+    values): endpoints peel outside-in two nodes per sweep from each
+    end, survivors peel_round 0; and each checkpoint must truncate the
+    plan.  The lazy arm stays at 8 sweeps for the same reason as the
+    BFS cadence test: the alive chain's triple self-reference grows the
+    un-checkpointed plan tree exponentially per sweep."""
+    from pyspark.sql import functions as F
+
+    from big_data_project_spark.pipeline.graph import kcore_peel
+
+    try:
+        n = 40
+        chain = spark.range(n - 1).select(
+            F.col("id").alias("u"), (F.col("id") + 1).alias("v")
+        )
+        sym = chain.unionByName(
+            chain.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).persist()
+        kk = spark.createDataFrame([(2,)], schema="kk long").persist()
+        deep = kcore_peel(sym, kk, rounds=8, checkpoint_every=3)
+        lazy = kcore_peel(sym, kk, rounds=8, checkpoint_every=None)
+        deep_plan = len(deep._jdf.queryExecution().analyzed().toString())
+        lazy_plan = len(lazy._jdf.queryExecution().analyzed().toString())
+        assert deep_plan * 2 < lazy_plan, (deep_plan, lazy_plan)
+        d = sorted(map(tuple, deep.collect()))
+        l = sorted(map(tuple, lazy.collect()))
+        # path peel: sweep r removes nodes r-1 and n-r from each end
+        expected = sorted(
+            (node, min(node, n - 1 - node) + 1 if min(node, n - 1 - node) < 8 else 0)
+            for node in range(n)
+        )
+        assert d == l == expected
+    finally:
+        spark.catalog.clearCache()
