@@ -1708,3 +1708,108 @@ def x63_token_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pb + F.lit(1e-9), 6).alias("p_b"),
         F.round(pa * F.log(pa / pb) + F.lit(1e-9), 6).alias("kl_term"),
     )
+
+
+# --- Zipf-law slope fit (prepped for a future window) -----------------------
+
+_ZIPF_MAX_RANK = 500
+
+
+def zipf_slope_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares fit of the corpus BIGRAM rank-frequency power law:
+    slope/intercept/R² of ln(freq) ~ ln(rank) over the top
+    ``_ZIPF_MAX_RANK`` bigrams — Zipf's law says natural text sits near
+    slope −1 with high R², so the fitted exponent is the classic
+    one-number corpus-health check (synthetic, boilerplate-heavy, or
+    template-spam corpora flatten or steepen the curve long before
+    per-document quality gates notice — the distributional sibling of
+    x63's KL drift monitor).  Fit over bigrams, not unigrams: the
+    n-gram rank-frequency law is the same power law, and the fixture's
+    unigram vocabulary (a 31-word pool) is too small to exercise the
+    top-N machinery — its ~900 observed bigrams do.  Same tokenization
+    and adjacent-pair zip as the x54 bigram model (`_bigram_pairs`);
+    ranks tie-broken (count DESC, gram ASC) so both engines agree
+    exactly.  Reference analog: the corpus-statistics shape,
+    big_data_project/trainer/flax_model.py.
+
+    NOT yet registered (the x68-x70 window queue): register as
+    `x71_zipf_slope` with `_ZIPF_ORACLE` when a window slot opens.
+
+    Scale design: the bigram zip is a NARROW per-row array expression
+    (no position self-join) and the gram-count shuffle
+    partial-aggregates map-side (the x9 shape, gram-vocab-bounded
+    output); the top-N cut is an orderBy+limit — Spark plans
+    TakeOrderedAndProject, a distributed top-k that never globally
+    sorts the vocabulary (plan-pinned) — so the single-partition rank
+    window only ever sees ``_ZIPF_MAX_RANK`` rows regardless of corpus
+    size; the regression itself is Spark's associative regr_*
+    aggregates (one partial-agg reduction); vocabulary size rides in
+    as a broadcast 1-row frame off the persisted count frame (read
+    twice — registry clearCache releases it).  No driver collect
+    anywhere.  ln of exact integer counts is the only float input, and
+    slope/intercept/R² round to 4 decimals on both engines (the a25
+    convention)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    wc = (
+        _bigram_pairs(d)
+        .select(F.concat_ws(" ", "w1", "w2").alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
+    nv = wc.agg(F.count(F.lit(1)).alias("n_vocab"))
+    top = wc.orderBy(F.col("n").desc(), "gram").limit(_ZIPF_MAX_RANK)
+    ranked = top.select(
+        F.col("n"),
+        F.row_number()
+        .over(Window.orderBy(F.col("n").desc(), "gram"))
+        .alias("rank"),
+    )
+    ly, lx = F.log(F.col("n")), F.log(F.col("rank"))
+    return (
+        ranked.agg(
+            F.count(F.lit(1)).alias("n_fit"),
+            F.round(F.regr_slope(ly, lx) + F.lit(1e-9), 4).alias("zipf_slope"),
+            F.round(F.regr_intercept(ly, lx) + F.lit(1e-9), 4).alias(
+                "zipf_intercept"
+            ),
+            F.round(F.regr_r2(ly, lx) + F.lit(1e-9), 4).alias("fit_r2"),
+        )
+        .crossJoin(F.broadcast(nv))
+        .select(
+            F.col("n_vocab").cast("bigint"),
+            F.col("n_fit").cast("bigint"),
+            "zipf_slope",
+            "zipf_intercept",
+            "fit_r2",
+        )
+    )
+
+
+_ZIPF_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+    bigrams AS (
+      SELECT doc_id, u.w1, u.w2
+      FROM (
+        SELECT doc_id, unnest([{{'w1': w[i], 'w2': w[i+1]}}
+                               for i in generate_series(1, len(w) - 1)]) AS u
+        FROM toks
+      ) t
+      WHERE u.w1 != '' AND u.w2 != ''),
+    wc AS (
+      SELECT w1 || ' ' || w2 AS gram, count(*) AS n
+      FROM bigrams GROUP BY 1),
+    top AS (
+      SELECT gram, n FROM wc ORDER BY n DESC, gram LIMIT {_ZIPF_MAX_RANK}),
+    ranked AS (
+      SELECT n, row_number() OVER (ORDER BY n DESC, gram) AS rank FROM top)
+    SELECT CAST((SELECT count(*) FROM wc) AS BIGINT) AS n_vocab,
+           CAST(count(*) AS BIGINT) AS n_fit,
+           round(regr_slope(ln(n), ln(rank)) + 1e-9, 4) AS zipf_slope,
+           round(regr_intercept(ln(n), ln(rank)) + 1e-9, 4) AS zipf_intercept,
+           round(regr_r2(ln(n), ln(rank)) + 1e-9, 4) AS fit_r2
+    FROM ranked
+"""

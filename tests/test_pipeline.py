@@ -1206,3 +1206,57 @@ def test_kcore_census_parity_and_bruteforce(spark):
         for r in rows
     )
     assert got == expected
+
+
+def test_zipf_slope_parity_and_bruteforce(spark):
+    """Zipf bigram rank-frequency fit (prepped for a future window): the
+    oracle must hash-match at BOTH fixture tiers; the top-N cap must
+    engage (n_fit = min(cap, n_vocab)); and the fitted
+    slope/intercept/R² must agree with an independent driver-side
+    closed-form least squares over the Python-counted bigram table."""
+    import math
+
+    from big_data_project_spark.pipeline.text import (
+        _ZIPF_MAX_RANK, _ZIPF_ORACLE, zipf_slope_fit,
+    )
+    from tests.conftest import SF_DIR, SF_DIR_ORACLE
+    from tests.oracle_harness import compare, duckdb_connect
+    from big_data_project_spark.io import load_table
+
+    for sf in (SF_DIR, SF_DIR_ORACLE):
+        try:
+            con = duckdb_connect(sf)
+            df = zipf_slope_fit(spark, sf)
+            res = compare("zipf_slope", df, con, _ZIPF_ORACLE)
+            assert res.ok, (sf, res.detail, res.mismatches[:3])
+            row = df.collect()[0]
+            assert row.n_fit == min(_ZIPF_MAX_RANK, row.n_vocab)
+            assert row.zipf_slope < 0  # frequency falls with rank
+            assert 0 < row.fit_r2 <= 1
+            # driver-side brute force: count bigrams in Python, rank,
+            # closed-form OLS on (ln rank, ln freq)
+            docs = load_table(spark, sf, "documents").select("text").collect()
+            counts: dict[str, int] = {}
+            for d in docs:
+                w = [t for t in d.text.lower().split(" ")]
+                for a, b in zip(w, w[1:]):
+                    if a and b:
+                        g = a + " " + b
+                        counts[g] = counts.get(g, 0) + 1
+            assert row.n_vocab == len(counts)
+            top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            top = top[:_ZIPF_MAX_RANK]
+            xs = [math.log(i + 1) for i in range(len(top))]
+            ys = [math.log(n) for _, n in top]
+            mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
+            sxx = sum((x - mx) ** 2 for x in xs)
+            sxy = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+            syy = sum((y - my) ** 2 for y in ys)
+            slope = sxy / sxx
+            intercept = my - slope * mx
+            r2 = sxy * sxy / (sxx * syy)
+            assert abs(row.zipf_slope - slope) < 1e-3, (row.zipf_slope, slope)
+            assert abs(row.zipf_intercept - intercept) < 1e-3
+            assert abs(row.fit_r2 - r2) < 1e-3
+        finally:
+            spark.catalog.clearCache()

@@ -1162,3 +1162,25 @@ def test_kcore_alive_chain_plan(spark):
         assert count_ops(df, "BatchEvalPython") + count_ops(df, "ArrowEvalPython") == 0
     finally:
         spark.catalog.clearCache()
+
+
+def test_zipf_topk_never_global_sorts_vocab(spark):
+    """Prepped x71: the top-N frequency cut must plan as
+    TakeOrderedAndProject (a distributed top-k) — a global Sort of the
+    vocabulary would be the 100 TB scale-killer; the rank window runs
+    once over the N-row result; the persisted count frame feeds both
+    the fit and the vocab-size branch from cache; nothing crosses into
+    Python."""
+    from big_data_project_spark.pipeline.text import zipf_slope_fit
+    from big_data_project_spark.plans.contracts import plan_str
+
+    df = zipf_slope_fit(spark, SF)
+    try:
+        text = plan_str(df, "simple")
+        assert "TakeOrderedAndProject" in text
+        assert count_ops(df, "Window") == 1
+        assert text.count("InMemoryTableScan") >= 2
+        assert count_ops(df, "BatchEvalPython") + count_ops(df, "ArrowEvalPython") == 0
+        assert count_ops(df, "CartesianProduct") == 0
+    finally:
+        spark.catalog.clearCache()
