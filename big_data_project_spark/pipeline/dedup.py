@@ -983,3 +983,89 @@ def x43_largestar_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(diameter)-round label propagation.  This is the variant that holds
     at 100 TB, where dup-graph diameter is unbounded."""
     return largestar_components(spark, sf_dir).orderBy("doc_id")
+
+
+# --- Edit-distance verification of LSH candidates (prepped) -----------------
+
+_LEV_CAP = 120
+_LEV_SIM_THRESHOLD = 0.8
+
+
+def levenshtein_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs verified by exact EDIT similarity: MinHash(64)
+    → LSH(16×4) candidates → unit-cost Levenshtein over the first
+    ``_LEV_CAP`` characters, keeping pairs with
+    1 − lev/max(len) ≥ ``_LEV_SIM_THRESHOLD`` — the character-level
+    verification stage a production dedup funnel runs where shingle
+    Jaccard misreads (short texts, heavy token reordering, CJK-style
+    unsegmented scripts), completing the signature → candidates →
+    verify triad next to the Jaccard verifier
+    (`verified_neardup_pairs`).  Reference analog: the corpus-curation
+    shape, big_data_project/trainer/flax_model.py.
+
+    NOT yet registered (the x68-x71 window queue): register as
+    `x72_edit_distance_dedup` with `_LEV_ORACLE` when a window slot
+    opens.
+
+    Parity: the oracle computes the exact length-pruned n² answer; the
+    fixture's bimodal similarity makes LSH recall 1 (asserted in
+    tests/test_pipeline.py), so the outputs coincide — the established
+    x7 pattern.  Everything compared across engines is integer
+    (levenshtein, lengths) or a single integer division (rounded to 4);
+    the length-window prune is PURE INTEGER — 5·|Δlen| ≤ max(len)
+    encodes the necessary condition |Δlen| ≤ (1−0.8)·max(len) exactly,
+    no float boundary — and is applied identically on both engines.
+
+    Scale design: candidates come from the bounded LSH band join (never
+    n² — the oracle's n² is oracle-only); the prefix cap bounds each
+    Levenshtein cell count by _LEV_CAP² regardless of document length
+    (the standard production cap — extend-on-match only for survivors);
+    the integer length prune runs BEFORE the quadratic Levenshtein so
+    obviously-far pairs never pay it; the verify join moves only capped
+    prefixes, never full texts."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 1)
+    dd = (
+        docs.select("doc_id", F.substring("text", 1, _LEV_CAP).alias("t"))
+        .withColumn("ln", F.length("t"))
+    )
+    pairs = lsh_candidate_pairs(minhash_signatures(shingled_docs(spark, sf_dir)))
+    a = dd.select(
+        F.col("doc_id").alias("doc_a"), F.col("t").alias("ta"), F.col("ln").alias("la")
+    )
+    b = dd.select(
+        F.col("doc_id").alias("doc_b"), F.col("t").alias("tb"), F.col("ln").alias("lb")
+    )
+    mx = F.greatest("la", "lb")
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter(F.lit(5) * F.abs(F.col("la") - F.col("lb")) <= mx)
+        .withColumn("lev", F.levenshtein("ta", "tb"))
+        .withColumn("mx", mx)
+        .filter(F.lit(1.0) - F.col("lev") / F.col("mx") >= F.lit(_LEV_SIM_THRESHOLD))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("lev").cast("bigint").alias("edit_distance"),
+            F.round(F.lit(1.0) - F.col("lev") / F.col("mx") + F.lit(1e-9), 4).alias(
+                "edit_sim"
+            ),
+        )
+    )
+
+
+_LEV_ORACLE = f"""
+    WITH d AS (
+      SELECT doc_id, substr(text, 1, {_LEV_CAP}) AS t,
+             length(substr(text, 1, {_LEV_CAP})) AS ln
+      FROM documents WHERE length(text) >= 1),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             levenshtein(a.t, b.t) AS lev, greatest(a.ln, b.ln) AS mx
+      FROM d a JOIN d b ON a.doc_id < b.doc_id
+       AND 5 * abs(a.ln - b.ln) <= greatest(a.ln, b.ln))
+    SELECT doc_a, doc_b, CAST(lev AS BIGINT) AS edit_distance,
+           round(1.0 - lev * 1.0 / mx + 1e-9, 4) AS edit_sim
+    FROM cand
+    WHERE 1.0 - lev * 1.0 / mx >= {_LEV_SIM_THRESHOLD}
+"""

@@ -1260,3 +1260,50 @@ def test_zipf_slope_parity_and_bruteforce(spark):
             assert abs(row.fit_r2 - r2) < 1e-3
         finally:
             spark.catalog.clearCache()
+
+
+def test_levenshtein_verified_pairs_parity_and_bruteforce(spark):
+    """Edit-distance dedup verification (prepped for a future window):
+    the length-pruned n² oracle must hash-match the LSH-candidate path
+    at BOTH fixture tiers (LSH recall 1 on the bimodal fixture — the
+    x7 pattern), and every returned pair's edit distance must agree
+    with an independent driver-side DP Levenshtein over the capped
+    prefixes."""
+    from big_data_project_spark.io import load_table
+    from big_data_project_spark.pipeline.dedup import (
+        _LEV_CAP, _LEV_ORACLE, _LEV_SIM_THRESHOLD, levenshtein_verified_pairs,
+    )
+    from tests.conftest import SF_DIR, SF_DIR_ORACLE
+    from tests.oracle_harness import compare, duckdb_connect
+
+    def dp_lev(s: str, t: str) -> int:
+        prev = list(range(len(t) + 1))
+        for i, cs in enumerate(s, 1):
+            cur = [i]
+            for j, ct in enumerate(t, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (cs != ct)))
+            prev = cur
+        return prev[-1]
+
+    for sf in (SF_DIR, SF_DIR_ORACLE):
+        try:
+            con = duckdb_connect(sf)
+            df = levenshtein_verified_pairs(spark, sf)
+            res = compare("lev_pairs", df, con, _LEV_ORACLE)
+            assert res.ok, (sf, res.detail, res.mismatches[:3])
+            got = df.collect()
+            assert got, "fixture should contain edit-near-dup pairs"
+            texts = {
+                r.doc_id: r.text[:_LEV_CAP]
+                for r in load_table(spark, sf, "documents").collect()
+            }
+            for r in got:
+                lev = dp_lev(texts[r.doc_a], texts[r.doc_b])
+                assert r.edit_distance == lev, (r.doc_a, r.doc_b, lev)
+                mx = max(len(texts[r.doc_a]), len(texts[r.doc_b]))
+                sim = 1.0 - lev / mx
+                assert sim >= _LEV_SIM_THRESHOLD
+                assert abs(r.edit_sim - sim) < 1e-3
+        finally:
+            spark.catalog.clearCache()

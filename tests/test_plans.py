@@ -1184,3 +1184,21 @@ def test_zipf_topk_never_global_sorts_vocab(spark):
         assert count_ops(df, "CartesianProduct") == 0
     finally:
         spark.catalog.clearCache()
+
+
+def test_levenshtein_verify_stays_bounded_plan(spark):
+    """Prepped x72: candidates must come from the bounded LSH band join
+    (never a cartesian n² — that is oracle-only), the quadratic
+    Levenshtein runs on capped prefixes after the integer length prune,
+    and nothing crosses into Python."""
+    from big_data_project_spark.pipeline.dedup import levenshtein_verified_pairs
+    from big_data_project_spark.plans.contracts import plan_str
+
+    df = levenshtein_verified_pairs(spark, SF)
+    try:
+        text = plan_str(df, "simple")
+        assert count_ops(df, "CartesianProduct") == 0
+        assert count_ops(df, "BatchEvalPython") + count_ops(df, "ArrowEvalPython") == 0
+        assert "levenshtein" in text  # verification runs JVM-side
+    finally:
+        spark.catalog.clearCache()
