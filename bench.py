@@ -111,6 +111,11 @@ DEMONSTRATORS = [
     # a lost broadcast or cache)
     "x65_lpa_communities",
     "x67_personalized_pagerank",
+    # PageRank under 4× disjoint-copy graph replication (added r09): the
+    # iterative family's replication trend line — per-iteration join+agg
+    # scales with factor·|E| while fixed costs amortize; compare against
+    # the x51_pagerank 1× row
+    "x51_pagerank_x4",
 ]
 
 
@@ -133,6 +138,7 @@ _MIN_OF_3 = {
     # persisted edge frames fill inside the first action (same class)
     "x65_lpa_communities",
     "x67_personalized_pagerank",
+    "x51_pagerank_x4",
     # the first two POSITIONS run on the coldest JVM: despite the global
     # and per-query warm-ups, r07 recorded flagship +0.154 s / j2 +0.242 s
     # vs r06 purely from run order (both ≤1.04× of their r01 per-query
@@ -147,6 +153,7 @@ def _extra_rows():
     """Bench-only rows (not registry queries): scale demonstrators whose
     oracle would be prohibitive but whose wall-time the rounds track."""
     from big_data_project_spark.pipeline.dedup import replicated_neardup_pairs
+    from big_data_project_spark.pipeline.graph import replicated_pagerank
 
     from big_data_project_spark.pipeline.similarity import (
         replicated_gram, replicated_topk,
@@ -171,6 +178,11 @@ def _extra_rows():
         # order can legally flip a boundary ulp) — compare against the
         # x61 pipeline's kernel stage.
         "x59_gram_x4": lambda spark, sf_dir: replicated_gram(
+            spark, sf_dir, factor=4),
+        # PageRank over 4 disjoint graph copies: the iterative family's
+        # replication trend line — copy symmetry (every copy computes
+        # identical per-copy values) is pinned in test_pipeline.
+        "x51_pagerank_x4": lambda spark, sf_dir: replicated_pagerank(
             spark, sf_dir, factor=4),
     }
 

@@ -36,8 +36,16 @@ _PR_ITERS = 3
 _PR_DAMP = 0.85
 
 
-def _graph_frames(spark: SparkSession, sf_dir: str):
+_REP_OFFSET = 1 << 40  # disjoint-copy node-id stride (far above any 2·key+1)
+
+
+def _graph_frames(spark: SparkSession, sf_dir: str, factor: int = 1):
     """(edges_deg, deg, n) for the symmetric customer–supplier graph.
+    ``factor`` > 1 builds that many DISJOINT copies of the graph (node
+    ids offset by ``_REP_OFFSET`` per copy) — the replication
+    demonstrator's input: per-iteration join/agg work scales with
+    factor·|E| while the plan, cache layout, and per-copy values stay
+    identical (copy symmetry pinned in tests/test_pipeline.py).
     Persists edges/deg/edges_deg lazily — see x51_pagerank's cache
     contract; callers outside the registry own cleanup."""
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
@@ -53,13 +61,27 @@ def _graph_frames(spark: SparkSession, sf_dir: str):
         )
         .distinct()
     )
-    # Symmetrize with an explode over both orientations in ONE pass — a
-    # pairs.unionAll(pairs.swap) would re-plan the orders⨝lineitem join
-    # as two independent subtrees and double the cache-fill work (the
-    # r08 LPA finding, `_copurchase_weighted_edges`).
+    # Symmetrize (and, under replication, fan out all copies) with ONE
+    # explode over a literal struct array — a pairs.unionAll(pairs.swap)
+    # would re-plan the orders⨝lineitem join as two independent subtrees
+    # and double the cache-fill work (the r08 LPA finding,
+    # `_copurchase_weighted_edges`); the same argument holds per copy.
+    c, s = F.col("cnode").cast("bigint"), F.col("snode").cast("bigint")
     both = F.array(
-        F.struct(F.col("cnode").alias("src"), F.col("snode").alias("dst")),
-        F.struct(F.col("snode").alias("src"), F.col("cnode").alias("dst")),
+        *[
+            st
+            for k in range(factor)
+            for st in (
+                F.struct(
+                    (c + k * _REP_OFFSET).alias("src"),
+                    (s + k * _REP_OFFSET).alias("dst"),
+                ),
+                F.struct(
+                    (s + k * _REP_OFFSET).alias("src"),
+                    (c + k * _REP_OFFSET).alias("dst"),
+                ),
+            )
+        ]
     )
     edges = pairs.select(F.explode(both).alias("e")).select("e.src", "e.dst").persist()
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).persist()
@@ -130,6 +152,53 @@ def pagerank_ranks_deep(
             # starts from the checkpointed RDD, not the full chain
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def replicated_pagerank_ranks(
+    spark: SparkSession, sf_dir: str, factor: int
+) -> DataFrame:
+    """The x51 power iteration over ``factor`` disjoint copies of the
+    customer–supplier graph (see `_graph_frames`): per-iteration
+    join/agg work scales with factor·|E|, the exchange still carries
+    (dst, double) pairs, and — because the copies are disjoint and the
+    seed/recurrence round to 10 decimals identically in every copy —
+    each copy computes the SAME rank values, at 1/factor of the 1×
+    magnitudes (N grows by factor).  Returns the full (node_id, r)
+    frame after ``_PR_ITERS`` generations; copy k's node ids live at
+    k·_REP_OFFSET + original id.  Same cache contract as x51."""
+    edges_deg, deg, n = _graph_frames(spark, sf_dir, factor=factor)
+    ranks = _seed_ranks(deg, n)
+    for _ in range(_PR_ITERS):
+        ranks = _pr_step(edges_deg, ranks, n)
+    return ranks
+
+
+def replicated_pagerank(spark: SparkSession, sf_dir: str, factor: int = 4) -> DataFrame:
+    """Bench-only demonstrator row (`x51_pagerank_x4` — not a registry
+    query; its oracle would be the x51 CTE chain ×factor for no new
+    information): top-25 nodes by rank across all copies.  Compare its
+    wall against the x51_pagerank row — near-linear scaling of the
+    per-iteration join+agg with fixed costs amortized is the iterative
+    family's replication trend line, joining dedup (x7_minhash_x4),
+    retrieval (x50_bm25_x4), similarity (x8_topk_x4), and linear
+    algebra (x59_gram_x4).  Copy symmetry doubles as a correctness
+    invariant (every copy must surface the same per-copy top list —
+    tests/test_pipeline.py)."""
+    ranks = replicated_pagerank_ranks(spark, sf_dir, factor)
+    base = F.col("node_id") % F.lit(_REP_OFFSET)
+    node_str = F.concat(
+        F.when(base % 2 == 0, F.lit("c")).otherwise(F.lit("s")),
+        F.shiftright(base.cast("bigint"), 1).cast("string"),
+    )
+    return (
+        ranks.select(
+            F.shiftright(F.col("node_id").cast("bigint"), 40).cast("int").alias("copy"),
+            node_str.alias("node_id"),
+            F.round(F.col("r") + F.lit(1e-9), 6).alias("pagerank"),
+        )
+        .orderBy(F.col("pagerank").desc(), "copy", "node_id")
+        .limit(25)
+    )
 
 
 def _pagerank_ctes(iters: int) -> str:

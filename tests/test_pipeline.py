@@ -1307,3 +1307,37 @@ def test_levenshtein_verified_pairs_parity_and_bruteforce(spark):
                 assert abs(r.edit_sim - sim) < 1e-3
         finally:
             spark.catalog.clearCache()
+
+
+def test_replicated_pagerank_copy_symmetry_and_quarter_scale(spark, sf_dir):
+    """The x51_pagerank_x4 bench demonstrator's correctness invariant:
+    over ``factor`` DISJOINT graph copies, every copy must compute the
+    IDENTICAL per-copy rank values (same 10-decimal rounded recurrence
+    in each copy), and each must equal the 1× run's value scaled by
+    1/factor to within the accumulated seed-rounding slack (the seed is
+    round(1/(factor·N)) rather than round(1/N)/factor)."""
+    from big_data_project_spark.pipeline.graph import (
+        _REP_OFFSET, pagerank_ranks_deep, replicated_pagerank_ranks,
+    )
+
+    try:
+        factor = 2
+        rep = replicated_pagerank_ranks(spark, sf_dir, factor).collect()
+        by_copy: dict[int, dict[int, float]] = {}
+        for r in rep:
+            by_copy.setdefault(r.node_id // _REP_OFFSET, {})[
+                r.node_id % _REP_OFFSET
+            ] = r.r
+        assert sorted(by_copy) == list(range(factor))
+        assert by_copy[0] == by_copy[1]  # exact: same rounded recurrence
+        one = {
+            r.node_id: r.r
+            for r in pagerank_ranks_deep(
+                spark, sf_dir, iters=3, checkpoint_every=None
+            ).collect()
+        }
+        assert set(one) == set(by_copy[0])
+        for node, r in by_copy[0].items():
+            assert abs(r * factor - one[node]) < 1e-6, (node, r, one[node])
+    finally:
+        spark.catalog.clearCache()
