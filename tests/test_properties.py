@@ -260,3 +260,46 @@ def test_kcore_peel_matches_python_peel(spark, edges, k):
         assert got == expected
     finally:
         spark.catalog.clearCache()
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(edges=edges_strategy, rounds=st.integers(min_value=1, max_value=3))
+def test_lpa_step_matches_python_sync_lpa(spark, edges, rounds):
+    """x65's synchronous label-propagation step must agree with a
+    reference Python implementation on ANY symmetric simple graph for
+    every round: each node adopts the most frequent label among its
+    neighbours with the (max count, min label) tie-break — the
+    determinism that makes sync LPA oracle-mirrorable.  Multi-edges
+    are collapsed first (the weight-pruned builder emits simple
+    edges); every node has degree ≥ 1 by construction, so labels
+    cover all nodes every round."""
+    from big_data_project_spark.pipeline.graph import _lpa_step
+
+    real = {(u, v) for u, v in edges if u != v}
+    if not real:
+        return
+    sym = sorted(real | {(v, u) for u, v in real})
+    adj: dict[int, set[int]] = {}
+    for u, v in sym:
+        adj.setdefault(u, set()).add(v)
+    labels = {n: n for n in adj}
+    for _ in range(rounds):
+        nxt = {}
+        for n in adj:
+            votes: dict[int, int] = {}
+            for nb in adj[n]:
+                votes[labels[nb]] = votes.get(labels[nb], 0) + 1
+            nxt[n] = min(votes, key=lambda l: (-votes[l], l))
+        labels = nxt
+    edges_df = spark.createDataFrame(sym, schema="u long, v long")
+    lab_df = edges_df.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    try:
+        for _ in range(rounds):
+            lab_df = _lpa_step(edges_df, lab_df)
+        got = {r.node: r.lbl for r in lab_df.collect()}
+        assert got == labels
+    finally:
+        spark.catalog.clearCache()
