@@ -1342,3 +1342,135 @@ _KCORE_ORACLE = _kcore_ctes(_KCORE_ROUNDS) + """
     GROUP BY peel_round
     ORDER BY peel_round
 """
+
+
+# --------------------------------------------------------------------------
+# HITS hubs/authorities (prepped for a future window)
+# --------------------------------------------------------------------------
+
+_HITS_ITERS = 3
+
+
+def hits_scores(spark: SparkSession, sf_dir: str):
+    """(hubs, auths, pairs) after ``_HITS_ITERS`` HITS iterations
+    (Kleinberg 1999) over the DIRECTED customer→supplier bipartite
+    graph (one edge per distinct order-linked pair): authority(s) =
+    Σ_{c→s} hub(c), hub(c) = Σ_{c→s} authority(s), each half-step
+    sum-normalized — the natural mutually-recursive importance pair on
+    a bipartite graph, where PageRank's single score (x51) conflates
+    the two roles.  Classic all-ones hub init, so the first authority
+    pass is exactly in-degree/Σin-degree — integers until the first
+    normalization.  Each normalized score rounds to 10 decimals on
+    both engines (the x51 convention) and every normalizing sum is
+    clamped `greatest(sum, 1e-4)` identically (the §4.3 divide rule;
+    the sums are provably ≥ the smallest normalized score times the
+    minimum degree, so the clamp never engages on real graphs — it
+    exists so a degenerate input fails identically, not divergently).
+
+    Scale design: one iteration = two (edge ⨝ score → partial-agg sum)
+    passes whose exchanges carry (node, double) pairs only, plus two
+    1-row scalar sums broadcast back — zero extra shuffle over the
+    x51 cadence, just two half-steps per generation; the distinct
+    edge frame is the only cached state and the score chains stay
+    lazy (linear — one job).  Callers own cache cleanup."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
+        .distinct()
+        .persist()
+    )
+    hubs = pairs.select("cust").distinct().select("cust", F.lit(1.0).alias("h"))
+    auths = None
+    for _ in range(_HITS_ITERS):
+        ar = (
+            pairs.join(hubs, "cust")
+            .groupBy("supp")
+            .agg(F.sum("h").alias("s"))
+        )
+        asum = ar.agg(F.greatest(F.sum("s"), F.lit(1e-4)).alias("t"))
+        auths = ar.crossJoin(F.broadcast(asum)).select(
+            "supp", F.round(F.col("s") / F.col("t") + F.lit(1e-12), 10).alias("a")
+        )
+        hr = (
+            pairs.join(auths, "supp")
+            .groupBy("cust")
+            .agg(F.sum("a").alias("s"))
+        )
+        hsum = hr.agg(F.greatest(F.sum("s"), F.lit(1e-4)).alias("t"))
+        hubs = hr.crossJoin(F.broadcast(hsum)).select(
+            "cust", F.round(F.col("s") / F.col("t") + F.lit(1e-12), 10).alias("h")
+        )
+    return hubs, auths, pairs
+
+
+def hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 suppliers by HITS authority score (ties by supplier id),
+    with in-degree alongside — authority vs raw degree is exactly the
+    curation question (a supplier reached by many WELL-CONNECTED
+    customers outranks one with the same degree of one-off buyers; on
+    a crawl graph: pages endorsed by good hub pages).  The eighth
+    canonical graph workload after importance, components, cohesion,
+    communities, topic importance, reachability, link prediction, and
+    coreness.  Reference analog: the scored-entity corpus analytics
+    shape, big_data_project/trainer/flax_model.py.
+
+    NOT yet registered (the x68-x72 window queue): register as
+    `x73_hits_authorities` with `_HITS_ORACLE` when a window slot
+    opens."""
+    _, auths, pairs = hits_scores(spark, sf_dir)
+    ideg = pairs.groupBy("supp").agg(F.count(F.lit(1)).alias("indeg"))
+    return (
+        auths.join(ideg, "supp")
+        .select(
+            F.col("supp").alias("supplier"),
+            F.round(F.col("a") + F.lit(1e-9), 6).alias("authority"),
+            F.col("indeg").cast("bigint").alias("indeg"),
+        )
+        .orderBy(F.col("authority").desc(), "supplier")
+        .limit(25)
+    )
+
+
+def _hits_ctes(iters: int) -> str:
+    """CTE chain unrolling ``iters`` HITS iterations — same directed
+    bipartite pairs, all-ones hub init, sum-normalized half-steps with
+    the clamped denominator and 10-decimal quantization."""
+    ctes = [
+        """pairs AS (
+      SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey)""",
+        """h0 AS (
+      SELECT cust, 1.0 AS h FROM (SELECT DISTINCT cust FROM pairs))""",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(f"""ar{k} AS (
+      SELECT p.supp, sum(h.h) AS s
+      FROM pairs p JOIN h{k - 1} h ON h.cust = p.cust
+      GROUP BY p.supp)""")
+        ctes.append(f"""a{k} AS (
+      SELECT supp,
+             round(s / greatest((SELECT sum(s) FROM ar{k}), 0.0001) + 1e-12,
+                   10) AS a
+      FROM ar{k})""")
+        ctes.append(f"""hr{k} AS (
+      SELECT p.cust, sum(a.a) AS s
+      FROM pairs p JOIN a{k} a ON a.supp = p.supp
+      GROUP BY p.cust)""")
+        ctes.append(f"""h{k} AS (
+      SELECT cust,
+             round(s / greatest((SELECT sum(s) FROM hr{k}), 0.0001) + 1e-12,
+                   10) AS h
+      FROM hr{k})""")
+    return "WITH " + ",\n    ".join(ctes)
+
+
+_HITS_ORACLE = _hits_ctes(_HITS_ITERS) + f"""
+    , ideg AS (SELECT supp, CAST(count(*) AS BIGINT) AS indeg
+               FROM pairs GROUP BY supp)
+    SELECT a.supp AS supplier, round(a.a + 1e-9, 6) AS authority, i.indeg
+    FROM a{_HITS_ITERS} a JOIN ideg i ON i.supp = a.supp
+    ORDER BY authority DESC, supplier
+    LIMIT 25
+"""

@@ -1341,3 +1341,51 @@ def test_replicated_pagerank_copy_symmetry_and_quarter_scale(spark, sf_dir):
             assert abs(r * factor - one[node]) < 1e-6, (node, r, one[node])
     finally:
         spark.catalog.clearCache()
+
+
+def test_hits_parity_and_bruteforce(spark):
+    """HITS hubs/authorities (prepped for a future window): the
+    unrolled-CTE oracle must hash-match at BOTH fixture tiers; the
+    authority vector must be a probability distribution (sum 1 at the
+    10-decimal quantization); and the full score vectors must agree
+    with an independent driver-side Python HITS using the same
+    sum-normalized, 10-decimal-rounded half-steps."""
+    from big_data_project_spark.pipeline.graph import (
+        _HITS_ITERS, _HITS_ORACLE, hits_authorities, hits_scores,
+    )
+    from tests.conftest import SF_DIR, SF_DIR_ORACLE
+    from tests.oracle_harness import compare, duckdb_connect
+
+    for sf in (SF_DIR, SF_DIR_ORACLE):
+        try:
+            con = duckdb_connect(sf)
+            res = compare("hits", hits_authorities(spark, sf), con, _HITS_ORACLE)
+            assert res.ok, (sf, res.detail, res.mismatches[:3])
+        finally:
+            spark.catalog.clearCache()
+    try:
+        hubs, auths, pairs = hits_scores(spark, SF_DIR)
+        got_h = {r.cust: r.h for r in hubs.collect()}
+        got_a = {r.supp: r.a for r in auths.collect()}
+        edges = [(r.cust, r.supp) for r in pairs.collect()]
+        assert abs(sum(got_a.values()) - 1.0) < 1e-6
+        assert abs(sum(got_h.values()) - 1.0) < 1e-6
+        assert all(v > 0 for v in got_a.values())
+        # independent Python HITS with the same quantized recurrence
+        h = {c: 1.0 for c, _ in edges}
+        for _ in range(_HITS_ITERS):
+            a_raw: dict[int, float] = {}
+            for c, s in edges:
+                a_raw[s] = a_raw.get(s, 0.0) + h[c]
+            t = max(sum(a_raw.values()), 1e-4)
+            a = {s: round(v / t + 1e-12, 10) for s, v in a_raw.items()}
+            h_raw: dict[int, float] = {}
+            for c, s in edges:
+                h_raw[c] = h_raw.get(c, 0.0) + a[s]
+            t = max(sum(h_raw.values()), 1e-4)
+            h = {c: round(v / t + 1e-12, 10) for c, v in h_raw.items()}
+        assert set(got_a) == set(a) and set(got_h) == set(h)
+        assert all(abs(got_a[s] - a[s]) < 1e-9 for s in a)
+        assert all(abs(got_h[c] - h[c]) < 1e-9 for c in h)
+    finally:
+        spark.catalog.clearCache()

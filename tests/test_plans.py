@@ -1202,3 +1202,21 @@ def test_levenshtein_verify_stays_bounded_plan(spark):
         assert "levenshtein" in text  # verification runs JVM-side
     finally:
         spark.catalog.clearCache()
+
+
+def test_hits_broadcast_normalizers_plan(spark):
+    """Prepped x73: each half-step's normalizing sum must ride back as
+    a 1-row broadcast (never a shuffle or cartesian), the top-25 is
+    TakeOrderedAndProject, and the whole recurrence stays JVM-side."""
+    from big_data_project_spark.pipeline.graph import hits_authorities
+    from big_data_project_spark.plans.contracts import plan_str
+
+    df = hits_authorities(spark, SF)
+    try:
+        text = plan_str(df, "simple")
+        assert count_ops(df, "BroadcastNestedLoopJoin") >= 2
+        assert "TakeOrderedAndProject" in text
+        assert count_ops(df, "CartesianProduct") == 0
+        assert count_ops(df, "BatchEvalPython") + count_ops(df, "ArrowEvalPython") == 0
+    finally:
+        spark.catalog.clearCache()
