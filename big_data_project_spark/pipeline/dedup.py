@@ -1069,3 +1069,146 @@ _LEV_ORACLE = f"""
     FROM cand
     WHERE 1.0 - lev * 1.0 / mx >= {_LEV_SIM_THRESHOLD}
 """
+
+
+# --- Winnowing fingerprints (prepped) ---------------------------------------
+
+_WIN_W = 4  # winnowing window (in k-grams); k itself is the shingle K = 3
+_WIN_SHARED_MIN = 10
+_WIN_MAX_DF = 100
+
+
+def winnow_fingerprints(docs: DataFrame) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer et al. 2003 — the MOSS
+    algorithm): per document, hash every POSITIONAL 3-gram (the
+    md5-prefix digest contract, pipeline/digest.py), slide a window of
+    ``_WIN_W`` consecutive k-gram hashes, keep each window's minimum,
+    and emit the DISTINCT selected values as (doc_id, fp) rows.
+    Winnowing's guarantee: any shared substring of at least
+    w + k − 1 = 6 tokens yields at least one shared fingerprint, while
+    only ~2/(w+1) of all k-grams are ever selected — the
+    position-robust, density-bounded sketch that whole-doc hashing
+    (x10) and random-permutation MinHash (x7) both aren't.  Documents
+    with fewer than w + k − 1 tokens have no full window and are
+    excluded (the classic boundary; fixture docs are all ≥ 25 tokens).
+    Selection is one narrow per-row array pass (sequence → slice →
+    array_min → array_distinct), no shuffle at all; only the ~n/w
+    selected (doc_id, fp) int pairs ever leave the row."""
+    toks = _tokens(F.col("text"))
+    n = F.size(toks)
+    kg = F.transform(
+        F.sequence(F.lit(0), n - F.lit(3)),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+            F.element_at(toks, i + 3),
+        ),
+    )
+    hs = F.transform(kg, lambda g: md5_prefix_digest(F.md5(g)))
+    sel = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("h") - F.lit(_WIN_W - 1)),
+            lambda i: F.array_min(F.slice(F.col("h"), i, _WIN_W)),
+        )
+    )
+    return (
+        docs.filter(n >= F.lit(3 + _WIN_W - 1))
+        .select("doc_id", hs.alias("h"))
+        .select("doc_id", F.explode(sel).alias("fp"))
+    )
+
+
+def winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 document pairs by shared winnowing fingerprints (≥
+    ``_WIN_SHARED_MIN``, ties by ids), with each side's total
+    fingerprint count — the MOSS-style containment/plagiarism report:
+    robust to insertions and reordering that break whole-doc hashes,
+    cheaper and guarantee-backed where MinHash is probabilistic.
+    All-integer output.  Reference analog: the corpus-curation shape,
+    big_data_project/trainer/flax_model.py.
+
+    NOT yet registered (the x68-x73 window queue): register as
+    `x74_winnowing_fingerprints` with `_WINNOW_ORACLE` when a window
+    slot opens.
+
+    Scale design: selection is shuffle-free (see winnow_fingerprints)
+    and winnowing keeps only ~2/(w+1) of k-grams, so the postings
+    exchange carries a density-bounded (doc_id, fp) int stream; the
+    pair join is postings-bucketed on fp — bucket sizes are fingerprint
+    document frequencies, and fingerprints with df > ``_WIN_MAX_DF``
+    are dropped BEFORE the join (the BM25 term-filter pattern — at
+    100 TB boilerplate fingerprints are exactly the hot keys; the cap
+    never engages on the fixture, max df 9, and the synthetic-hot-key
+    test pins that it works); per-doc totals count the PRE-cap
+    fingerprint set (the doc's true sketch cardinality).  The top-20
+    is a TakeOrderedAndProject.  The fingerprint frame is persisted —
+    it feeds the df census, both join sides, and the per-doc totals."""
+    fp = winnow_fingerprints(load_table(spark, sf_dir, "documents")).persist()
+    totals = fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    keep = (
+        fp.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _WIN_MAX_DF)
+        .select("fp")
+    )
+    cold = fp.join(keep, "fp", "left_semi")
+    a, b = cold.alias("a"), cold.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared_fp"))
+        .filter(F.col("shared_fp") >= _WIN_SHARED_MIN)
+    )
+    ta = totals.select(F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("fp_a"))
+    tb = totals.select(F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("fp_b"))
+    return (
+        shared.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select("doc_a", "doc_b", "shared_fp", "fp_a", "fp_b")
+        .orderBy(F.col("shared_fp").desc(), "doc_a", "doc_b")
+        .limit(20)
+    )
+
+
+_WINNOW_ORACLE = f"""
+    WITH toksw AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      WHERE len(string_split(text, ' ')) >= {3 + _WIN_W - 1}),
+    kh AS (
+      SELECT doc_id,
+             [CAST('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]),
+                                  1, 15) AS BIGINT) % 1000000007
+              for i in generate_series(1, len(w) - 2)] AS h
+      FROM toksw),
+    fp AS (
+      SELECT doc_id,
+             unnest(list_distinct(
+               [list_min(list_slice(h, i, i + {_WIN_W - 1}))
+                for i in generate_series(1, len(h) - {_WIN_W - 1})])) AS fp
+      FROM kh),
+    totals AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp FROM fp GROUP BY doc_id),
+    keep AS (
+      SELECT fp FROM fp GROUP BY fp HAVING count(*) <= {_WIN_MAX_DF}),
+    cold AS (
+      SELECT f.doc_id, f.fp FROM fp f JOIN keep k ON k.fp = f.fp),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS shared_fp
+      FROM cold a JOIN cold b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING count(*) >= {_WIN_SHARED_MIN})
+    SELECT s.doc_a, s.doc_b, s.shared_fp, ta.n_fp AS fp_a, tb.n_fp AS fp_b
+    FROM shared s
+    JOIN totals ta ON ta.doc_id = s.doc_a
+    JOIN totals tb ON tb.doc_id = s.doc_b
+    ORDER BY s.shared_fp DESC, s.doc_a, s.doc_b
+    LIMIT 20
+"""

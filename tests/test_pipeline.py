@@ -1389,3 +1389,76 @@ def test_hits_parity_and_bruteforce(spark):
         assert all(abs(got_h[c] - h[c]) < 1e-9 for c in h)
     finally:
         spark.catalog.clearCache()
+
+
+def test_winnow_overlap_parity_bruteforce_and_hot_cap(spark):
+    """Winnowing overlap report (prepped for a future window): the
+    oracle must hash-match at BOTH fixture tiers; the full top-20 must
+    agree with an independent driver-side Python winnow + pair count;
+    and the df hot-fingerprint cap must actually drop a synthetic
+    boilerplate fingerprint shared by more than _WIN_MAX_DF docs."""
+    import hashlib
+
+    from big_data_project_spark.io import load_table
+    from big_data_project_spark.pipeline.dedup import (
+        _WIN_MAX_DF, _WIN_SHARED_MIN, _WIN_W, _WINNOW_ORACLE,
+        winnow_fingerprints, winnow_overlap_pairs,
+    )
+    from tests.conftest import SF_DIR, SF_DIR_ORACLE
+    from tests.oracle_harness import compare, duckdb_connect
+
+    K, P = 3, 1_000_000_007
+
+    def py_winnow(text: str) -> set:
+        w = text.split(" ")
+        if len(w) < K + _WIN_W - 1:
+            return set()
+        kg = [" ".join(w[j:j + K]) for j in range(len(w) - K + 1)]
+        h = [int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % P for g in kg]
+        return {min(h[j:j + _WIN_W]) for j in range(len(h) - _WIN_W + 1)}
+
+    for sf in (SF_DIR, SF_DIR_ORACLE):
+        try:
+            con = duckdb_connect(sf)
+            df = winnow_overlap_pairs(spark, sf)
+            res = compare("winnow", df, con, _WINNOW_ORACLE)
+            assert res.ok, (sf, res.detail, res.mismatches[:3])
+            got = [(r.doc_a, r.doc_b, r.shared_fp, r.fp_a, r.fp_b)
+                   for r in df.collect()]
+            fps = {r.doc_id: py_winnow(r.text)
+                   for r in load_table(spark, sf, "documents").collect()}
+            fps = {d: s for d, s in fps.items() if s}
+            df_count: dict[int, int] = {}
+            for s in fps.values():
+                for f in s:
+                    df_count[f] = df_count.get(f, 0) + 1
+            hot = {f for f, c in df_count.items() if c > _WIN_MAX_DF}
+            assert not hot  # fixture max df is single digits
+            docs = sorted(fps)
+            pairs = []
+            for i, da in enumerate(docs):
+                for db in docs[i + 1:]:
+                    sh = len(fps[da] & fps[db])
+                    if sh >= _WIN_SHARED_MIN:
+                        pairs.append((da, db, sh, len(fps[da]), len(fps[db])))
+            pairs.sort(key=lambda p: (-p[2], p[0], p[1]))
+            assert got == pairs[:20]
+        finally:
+            spark.catalog.clearCache()
+    # hot-fingerprint cap: one boilerplate sentence shared by many docs
+    # must NOT produce pairs once its fingerprints exceed the df cap
+    try:
+        boiler = " ".join(f"w{i}" for i in range(_WIN_W + K - 1))
+        n_docs = _WIN_MAX_DF + 5
+        rows = [(i, boiler) for i in range(n_docs)]
+        df = spark.createDataFrame(rows, schema="doc_id long, text string")
+        fp = winnow_fingerprints(df).persist()
+        from pyspark.sql import functions as F
+
+        keep = (
+            fp.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= _WIN_MAX_DF).select("fp")
+        )
+        assert fp.count() > 0 and keep.count() == 0
+    finally:
+        spark.catalog.clearCache()

@@ -1220,3 +1220,22 @@ def test_hits_broadcast_normalizers_plan(spark):
         assert count_ops(df, "BatchEvalPython") + count_ops(df, "ArrowEvalPython") == 0
     finally:
         spark.catalog.clearCache()
+
+
+def test_winnow_postings_join_bounded_plan(spark):
+    """Prepped x74: the persisted fingerprint frame must feed the df
+    census, both postings-join sides, and the totals from cache
+    (InMemoryTableScan ≥ 4), the top-20 is TakeOrderedAndProject, and
+    the whole selection stays JVM-side with no cartesian product."""
+    from big_data_project_spark.pipeline.dedup import winnow_overlap_pairs
+    from big_data_project_spark.plans.contracts import plan_str
+
+    df = winnow_overlap_pairs(spark, SF)
+    try:
+        text = plan_str(df, "simple")
+        assert text.count("InMemoryTableScan") >= 4
+        assert "TakeOrderedAndProject" in text
+        assert count_ops(df, "CartesianProduct") == 0
+        assert count_ops(df, "BatchEvalPython") + count_ops(df, "ArrowEvalPython") == 0
+    finally:
+        spark.catalog.clearCache()

@@ -303,3 +303,39 @@ def test_lpa_step_matches_python_sync_lpa(spark, edges, rounds):
         assert got == labels
     finally:
         spark.catalog.clearCache()
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=st.lists(
+    st.lists(st.sampled_from("abcdefgh"), min_size=0, max_size=20),
+    min_size=1, max_size=6,
+))
+def test_winnow_fingerprints_match_python_winnow(spark, docs):
+    """Winnowing selection must agree with a reference Python winnow on
+    ANY token stream: same distinct window-minima set per document,
+    and documents shorter than w + k − 1 tokens absent."""
+    import hashlib
+
+    from big_data_project_spark.pipeline.dedup import (
+        _WIN_W, winnow_fingerprints,
+    )
+
+    K, P = 3, 1_000_000_007
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    expected: dict[int, set[int]] = {}
+    for i, text in rows:
+        w = text.split(" ")
+        if len(w) < K + _WIN_W - 1:
+            continue
+        kg = [" ".join(w[j:j + K]) for j in range(len(w) - K + 1)]
+        h = [int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % P for g in kg]
+        expected[i] = {min(h[j:j + _WIN_W]) for j in range(len(h) - _WIN_W + 1)}
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    try:
+        got: dict[int, set[int]] = {}
+        for r in winnow_fingerprints(df).collect():
+            got.setdefault(r.doc_id, set()).add(r.fp)
+        assert got == expected
+    finally:
+        spark.catalog.clearCache()
