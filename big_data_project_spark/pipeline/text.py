@@ -1749,7 +1749,7 @@ def zipf_slope_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     anywhere.  ln of exact integer counts is the only float input, and
     slope/intercept/R² round to 4 decimals on both engines (the a25
     convention)."""
-    from pyspark.sql import Window
+    from pyspark.sql.window import Window
 
     d = load_table(spark, sf_dir, "documents")
     wc = (
