@@ -1212,3 +1212,159 @@ _WINNOW_ORACLE = f"""
     ORDER BY s.shared_fp DESC, s.doc_a, s.doc_b
     LIMIT 20
 """
+
+
+# --- Content-defined chunking dedup census (prepped) -------------------------
+
+_CDC_D = 8  # cut when kgram_hash % D == 0 → expected chunk length ~D tokens
+_CDC_MIN_REPORT = 4  # census reports chunks of at least this many tokens
+
+
+def cdc_chunks(docs: DataFrame) -> DataFrame:
+    """Content-defined chunking (the LBFS/rsync mechanism): hash every
+    positional 3-gram (the md5-prefix digest contract), cut AFTER
+    token i+1 wherever the k-gram hash starting at token i is ≡ 0
+    (mod ``_CDC_D``), and emit one (doc_id, chunk, tok_len) row per
+    variable-size chunk.  Because boundaries depend only on LOCAL
+    content, an insertion re-chunks only its neighbourhood and every
+    chunk at distance ≥ k re-aligns — the boundary-shift robustness
+    fixed-size blocking lacks (pinned by the prepended-token test);
+    the storage-dedup primitive, and in an LLM pipeline the long-
+    document sub-chunk deduper.  Documents shorter than k = 3 tokens
+    have no k-gram and form a single chunk.  Production CDC adds
+    min/max chunk bounds to box the geometric length distribution;
+    the unbounded classic keeps the oracle exact here.  One narrow
+    per-row array pass (filter → boundary concat → slice per segment),
+    no shuffle; only (doc_id, chunk-hash-sized) rows leave the row
+    after the caller hashes the chunk text away."""
+    toks = _tokens(F.col("text"))
+    n = F.size(toks)
+    kg = F.transform(
+        F.sequence(F.lit(0), n - F.lit(3)),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+            F.element_at(toks, i + 3),
+        ),
+    )
+    hs = F.transform(kg, lambda g: md5_prefix_digest(F.md5(g)))
+    short = docs.filter(n < 3).select(
+        "doc_id", F.col("text").alias("chunk"), n.alias("tok_len")
+    )
+    cuts = F.filter(
+        F.sequence(F.lit(1), F.size("h")),
+        lambda i: F.element_at(F.col("h"), i) % _CDC_D == 0,
+    )
+    bpos = F.concat(
+        F.array(F.lit(1)),
+        F.transform(cuts, lambda i: i + 1),
+        F.array(F.size("w") + 1),
+    )
+    seg = F.transform(
+        F.sequence(F.lit(1), F.size(bpos) - F.lit(1)),
+        lambda j: F.struct(
+            F.concat_ws(
+                " ",
+                F.slice(
+                    F.col("w"),
+                    F.element_at(bpos, j),
+                    F.element_at(bpos, j + 1) - F.element_at(bpos, j),
+                ),
+            ).alias("chunk"),
+            (F.element_at(bpos, j + 1) - F.element_at(bpos, j)).alias("tok_len"),
+        ),
+    )
+    long = (
+        docs.filter(n >= 3)
+        .select("doc_id", toks.alias("w"), hs.alias("h"))
+        .select("doc_id", F.explode(seg).alias("s"))
+        .select("doc_id", F.col("s.chunk").alias("chunk"),
+                F.col("s.tok_len").cast("int").alias("tok_len"))
+    )
+    return long.unionByName(
+        short.select("doc_id", "chunk", F.col("tok_len").cast("int").alias("tok_len"))
+    )
+
+
+def cdc_dedup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most duplicated CDC chunks corpus-wide (by occurrence
+    count, ties by chunk digest) with distinct-document reach and token
+    length — the storage-dedup savings report: how much of the corpus
+    is REDUNDANT at sub-document granularity, and which segments
+    (templates, boilerplate, copied passages) carry the redundancy.
+    Reported chunks are bounded below at ``_CDC_MIN_REPORT`` tokens —
+    the reporting face of production CDC's min-chunk bound (the
+    fixture's 31-word vocabulary makes single-token chunks trivially
+    duplicated; ≥ 4-token duplicates are real shared segments).
+    Chunks are compared by their md5-prefix digest, never by text,
+    after the per-row chunking pass.  All-integer output.  Reference
+    analog: the corpus-curation shape,
+    big_data_project/trainer/flax_model.py.
+
+    NOT yet registered (the x68-x74 window queue): register as
+    `x75_cdc_chunk_dedup` with `_CDC_ORACLE` when a window slot opens.
+
+    Scale design: chunking is shuffle-free (see cdc_chunks) and the
+    census exchange carries (digest, int) pairs that partial-aggregate
+    map-side — chunk TEXT is hashed away before the exchange, so the
+    shuffle moves ~n_tokens/D fixed-width rows regardless of document
+    length; the top-20 is a TakeOrderedAndProject.  min(tok_len) in
+    the aggregate is pure defense — equal digests imply equal chunks
+    (mod md5-prefix collisions), so min = the chunk's length."""
+    ch = cdc_chunks(load_table(spark, sf_dir, "documents"))
+    return (
+        ch.filter(F.col("tok_len") >= _CDC_MIN_REPORT)
+        .select(
+            "doc_id",
+            md5_prefix_digest(F.md5("chunk")).alias("chash"),
+            "tok_len",
+        )
+        .groupBy("chash")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("tok_len").alias("tok_len"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), "chash")
+        .limit(20)
+    )
+
+
+_CDC_ORACLE = f"""
+    WITH toksc AS (
+      SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+    kh AS (
+      SELECT doc_id, w,
+             [CAST('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]),
+                                  1, 15) AS BIGINT) % 1000000007
+              for i in generate_series(1, len(w) - 2)] AS h
+      FROM toksc WHERE len(w) >= 3),
+    bp AS (
+      SELECT doc_id, w,
+             list_concat(list_concat([1],
+               [i + 1 for i in generate_series(1, len(h)) if h[i] % {_CDC_D} = 0]),
+               [len(w) + 1]) AS b
+      FROM kh),
+    segs AS (
+      SELECT doc_id,
+             unnest([{{'chunk': array_to_string(list_slice(w, b[j], b[j+1] - 1), ' '),
+                       'tok_len': b[j+1] - b[j]}}
+                     for j in generate_series(1, len(b) - 1)]) AS s
+      FROM bp),
+    chunks AS (
+      SELECT doc_id, s.chunk AS chunk, s.tok_len AS tok_len FROM segs
+      UNION ALL
+      SELECT doc_id, text AS chunk, len(w) AS tok_len
+      FROM toksc WHERE len(w) < 3)
+    SELECT CAST('0x' || substr(md5(chunk), 1, 15) AS BIGINT) % 1000000007
+             AS chash,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           min(tok_len) AS tok_len
+    FROM chunks
+    WHERE tok_len >= {_CDC_MIN_REPORT}
+    GROUP BY 1
+    ORDER BY n_occurrences DESC, chash
+    LIMIT 20
+"""

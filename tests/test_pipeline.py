@@ -1462,3 +1462,74 @@ def test_winnow_overlap_parity_bruteforce_and_hot_cap(spark):
         assert fp.count() > 0 and keep.count() == 0
     finally:
         spark.catalog.clearCache()
+
+
+def test_cdc_census_parity_bruteforce_and_shift_robustness(spark):
+    """CDC chunk-dedup census (prepped for a future window): the oracle
+    must hash-match at BOTH fixture tiers; the census must agree with
+    an independent driver-side Python chunk count; and the defining
+    CDC property must hold — prepending one token to a document
+    re-chunks only the neighbourhood of the insertion (every chunk
+    beyond the first boundary is IDENTICAL), where fixed-size blocking
+    would shift every block."""
+    import hashlib
+
+    from big_data_project_spark.io import load_table
+    from big_data_project_spark.pipeline.dedup import (
+        _CDC_D, _CDC_MIN_REPORT, _CDC_ORACLE, cdc_chunks, cdc_dedup_census,
+    )
+    from tests.conftest import SF_DIR, SF_DIR_ORACLE
+    from tests.oracle_harness import compare, duckdb_connect
+
+    K, P = 3, 1_000_000_007
+
+    def py_chunks(text: str) -> list:
+        w = text.split(" ")
+        if len(w) < K:
+            return [text]
+        h = [int(hashlib.md5(" ".join(w[j:j + K]).encode()).hexdigest()[:15],
+                 16) % P for j in range(len(w) - K + 1)]
+        bounds = [1] + [j + 2 for j, v in enumerate(h) if v % _CDC_D == 0] \
+            + [len(w) + 1]
+        return [" ".join(w[s - 1:e - 1]) for s, e in zip(bounds, bounds[1:])]
+
+    for sf in (SF_DIR, SF_DIR_ORACLE):
+        try:
+            con = duckdb_connect(sf)
+            df = cdc_dedup_census(spark, sf)
+            res = compare("cdc_census", df, con, _CDC_ORACLE)
+            assert res.ok, (sf, res.detail, res.mismatches[:3])
+            got = [(r.chash, r.n_occurrences, r.n_docs, r.tok_len)
+                   for r in df.collect()]
+            occ: dict[str, int] = {}
+            docs_of: dict[str, set] = {}
+            for r in load_table(spark, sf, "documents").collect():
+                for c in py_chunks(r.text):
+                    if len(c.split(" ")) < _CDC_MIN_REPORT:
+                        continue
+                    occ[c] = occ.get(c, 0) + 1
+                    docs_of.setdefault(c, set()).add(r.doc_id)
+            rows = [
+                (int(hashlib.md5(c.encode()).hexdigest()[:15], 16) % P,
+                 n, len(docs_of[c]), len(c.split(" ")))
+                for c, n in occ.items()
+            ]
+            rows.sort(key=lambda t: (-t[1], t[0]))
+            assert got == rows[:20]
+            assert got[0][1] > 1  # the fixture has real duplicated segments
+        finally:
+            spark.catalog.clearCache()
+    # boundary-shift robustness on a real fixture doc
+    try:
+        text = load_table(spark, SF_DIR, "documents").first().text
+        rows2 = [(0, text), (1, "zzz " + text)]
+        df2 = spark.createDataFrame(rows2, schema="doc_id long, text string")
+        got2: dict[int, list] = {0: [], 1: []}
+        for r in cdc_chunks(df2).collect():
+            got2[r.doc_id].append(r.chunk)
+        base, shifted = set(got2[0]), set(got2[1])
+        # everything after the first boundary re-aligns: at most the
+        # leading chunk differs on each side
+        assert len(base - shifted) <= 1 and len(shifted - base) <= 1
+    finally:
+        spark.catalog.clearCache()

@@ -1239,3 +1239,25 @@ def test_winnow_postings_join_bounded_plan(spark):
         assert count_ops(df, "BatchEvalPython") + count_ops(df, "ArrowEvalPython") == 0
     finally:
         spark.catalog.clearCache()
+
+
+def test_cdc_census_partial_agg_plan(spark):
+    """Prepped x75: chunking is a narrow per-row pass (no join at all —
+    zero join nodes of any kind), the census partial-aggregates
+    map-side before the single exchange, and the top-20 is
+    TakeOrderedAndProject with nothing crossing into Python."""
+    from big_data_project_spark.pipeline.dedup import cdc_dedup_census
+    from big_data_project_spark.plans.contracts import plan_str
+
+    df = cdc_dedup_census(spark, SF)
+    try:
+        text = plan_str(df, "simple")
+        assert "TakeOrderedAndProject" in text
+        joins = sum(count_ops(df, op) for op in
+                    ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                     "BroadcastNestedLoopJoin", "CartesianProduct"))
+        assert joins == 0
+        assert count_ops(df, "HashAggregate") >= 2  # partial + final
+        assert count_ops(df, "BatchEvalPython") + count_ops(df, "ArrowEvalPython") == 0
+    finally:
+        spark.catalog.clearCache()
