@@ -1813,3 +1813,134 @@ _ZIPF_ORACLE = f"""
            round(regr_r2(ln(n), ln(rank)) + 1e-9, 4) AS fit_r2
     FROM ranked
 """
+
+
+# --- TextRank keyword extraction (prepped for a future window) ---------------
+
+_TR_ITERS = 3
+_TR_DAMP = 0.85
+_TR_TOP = 15
+
+
+def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``_TR_TOP`` corpus keywords by TextRank (Mihalcea & Tarau
+    2004): damped PageRank over the undirected word co-occurrence
+    graph — nodes are vocabulary words, edges are adjacent-token pairs
+    (the x54 bigram zip, window 2) weighted by corpus co-occurrence
+    count, contributions split proportionally to edge weight.  The
+    canonical unsupervised keyword/keyphrase ranker: a word matters if
+    it co-occurs with words that matter, which separates connective
+    high-frequency tokens from topical hubs in a way raw counts (x9)
+    and tf-idf cannot.  Self-pairs ("the the") are dropped — a
+    self-loop would let a word vote for itself.  Output ties break by
+    word.  Reference analog: the corpus-statistics shape,
+    big_data_project/trainer/flax_model.py.
+
+    NOT yet registered (the x68-x75 window queue): register as
+    `x76_textrank_keywords` with `_TEXTRANK_ORACLE` when a window slot
+    opens.
+
+    Scale design: the corpus is scanned ONCE to build the weighted
+    edge frame (bigram counts partial-aggregate map-side; the frame is
+    vocab²-bounded and persisted — the only cached state); iteration
+    state is a (word, double) vector bounded by VOCABULARY, not corpus
+    — the x51/x67 cadence verbatim (loop-invariant out-weight folded
+    in once, lazy linear rank chain = one job, per-iteration 10-decimal
+    quantization on both engines so the unrolled-CTE oracle is exact);
+    the top-15 is a TakeOrderedAndProject.  Registry clearCache
+    releases the caches; composing callers own cleanup."""
+    d = load_table(spark, sf_dir, "documents")
+    bg = _bigram_pairs(d).filter(F.col("w1") != F.col("w2"))
+    und = bg.select(
+        F.least("w1", "w2").alias("a"), F.greatest("w1", "w2").alias("b")
+    )
+    pairs = und.groupBy("a", "b").agg(F.count(F.lit(1)).alias("wt"))
+    both = F.array(
+        F.struct(F.col("a").alias("u"), F.col("b").alias("v"), F.col("wt")),
+        F.struct(F.col("b").alias("u"), F.col("a").alias("v"), F.col("wt")),
+    )
+    edges = pairs.select(F.explode(both).alias("e")).select("e.u", "e.v", "e.wt")
+    wdeg = edges.groupBy("u").agg(F.sum("wt").alias("wout"))
+    edges_w = edges.join(wdeg, "u").persist()
+    n = wdeg.agg(F.count(F.lit(1)).alias("n"))
+    ranks = wdeg.crossJoin(F.broadcast(n)).select(
+        F.col("u").alias("word"),
+        F.round(F.lit(1.0) / F.col("n") + F.lit(1e-12), 10).alias("r"),
+    )
+    for _ in range(_TR_ITERS):
+        ranks = (
+            edges_w.join(ranks, edges_w.u == ranks.word)
+            .groupBy("v")
+            .agg(F.sum(F.col("r") * F.col("wt") / F.col("wout")).alias("contrib"))
+            .crossJoin(F.broadcast(n))
+            .select(
+                F.col("v").alias("word"),
+                F.round(
+                    F.lit(1.0 - _TR_DAMP) / F.col("n")
+                    + F.lit(_TR_DAMP) * F.col("contrib")
+                    + F.lit(1e-12),
+                    10,
+                ).alias("r"),
+            )
+        )
+    return (
+        ranks.join(wdeg, ranks.word == wdeg.u)
+        .select(
+            "word",
+            F.round(F.col("r") + F.lit(1e-9), 6).alias("textrank"),
+            F.col("wout").cast("bigint").alias("weighted_degree"),
+        )
+        .orderBy(F.col("textrank").desc(), "word")
+        .limit(_TR_TOP)
+    )
+
+
+def _textrank_ctes(iters: int) -> str:
+    """CTE chain unrolling ``iters`` TextRank iterations — same
+    lowercased adjacent-pair edges, weight-proportional contributions,
+    10-decimal quantization."""
+    d = _TR_DAMP
+    ctes = [
+        """toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)""",
+        """bg AS (
+      SELECT u.w1, u.w2
+      FROM (
+        SELECT doc_id, unnest([{'w1': w[i], 'w2': w[i+1]}
+                               for i in generate_series(1, len(w) - 1)]) AS u
+        FROM toks
+      ) t
+      WHERE u.w1 != '' AND u.w2 != '' AND u.w1 != u.w2)""",
+        """pairs AS (
+      SELECT least(w1, w2) AS a, greatest(w1, w2) AS b, count(*) AS wt
+      FROM bg GROUP BY 1, 2)""",
+        """edges AS (
+      SELECT a AS u, b AS v, wt FROM pairs
+      UNION ALL
+      SELECT b AS u, a AS v, wt FROM pairs)""",
+        """wdeg AS (
+      SELECT u, CAST(sum(wt) AS BIGINT) AS wout FROM edges GROUP BY u)""",
+        "n AS (SELECT count(*) AS n FROM wdeg)",
+        """r0 AS (
+      SELECT u AS word, round(1.0 / (SELECT n FROM n) + 1e-12, 10) AS r
+      FROM wdeg)""",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(f"""r{k} AS (
+      SELECT e.v AS word,
+             round((1 - {d}) / (SELECT n FROM n)
+                   + {d} * sum(r.r * e.wt / dg.wout) + 1e-12, 10) AS r
+      FROM edges e
+      JOIN r{k - 1} r ON r.word = e.u
+      JOIN wdeg dg ON dg.u = e.u
+      GROUP BY e.v)""")
+    return "WITH " + ",\n    ".join(ctes)
+
+
+_TEXTRANK_ORACLE = _textrank_ctes(_TR_ITERS) + f"""
+    SELECT r.word, round(r.r + 1e-9, 6) AS textrank,
+           dg.wout AS weighted_degree
+    FROM r{_TR_ITERS} r JOIN wdeg dg ON dg.u = r.word
+    ORDER BY textrank DESC, word
+    LIMIT {_TR_TOP}
+"""

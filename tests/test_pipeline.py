@@ -1533,3 +1533,58 @@ def test_cdc_census_parity_bruteforce_and_shift_robustness(spark):
         assert len(base - shifted) <= 1 and len(shifted - base) <= 1
     finally:
         spark.catalog.clearCache()
+
+
+def test_textrank_parity_and_bruteforce(spark):
+    """TextRank keywords (prepped for a future window): the unrolled-CTE
+    oracle must hash-match at BOTH fixture tiers; the rank vector must
+    be a probability distribution; and the full vector must agree with
+    an independent driver-side Python TextRank running the same
+    quantized recurrence."""
+    from big_data_project_spark.io import load_table
+    from big_data_project_spark.pipeline.text import (
+        _TEXTRANK_ORACLE, _TR_DAMP, _TR_ITERS, textrank_keywords,
+    )
+    from tests.conftest import SF_DIR, SF_DIR_ORACLE
+    from tests.oracle_harness import compare, duckdb_connect
+
+    for sf in (SF_DIR, SF_DIR_ORACLE):
+        try:
+            con = duckdb_connect(sf)
+            res = compare(
+                "textrank", textrank_keywords(spark, sf), con, _TEXTRANK_ORACLE
+            )
+            assert res.ok, (sf, res.detail, res.mismatches[:3])
+        finally:
+            spark.catalog.clearCache()
+    try:
+        got = {r.word: r.textrank
+               for r in textrank_keywords(spark, SF_DIR).collect()}
+        # python reference with the same 10-decimal quantized recurrence
+        wt: dict[tuple, int] = {}
+        for r in load_table(spark, SF_DIR, "documents").collect():
+            w = r.text.lower().split(" ")
+            for a, b in zip(w, w[1:]):
+                if a and b and a != b:
+                    k = (min(a, b), max(a, b))
+                    wt[k] = wt.get(k, 0) + 1
+        edges: dict[str, dict[str, int]] = {}
+        for (a, b), c in wt.items():
+            edges.setdefault(a, {})[b] = c
+            edges.setdefault(b, {})[a] = c
+        wout = {u: sum(nb.values()) for u, nb in edges.items()}
+        n = len(wout)
+        rank = {u: round(1.0 / n + 1e-12, 10) for u in wout}
+        for _ in range(_TR_ITERS):
+            contrib: dict[str, float] = {}
+            for u, nb in edges.items():
+                for v, c in nb.items():
+                    contrib[v] = contrib.get(v, 0.0) + rank[u] * c / wout[u]
+            rank = {v: round((1 - _TR_DAMP) / n + _TR_DAMP * s + 1e-12, 10)
+                    for v, s in contrib.items()}
+        assert abs(sum(rank.values()) - 1.0) < 1e-4
+        top = sorted(rank.items(), key=lambda kv: (-kv[1], kv[0]))[:len(got)]
+        for w, r in top:
+            assert abs(got[w] - r) < 1e-6, (w, got[w], r)
+    finally:
+        spark.catalog.clearCache()

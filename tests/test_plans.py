@@ -1261,3 +1261,23 @@ def test_cdc_census_partial_agg_plan(spark):
         assert count_ops(df, "BatchEvalPython") + count_ops(df, "ArrowEvalPython") == 0
     finally:
         spark.catalog.clearCache()
+
+
+def test_textrank_cached_edges_broadcast_n_plan(spark):
+    """Prepped x76: every iteration reads the PERSISTED weighted edge
+    frame (InMemoryTableScan per iteration), the vocabulary size rides
+    as a 1-row broadcast, the top-15 is TakeOrderedAndProject, and the
+    recurrence stays JVM-side."""
+    from big_data_project_spark.pipeline.text import textrank_keywords
+    from big_data_project_spark.plans.contracts import plan_str
+
+    df = textrank_keywords(spark, SF)
+    try:
+        text = plan_str(df, "simple")
+        assert text.count("InMemoryTableScan") >= 2
+        assert count_ops(df, "BroadcastNestedLoopJoin") >= 1
+        assert "TakeOrderedAndProject" in text
+        assert count_ops(df, "CartesianProduct") == 0
+        assert count_ops(df, "BatchEvalPython") + count_ops(df, "ArrowEvalPython") == 0
+    finally:
+        spark.catalog.clearCache()
