@@ -1474,3 +1474,91 @@ _HITS_ORACLE = _hits_ctes(_HITS_ITERS) + f"""
     ORDER BY authority DESC, supplier
     LIMIT 25
 """
+
+
+# --------------------------------------------------------------------------
+# Degree assortativity (prepped for a future window)
+# --------------------------------------------------------------------------
+
+
+def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row degree-assortativity summary of the weight-pruned part
+    co-purchase graph: Pearson correlation of (deg u, deg v) over the
+    symmetric edge list (Newman 2002) plus integer context (nodes,
+    undirected edges, max degree) — the single number that says whether
+    hubs link to hubs (assortative, r > 0: social/citation graphs) or
+    hubs link to leaves (disassortative, r < 0: the web, most
+    co-purchase graphs), which decides whether hub-removal or
+    core-peeling (x70) is the right spam-containment strategy and
+    whether degree skew will concentrate (salting needed) at the next
+    scale-up.  Reference analog: the scored-entity corpus analytics
+    shape, big_data_project/trainer/flax_model.py.
+
+    NOT yet registered (the x68-x76 window queue): register as
+    `x77_degree_assortativity` with `_ASSORT_ORACLE` when a window slot
+    opens.
+
+    Parity: degrees are exact integers on both engines; the only float
+    is the final corr(), an associative moment aggregate (the a17/a25
+    surface) rounded to 4 with the +1e-9 nudge — and the DuckDB side
+    appends `+ 0.0` because a near-zero correlation can round to -0.0,
+    which DuckDB's round keeps and the driver hash distinguishes (the
+    x59 r06 lesson).
+
+    Scale design: one degree aggregate over the persisted edge frame
+    (int exchange bounded by |V|), one broadcast-eligible join to
+    annotate each endpoint (deg is |V|-bounded — Spark picks broadcast
+    under the threshold, hash join above), and one associative corr
+    reduction: the whole statistic is two partial-agg exchanges and
+    never materializes anything wider than (int, int) pairs."""
+    edges = _copurchase_weighted_edges(spark, sf_dir).persist()
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    du = deg.select(F.col("u").alias("uu"), F.col("d").alias("du"))
+    dv = deg.select(F.col("u").alias("vv"), F.col("d").alias("dv"))
+    annotated = edges.join(du, edges.u == F.col("uu")).join(
+        dv, edges.v == F.col("vv")
+    )
+    return (
+        annotated.agg(
+            F.round(F.corr("du", "dv") + F.lit(1e-9), 4).alias("assortativity"),
+            (F.count(F.lit(1)) / F.lit(2)).cast("bigint").alias("n_edges"),
+            F.max("du").alias("max_degree"),
+        )
+        .crossJoin(
+            F.broadcast(deg.agg(F.count(F.lit(1)).alias("n_nodes")))
+        )
+        .select(
+            "n_nodes",
+            "n_edges",
+            "max_degree",
+            "assortativity",
+        )
+    )
+
+
+_ASSORT_ORACLE = f"""
+    WITH supo AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS s FROM lineitem),
+    pw AS (
+      SELECT a.s AS u, b.s AS v
+      FROM supo a JOIN supo b ON a.ok = b.ok AND a.s < b.s
+      GROUP BY a.s, b.s
+      HAVING count(*) >= {_LPA_MIN_WEIGHT}),
+    edges AS (
+      SELECT u, v FROM pw
+      UNION ALL
+      SELECT v AS u, u AS v FROM pw),
+    deg AS (
+      SELECT u, count(*) AS d FROM edges GROUP BY u),
+    ann AS (
+      SELECT du.d AS du, dv.d AS dv
+      FROM edges e
+      JOIN deg du ON du.u = e.u
+      JOIN deg dv ON dv.u = e.v)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+           CAST(count(*) / 2 AS BIGINT) AS n_edges,
+           CAST(max(du) AS BIGINT) AS max_degree,
+           -- "+ 0.0" normalizes -0.0 (DuckDB round keeps the sign bit)
+           round(corr(du, dv) + 1e-9, 4) + 0.0 AS assortativity
+    FROM ann
+"""

@@ -1588,3 +1588,44 @@ def test_textrank_parity_and_bruteforce(spark):
             assert abs(got[w] - r) < 1e-6, (w, got[w], r)
     finally:
         spark.catalog.clearCache()
+
+
+def test_assortativity_parity_and_bruteforce(spark):
+    """Degree assortativity (prepped for a future window): the oracle
+    must hash-match at BOTH fixture tiers, and the statistic must agree
+    with an independent driver-side Pearson correlation over the
+    Python-built degree-annotated edge list."""
+    import math
+
+    from big_data_project_spark.pipeline.graph import (
+        _ASSORT_ORACLE, _copurchase_weighted_edges, degree_assortativity,
+    )
+    from tests.conftest import SF_DIR, SF_DIR_ORACLE
+    from tests.oracle_harness import compare, duckdb_connect
+
+    for sf in (SF_DIR, SF_DIR_ORACLE):
+        try:
+            con = duckdb_connect(sf)
+            df = degree_assortativity(spark, sf)
+            res = compare("assort", df, con, _ASSORT_ORACLE)
+            assert res.ok, (sf, res.detail, res.mismatches[:3])
+            row = df.collect()[0]
+            sym = _copurchase_weighted_edges(spark, sf).collect()
+            adj: dict[int, set[int]] = {}
+            for e in sym:
+                adj.setdefault(e.u, set()).add(e.v)
+            deg = {u: len(s) for u, s in adj.items()}
+            xs = [deg[e.u] for e in sym]
+            ys = [deg[e.v] for e in sym]
+            n = len(xs)
+            mx, my = sum(xs) / n, sum(ys) / n
+            sxy = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+            sxx = sum((x - mx) ** 2 for x in xs)
+            syy = sum((y - my) ** 2 for y in ys)
+            r = sxy / math.sqrt(sxx * syy)
+            assert abs(row.assortativity - r) < 1e-3, (row.assortativity, r)
+            assert row.n_nodes == len(deg)
+            assert row.n_edges == n // 2
+            assert row.max_degree == max(deg.values())
+        finally:
+            spark.catalog.clearCache()
