@@ -1122,3 +1122,82 @@ _DOMAIN_ORACLE = _domain_oracle()
 # Registered here (not via decorator) because the oracle is generated
 # from the same _DOMAINS map the function broadcasts.
 query("x66_domain_router", oracle=_DOMAIN_ORACLE)(domain_route_counts)
+
+
+# --- Deterministic hash-stratified sampling (prepped) ------------------------
+
+_STRAT_BUDGET = 50
+
+
+def hash_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proportionally allocated, HASH-DETERMINISTIC stratified sample of
+    the corpus: each language stratum gets quota = (budget · n_lang)
+    div N docs (pure integer arithmetic — flooring may leave a few
+    budget slots unused, the standard largest-remainder trade-off), and
+    WITHIN a stratum the selected docs are the first `quota` by
+    ascending md5(doc_id) — a reproducible pseudo-random order that is
+    identical across engines, reruns, partitionings, and cluster
+    sizes, which RNG-based sampling (o9 TABLESAMPLE, o11-o14) can never
+    give: the property a training-data pipeline needs so a re-run of
+    the same recipe ships the same corpus.  Output: every selected
+    (lang, doc_id) with its in-stratum sample rank and the stratum
+    quota.  All-deterministic, all-integer-plus-strings.  Reference
+    analog: the corpus-curation shape,
+    big_data_project/trainer/flax_model.py.
+
+    NOT yet registered (the x68-x77 window queue): register as
+    `x78_hash_stratified_sample` with `_STRAT_ORACLE` when a window
+    slot opens.
+
+    Scale design: stratum counts are one partial-agg exchange
+    broadcast back onto the scan (strata-bounded); the per-stratum
+    top-quota is rank-over-window ≤ k, which Spark executes as
+    WindowGroupLimit — the map-side group-limit prune (pinned), so the
+    sort never sees more than ~quota rows per stratum per partition;
+    doc text never enters the plan (column pruning to lang + doc_id,
+    pinned via ReadSchema in the plan test)."""
+    d = load_table(spark, sf_dir, "documents").select("lang", "doc_id")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    total = d.agg(F.count(F.lit(1)).alias("n_total"))
+    quotas = counts.crossJoin(F.broadcast(total)).select(
+        "lang",
+        F.expr(f"({_STRAT_BUDGET} * n_lang) div n_total").alias("quota"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    ranked = d.select(
+        "lang", "doc_id", F.row_number().over(w).cast("int").alias("sample_rank")
+    ).filter(
+        # literal pre-filter: every quota is ≤ the total budget, and a
+        # CONSTANT rank bound is what lets Spark rewrite the window into
+        # a WindowGroupLimit (map-side per-stratum top-k prune) — the
+        # quota comparison below is column-vs-column and cannot
+        F.col("sample_rank") <= F.lit(_STRAT_BUDGET)
+    )
+    return (
+        ranked.join(F.broadcast(quotas), "lang")
+        .filter(F.col("sample_rank") <= F.col("quota"))
+        .select("lang", "doc_id", "sample_rank", F.col("quota").cast("bigint"))
+        .orderBy("lang", "sample_rank")
+    )
+
+
+_STRAT_ORACLE = f"""
+    WITH base AS (
+      SELECT lang, doc_id FROM documents),
+    quotas AS (
+      SELECT lang,
+             ({_STRAT_BUDGET} * count(*)) // (SELECT count(*) FROM base)
+               AS quota
+      FROM base GROUP BY lang),
+    ranked AS (
+      SELECT lang, doc_id,
+             CAST(row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT)
+               AS sample_rank
+      FROM base)
+    SELECT r.lang, r.doc_id, r.sample_rank, CAST(q.quota AS BIGINT) AS quota
+    FROM ranked r JOIN quotas q ON q.lang = r.lang
+    WHERE r.sample_rank <= q.quota
+    ORDER BY r.lang, r.sample_rank
+"""

@@ -1629,3 +1629,64 @@ def test_assortativity_parity_and_bruteforce(spark):
             assert row.max_degree == max(deg.values())
         finally:
             spark.catalog.clearCache()
+
+
+def test_hash_stratified_sample_parity_brute_and_stability(spark):
+    """Hash-deterministic stratified sampling (prepped for a future
+    window): the oracle must hash-match at BOTH fixture tiers; the
+    selection must agree with an independent driver-side md5-ordered
+    Python sampler (exact rows, ranks, and floored proportional
+    quotas); and the defining property must hold — the selected set is
+    IDENTICAL under a different partitioning of the input (hash order
+    is a property of the data, not the execution)."""
+    import hashlib
+
+    from big_data_project_spark.io import load_table
+    from big_data_project_spark.pipeline.quality import (
+        _STRAT_BUDGET, _STRAT_ORACLE, hash_stratified_sample,
+    )
+    from tests.conftest import SF_DIR, SF_DIR_ORACLE
+    from tests.oracle_harness import compare, duckdb_connect
+
+    for sf in (SF_DIR, SF_DIR_ORACLE):
+        try:
+            con = duckdb_connect(sf)
+            df = hash_stratified_sample(spark, sf)
+            res = compare("strat_sample", df, con, _STRAT_ORACLE)
+            assert res.ok, (sf, res.detail, res.mismatches[:3])
+            got = [(r.lang, r.doc_id, r.sample_rank, r.quota)
+                   for r in df.collect()]
+            docs = [(r.lang, r.doc_id)
+                    for r in load_table(spark, sf, "documents")
+                    .select("lang", "doc_id").collect()]
+            n = len(docs)
+            by_lang: dict[str, list] = {}
+            for lang, doc in docs:
+                by_lang.setdefault(lang, []).append(doc)
+            expected = []
+            for lang in sorted(by_lang):
+                quota = (_STRAT_BUDGET * len(by_lang[lang])) // n
+                order = sorted(
+                    by_lang[lang],
+                    key=lambda d: (hashlib.md5(str(d).encode()).hexdigest(), d),
+                )
+                expected += [(lang, d, i + 1, quota)
+                             for i, d in enumerate(order[:quota])]
+            assert sorted(got) == sorted(expected)
+            assert 0 < len(got) <= _STRAT_BUDGET  # flooring never overshoots
+        finally:
+            spark.catalog.clearCache()
+    # partition-stability: same selection from a repartitioned scan
+    try:
+        from pyspark.sql import functions as F
+
+        base = hash_stratified_sample(spark, SF_DIR).collect()
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        try:
+            again = hash_stratified_sample(spark, SF_DIR).collect()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+        assert sorted(map(tuple, base)) == sorted(map(tuple, again))
+    finally:
+        spark.catalog.clearCache()

@@ -1281,3 +1281,25 @@ def test_textrank_cached_edges_broadcast_n_plan(spark):
         assert count_ops(df, "BatchEvalPython") + count_ops(df, "ArrowEvalPython") == 0
     finally:
         spark.catalog.clearCache()
+
+
+def test_stratified_sample_group_limit_and_pruning_plan(spark):
+    """Prepped x78: the per-stratum top-quota must engage Spark's
+    WindowGroupLimit map-side prune, the quota frame joins as a
+    broadcast, and column pruning keeps document text out of the scan
+    entirely (ReadSchema carries only lang/doc_id)."""
+    from big_data_project_spark.pipeline.quality import hash_stratified_sample
+    from big_data_project_spark.plans.contracts import plan_str
+
+    df = hash_stratified_sample(spark, SF)
+    try:
+        text = plan_str(df, "formatted")
+        assert "WindowGroupLimit" in text
+        assert count_ops(df, "BroadcastHashJoin") >= 1
+        assert count_ops(df, "BatchEvalPython") + count_ops(df, "ArrowEvalPython") == 0
+        import re
+
+        schemas = re.findall(r"ReadSchema: struct<([^>]*)>", text)
+        assert schemas and all("text" not in s for s in schemas), schemas
+    finally:
+        spark.catalog.clearCache()
