@@ -425,3 +425,71 @@ def b7_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("v").isNotNull(), F.col("v")).otherwise(interp) + F.lit(1e-9), 4
         ).alias("value_filled"),
     )
+
+
+# --- gravity-decayed trending ranking (prepped) ------------------------------
+
+_TREND_REF = "2024-02-01"  # fixed reference date just past the fixture range
+_TREND_RECENT_DAYS = 7
+
+
+def gravity_trending_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 event sources by GRAVITY-DECAYED activity: each event
+    contributes 1/(Δdays+2)² toward its user's score, Δdays measured to
+    a fixed reference date — the Hacker-News-shaped recency ranking a
+    crawl/feed pipeline uses to allocate budget toward sources that are
+    active NOW rather than historically (a stale source with many old
+    events ranks below a smaller recently-active one), alongside a
+    plain count and a recent-window count so the divergence is visible.
+    Reference analog: the temporal-supervision shape,
+    big_data_project/trainer/flax_model.py.
+
+    NOT yet registered (the x68-x78 window queue): register as
+    `b7_gravity_trending` with `_TREND_ORACLE` when a window slot
+    opens.
+
+    Parity: Δdays is an exact integer datediff on both engines and the
+    decay 1/(Δdays+2)² is one rational division — deliberately NOT
+    pow(0.5, Δt/τ), whose transcendental evaluation may differ in the
+    last ulp between engines; the per-user sum rounds to 6 with the
+    +1e-9 nudge (§4.3.1).  The reference date is a fixed literal so the
+    query is deterministic (no now()).
+
+    Scale design: one narrow map computes the per-event weight, then a
+    single partial-aggregated shuffle keyed on user_id (the b-family
+    contract) carrying (user, double, int, int); the top-20 is a
+    TakeOrderedAndProject.  No window functions, no self-joins."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    ddays = F.datediff(F.lit(_TREND_REF).cast("date"), F.to_date("ts"))
+    return (
+        e.select(
+            "user_id",
+            (F.lit(1.0) / ((ddays + F.lit(2)) * (ddays + F.lit(2)))).alias("wt"),
+            F.when(ddays <= _TREND_RECENT_DAYS, 1).otherwise(0).alias("recent"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.round(F.sum("wt") + F.lit(1e-9), 6).alias("gravity_score"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("recent").cast("bigint").alias("n_recent"),
+        )
+        .orderBy(F.col("gravity_score").desc(), "user_id")
+        .limit(20)
+    )
+
+
+_TREND_ORACLE = f"""
+    WITH w AS (
+      SELECT user_id,
+             datediff('day', CAST(ts AS DATE), DATE '{_TREND_REF}') AS dd
+      FROM events)
+    SELECT user_id,
+           round(sum(1.0 / ((dd + 2) * (dd + 2))) + 1e-9, 6) AS gravity_score,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN dd <= {_TREND_RECENT_DAYS} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_recent
+    FROM w
+    GROUP BY user_id
+    ORDER BY gravity_score DESC, user_id
+    LIMIT 20
+"""

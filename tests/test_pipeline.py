@@ -1690,3 +1690,45 @@ def test_hash_stratified_sample_parity_brute_and_stability(spark):
         assert sorted(map(tuple, base)) == sorted(map(tuple, again))
     finally:
         spark.catalog.clearCache()
+
+
+def test_gravity_trending_parity_brute_and_divergence(spark):
+    """Gravity-decayed trending (prepped for a future window): the
+    oracle must hash-match at BOTH fixture tiers; the top-20 must agree
+    with an independent driver-side Python computation of
+    Σ 1/(Δdays+2)²; and the ranking must genuinely diverge from plain
+    event counts (recency reorders — the operator's reason to exist)."""
+    import datetime as dt
+
+    from big_data_project_spark.io import load_table
+    from big_data_project_spark.operators.behavior import (
+        _TREND_ORACLE, _TREND_REF, gravity_trending_users,
+    )
+    from tests.conftest import SF_DIR, SF_DIR_ORACLE
+    from tests.oracle_harness import compare, duckdb_connect
+
+    ref = dt.date.fromisoformat(_TREND_REF)
+    for sf in (SF_DIR, SF_DIR_ORACLE):
+        try:
+            con = duckdb_connect(sf)
+            df = gravity_trending_users(spark, sf)
+            res = compare("trend", df, con, _TREND_ORACLE)
+            assert res.ok, (sf, res.detail, res.mismatches[:3])
+            got = [(r.user_id, r.gravity_score, r.n_events, r.n_recent)
+                   for r in df.collect()]
+            score: dict[int, float] = {}
+            count: dict[int, int] = {}
+            for r in load_table(spark, sf, "events").select("user_id", "ts").collect():
+                dd = (ref - r.ts.date()).days
+                score[r.user_id] = score.get(r.user_id, 0.0) + 1.0 / ((dd + 2) ** 2)
+                count[r.user_id] = count.get(r.user_id, 0) + 1
+            top = sorted(score.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+            assert [u for u, _ in top] == [g[0] for g in got]
+            for (u, s), g in zip(top, got):
+                assert abs(g[1] - s) < 1e-5, (u, g[1], s)
+                assert g[2] == count[u]
+            by_score = [g[0] for g in got]
+            by_count = sorted(by_score, key=lambda u: (-count[u], u))
+            assert by_score != by_count, "gravity never reordered vs counts"
+        finally:
+            spark.catalog.clearCache()

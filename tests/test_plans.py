@@ -1303,3 +1303,22 @@ def test_stratified_sample_group_limit_and_pruning_plan(spark):
         assert schemas and all("text" not in s for s in schemas), schemas
     finally:
         spark.catalog.clearCache()
+
+
+def test_gravity_trending_single_shuffle_plan(spark):
+    """Prepped b7: the whole ranking is one partial-aggregated shuffle
+    on user_id — no window functions, no joins of any kind — and the
+    top-20 is TakeOrderedAndProject."""
+    from big_data_project_spark.operators.behavior import gravity_trending_users
+    from big_data_project_spark.plans.contracts import num_shuffles, plan_str
+
+    df = gravity_trending_users(spark, SF)
+    text = plan_str(df, "simple")
+    assert "TakeOrderedAndProject" in text
+    assert count_ops(df, "Window") == 0
+    joins = sum(count_ops(df, op) for op in
+                ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                 "BroadcastNestedLoopJoin", "CartesianProduct"))
+    assert joins == 0
+    assert num_shuffles(df) <= 1
+    assert count_ops(df, "HashAggregate") >= 2  # partial + final
