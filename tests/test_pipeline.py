@@ -1732,3 +1732,59 @@ def test_gravity_trending_parity_brute_and_divergence(spark):
             assert by_score != by_count, "gravity never reordered vs counts"
         finally:
             spark.catalog.clearCache()
+
+
+def test_ahash_banded_pairs_parity_and_bruteforce(spark):
+    """Banded perceptual aHash pairs (prepped for a future window): the
+    band-for-band oracle must hash-match at BOTH fixture tiers, and the
+    whole pipeline — 64-cell hash, 8×8-bit banding, candidate union,
+    hamming verify — must agree with an independent driver-side numpy/
+    pure-Python implementation."""
+    from big_data_project_spark.io import load_table
+    from big_data_project_spark.pipeline.multimodal import (
+        _AHASH_MAX_HAMMING, _AHASH_ORACLE, ahash_near_dup_pairs,
+    )
+    from tests.conftest import SF_DIR, SF_DIR_ORACLE
+    from tests.oracle_harness import compare, duckdb_connect
+
+    import numpy as np
+
+    def ah(b: bytes) -> str:
+        n = len(b)
+        if n == 0:
+            return "0" * 64
+        arr = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+        idx = (np.arange(n) * 64) // n
+        sums = np.bincount(idx, weights=arr, minlength=64)
+        counts = np.bincount(idx, minlength=64)
+        means = sums / np.maximum(counts, 1)
+        g = arr.sum() / n
+        return "".join("1" if m > g else "0" for m in means)
+
+    for sf in (SF_DIR, SF_DIR_ORACLE):
+        try:
+            con = duckdb_connect(sf)
+            df = ahash_near_dup_pairs(spark, sf)
+            res = compare("ahash_pairs", df, con, _AHASH_ORACLE)
+            assert res.ok, (sf, res.detail, res.mismatches[:3])
+            got = [(r.doc_a, r.doc_b, r.hamming) for r in df.collect()]
+            H = {r.doc_id: ah(r.text.encode())
+                 for r in load_table(spark, sf, "documents").collect()}
+            buckets: dict[tuple, list] = {}
+            for d in sorted(H):
+                for bi in range(8):
+                    buckets.setdefault((bi, H[d][bi * 8:(bi + 1) * 8]), []).append(d)
+            cand = set()
+            for v in buckets.values():
+                for i in range(len(v)):
+                    for j in range(i + 1, len(v)):
+                        cand.add((v[i], v[j]))
+            expected = sorted(
+                (a, b, sum(x != y for x, y in zip(H[a], H[b])))
+                for a, b in cand
+                if sum(x != y for x, y in zip(H[a], H[b])) <= _AHASH_MAX_HAMMING
+            )
+            assert sorted(got) == expected
+            assert got, "fixture should contain perceptual near-dup pairs"
+        finally:
+            spark.catalog.clearCache()

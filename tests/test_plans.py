@@ -1322,3 +1322,32 @@ def test_gravity_trending_single_shuffle_plan(spark):
     assert joins == 0
     assert num_shuffles(df) <= 1
     assert count_ops(df, "HashAggregate") >= 2  # partial + final
+
+
+def test_ahash_banded_join_plan(spark):
+    """Prepped x79: the persisted hash frame feeds the band explode and
+    both verify-join sides from cache (InMemoryTableScan ≥ 3 — the
+    Arrow kernel runs ONCE), candidates come from the bounded band
+    bucket join (no cartesian), and the hamming verify is a JVM
+    zip_with fold (the only Python in the plan is the single Arrow
+    hash kernel)."""
+    from big_data_project_spark.pipeline.multimodal import ahash_near_dup_pairs
+    from big_data_project_spark.plans.contracts import plan_str
+
+    df = ahash_near_dup_pairs(spark, SF)
+    try:
+        text = plan_str(df, "simple")
+        assert text.count("InMemoryTableScan") >= 3
+        assert count_ops(df, "CartesianProduct") == 0
+        # the kernel is present, and EVERY occurrence sits under the
+        # cached relation (plan text reprints the cache's plan per
+        # consumer; the persist makes the runtime execute it once) —
+        # no Python node outside an InMemoryRelation means the band
+        # join and hamming verify are pure JVM
+        assert count_ops(df, "MapInPandas") >= 1
+        import re
+
+        outside = re.sub(r"InMemoryRelation[\s\S]*", "", text)
+        assert "MapInPandas" not in outside and "EvalPython" not in outside
+    finally:
+        spark.catalog.clearCache()
