@@ -1944,3 +1944,89 @@ _TEXTRANK_ORACLE = _textrank_ctes(_TR_ITERS) + f"""
     ORDER BY textrank DESC, word
     LIMIT {_TR_TOP}
 """
+
+
+# --- n-gram novelty scoring (prepped for a future window) --------------------
+
+_NOVELTY_GATE = 0.5
+
+
+def ngram_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document CORPUS-LEVEL novelty: the share of a document's
+    distinct 3-grams that appear in NO other document (corpus document
+    frequency 1), with a ≥ ``_NOVELTY_GATE`` keep gate — the
+    boilerplate-vs-original signal that complements x42 (WITHIN-doc
+    repetition) and x44 (corpus-frequent line stripping): a document
+    can be internally non-repetitive and still be assembled entirely
+    from segments every other page has.  Novelty-floor gates are the
+    cheap pre-filter before near-dup work in template-heavy crawls.
+    Documents with fewer than 3 tokens have no 3-gram and are excluded
+    (the shingled_docs boundary; fixture docs are all ≥ 25 tokens).
+    Reference analog: the corpus-curation shape,
+    big_data_project/trainer/flax_model.py.
+
+    NOT yet registered (the x68-x79/b7 window queue): register as
+    `x80_ngram_novelty` with `_NOVELTY_ORACLE` when a window slot
+    opens.
+
+    Scale design: one shingle pass (the x7 distinct-3-gram convention,
+    reused from pipeline/dedup.shingled_docs), one partial-aggregated
+    document-frequency exchange keyed on the gram, one gram-keyed join
+    back (both sides gram-bounded integer/hash rows — the text never
+    re-crosses the wire), and one per-doc partial agg.  The exploded
+    shingle frame is persisted: it feeds the df census and the join's
+    probe side."""
+    from big_data_project_spark.pipeline.dedup import shingled_docs
+
+    sh = (
+        shingled_docs(spark, sf_dir)
+        .select("doc_id", F.explode("shingles").alias("gram"))
+        .persist()
+    )
+    df_tab = sh.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    ratio = F.col("n_unique") / F.col("n_grams")
+    return (
+        sh.join(df_tab, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_unique"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_unique",
+            F.round(ratio + F.lit(1e-9), 4).alias("novelty"),
+            (ratio >= _NOVELTY_GATE).cast("int").alias("passes_novelty"),
+        )
+    )
+
+
+_NOVELTY_ORACLE = f"""
+    WITH toksn AS (
+      SELECT doc_id, string_split(text, ' ') AS w
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 3),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                   for i in generate_series(1, len(w) - 2)]))
+               AS gram
+      FROM toksn),
+    dfreq AS (
+      SELECT gram, count(*) AS df FROM sh GROUP BY gram),
+    scored AS (
+      SELECT s.doc_id,
+             CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unique
+      FROM sh s JOIN dfreq d ON d.gram = s.gram
+      GROUP BY s.doc_id)
+    SELECT doc_id, n_grams, n_unique,
+           round(n_unique * 1.0 / n_grams + 1e-9, 4) AS novelty,
+           CAST(n_unique * 1.0 / n_grams >= {_NOVELTY_GATE} AS INT)
+             AS passes_novelty
+    FROM scored
+"""

@@ -1788,3 +1788,47 @@ def test_ahash_banded_pairs_parity_and_bruteforce(spark):
             assert got, "fixture should contain perceptual near-dup pairs"
         finally:
             spark.catalog.clearCache()
+
+
+def test_ngram_novelty_parity_and_bruteforce(spark):
+    """Corpus-level n-gram novelty (prepped for a future window): the
+    oracle must hash-match at BOTH fixture tiers, and every document's
+    (n_grams, n_unique, gate) must agree with an independent
+    driver-side Python df computation over the same distinct-3-gram
+    sets."""
+    from big_data_project_spark.io import load_table
+    from big_data_project_spark.pipeline.text import (
+        _NOVELTY_GATE, _NOVELTY_ORACLE, ngram_novelty_scores,
+    )
+    from tests.conftest import SF_DIR, SF_DIR_ORACLE
+    from tests.oracle_harness import compare, duckdb_connect
+
+    for sf in (SF_DIR, SF_DIR_ORACLE):
+        try:
+            con = duckdb_connect(sf)
+            df = ngram_novelty_scores(spark, sf)
+            res = compare("novelty", df, con, _NOVELTY_ORACLE)
+            assert res.ok, (sf, res.detail, res.mismatches[:3])
+            got = {r.doc_id: (r.n_grams, r.n_unique, r.passes_novelty)
+                   for r in df.collect()}
+            grams: dict[int, set] = {}
+            for r in load_table(spark, sf, "documents").collect():
+                w = r.text.split(" ")
+                if len(w) < 3:
+                    continue
+                grams[r.doc_id] = {" ".join(w[i:i + 3])
+                                   for i in range(len(w) - 2)}
+            df_count: dict[str, int] = {}
+            for s in grams.values():
+                for g in s:
+                    df_count[g] = df_count.get(g, 0) + 1
+            assert set(got) == set(grams)
+            for d, s in grams.items():
+                uniq = sum(1 for g in s if df_count[g] == 1)
+                gate = int(uniq / len(s) >= _NOVELTY_GATE)
+                assert got[d] == (len(s), uniq, gate), (d, got[d])
+            # the score must actually separate the corpus (not all-0/all-1)
+            gates = {v[2] for v in got.values()}
+            assert gates == {0, 1}
+        finally:
+            spark.catalog.clearCache()

@@ -1351,3 +1351,22 @@ def test_ahash_banded_join_plan(spark):
         assert "MapInPandas" not in outside and "EvalPython" not in outside
     finally:
         spark.catalog.clearCache()
+
+
+def test_ngram_novelty_shingle_reuse_plan(spark):
+    """Prepped x80: the persisted exploded-shingle frame feeds both the
+    df census and the join probe from cache (InMemoryTableScan ≥ 2),
+    aggregations partial-aggregate (partial + final pairs), and the
+    whole score stays JVM-side with no cartesian product."""
+    from big_data_project_spark.pipeline.text import ngram_novelty_scores
+    from big_data_project_spark.plans.contracts import plan_str
+
+    df = ngram_novelty_scores(spark, SF)
+    try:
+        text = plan_str(df, "simple")
+        assert text.count("InMemoryTableScan") >= 2
+        assert count_ops(df, "HashAggregate") >= 4
+        assert count_ops(df, "CartesianProduct") == 0
+        assert count_ops(df, "BatchEvalPython") + count_ops(df, "ArrowEvalPython") == 0
+    finally:
+        spark.catalog.clearCache()
