@@ -460,7 +460,13 @@ def gravity_trending_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract) carrying (user, double, int, int); the top-20 is a
     TakeOrderedAndProject.  No window functions, no self-joins."""
     e = load_table(spark, sf_dir, "events").select("user_id", "ts")
-    ddays = F.datediff(F.lit(_TREND_REF).cast("date"), F.to_date("ts"))
+    # clamp at 0: an event dated past the reference (impossible in the
+    # fixture, possible after a regeneration) would otherwise hit
+    # ddays = -2 → a 1/0 pole where Spark yields NULL but DuckDB +inf —
+    # the engines would diverge exactly when the fixture moves
+    ddays = F.greatest(
+        F.datediff(F.lit(_TREND_REF).cast("date"), F.to_date("ts")), F.lit(0)
+    )
     return (
         e.select(
             "user_id",
@@ -481,7 +487,8 @@ def gravity_trending_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TREND_ORACLE = f"""
     WITH w AS (
       SELECT user_id,
-             datediff('day', CAST(ts AS DATE), DATE '{_TREND_REF}') AS dd
+             greatest(datediff('day', CAST(ts AS DATE), DATE '{_TREND_REF}'),
+                      0) AS dd
       FROM events)
     SELECT user_id,
            round(sum(1.0 / ((dd + 2) * (dd + 2))) + 1e-9, 6) AS gravity_score,

@@ -1024,9 +1024,13 @@ def levenshtein_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     obviously-far pairs never pay it; the verify join moves only capped
     prefixes, never full texts."""
     docs = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 1)
+    # persisted: BOTH verify-join sides read this frame (the
+    # verified_neardup_pairs convention) — without the cache the
+    # documents scan + substring projection plans twice
     dd = (
         docs.select("doc_id", F.substring("text", 1, _LEV_CAP).alias("t"))
         .withColumn("ln", F.length("t"))
+        .persist()
     )
     pairs = lsh_candidate_pairs(minhash_signatures(shingled_docs(spark, sf_dir)))
     a = dd.select(
@@ -1078,6 +1082,25 @@ _WIN_SHARED_MIN = 10
 _WIN_MAX_DF = 100
 
 
+def _positional_kgram_hashes(toks):
+    """Hash stream of every POSITIONAL 3-gram of a token-array column
+    under the md5-prefix digest contract (pipeline/digest.py) — the
+    shared front half of winnowing (window minima over this stream) and
+    CDC (cutpoints where this stream is 0 mod D).  Positional, NOT the
+    distinct `_shingles` set: both consumers depend on stream order."""
+    n = F.size(toks)
+    kg = F.transform(
+        F.sequence(F.lit(0), n - F.lit(3)),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+            F.element_at(toks, i + 3),
+        ),
+    )
+    return F.transform(kg, lambda g: md5_prefix_digest(F.md5(g)))
+
+
 def winnow_fingerprints(docs: DataFrame) -> DataFrame:
     """Winnowing fingerprint selection (Schleimer et al. 2003 — the MOSS
     algorithm): per document, hash every POSITIONAL 3-gram (the
@@ -1096,16 +1119,7 @@ def winnow_fingerprints(docs: DataFrame) -> DataFrame:
     selected (doc_id, fp) int pairs ever leave the row."""
     toks = _tokens(F.col("text"))
     n = F.size(toks)
-    kg = F.transform(
-        F.sequence(F.lit(0), n - F.lit(3)),
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(toks, i + 1),
-            F.element_at(toks, i + 2),
-            F.element_at(toks, i + 3),
-        ),
-    )
-    hs = F.transform(kg, lambda g: md5_prefix_digest(F.md5(g)))
+    hs = _positional_kgram_hashes(toks)
     sel = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.size("h") - F.lit(_WIN_W - 1)),
@@ -1239,16 +1253,7 @@ def cdc_chunks(docs: DataFrame) -> DataFrame:
     after the caller hashes the chunk text away."""
     toks = _tokens(F.col("text"))
     n = F.size(toks)
-    kg = F.transform(
-        F.sequence(F.lit(0), n - F.lit(3)),
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(toks, i + 1),
-            F.element_at(toks, i + 2),
-            F.element_at(toks, i + 3),
-        ),
-    )
-    hs = F.transform(kg, lambda g: md5_prefix_digest(F.md5(g)))
+    hs = _positional_kgram_hashes(toks)
     short = docs.filter(n < 3).select(
         "doc_id", F.col("text").alias("chunk"), n.alias("tok_len")
     )

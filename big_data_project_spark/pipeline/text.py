@@ -1860,7 +1860,11 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.struct(F.col("b").alias("u"), F.col("a").alias("v"), F.col("wt")),
     )
     edges = pairs.select(F.explode(both).alias("e")).select("e.u", "e.v", "e.wt")
-    wdeg = edges.groupBy("u").agg(F.sum("wt").alias("wout"))
+    # wdeg is persisted in its own right: the seed frame, the 1-row
+    # vocabulary count, and the output join all hang off it — without
+    # the cache each of those branches re-plans the corpus scan +
+    # bigram explode (the 'scanned once' claim would be false)
+    wdeg = edges.groupBy("u").agg(F.sum("wt").alias("wout")).persist()
     edges_w = edges.join(wdeg, "u").persist()
     n = wdeg.agg(F.count(F.lit(1)).alias("n"))
     ranks = wdeg.crossJoin(F.broadcast(n)).select(

@@ -1719,7 +1719,7 @@ def test_gravity_trending_parity_brute_and_divergence(spark):
             score: dict[int, float] = {}
             count: dict[int, int] = {}
             for r in load_table(spark, sf, "events").select("user_id", "ts").collect():
-                dd = (ref - r.ts.date()).days
+                dd = max((ref - r.ts.date()).days, 0)
                 score[r.user_id] = score.get(r.user_id, 0.0) + 1.0 / ((dd + 2) ** 2)
                 count[r.user_id] = count.get(r.user_id, 0) + 1
             top = sorted(score.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
