@@ -2034,3 +2034,87 @@ _NOVELTY_ORACLE = f"""
              AS passes_novelty
     FROM scored
 """
+
+
+# --- positional phrase search (prepped for a future window) ------------------
+
+_PHRASE = ("data", "slow")
+
+
+def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase retrieval via POSITIONAL postings: the top-20
+    documents by occurrence count of the fixed two-word phrase
+    ``_PHRASE`` (adjacent positions, ties by doc id), with each match
+    count and the document's token length — the third classic retrieval
+    mode beside x57's boolean AND (bag-of-words) and x50's BM25
+    (ranked): phrase queries are what positional indexes exist for, and
+    neither sibling can answer them (both discard order).  Reference
+    analog: the corpus-retrieval shape,
+    big_data_project/trainer/flax_model.py.
+
+    NOT yet registered (the x68-x80/b7 window queue): register as
+    `x81_phrase_search` with `_PHRASE_ORACLE` when a window slot
+    opens.
+
+    Scale design: the postings stream is filtered to the TWO query
+    terms BEFORE any join (the x50 term-filter pin — the adjacency
+    join's inputs are term-frequency-bounded, never corpus-bounded),
+    the adjacency test is one equi-join on (doc, position+1) carrying
+    (long, int) rows, and the top-20 is a TakeOrderedAndProject.  At
+    100 TB this is exactly the query path of a sharded positional
+    index: per-term postings fetch, then a position-intersect."""
+    d = load_table(spark, sf_dir, "documents")
+    # ONE corpus pass: explode, keep only the two query terms, persist —
+    # the cached frame is term-frequency-bounded (never corpus-bounded)
+    # and feeds both adjacency-join sides; without it the scan+explode
+    # would plan once per side
+    post = (
+        d.select(
+            "doc_id",
+            F.size(F.split(F.lower("text"), " ")).alias("n_tokens"),
+            F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "term"),
+        )
+        .filter(F.col("term").isin(*_PHRASE))
+        .persist()
+    )
+    t1 = post.filter(F.col("term") == _PHRASE[0]).select(
+        "doc_id", "n_tokens", F.col("pos").alias("p1")
+    )
+    t2 = post.filter(F.col("term") == _PHRASE[1]).select(
+        F.col("doc_id").alias("d2"), F.col("pos").alias("p2")
+    )
+    return (
+        t1.join(
+            t2, (t1.doc_id == t2.d2) & (t2.p2 == t1.p1 + 1)
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.max("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+        .orderBy(F.col("n_matches").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+_PHRASE_ORACLE = f"""
+    WITH toksp AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+    posting AS (
+      SELECT doc_id, len(w) AS n_tokens, u.p, u.t
+      FROM (
+        SELECT doc_id, w,
+               unnest([{{'p': i, 't': w[i]}}
+                       for i in generate_series(1, len(w))]) AS u
+        FROM toksp
+      ) q)
+    SELECT a.doc_id AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_matches,
+           CAST(max(a.n_tokens) AS BIGINT) AS n_tokens
+    FROM posting a
+    JOIN posting b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+    WHERE a.t = '{_PHRASE[0]}' AND b.t = '{_PHRASE[1]}'
+    GROUP BY a.doc_id
+    ORDER BY n_matches DESC, a.doc_id
+    LIMIT 20
+"""

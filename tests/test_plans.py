@@ -1368,3 +1368,22 @@ def test_ngram_novelty_shingle_reuse_plan(spark):
         assert count_ops(df, "BatchEvalPython") + count_ops(df, "ArrowEvalPython") == 0
     finally:
         spark.catalog.clearCache()
+
+
+def test_phrase_search_postings_filter_plan(spark):
+    """Prepped x81: both adjacency-join sides read the PERSISTED
+    two-term postings frame from cache (one corpus explode, pinned via
+    InMemoryTableScan ≥ 2), no cartesian product, JVM-only, top-20 as
+    TakeOrderedAndProject."""
+    from big_data_project_spark.pipeline.text import phrase_search
+    from big_data_project_spark.plans.contracts import plan_str
+
+    df = phrase_search(spark, SF)
+    try:
+        text = plan_str(df, "simple")
+        assert text.count("InMemoryTableScan") >= 2
+        assert "TakeOrderedAndProject" in text
+        assert count_ops(df, "CartesianProduct") == 0
+        assert count_ops(df, "BatchEvalPython") + count_ops(df, "ArrowEvalPython") == 0
+    finally:
+        spark.catalog.clearCache()
