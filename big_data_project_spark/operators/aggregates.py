@@ -763,3 +763,87 @@ def a25_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_r2(y, x) + F.lit(1e-9), 6).alias("r2"),
         F.regr_count(y, x).cast("bigint").alias("n"),
     )
+
+
+# --- Benford first-digit audit (prepped for a future window) -----------------
+
+# log10(1 + 1/d) for d = 1..9, precomputed ONCE in Python and embedded as
+# the same literals in both engines — no query-time transcendental, so no
+# cross-engine ulp surface (the b7 pow() lesson applied to log10).
+_BENFORD_PCT = {d: round(__import__("math").log10(1 + 1 / d), 4) for d in range(1, 10)}
+
+
+def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit census of lineitem extended prices against
+    Benford's law: one row per digit 1-9 with observed count, observed
+    share, the Benford expectation, and the absolute deviation — the
+    classic wholesale data-quality / fabrication screen (organically
+    generated positive amounts spanning magnitudes follow
+    log10(1 + 1/d); synthetic, capped, or tampered columns do not), run
+    as a data-audit gate before a table feeds training.  TPC-H prices
+    are uniform-ish within a band, so the fixture legitimately DEVIATES
+    — the audit's point is measuring the deviation, and the test pins
+    that it is material.  Reference analog: the scored-entity corpus
+    analytics shape, big_data_project/trainer/flax_model.py.
+
+    NOT yet registered (the x68-x81/b7 window queue): register as
+    `x82_benford_audit` with `_BENFORD_ORACLE` when a window slot
+    opens.
+
+    Parity: the first digit comes from the DECIMAL's floor cast to a
+    string prefix — explicit floor() on both engines because DuckDB
+    ROUNDS on integer casts while Spark truncates (a 949.80 price would
+    otherwise read digit 9 on one engine and 1 on the other at the
+    950→1000 boundary... the floor removes the class); shares are exact
+    integer divisions rounded to 4.
+
+    Scale design: one narrow digit map over the scan (prices ≥ 1 by
+    TPC-H construction, so the digit is always 1-9), one 9-group
+    partial-aggregated exchange, a 1-row total broadcast back, and a
+    9-row literal Benford table broadcast-joined — nothing wider than
+    (int, long) crosses the wire."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    digit = F.substring(
+        F.floor(F.col("l_extendedprice")).cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    counts = li.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = counts.agg(F.sum("n").alias("t"))
+    bf = spark.createDataFrame(
+        [(d, p) for d, p in _BENFORD_PCT.items()], schema="digit int, benford_pct double"
+    )
+    obs = F.col("n") / F.col("t")
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .join(F.broadcast(bf), "digit")
+        .select(
+            "digit",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(obs + F.lit(1e-9), 4).alias("obs_pct"),
+            "benford_pct",
+            F.round(F.abs(obs - F.col("benford_pct")) + F.lit(1e-9), 4).alias(
+                "abs_dev"
+            ),
+        )
+        .orderBy("digit")
+    )
+
+
+_BENFORD_ORACLE = f"""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(floor(l_extendedprice) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM lineitem),
+    counts AS (
+      SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit),
+    bf(digit, benford_pct) AS (VALUES
+      {", ".join(f"({d}, {p})" for d, p in _BENFORD_PCT.items())})
+    SELECT c.digit, c.n,
+           round(c.n * 1.0 / (SELECT sum(n) FROM counts) + 1e-9, 4) AS obs_pct,
+           b.benford_pct,
+           round(abs(c.n * 1.0 / (SELECT sum(n) FROM counts) - b.benford_pct)
+                 + 1e-9, 4) AS abs_dev
+    FROM counts c JOIN bf b ON b.digit = c.digit
+    ORDER BY c.digit
+"""

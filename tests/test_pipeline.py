@@ -1871,3 +1871,44 @@ def test_phrase_search_parity_and_bruteforce(spark):
                 assert got[0][1] >= 2
         finally:
             spark.catalog.clearCache()
+
+
+def test_benford_audit_parity_and_bruteforce(spark):
+    """Benford first-digit audit (prepped for a future window): the
+    oracle must hash-match at BOTH fixture tiers; every digit row must
+    agree with an independent driver-side census; shares must sum to 1;
+    and the fixture's deviation must be MATERIAL (TPC-H prices are
+    banded-uniform, not Benford — measuring that gap is the audit's
+    purpose)."""
+    from big_data_project_spark.io import load_table
+    from big_data_project_spark.operators.aggregates import (
+        _BENFORD_ORACLE, _BENFORD_PCT, benford_digit_audit,
+    )
+    from tests.conftest import SF_DIR, SF_DIR_ORACLE
+    from tests.oracle_harness import compare, duckdb_connect
+
+    for sf in (SF_DIR, SF_DIR_ORACLE):
+        try:
+            con = duckdb_connect(sf)
+            df = benford_digit_audit(spark, sf)
+            res = compare("benford", df, con, _BENFORD_ORACLE)
+            assert res.ok, (sf, res.detail, res.mismatches[:3])
+            rows = {r.digit: r for r in df.collect()}
+            import math
+
+            counts: dict[int, int] = {}
+            for r in load_table(spark, sf, "lineitem").select(
+                "l_extendedprice"
+            ).collect():
+                d = int(str(int(math.floor(r.l_extendedprice)))[0])
+                counts[d] = counts.get(d, 0) + 1
+            total = sum(counts.values())
+            assert set(rows) == set(counts)
+            for d, n in counts.items():
+                assert rows[d].n == n
+                assert abs(rows[d].obs_pct - n / total) < 1e-3
+                assert rows[d].benford_pct == _BENFORD_PCT[d]
+            assert abs(sum(r.obs_pct for r in rows.values()) - 1.0) < 1e-2
+            assert max(r.abs_dev for r in rows.values()) > 0.05  # material
+        finally:
+            spark.catalog.clearCache()
