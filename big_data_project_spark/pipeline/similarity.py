@@ -2002,3 +2002,119 @@ def replicated_gram(spark: SparkSession, sf_dir: str, factor: int = 4) -> DataFr
     reps = spark.range(factor).select(F.col("id").alias("r"))
     corpus = e.crossJoin(F.broadcast(reps)).select("embedding")
     return _mean_gram(corpus)
+
+
+# --- simplified silhouette by cluster (prepped for a future window) ----------
+
+
+def silhouette_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster SIMPLIFIED silhouette over the label-centroid
+    clustering the IVF family already uses: for every vector,
+    a = cosine distance to its OWN centroid, b = distance to the
+    nearest OTHER centroid, s = (b − a) / max(a, b); output one row per
+    cluster with size, mean and min silhouette — the standard
+    clustering-quality evaluator (full silhouette is O(n²) pairwise;
+    the centroid-based simplification is the production form and the
+    one that is oracle-expressible), answering the question the
+    x8_ivf/x15/SemDeDup machinery begs: are these buckets actually
+    tight?  Low or negative mean-s clusters are merge/re-train
+    candidates.  Reference analog: the scored-entity corpus analytics
+    shape, big_data_project/trainer/flax_model.py.
+
+    NOT yet registered (the x68-x82/b7 window queue): register as
+    `x83_silhouette` with `_SILHOUETTE_ORACLE` when a window slot
+    opens.
+
+    Parity: per-(vector, centroid) cosine rounds to 4 BEFORE any
+    comparison (the §4.3.1 ranking convention shared with
+    `_assign_nearest`); the silhouette denominator max(a, b) is clamped
+    `greatest(.., 1e-4)` identically on both engines (§4.3 divide
+    rule — a = 0 needs the vector to EQUAL its centroid, measure-zero
+    for float means but the clamp makes degenerate inputs fail
+    identically); per-vector s rounds to 4, and the DuckDB side of
+    every aggregated s appends `+ 0.0` because s is signed and a
+    near-zero mean can round to -0.0 (the x59/x77 lesson).
+
+    Scale design: ONE broadcast crossJoin scores every vector against
+    the k centroids (the `_assign_nearest` shape — the corpus never
+    shuffles for scoring) and is persisted for its two consumers
+    (assignment argmax + other-centroid max); the per-vector reduction
+    partial-aggregates to (vec, bucket, own, other) before the only
+    exchange; the cluster rollup is k-bounded."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = _label_centroids(e)
+    vc = e.crossJoin(F.broadcast(cent))
+    sims = (
+        with_cosine(vc, "embedding", "centroid")
+        .select(
+            "vec_id",
+            "centroid_id",
+            F.round(F.col("sim_raw") + F.lit(1e-9), 4).alias("csim"),
+        )
+        .persist()
+    )
+    assigned = sims.groupBy("vec_id").agg(
+        F.max_by(
+            "centroid_id",
+            F.struct(F.col("csim"), (-F.col("centroid_id")).alias("nid")),
+        ).alias("bucket"),
+        F.max("csim").alias("own_sim"),
+    )
+    other = (
+        sims.join(assigned, "vec_id")
+        .filter(F.col("centroid_id") != F.col("bucket"))
+        .groupBy("vec_id")
+        .agg(F.max("csim").alias("other_sim"))
+    )
+    a = F.lit(1.0) - F.col("own_sim")
+    b = F.lit(1.0) - F.col("other_sim")
+    s = F.round(
+        (b - a) / F.greatest(F.greatest(a, b), F.lit(1e-4)) + F.lit(1e-9), 4
+    )
+    per_vec = assigned.join(other, "vec_id").select("bucket", s.alias("s"))
+    return (
+        per_vec.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg("s") + F.lit(1e-9), 4).alias("mean_silhouette"),
+            F.min("s").alias("min_silhouette"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_SILHOUETTE_ORACLE = _ASSIGN_CTE + """,
+    sims AS (
+      SELECT e.vec_id, c.centroid_id,
+             round(list_cosine_similarity(e.v, c.centroid) + 1e-9, 4) AS csim
+      FROM e CROSS JOIN cent c
+    ),
+    asg AS (
+      SELECT vec_id, centroid_id AS bucket, csim AS own_sim
+      FROM (
+        SELECT vec_id, centroid_id, csim,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY csim DESC, centroid_id) AS rk
+        FROM sims)
+      WHERE rk = 1
+    ),
+    oth AS (
+      SELECT s.vec_id, max(s.csim) AS other_sim
+      FROM sims s JOIN asg a ON a.vec_id = s.vec_id
+      WHERE s.centroid_id != a.bucket
+      GROUP BY s.vec_id
+    ),
+    pv AS (
+      SELECT a.bucket,
+             round(((1.0 - o.other_sim) - (1.0 - a.own_sim))
+                   / greatest(greatest(1.0 - a.own_sim, 1.0 - o.other_sim),
+                              0.0001) + 1e-9, 4) + 0.0 AS s
+      FROM asg a JOIN oth o ON o.vec_id = a.vec_id
+    )
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n_vectors,
+           round(avg(s) + 1e-9, 4) + 0.0 AS mean_silhouette,
+           min(s) + 0.0 AS min_silhouette
+    FROM pv
+    GROUP BY bucket
+    ORDER BY bucket
+"""

@@ -1912,3 +1912,59 @@ def test_benford_audit_parity_and_bruteforce(spark):
             assert max(r.abs_dev for r in rows.values()) > 0.05  # material
         finally:
             spark.catalog.clearCache()
+
+
+def test_silhouette_parity_and_bruteforce(spark):
+    """Simplified silhouette (prepped for a future window): the oracle
+    must hash-match at BOTH fixture tiers; cluster sizes must cover the
+    corpus; every silhouette must lie in [-1, 1]; and the per-cluster
+    means must agree with an independent driver-side numpy
+    implementation of the same rounded pipeline."""
+    import numpy as np
+
+    from big_data_project_spark.io import load_table
+    from big_data_project_spark.pipeline.similarity import (
+        _SILHOUETTE_ORACLE, silhouette_by_cluster,
+    )
+    from tests.conftest import SF_DIR, SF_DIR_ORACLE
+    from tests.oracle_harness import compare, duckdb_connect
+
+    for sf in (SF_DIR, SF_DIR_ORACLE):
+        try:
+            con = duckdb_connect(sf)
+            df = silhouette_by_cluster(spark, sf)
+            res = compare("silhouette", df, con, _SILHOUETTE_ORACLE)
+            assert res.ok, (sf, res.detail, res.mismatches[:3])
+            rows = {r.bucket: r for r in df.collect()}
+            e = load_table(spark, sf, "embeddings").collect()
+            assert sum(r.n_vectors for r in rows.values()) == len(e)
+            assert all(-1 <= r.min_silhouette <= r.mean_silhouette <= 1
+                       for r in rows.values())
+            # numpy reference with the same rounding conventions
+            by_label: dict[int, list] = {}
+            for r in e:
+                by_label.setdefault(r.label, []).append(np.array(r.embedding))
+            cents = {l: np.mean(v, axis=0) for l, v in by_label.items()}
+            cids = sorted(cents)
+
+            def cos(u, v):
+                return round(float(u @ v / (np.linalg.norm(u) * np.linalg.norm(v)))
+                             + 1e-9, 4)
+
+            agg: dict[int, list] = {}
+            for r in e:
+                v = np.array(r.embedding)
+                sims = {c: cos(v, cents[c]) for c in cids}
+                best = max(sims.values())
+                bucket = min(c for c in cids if sims[c] == best)
+                other = max(s for c, s in sims.items() if c != bucket)
+                a, b = 1.0 - best, 1.0 - other
+                s = round((b - a) / max(max(a, b), 1e-4) + 1e-9, 4)
+                agg.setdefault(bucket, []).append(s)
+            for bucket, ss in agg.items():
+                assert rows[bucket].n_vectors == len(ss)
+                assert abs(rows[bucket].mean_silhouette
+                           - (sum(ss) / len(ss))) < 1e-3
+                assert abs(rows[bucket].min_silhouette - min(ss)) < 1e-9
+        finally:
+            spark.catalog.clearCache()
