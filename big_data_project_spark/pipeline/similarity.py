@@ -2118,3 +2118,64 @@ _SILHOUETTE_ORACLE = _ASSIGN_CTE + """,
     GROUP BY bucket
     ORDER BY bucket
 """
+
+
+# --- mutual nearest-neighbor pairs (prepped for a future window) -------------
+
+
+def mutual_nn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal 1-NN pairs over the embedding corpus: (a, b) where b
+    is a's nearest neighbor AND a is b's — the high-precision pairing
+    criterion of bitext mining and semantic-dedup verification (one-way
+    nearest is cheap to satisfy from a dense hub's side; MUTUAL nearest
+    is the standard symmetric filter that kills hub-induced false
+    pairs).  Composes the registered x8_knn_all KNN join (its
+    rounded-sim, smallest-id tie-break makes both directions
+    deterministic); cosine is symmetric and both directions round
+    identically, so the pair carries one sim.  Reference analog: the
+    embedding-analytics shape, big_data_project/trainer/flax_model.py.
+
+    NOT yet registered (the x68-x83/b7 window queue): register as
+    `x84_mutual_nn` with `_MUTUAL_ORACLE` when a window slot opens.
+
+    Scale design: the KNN frame is the tiled block-matrix kernel's
+    output — n rows of 3 scalars — and is persisted for its two
+    consumers (the a<b side and the reversed side); the mutuality test
+    is ONE equi-join on (vec, nn) integer pairs.  Everything after the
+    kernel is id-arithmetic."""
+    knn = x8_knn_all(spark, sf_dir).persist()
+    lo = knn.filter(F.col("vec_id") < F.col("nn_id"))
+    rev = knn.select(
+        F.col("vec_id").alias("r_vec"), F.col("nn_id").alias("r_nn")
+    )
+    return (
+        lo.join(rev, (lo.vec_id == rev.r_nn) & (lo.nn_id == rev.r_vec))
+        .select(
+            F.col("vec_id").alias("vec_a"),
+            F.col("nn_id").alias("vec_b"),
+            "sim",
+        )
+        .orderBy(F.col("sim").desc(), "vec_a")
+    )
+
+
+_MUTUAL_ORACLE = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    scored AS (
+      SELECT a.vec_id, b.vec_id AS nn_id,
+             round(list_cosine_similarity(a.v, b.v) + 1e-9, 4) AS sim
+      FROM e a JOIN e b ON a.vec_id != b.vec_id
+    ),
+    knn AS (
+      SELECT vec_id, nn_id, sim
+      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY sim DESC, nn_id) AS rk
+            FROM scored)
+      WHERE rk = 1
+    )
+    SELECT a.vec_id AS vec_a, a.nn_id AS vec_b, a.sim
+    FROM knn a
+    JOIN knn b ON b.vec_id = a.nn_id AND b.nn_id = a.vec_id
+    WHERE a.vec_id < a.nn_id
+    ORDER BY a.sim DESC, vec_a
+"""

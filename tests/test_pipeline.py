@@ -1968,3 +1968,50 @@ def test_silhouette_parity_and_bruteforce(spark):
                 assert abs(rows[bucket].min_silhouette - min(ss)) < 1e-9
         finally:
             spark.catalog.clearCache()
+
+
+def test_mutual_nn_parity_and_bruteforce(spark):
+    """Mutual 1-NN pairs (prepped for a future window): the oracle must
+    hash-match at BOTH fixture tiers, and the pair set must agree with
+    an independent driver-side numpy 1-NN computation with the same
+    rounded-sim/smallest-id tie-break — including the defining
+    asymmetry check: one-way nearest pairs that are NOT mutual must be
+    absent."""
+    import numpy as np
+
+    from big_data_project_spark.io import load_table
+    from big_data_project_spark.pipeline.similarity import (
+        _MUTUAL_ORACLE, mutual_nn_pairs,
+    )
+    from tests.conftest import SF_DIR, SF_DIR_ORACLE
+    from tests.oracle_harness import compare, duckdb_connect
+
+    for sf in (SF_DIR, SF_DIR_ORACLE):
+        try:
+            con = duckdb_connect(sf)
+            df = mutual_nn_pairs(spark, sf)
+            res = compare("mutual_nn", df, con, _MUTUAL_ORACLE)
+            assert res.ok, (sf, res.detail, res.mismatches[:3])
+            got = {(r.vec_a, r.vec_b) for r in df.collect()}
+            rows = load_table(spark, sf, "embeddings").collect()
+            ids = np.array([r.vec_id for r in rows])
+            mat = np.array([r.embedding for r in rows], dtype=float)
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = np.round(mat @ mat.T + 1e-9, 4)
+            np.fill_diagonal(sims, -np.inf)
+            order = np.argsort(ids)
+            assert (ids == ids[order]).all()  # fixture ids are sorted
+            nn = {}
+            for i, vid in enumerate(ids):
+                best = sims[i].max()
+                cand = ids[sims[i] == best]
+                nn[vid] = int(cand.min())  # smallest-id tie-break
+            expected = {(a, b) for a, b in nn.items()
+                        if a < b and nn[b] == a}
+            assert got == expected
+            one_way = {(min(a, b), max(a, b)) for a, b in nn.items()
+                       if nn[nn[a]] != a for b in [nn[a]]}
+            assert got.isdisjoint(one_way)
+            assert got, "fixture should contain mutual pairs"
+        finally:
+            spark.catalog.clearCache()
