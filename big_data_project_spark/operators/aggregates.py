@@ -17,6 +17,8 @@ BIGINT in oracles; float aggregates rounded to 4dp on both sides (§4.3.1).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -770,7 +772,7 @@ def a25_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
 # log10(1 + 1/d) for d = 1..9, precomputed ONCE in Python and embedded as
 # the same literals in both engines — no query-time transcendental, so no
 # cross-engine ulp surface (the b7 pow() lesson applied to log10).
-_BENFORD_PCT = {d: round(__import__("math").log10(1 + 1 / d), 4) for d in range(1, 10)}
+_BENFORD_PCT = {d: round(math.log10(1 + 1 / d), 4) for d in range(1, 10)}
 
 
 def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -786,9 +788,8 @@ def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     that it is material.  Reference analog: the scored-entity corpus
     analytics shape, big_data_project/trainer/flax_model.py.
 
-    NOT yet registered (the x68-x81/b7 window queue): register as
-    `x82_benford_audit` with `_BENFORD_ORACLE` when a window slot
-    opens.
+    Registered r10 as `x82_benford_audit` (with `_BENFORD_ORACLE`)
+    once the window opened.
 
     Parity: the first digit comes from the DECIMAL's floor cast to a
     string prefix — explicit floor() on both engines because DuckDB
@@ -847,3 +848,5 @@ _BENFORD_ORACLE = f"""
     FROM counts c JOIN bf b ON b.digit = c.digit
     ORDER BY c.digit
 """
+
+query("x82_benford_audit", oracle=_BENFORD_ORACLE)(benford_digit_audit)

@@ -444,9 +444,8 @@ def gravity_trending_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference analog: the temporal-supervision shape,
     big_data_project/trainer/flax_model.py.
 
-    NOT yet registered (the x68-x78 window queue): register as
-    `b7_gravity_trending` with `_TREND_ORACLE` when a window slot
-    opens.
+    Registered r10 as `b7_gravity_trending` (with `_TREND_ORACLE`)
+    once the window opened.
 
     Parity: Δdays is an exact integer datediff on both engines and the
     decay 1/(Δdays+2)² is one rational division — deliberately NOT
@@ -500,3 +499,5 @@ _TREND_ORACLE = f"""
     ORDER BY gravity_score DESC, user_id
     LIMIT 20
 """
+
+query("b7_gravity_trending", oracle=_TREND_ORACLE)(gravity_trending_users)

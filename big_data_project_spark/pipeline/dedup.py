@@ -1003,9 +1003,8 @@ def levenshtein_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`verified_neardup_pairs`).  Reference analog: the corpus-curation
     shape, big_data_project/trainer/flax_model.py.
 
-    NOT yet registered (the x68-x71 window queue): register as
-    `x72_edit_distance_dedup` with `_LEV_ORACLE` when a window slot
-    opens.
+    Registered r10 as `x72_edit_distance_dedup` (with `_LEV_ORACLE`)
+    once the window opened.
 
     Parity: the oracle computes the exact length-pruned n² answer; the
     fixture's bimodal similarity makes LSH recall 1 (asserted in
@@ -1073,6 +1072,8 @@ _LEV_ORACLE = f"""
     FROM cand
     WHERE 1.0 - lev * 1.0 / mx >= {_LEV_SIM_THRESHOLD}
 """
+
+query("x72_edit_distance_dedup", oracle=_LEV_ORACLE)(levenshtein_verified_pairs)
 
 
 # --- Winnowing fingerprints (prepped) ---------------------------------------
@@ -1142,9 +1143,8 @@ def winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     All-integer output.  Reference analog: the corpus-curation shape,
     big_data_project/trainer/flax_model.py.
 
-    NOT yet registered (the x68-x73 window queue): register as
-    `x74_winnowing_fingerprints` with `_WINNOW_ORACLE` when a window
-    slot opens.
+    Registered r10 as `x74_winnowing_fingerprints` (with
+    `_WINNOW_ORACLE`) once the window opened.
 
     Scale design: selection is shuffle-free (see winnow_fingerprints)
     and winnowing keeps only ~2/(w+1) of k-grams, so the postings
@@ -1227,6 +1227,8 @@ _WINNOW_ORACLE = f"""
     LIMIT 20
 """
 
+query("x74_winnowing_fingerprints", oracle=_WINNOW_ORACLE)(winnow_overlap_pairs)
+
 
 # --- Content-defined chunking dedup census (prepped) -------------------------
 
@@ -1307,8 +1309,8 @@ def cdc_dedup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     analog: the corpus-curation shape,
     big_data_project/trainer/flax_model.py.
 
-    NOT yet registered (the x68-x74 window queue): register as
-    `x75_cdc_chunk_dedup` with `_CDC_ORACLE` when a window slot opens.
+    Registered r10 as `x75_cdc_chunk_dedup` (with `_CDC_ORACLE`)
+    once the window opened.
 
     Scale design: chunking is shuffle-free (see cdc_chunks) and the
     census exchange carries (digest, int) pairs that partial-aggregate
@@ -1373,3 +1375,5 @@ _CDC_ORACLE = f"""
     ORDER BY n_occurrences DESC, chash
     LIMIT 20
 """
+
+query("x75_cdc_chunk_dedup", oracle=_CDC_ORACLE)(cdc_dedup_census)

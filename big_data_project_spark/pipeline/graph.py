@@ -953,10 +953,8 @@ def khop_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored-entity corpus analytics shape,
     big_data_project/trainer/flax_model.py.
 
-    NOT yet registered: the r09 verification window is packed (3 new
-    queries is the budget while the ≥46-re-stamp target stands);
-    register as `x68_khop_bfs` with `_BFS_ORACLE` when the r10 window
-    opens.
+    Registered r10 as `x68_khop_bfs` (with `_BFS_ORACLE`) once the
+    window opened.
 
     Scale design: DELTA-FRONTIER expansion, the textbook distributed
     BFS — each round joins edges against only the nodes FIRST REACHED
@@ -1041,6 +1039,8 @@ _BFS_ORACLE = _bfs_ctes(_BFS_ROUNDS) + f"""
     ORDER BY dist
 """
 
+query("x68_khop_bfs", oracle=_BFS_ORACLE)(khop_bfs_distances)
+
 
 # --------------------------------------------------------------------------
 # Adamic-Adar link prediction (prepped for the r10 window)
@@ -1059,9 +1059,8 @@ def adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared ones.  Reference analog: the scored-entity corpus analytics
     shape, big_data_project/trainer/flax_model.py.
 
-    NOT yet registered (same r09 window deferral as
-    `khop_bfs_distances`): register as `x69_adamic_adar` with
-    `_AA_ORACLE` when the r10 window opens.
+    Registered r10 as `x69_adamic_adar` (with `_AA_ORACLE`) once the
+    window opened.
 
     Parity: each pair's score is rounded to 6 decimals INSIDE the
     aggregation on both engines and the ranking orders by the ROUNDED
@@ -1163,6 +1162,8 @@ _AA_ORACLE = f"""
     LIMIT 20
 """
 
+query("x69_adamic_adar", oracle=_AA_ORACLE)(adamic_adar_links)
+
 
 # --------------------------------------------------------------------------
 # k-core peeling census (prepped for a future window)
@@ -1253,8 +1254,8 @@ def kcore_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     engages).  Reference analog: the scored-entity corpus analytics
     shape, big_data_project/trainer/flax_model.py.
 
-    NOT yet registered (the x68/x69 window deferral): register as
-    `x70_kcore_census` with `_KCORE_ORACLE` when a window slot opens.
+    Registered r10 as `x70_kcore_census` (with `_KCORE_ORACLE`) once
+    the window opened.
 
     Scale design: each sweep's exchanges are bounded by |E| (semi-join
     restriction + map-side partial degree count) and |V| (the alive /
@@ -1343,6 +1344,8 @@ _KCORE_ORACLE = _kcore_ctes(_KCORE_ROUNDS) + """
     ORDER BY peel_round
 """
 
+query("x70_kcore_census", oracle=_KCORE_ORACLE)(kcore_census)
+
 
 # --------------------------------------------------------------------------
 # HITS hubs/authorities (prepped for a future window)
@@ -1416,9 +1419,8 @@ def hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     coreness.  Reference analog: the scored-entity corpus analytics
     shape, big_data_project/trainer/flax_model.py.
 
-    NOT yet registered (the x68-x72 window queue): register as
-    `x73_hits_authorities` with `_HITS_ORACLE` when a window slot
-    opens."""
+    Registered r10 as `x73_hits_authorities` (with `_HITS_ORACLE`)
+    once the window opened."""
     _, auths, pairs = hits_scores(spark, sf_dir)
     ideg = pairs.groupBy("supp").agg(F.count(F.lit(1)).alias("indeg"))
     return (
@@ -1475,6 +1477,8 @@ _HITS_ORACLE = _hits_ctes(_HITS_ITERS) + f"""
     LIMIT 25
 """
 
+query("x73_hits_authorities", oracle=_HITS_ORACLE)(hits_authorities)
+
 
 # --------------------------------------------------------------------------
 # Degree assortativity (prepped for a future window)
@@ -1494,9 +1498,8 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale-up.  Reference analog: the scored-entity corpus analytics
     shape, big_data_project/trainer/flax_model.py.
 
-    NOT yet registered (the x68-x76 window queue): register as
-    `x77_degree_assortativity` with `_ASSORT_ORACLE` when a window slot
-    opens.
+    Registered r10 as `x77_degree_assortativity` (with
+    `_ASSORT_ORACLE`) once the window opened.
 
     Parity: degrees are exact integers on both engines; the only float
     is the final corr(), an associative moment aggregate (the a17/a25
@@ -1562,3 +1565,5 @@ _ASSORT_ORACLE = f"""
            round(corr(du, dv) + 1e-9, 4) + 0.0 AS assortativity
     FROM ann
 """
+
+query("x77_degree_assortativity", oracle=_ASSORT_ORACLE)(degree_assortativity)

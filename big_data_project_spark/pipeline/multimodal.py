@@ -659,9 +659,8 @@ def ahash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference analog: the raster ingestion shape,
     big_data_project/trainer/flax_model.py:61-66.
 
-    NOT yet registered (the x68-x78/b7 window queue): register as
-    `x79_perceptual_ahash` with `_AHASH_ORACLE` when a window slot
-    opens.
+    Registered r10 as `x79_perceptual_ahash` (with `_AHASH_ORACLE`)
+    once the window opened.
 
     Scale design: hashing is one Arrow-batched pass over the payload
     column (the only stage touching bytes); the band exchange carries
@@ -767,3 +766,5 @@ _AHASH_ORACLE = f"""
     WHERE hamming(ha.ahash, hb.ahash) <= {_AHASH_MAX_HAMMING}
     ORDER BY hamming, doc_a, doc_b
 """
+
+query("x79_perceptual_ahash", oracle=_AHASH_ORACLE)(ahash_near_dup_pairs)

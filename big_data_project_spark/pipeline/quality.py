@@ -1145,9 +1145,8 @@ def hash_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     analog: the corpus-curation shape,
     big_data_project/trainer/flax_model.py.
 
-    NOT yet registered (the x68-x77 window queue): register as
-    `x78_hash_stratified_sample` with `_STRAT_ORACLE` when a window
-    slot opens.
+    Registered r10 as `x78_hash_stratified_sample` (with
+    `_STRAT_ORACLE`) once the window opened.
 
     Scale design: stratum counts are one partial-agg exchange
     broadcast back onto the scan (strata-bounded); the per-stratum
@@ -1171,6 +1170,7 @@ def hash_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         # CONSTANT rank bound is what lets Spark rewrite the window into
         # a WindowGroupLimit (map-side per-stratum top-k prune) — the
         # quota comparison below is column-vs-column and cannot
+        # trigger the WindowGroupLimit rewrite.
         F.col("sample_rank") <= F.lit(_STRAT_BUDGET)
     )
     return (
@@ -1201,3 +1201,5 @@ _STRAT_ORACLE = f"""
     WHERE r.sample_rank <= q.quota
     ORDER BY r.lang, r.sample_rank
 """
+
+query("x78_hash_stratified_sample", oracle=_STRAT_ORACLE)(hash_stratified_sample)

@@ -2021,9 +2021,8 @@ def silhouette_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates.  Reference analog: the scored-entity corpus analytics
     shape, big_data_project/trainer/flax_model.py.
 
-    NOT yet registered (the x68-x82/b7 window queue): register as
-    `x83_silhouette` with `_SILHOUETTE_ORACLE` when a window slot
-    opens.
+    Registered r10 as `x83_silhouette` (with `_SILHOUETTE_ORACLE`)
+    once the window opened.
 
     Parity: per-(vector, centroid) cosine rounds to 4 BEFORE any
     comparison (the §4.3.1 ranking convention shared with
@@ -2119,6 +2118,8 @@ _SILHOUETTE_ORACLE = _ASSIGN_CTE + """,
     ORDER BY bucket
 """
 
+query("x83_silhouette", oracle=_SILHOUETTE_ORACLE)(silhouette_by_cluster)
+
 
 # --- mutual nearest-neighbor pairs (prepped for a future window) -------------
 
@@ -2135,8 +2136,8 @@ def mutual_nn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically, so the pair carries one sim.  Reference analog: the
     embedding-analytics shape, big_data_project/trainer/flax_model.py.
 
-    NOT yet registered (the x68-x83/b7 window queue): register as
-    `x84_mutual_nn` with `_MUTUAL_ORACLE` when a window slot opens.
+    Registered r10 as `x84_mutual_nn` (with `_MUTUAL_ORACLE`) once
+    the window opened.
 
     Scale design: the KNN frame is the tiled block-matrix kernel's
     output — n rows of 3 scalars — and is persisted for its two
@@ -2179,3 +2180,5 @@ _MUTUAL_ORACLE = """
     WHERE a.vec_id < a.nn_id
     ORDER BY a.sim DESC, vec_a
 """
+
+query("x84_mutual_nn", oracle=_MUTUAL_ORACLE)(mutual_nn_pairs)

@@ -1732,8 +1732,8 @@ def zipf_slope_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly.  Reference analog: the corpus-statistics shape,
     big_data_project/trainer/flax_model.py.
 
-    NOT yet registered (the x68-x70 window queue): register as
-    `x71_zipf_slope` with `_ZIPF_ORACLE` when a window slot opens.
+    Registered r10 as `x71_zipf_slope` (with `_ZIPF_ORACLE`) once
+    the window opened.
 
     Scale design: the bigram zip is a NARROW per-row array expression
     (no position self-join) and the gram-count shuffle
@@ -1814,6 +1814,8 @@ _ZIPF_ORACLE = f"""
     FROM ranked
 """
 
+query("x71_zipf_slope", oracle=_ZIPF_ORACLE)(zipf_slope_fit)
+
 
 # --- TextRank keyword extraction (prepped for a future window) ---------------
 
@@ -1836,9 +1838,8 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     word.  Reference analog: the corpus-statistics shape,
     big_data_project/trainer/flax_model.py.
 
-    NOT yet registered (the x68-x75 window queue): register as
-    `x76_textrank_keywords` with `_TEXTRANK_ORACLE` when a window slot
-    opens.
+    Registered r10 as `x76_textrank_keywords` (with
+    `_TEXTRANK_ORACLE`) once the window opened.
 
     Scale design: the corpus is scanned ONCE to build the weighted
     edge frame (bigram counts partial-aggregate map-side; the frame is
@@ -1949,6 +1950,8 @@ _TEXTRANK_ORACLE = _textrank_ctes(_TR_ITERS) + f"""
     LIMIT {_TR_TOP}
 """
 
+query("x76_textrank_keywords", oracle=_TEXTRANK_ORACLE)(textrank_keywords)
+
 
 # --- n-gram novelty scoring (prepped for a future window) --------------------
 
@@ -1969,9 +1972,8 @@ def ngram_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference analog: the corpus-curation shape,
     big_data_project/trainer/flax_model.py.
 
-    NOT yet registered (the x68-x79/b7 window queue): register as
-    `x80_ngram_novelty` with `_NOVELTY_ORACLE` when a window slot
-    opens.
+    Registered r10 as `x80_ngram_novelty` (with `_NOVELTY_ORACLE`)
+    once the window opened.
 
     Scale design: one shingle pass (the x7 distinct-3-gram convention,
     reused from pipeline/dedup.shingled_docs), one partial-aggregated
@@ -2035,6 +2037,8 @@ _NOVELTY_ORACLE = f"""
     FROM scored
 """
 
+query("x80_ngram_novelty", oracle=_NOVELTY_ORACLE)(ngram_novelty_scores)
+
 
 # --- positional phrase search (prepped for a future window) ------------------
 
@@ -2052,9 +2056,8 @@ def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     analog: the corpus-retrieval shape,
     big_data_project/trainer/flax_model.py.
 
-    NOT yet registered (the x68-x80/b7 window queue): register as
-    `x81_phrase_search` with `_PHRASE_ORACLE` when a window slot
-    opens.
+    Registered r10 as `x81_phrase_search` (with `_PHRASE_ORACLE`)
+    once the window opened.
 
     Scale design: the postings stream is filtered to the TWO query
     terms BEFORE any join (the x50 term-filter pin — the adjacency
@@ -2118,3 +2121,5 @@ _PHRASE_ORACLE = f"""
     ORDER BY n_matches DESC, a.doc_id
     LIMIT 20
 """
+
+query("x81_phrase_search", oracle=_PHRASE_ORACLE)(phrase_search)
