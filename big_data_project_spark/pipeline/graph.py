@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from big_data_project_spark.io import load_table
 from big_data_project_spark.registry import query
@@ -1567,3 +1568,281 @@ _ASSORT_ORACLE = f"""
 """
 
 query("x77_degree_assortativity", oracle=_ASSORT_ORACLE)(degree_assortativity)
+
+
+# --------------------------------------------------------------------------
+# node2vec biased-transition census (prepped for a future window)
+# --------------------------------------------------------------------------
+
+_N2V_INV_P = 0.25  # 1/p, return bias (p=4: discourage backtracking)
+_N2V_INV_Q = 0.5   # 1/q, exploration bias (q=2: mildly BFS-like)
+
+
+def node2vec_transition_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-order node2vec transition table (Grover & Leskovec 2016,
+    KDD) over the weight-pruned part co-purchase graph, summarized as a
+    per-bias-class census: for every directed wedge t→u→v the walk bias
+    is 1/p when v returns to t, 1 when v closes a triangle (t–v is an
+    edge), and 1/q when v explores outward; the transition probability
+    is the bias-weighted edge weight normalized over each (t,u) context.
+    The census reports, per class, how many transitions exist, their
+    total co-occurrence weight, and their mean normalized probability —
+    the three numbers that say whether embedding walks on this graph
+    would backtrack, triangulate, or explore (the homophily-vs-structure
+    dial node2vec exposes).  This is the transition-table CONSTRUCTION an
+    embedding trainer materializes before walking; the census keeps the
+    driver-compared output small while every wedge flows through the
+    same plan.  Reference analog: the scored-entity corpus analytics
+    shape, big_data_project/trainer/flax_model.py.
+
+    NOT yet registered (the r10 window carries the 18-operator x68-x84
+    queue): register as `x85_node2vec_transitions` with `_N2V_ORACLE`
+    when a window slot opens.
+
+    Parity: edge weights are integers; the biases 0.25/1.0/0.5 are exact
+    binary fractions, so every raw bias-weight is an EXACT double on
+    both engines; the only rounding is the final mean (round 6 with the
+    +1e-9 nudge, §4.3.1).  The normalizer is strictly positive — the
+    return edge u→t always exists in a symmetric graph — so no clamp is
+    needed (the §4.3 divide rule engages only when a denominator can
+    reach zero).
+
+    Scale design: the wedge stream is inherently Σ outdeg² work (same
+    bound as x64 triangles, documented there) but on the weight-PRUNED
+    graph, and no row ever carries more than five integers + one exact
+    double — never adjacency lists.  Three bounded exchanges: the wedge
+    join keyed on u (SHUFFLE_HASH on the small build side — sort-merge
+    would sort the wedge stream, the measured 1.7× x64 lesson), the
+    triangle-existence probe keyed on (t,v) against the same persisted
+    edge frame (SHUFFLE_HASH again), and the (t,u)-partitioned window
+    normalization; the census itself partial-aggregates to three rows.
+    Directional wedges cannot use x64's degree-ordered orientation (a
+    walk needs BOTH directions), which is why the pruned graph is the
+    right input at 100 TB — pruning bounds max degree before the
+    quadratic term."""
+    edges = _copurchase_weighted_edges(spark, sf_dir, keep_weight=True).persist()
+    prev = edges.select(
+        F.col("u").alias("t"), F.col("v").alias("mid"), F.col("w").alias("w_tu")
+    )
+    nxt = edges.select(
+        F.col("u").alias("mid"), F.col("v").alias("nv"), F.col("w").alias("w_uv")
+    )
+    wedges = prev.join(nxt.hint("shuffle_hash"), "mid")
+    tri = edges.select(
+        F.col("u").alias("t"), F.col("v").alias("nv"), F.lit(1).alias("closes")
+    )
+    classed = wedges.join(tri.hint("shuffle_hash"), ["t", "nv"], "left").select(
+        "t",
+        "mid",
+        "nv",
+        "w_uv",
+        F.when(F.col("nv") == F.col("t"), F.lit("return"))
+        .when(F.col("closes").isNotNull(), F.lit("triangle"))
+        .otherwise(F.lit("explore"))
+        .alias("bias_class"),
+        F.when(F.col("nv") == F.col("t"), F.lit(_N2V_INV_P))
+        .when(F.col("closes").isNotNull(), F.lit(1.0))
+        .otherwise(F.lit(_N2V_INV_Q))
+        .alias("alpha"),
+    )
+    ctx = Window.partitionBy("t", "mid")
+    probs = classed.select(
+        "bias_class",
+        "w_uv",
+        ((F.col("w_uv") * F.col("alpha")) / F.sum(F.col("w_uv") * F.col("alpha")).over(ctx)).alias("prob"),
+    )
+    return (
+        probs.groupBy("bias_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_transitions"),
+            F.sum("w_uv").alias("sum_weight"),
+            F.round(F.avg("prob") + F.lit(1e-9), 6).alias("mean_prob"),
+        )
+        .orderBy("bias_class")
+    )
+
+
+_N2V_ORACLE = f"""
+    WITH supo AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS s FROM lineitem),
+    pw AS (
+      SELECT a.s AS u, b.s AS v, count(*) AS w
+      FROM supo a JOIN supo b ON a.ok = b.ok AND a.s < b.s
+      GROUP BY a.s, b.s
+      HAVING count(*) >= {{minw}}),
+    edges AS (
+      SELECT u, v, w FROM pw
+      UNION ALL
+      SELECT v AS u, u AS v, w FROM pw),
+    wedges AS (
+      SELECT p.u AS t, p.v AS mid, n.v AS nv, n.w AS w_uv
+      FROM edges p JOIN edges n ON n.u = p.v),
+    classed AS (
+      SELECT w.t, w.mid, w.nv, w.w_uv,
+             CASE WHEN w.nv = w.t THEN 'return'
+                  WHEN e.u IS NOT NULL THEN 'triangle'
+                  ELSE 'explore' END AS bias_class,
+             CASE WHEN w.nv = w.t THEN {_N2V_INV_P}
+                  WHEN e.u IS NOT NULL THEN 1.0
+                  ELSE {_N2V_INV_Q} END AS alpha
+      FROM wedges w
+      LEFT JOIN edges e ON e.u = w.t AND e.v = w.nv),
+    probs AS (
+      SELECT bias_class, w_uv,
+             (w_uv * alpha) / sum(w_uv * alpha)
+               OVER (PARTITION BY t, mid) AS prob
+      FROM classed)
+    SELECT bias_class,
+           CAST(count(*) AS BIGINT) AS n_transitions,
+           CAST(sum(w_uv) AS BIGINT) AS sum_weight,
+           round(avg(prob) + 1e-9, 6) AS mean_prob
+    FROM probs
+    GROUP BY bias_class
+    ORDER BY bias_class
+""".replace("{minw}", str(_LPA_MIN_WEIGHT))
+
+
+# --------------------------------------------------------------------------
+# DeepWalk positive-pair mining (prepped for a future window)
+# --------------------------------------------------------------------------
+
+_DW_STEPS = 4       # walk length: start + 4 hops = 5 visited nodes
+_DW_WINDOW = 2      # skip-gram context window over the walk sequence
+
+
+def _dw_step(cur: DataFrame, edges: DataFrame, k: int) -> DataFrame:
+    """One hash-deterministic uniform walk step: from each walker's
+    current node, the next node is the neighbor with the smallest
+    md5(walk_id:step:neighbor) — a reproducible stand-in for uniform
+    random choice that both engines compute identically (the o7/x78
+    md5-determinism discipline), so the walk corpus is stable across
+    reruns, partitionings, and cluster sizes.  One exchange keyed on the
+    current node (neighbor fan-out bounded by degree), then a per-walker
+    row_number prune keyed on walk_id."""
+    cand = cur.join(edges, cur.node == edges.u).select(
+        "wid",
+        F.col("v").alias("nxt"),
+        F.md5(F.concat_ws(":", F.col("wid"), F.lit(k), F.col("v"))).alias("h"),
+    )
+    pick = Window.partitionBy("wid").orderBy("h", "nxt")
+    return (
+        cand.select("wid", "nxt", F.row_number().over(pick).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select("wid", F.col("nxt").alias("node"))
+    )
+
+
+def deepwalk_positive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram positive-pair mining from DeepWalk-style uniform random
+    walks (Perozzi 2014, KDD) over the weight-pruned part co-purchase
+    graph: one hash-seeded walk of ``_DW_STEPS`` hops starts at every
+    node, and every unordered pair of distinct nodes within
+    ``_DW_WINDOW`` positions of each other on a walk becomes a positive
+    training pair — the (center, context) corpus a skip-gram embedding
+    trainer consumes.  Output: the top 20 pairs by frequency (full
+    tie-break), the head of the exact pair-frequency table.  Walks use
+    argmin-md5 neighbor choice instead of RNG, so the ENTIRE walk corpus
+    is deterministic and cross-engine mirrorable — the property that
+    makes embedding training data reproducible run-over-run (and lets
+    DuckDB replay the identical walks as unrolled CTEs).  Reference
+    analog: the scored-entity corpus analytics shape,
+    big_data_project/trainer/flax_model.py.
+
+    NOT yet registered (the r10 window carries the 18-operator x68-x84
+    queue): register as `x86_deepwalk_pairs` with `_DW_ORACLE` when a
+    window slot opens.
+
+    Parity: all-integer output (counts and node ids); the only strings
+    are the md5 picks, identical byte-for-byte on both engines.
+
+    Scale design: each step is ONE exchange of (walk_id, node) integer
+    pairs keyed on the current node — fan-out bounded by degree, pruned
+    back to one row per walker by a WindowGroupLimit-shaped rank-1
+    filter — so the per-step cost is |V| walkers × avg-degree candidate
+    rows, NEVER materialized adjacency lists.  The step chain is linear
+    but each step frame is read twice (the next step and the final
+    visit union), so every step persists its |V|-row frame — the
+    BFS/x43 diamond lesson (persist bounds the re-execution; at 4 steps
+    the logical plan stays far under the checkpoint-cadence threshold
+    the frontier recurrences needed).  The pair join is a per-walk
+    self-join over L+1 = 5 positions: 25 candidate rows per walk,
+    |i-j| ≤ 2 keeps 8 ordered = 4 unordered pairs per position window —
+    linear in walks, quadratic only in the constant walk length.  The
+    final census is one partial-aggregated groupBy on (a, b) integer
+    pairs, and top-20 runs as TakeOrderedAndProject (never a global
+    sort)."""
+    edges = _copurchase_weighted_edges(spark, sf_dir).persist()
+    start = edges.select(F.col("u").alias("wid")).distinct().persist()
+    visits = [start.select("wid", F.col("wid").alias("node"), F.lit(0).alias("pos"))]
+    cur = visits[0].select("wid", "node")
+    for k in range(1, _DW_STEPS + 1):
+        cur = _dw_step(cur, edges, k).persist()
+        visits.append(cur.select("wid", "node", F.lit(k).alias("pos")))
+    walk = visits[0]
+    for extra in visits[1:]:
+        walk = walk.unionByName(extra)
+    a, b = walk.alias("a"), walk.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.wid") == F.col("b.wid"))
+            & (F.col("b.pos") > F.col("a.pos"))
+            & (F.col("b.pos") - F.col("a.pos") <= _DW_WINDOW)
+            & (F.col("a.node") != F.col("b.node")),
+        )
+        .select(
+            F.least(F.col("a.node"), F.col("b.node")).alias("node_a"),
+            F.greatest(F.col("a.node"), F.col("b.node")).alias("node_b"),
+        )
+        .groupBy("node_a", "node_b")
+        .agg(F.count(F.lit(1)).alias("n_cooc"))
+    )
+    return pairs.orderBy(F.desc("n_cooc"), "node_a", "node_b").limit(20)
+
+
+def _dw_ctes() -> str:
+    """CTE chain replaying the deterministic walks step-for-step: the
+    same argmin-md5 neighbor pick, unrolled ``_DW_STEPS`` times."""
+    ctes = [
+        """supo AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS s FROM lineitem)""",
+        f"""pw AS (
+      SELECT a.s AS u, b.s AS v
+      FROM supo a JOIN supo b ON a.ok = b.ok AND a.s < b.s
+      GROUP BY a.s, b.s
+      HAVING count(*) >= {_LPA_MIN_WEIGHT})""",
+        """edges AS (
+      SELECT u, v FROM pw
+      UNION ALL
+      SELECT v AS u, u AS v FROM pw)""",
+        """v0 AS (
+      SELECT DISTINCT u AS wid, u AS node FROM edges)""",
+    ]
+    for k in range(1, _DW_STEPS + 1):
+        ctes.append(f"""v{k} AS (
+      SELECT wid, nxt AS node FROM (
+        SELECT c.wid, e.v AS nxt,
+               row_number() OVER (
+                 PARTITION BY c.wid
+                 ORDER BY md5(c.wid || ':' || {k} || ':' || e.v), e.v) AS rn
+        FROM v{k - 1} c JOIN edges e ON e.u = c.node)
+      WHERE rn = 1)""")
+    union = "\n      UNION ALL\n      ".join(
+        f"SELECT wid, node, {k} AS pos FROM v{k}" for k in range(_DW_STEPS + 1)
+    )
+    ctes.append(f"""walk AS (
+      {union})""")
+    return "WITH " + ",\n    ".join(ctes)
+
+
+_DW_ORACLE = _dw_ctes() + f"""
+    SELECT least(a.node, b.node) AS node_a,
+           greatest(a.node, b.node) AS node_b,
+           CAST(count(*) AS BIGINT) AS n_cooc
+    FROM walk a JOIN walk b
+      ON a.wid = b.wid AND b.pos > a.pos
+     AND b.pos - a.pos <= {_DW_WINDOW} AND a.node <> b.node
+    GROUP BY 1, 2
+    ORDER BY n_cooc DESC, node_a, node_b
+    LIMIT 20
+"""

@@ -2123,3 +2123,88 @@ _PHRASE_ORACLE = f"""
 """
 
 query("x81_phrase_search", oracle=_PHRASE_ORACLE)(phrase_search)
+
+
+# --- X87 (prepped): word2vec negative-sampling table ------------------------
+
+_NEG_VOCAB_K = 64
+
+
+def negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed unigram negative-sampling table (Mikolov 2013, NeurIPS
+    word2vec): the top-``_NEG_VOCAB_K`` corpus words by frequency (the
+    x46 vocabulary, same count-desc/word-asc tie-break) each get
+    sampling probability count^0.75 / Σ count^0.75 plus the cumulative
+    upper bound of their sampling interval — the exact broadcast table a
+    skip-gram trainer (or the x86 DeepWalk pair miner's negative leg)
+    inverts a uniform draw against.  Output: rank, word, count, prob,
+    cum_hi for all K rows; the last cum_hi is 1 by construction, so the
+    table is self-checking.  Reference analog: the corpus-curation
+    shape, big_data_project/trainer/flax_model.py.
+
+    NOT yet registered (the r10 window carries the 18-operator x68-x84
+    queue): register as `x87_negative_sampling` with `_NEG_ORACLE` when
+    a window slot opens.
+
+    Parity: count^0.75 is computed as sqrt(count · sqrt(count)) — both
+    sqrt calls are IEEE-754 correctly rounded and the inner product
+    rounds once, so the smoothed weight is the IDENTICAL double on both
+    engines, with none of libm pow()'s cross-engine ulp risk (the §4.3
+    determinism discipline); the running cum sum adds in the same rank
+    order on both engines; prob and cum_hi round to 6 with the +1e-9
+    nudge.  The denominator is a sum of positive weights — never zero.
+
+    Scale design: the word count is one partial-agg exchange whose keys
+    collapse map-side under the Zipfian distribution (the x46 shape);
+    top-K runs as TakeOrderedAndProject (never a global sort of the
+    vocabulary); the smoothing, normalization, and cumulative sum then
+    operate on K = 64 rows — a single-partition window over a
+    broadcast-sized frame is the correct plan, not a scale concern.
+    Text leaves the plan at the first projection (column pruning to the
+    token array)."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.split(F.lower(F.col("text")), " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "w")
+        .limit(_NEG_VOCAB_K)
+    )
+    smooth = F.sqrt(F.col("n") * F.sqrt(F.col("n")))
+    rank_w = Window.orderBy(F.col("n").desc(), "w")
+    cum_w = rank_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tot_w = rank_w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        counts.select(
+            F.row_number().over(rank_w).cast("int").alias("rank"),
+            "w",
+            "n",
+            F.round(smooth / F.sum(smooth).over(tot_w) + F.lit(1e-9), 6).alias("prob"),
+            F.round(
+                F.sum(smooth).over(cum_w) / F.sum(smooth).over(tot_w) + F.lit(1e-9), 6
+            ).alias("cum_hi"),
+        )
+        .orderBy("rank")
+    )
+
+
+_NEG_ORACLE = f"""
+    WITH words AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents),
+    vocab AS (
+      SELECT w, count(*) AS n
+      FROM words GROUP BY w
+      ORDER BY count(*) DESC, w LIMIT {_NEG_VOCAB_K}),
+    smooth AS (
+      SELECT w, n, sqrt(n * sqrt(n)) AS s FROM vocab)
+    SELECT CAST(row_number() OVER (ORDER BY n DESC, w) AS INT) AS rank,
+           w, CAST(n AS BIGINT) AS n,
+           round(s / sum(s) OVER () + 1e-9, 6) AS prob,
+           round(sum(s) OVER (ORDER BY n DESC, w
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 / sum(s) OVER () + 1e-9, 6) AS cum_hi
+    FROM smooth
+    ORDER BY rank
+"""

@@ -2015,3 +2015,171 @@ def test_mutual_nn_parity_and_bruteforce(spark):
             assert got, "fixture should contain mutual pairs"
         finally:
             spark.catalog.clearCache()
+
+
+def test_node2vec_transition_parity_and_bruteforce(spark):
+    """node2vec transition census (prepped for a future window): the
+    oracle must hash-match at BOTH fixture tiers, and the per-class
+    counts/weights/mean-probabilities must agree with an independent
+    driver-side pure-Python second-order walk-bias computation over the
+    same pruned co-purchase edge list."""
+    from big_data_project_spark.pipeline.graph import (
+        _N2V_INV_P, _N2V_INV_Q, _N2V_ORACLE,
+        _copurchase_weighted_edges, node2vec_transition_census,
+    )
+    from tests.conftest import SF_DIR, SF_DIR_ORACLE
+    from tests.oracle_harness import compare, duckdb_connect
+
+    for sf in (SF_DIR, SF_DIR_ORACLE):
+        try:
+            con = duckdb_connect(sf)
+            df = node2vec_transition_census(spark, sf)
+            res = compare("node2vec", df, con, _N2V_ORACLE)
+            assert res.ok, (sf, res.detail, res.mismatches[:3])
+        finally:
+            spark.catalog.clearCache()
+    # brute force at the small tier only (wedge work is quadratic)
+    try:
+        rows = df = None
+        edges = {
+            (r.u, r.v): r.w
+            for r in _copurchase_weighted_edges(
+                spark, SF_DIR, keep_weight=True
+            ).collect()
+        }
+        adj = {}
+        for (u, v), w in edges.items():
+            adj.setdefault(u, {})[v] = w
+        agg = {}
+        for t, nbrs in adj.items():
+            for mid in nbrs:
+                raw = {}
+                for nv, w_uv in adj[mid].items():
+                    if nv == t:
+                        cls, alpha = "return", _N2V_INV_P
+                    elif (t, nv) in edges:
+                        cls, alpha = "triangle", 1.0
+                    else:
+                        cls, alpha = "explore", _N2V_INV_Q
+                    raw[nv] = (cls, w_uv, w_uv * alpha)
+                denom = sum(x for _, _, x in raw.values())
+                for cls, w_uv, x in raw.values():
+                    n, sw, ps = agg.get(cls, (0, 0, 0.0))
+                    agg[cls] = (n + 1, sw + w_uv, ps + x / denom)
+        got = {
+            r.bias_class: (r.n_transitions, r.sum_weight, r.mean_prob)
+            for r in node2vec_transition_census(spark, SF_DIR).collect()
+        }
+        assert set(got) == {"return", "triangle", "explore"}
+        for cls, (n, sw, ps) in agg.items():
+            gn, gsw, gmp = got[cls]
+            assert (gn, gsw) == (n, sw), cls
+            assert abs(gmp - ps / n) < 1e-5, cls
+        # every (t, mid) context contributes exactly one return row
+        n_contexts = sum(len(nbrs) for nbrs in adj.values())
+        assert got["return"][0] == n_contexts
+    finally:
+        spark.catalog.clearCache()
+
+
+def test_deepwalk_pairs_parity_and_replay(spark):
+    """DeepWalk positive pairs (prepped for a future window): the oracle
+    must hash-match at BOTH fixture tiers, and the full walk corpus must
+    replay EXACTLY in pure Python (hashlib md5, same argmin pick) at the
+    small tier — including the derived pair census, not just the top
+    20."""
+    import hashlib
+    from collections import Counter
+
+    from big_data_project_spark.pipeline.graph import (
+        _DW_ORACLE, _DW_STEPS, _DW_WINDOW,
+        _copurchase_weighted_edges, deepwalk_positive_pairs,
+    )
+    from tests.conftest import SF_DIR, SF_DIR_ORACLE
+    from tests.oracle_harness import compare, duckdb_connect
+
+    for sf in (SF_DIR, SF_DIR_ORACLE):
+        try:
+            con = duckdb_connect(sf)
+            df = deepwalk_positive_pairs(spark, sf)
+            res = compare("deepwalk", df, con, _DW_ORACLE)
+            assert res.ok, (sf, res.detail, res.mismatches[:3])
+        finally:
+            spark.catalog.clearCache()
+    try:
+        adj = {}
+        for r in _copurchase_weighted_edges(spark, SF_DIR).collect():
+            adj.setdefault(r.u, []).append(r.v)
+        walks = {}
+        for wid in adj:
+            node, seq = wid, [wid]
+            for k in range(1, _DW_STEPS + 1):
+                node = min(
+                    adj[node],
+                    key=lambda v: (
+                        hashlib.md5(f"{wid}:{k}:{v}".encode()).hexdigest(), v
+                    ),
+                )
+                seq.append(node)
+            walks[wid] = seq
+        census = Counter()
+        for seq in walks.values():
+            for i in range(len(seq)):
+                for j in range(i + 1, min(i + _DW_WINDOW, len(seq) - 1) + 1):
+                    if seq[i] != seq[j]:
+                        census[(min(seq[i], seq[j]), max(seq[i], seq[j]))] += 1
+        expected = sorted(
+            ((-n, a, b) for (a, b), n in census.items())
+        )[:20]
+        got = [
+            (-r.n_cooc, r.node_a, r.node_b)
+            for r in deepwalk_positive_pairs(spark, SF_DIR).collect()
+        ]
+        assert got == expected
+        assert got, "fixture walks should produce pairs"
+    finally:
+        spark.catalog.clearCache()
+
+
+def test_negative_sampling_parity_and_table_invariants(spark):
+    """Negative-sampling table (prepped for a future window): oracle
+    parity at BOTH tiers plus the table invariants a trainer relies on —
+    K rows, probs sum to 1, cum_hi strictly increasing and ending at 1,
+    and the smoothed weights agree with an independent driver-side
+    count**0.75 computation."""
+    from big_data_project_spark.io import load_table
+    from big_data_project_spark.pipeline.text import (
+        _NEG_ORACLE, _NEG_VOCAB_K, negative_sampling_table,
+    )
+    from tests.conftest import SF_DIR, SF_DIR_ORACLE
+    from tests.oracle_harness import compare, duckdb_connect
+
+    for sf in (SF_DIR, SF_DIR_ORACLE):
+        try:
+            con = duckdb_connect(sf)
+            df = negative_sampling_table(spark, sf)
+            res = compare("negsample", df, con, _NEG_ORACLE)
+            assert res.ok, (sf, res.detail, res.mismatches[:3])
+            rows = df.collect()
+            n_distinct = (
+                load_table(spark, sf, "documents")
+                .select(F.explode(F.split(F.lower(F.col("text")), " ")).alias("w"))
+                .distinct()
+                .count()
+            )
+            assert len(rows) == min(_NEG_VOCAB_K, n_distinct)
+            assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+            assert abs(sum(r.prob for r in rows) - 1.0) < 1e-3
+            cums = [r.cum_hi for r in rows]
+            assert all(b > a for a, b in zip(cums, cums[1:]))
+            assert abs(cums[-1] - 1.0) < 1e-6
+            # counts non-increasing in rank; smoothing flattens the head
+            ns = [r.n for r in rows]
+            assert all(a >= b for a, b in zip(ns, ns[1:]))
+            smooth = [n ** 0.75 for n in ns]
+            tot = sum(smooth)
+            for r, s in zip(rows, smooth):
+                assert abs(r.prob - s / tot) < 1e-4
+            assert rows[0].prob / rows[-1].prob < ns[0] / ns[-1] or ns[0] == ns[-1]
+        finally:
+            spark.catalog.clearCache()

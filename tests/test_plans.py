@@ -1387,3 +1387,64 @@ def test_phrase_search_postings_filter_plan(spark):
         assert count_ops(df, "BatchEvalPython") + count_ops(df, "ArrowEvalPython") == 0
     finally:
         spark.catalog.clearCache()
+
+
+def test_node2vec_wedge_shuffle_hash_plan(spark):
+    """Prepped x85: both wedge-stream probes (the t→u→v join and the
+    triangle-existence probe) must run as ShuffledHashJoin against the
+    small persisted edge build side — sort-merge would SORT the Σ deg²
+    wedge stream (the measured 1.7× x64 lesson) — with no cartesian and
+    no Python in the plan."""
+    from big_data_project_spark.pipeline.graph import node2vec_transition_census
+
+    df = node2vec_transition_census(spark, SF)
+    try:
+        assert count_ops(df, "ShuffledHashJoin") >= 2
+        assert count_ops(df, "CartesianProduct") == 0
+        assert count_ops(df, "BatchEvalPython") + count_ops(df, "ArrowEvalPython") == 0
+        assert count_ops(df, "HashAggregate") >= 2  # partial + final census
+    finally:
+        spark.catalog.clearCache()
+
+
+def test_deepwalk_walk_chain_plan(spark):
+    """Prepped x86: the top-20 pair census must run as
+    TakeOrderedAndProject (never a global sort), the per-step argmin
+    pick is a rank-1 window prune, and nothing in the chain is a
+    cartesian or a Python eval."""
+    from big_data_project_spark.pipeline.graph import (
+        _DW_STEPS, deepwalk_positive_pairs,
+    )
+    from big_data_project_spark.plans.contracts import plan_str
+
+    df = deepwalk_positive_pairs(spark, SF)
+    try:
+        text = plan_str(df, "simple")
+        assert "TakeOrderedAndProject" in text
+        assert count_ops(df, "Window") >= _DW_STEPS  # one pick per hop
+        assert count_ops(df, "CartesianProduct") == 0
+        assert count_ops(df, "BatchEvalPython") + count_ops(df, "ArrowEvalPython") == 0
+    finally:
+        spark.catalog.clearCache()
+
+
+def test_negative_sampling_topk_and_pruning_plan(spark):
+    """Prepped x87: the top-K vocabulary must run as
+    TakeOrderedAndProject (never a global sort of the vocabulary), the
+    K-row window stage sits above it, and column pruning keeps every
+    documents column except text out of the scan."""
+    import re
+
+    from big_data_project_spark.pipeline.text import negative_sampling_table
+    from big_data_project_spark.plans.contracts import plan_str
+
+    df = negative_sampling_table(spark, SF)
+    try:
+        text = plan_str(df, "formatted")
+        assert "TakeOrderedAndProject" in text
+        assert count_ops(df, "Window") >= 1
+        assert count_ops(df, "BatchEvalPython") + count_ops(df, "ArrowEvalPython") == 0
+        schemas = re.findall(r"ReadSchema: struct<([^>]*)>", text)
+        assert schemas and all(s == "text:string" for s in schemas), schemas
+    finally:
+        spark.catalog.clearCache()
