@@ -28,7 +28,14 @@ the numbers were taken; divide by it to compare rounds fairly.  Since
 r08 a second axis, ``calib_shuffle_sec``, times a fixed groupBy exchange:
 the CPU calib alone mis-normalizes when the container's shuffle/IO path
 drifts independently of its ALU speed (observed same-commit: walls +9%
-while calib_jvm_sec fell 12%).
+while calib_jvm_sec fell 12%).  Since r10 a third axis,
+``calib_arrow_sec``, times a fixed mapInPandas round-trip: the r10
+re-measure of the x62 "drift" found the ENTIRE Arrow-kernel family
+(x59/x61/x62, code byte-identical since r08) inflated 40-70% together
+while both JVM calibs sat in their normal bands — the Python-worker +
+Arrow-serialization path drifts independently of both, and rows whose
+wall is dominated by it (x59*, x61, x62, x2/x3) should be normalized
+against this axis.
 """
 
 from __future__ import annotations
@@ -248,6 +255,27 @@ def main() -> None:
         dt = time.perf_counter() - t0
         if i > 0:
             calib_sh = dt if calib_sh is None else min(calib_sh, dt)
+    # Third calibration axis (added r10): a fixed Arrow/Python-worker
+    # round-trip.  The JVM calibs share no code with the pandas-UDF path
+    # (Python worker fork, Arrow IPC both ways, numpy kernel); the r10
+    # x62 investigation measured that path drifting 40-70% on identical
+    # code while both JVM calibs held their bands, so Arrow-dominated
+    # rows need their own normalizer.
+    calib_ar = None
+    import pandas as _pd  # noqa: PLC0415 — bench-local, keeps import cost out of cold start
+
+    def _arrow_work(batches):
+        for pdf in batches:
+            yield _pd.DataFrame({"s": [float((pdf["id"] * pdf["id"]).sum())]})
+
+    for i in range(3):
+        t0 = time.perf_counter()
+        spark.range(8_000_000).repartition(32).mapInPandas(
+            _arrow_work, "s double"
+        ).selectExpr("sum(s)").collect()
+        dt = time.perf_counter() - t0
+        if i > 0:
+            calib_ar = dt if calib_ar is None else min(calib_ar, dt)
     timings: dict[str, float] = {}
     for name in names:
         # clearCache below drops DataFrame caches but NOT localCheckpoint
@@ -278,6 +306,7 @@ def main() -> None:
         "demonstrators": demo,
         "calib_jvm_sec": round(calib, 3) if calib is not None else None,
         "calib_shuffle_sec": round(calib_sh, 3) if calib_sh is not None else None,
+        "calib_arrow_sec": round(calib_ar, 3) if calib_ar is not None else None,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
     spark.stop()
