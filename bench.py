@@ -123,6 +123,12 @@ DEMONSTRATORS = [
     # scales with factor·|E| while fixed costs amortize; compare against
     # the x51_pagerank 1× row
     "x51_pagerank_x4",
+    # delta-frontier BFS (added r10, registered that round): the fourth
+    # iterative cadence — per-round persisted frontier + anti-join
+    # diamond, the shape whose un-checkpointed plan grows exponentially
+    # (the r09 scale finding); drift at equal calib flags a lost
+    # persist or a frontier that stopped being a delta
+    "x68_khop_bfs",
 ]
 
 
@@ -146,6 +152,8 @@ _MIN_OF_3 = {
     "x65_lpa_communities",
     "x67_personalized_pagerank",
     "x51_pagerank_x4",
+    # per-round persisted frontier frames fill inside the first action
+    "x68_khop_bfs",
     # the first two POSITIONS run on the coldest JVM: despite the global
     # and per-query warm-ups, r07 recorded flagship +0.154 s / j2 +0.242 s
     # vs r06 purely from run order (both ≤1.04× of their r01 per-query

@@ -1669,7 +1669,7 @@ _N2V_ORACLE = f"""
       SELECT a.s AS u, b.s AS v, count(*) AS w
       FROM supo a JOIN supo b ON a.ok = b.ok AND a.s < b.s
       GROUP BY a.s, b.s
-      HAVING count(*) >= {{minw}}),
+      HAVING count(*) >= {_LPA_MIN_WEIGHT}),
     edges AS (
       SELECT u, v, w FROM pw
       UNION ALL
@@ -1699,7 +1699,7 @@ _N2V_ORACLE = f"""
     FROM probs
     GROUP BY bias_class
     ORDER BY bias_class
-""".replace("{minw}", str(_LPA_MIN_WEIGHT))
+"""
 
 
 # --------------------------------------------------------------------------
