@@ -31,7 +31,7 @@ drifts independently of its ALU speed (observed same-commit: walls +9%
 while calib_jvm_sec fell 12%).  Since r10 a third axis,
 ``calib_arrow_sec``, times a fixed mapInPandas round-trip: the r10
 re-measure of the x62 "drift" found the ENTIRE Arrow-kernel family
-(x59/x61/x62, code byte-identical since r08) inflated 40-70% together
+(x59/x61/x62, code byte-identical since r08) inflated 40-80% together
 while both JVM calibs sat in their normal bands — the Python-worker +
 Arrow-serialization path drifts independently of both, and rows whose
 wall is dominated by it (x59*, x61, x62, x2/x3) should be normalized
@@ -266,7 +266,7 @@ def main() -> None:
     # Third calibration axis (added r10): a fixed Arrow/Python-worker
     # round-trip.  The JVM calibs share no code with the pandas-UDF path
     # (Python worker fork, Arrow IPC both ways, numpy kernel); the r10
-    # x62 investigation measured that path drifting 40-70% on identical
+    # x62 investigation measured that path drifting 40-80% on identical
     # code while both JVM calibs held their bands, so Arrow-dominated
     # rows need their own normalizer.
     calib_ar = None

@@ -1621,9 +1621,7 @@ def node2vec_transition_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     right input at 100 TB — pruning bounds max degree before the
     quadratic term."""
     edges = _copurchase_weighted_edges(spark, sf_dir, keep_weight=True).persist()
-    prev = edges.select(
-        F.col("u").alias("t"), F.col("v").alias("mid"), F.col("w").alias("w_tu")
-    )
+    prev = edges.select(F.col("u").alias("t"), F.col("v").alias("mid"))
     nxt = edges.select(
         F.col("u").alias("mid"), F.col("v").alias("nv"), F.col("w").alias("w_uv")
     )

@@ -2127,7 +2127,7 @@ query("x81_phrase_search", oracle=_PHRASE_ORACLE)(phrase_search)
 
 # --- X87 (prepped): word2vec negative-sampling table ------------------------
 
-_NEG_VOCAB_K = 64
+_NEG_VOCAB_K = _VOCAB_K  # the x87 table samples over the x46 vocabulary
 
 
 def negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2167,6 +2167,7 @@ def negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     counts = (
         d.select(F.explode(F.split(F.lower(F.col("text")), " ")).alias("w"))
+        .filter(F.col("w") != "")  # split() yields '' around repeated spaces
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), "w")
@@ -2195,7 +2196,7 @@ _NEG_ORACLE = f"""
       SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents),
     vocab AS (
       SELECT w, count(*) AS n
-      FROM words GROUP BY w
+      FROM words WHERE w <> '' GROUP BY w
       ORDER BY count(*) DESC, w LIMIT {_NEG_VOCAB_K}),
     smooth AS (
       SELECT w, n, sqrt(n * sqrt(n)) AS s FROM vocab)

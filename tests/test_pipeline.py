@@ -2040,7 +2040,6 @@ def test_node2vec_transition_parity_and_bruteforce(spark):
             spark.catalog.clearCache()
     # brute force at the small tier only (wedge work is quadratic)
     try:
-        rows = df = None
         edges = {
             (r.u, r.v): r.w
             for r in _copurchase_weighted_edges(
@@ -2164,6 +2163,7 @@ def test_negative_sampling_parity_and_table_invariants(spark):
             n_distinct = (
                 load_table(spark, sf, "documents")
                 .select(F.explode(F.split(F.lower(F.col("text")), " ")).alias("w"))
+                .filter(F.col("w") != "")
                 .distinct()
                 .count()
             )
