@@ -1621,6 +1621,16 @@ def node2vec_transition_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     right input at 100 TB — pruning bounds max degree before the
     quadratic term."""
     edges = _copurchase_weighted_edges(spark, sf_dir, keep_weight=True).persist()
+    return n2v_census_of_edges(edges)
+
+
+def n2v_census_of_edges(edges: DataFrame) -> DataFrame:
+    """Per-bias-class node2vec transition census of a SYMMETRIC weighted
+    edge frame (u, v, w) — the composable core behind
+    `node2vec_transition_census`, factored out (the `triangles_of_edges`
+    precedent) so property tests can drive it over arbitrary graphs.
+    Requires the caller to persist `edges` (it is read three times:
+    prev side, next side, triangle probe)."""
     prev = edges.select(F.col("u").alias("t"), F.col("v").alias("mid"))
     nxt = edges.select(
         F.col("u").alias("mid"), F.col("v").alias("nv"), F.col("w").alias("w_uv")

@@ -384,3 +384,110 @@ def test_cdc_chunks_match_python_and_reconstruct(spark, docs):
             assert " ".join(expected) == text
     finally:
         spark.catalog.clearCache()
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(edges=edges_strategy, weights=st.lists(
+    st.integers(min_value=1, max_value=5), min_size=20, max_size=20))
+def test_n2v_census_matches_python_bias_walk(spark, edges, weights):
+    """x85's per-bias-class census must agree with a pure-Python
+    second-order bias computation on ANY symmetric weighted simple
+    graph — arbitrary degree skew, triangles, and weights, not just
+    the co-purchase fixture.  Also pins the structural invariant that
+    every (t, mid) context contributes exactly one 'return'
+    transition (the u→t back-edge always exists in a symmetric
+    graph)."""
+    from big_data_project_spark.pipeline.graph import (
+        _N2V_INV_P, _N2V_INV_Q, n2v_census_of_edges,
+    )
+
+    simple = sorted({(min(u, v), max(u, v)) for u, v in edges if u != v})
+    if not simple:
+        return
+    wmap = {e: weights[i % len(weights)] for i, e in enumerate(simple)}
+    sym = {}
+    for (u, v), w in wmap.items():
+        sym[(u, v)] = w
+        sym[(v, u)] = w
+    adj: dict[int, dict[int, int]] = {}
+    for (u, v), w in sym.items():
+        adj.setdefault(u, {})[v] = w
+    agg: dict[str, tuple[int, int, float]] = {}
+    for t, nbrs in adj.items():
+        for mid in nbrs:
+            raw = []
+            for nv, w_uv in adj[mid].items():
+                if nv == t:
+                    cls, alpha = "return", _N2V_INV_P
+                elif (t, nv) in sym:
+                    cls, alpha = "triangle", 1.0
+                else:
+                    cls, alpha = "explore", _N2V_INV_Q
+                raw.append((cls, w_uv, w_uv * alpha))
+            denom = sum(x for _, _, x in raw)
+            for cls, w_uv, x in raw:
+                n, sw, ps = agg.get(cls, (0, 0, 0.0))
+                agg[cls] = (n + 1, sw + w_uv, ps + x / denom)
+    edges_df = spark.createDataFrame(
+        [(u, v, w) for (u, v), w in sym.items()], schema="u long, v long, w long"
+    ).persist()
+    try:
+        got = {
+            r.bias_class: (r.n_transitions, r.sum_weight, r.mean_prob)
+            for r in n2v_census_of_edges(edges_df).collect()
+        }
+        assert set(got) == set(agg)
+        for cls, (n, sw, ps) in agg.items():
+            gn, gsw, gmp = got[cls]
+            assert (gn, gsw) == (n, sw), cls
+            assert abs(gmp - ps / n) < 1e-5, cls
+        n_contexts = sum(len(nbrs) for nbrs in adj.values())
+        assert got["return"][0] == n_contexts
+    finally:
+        spark.catalog.clearCache()
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(edges=edges_strategy, steps=st.integers(min_value=1, max_value=3))
+def test_dw_step_matches_python_argmin_walk(spark, edges, steps):
+    """x86's hash-deterministic walk step must agree with a hashlib
+    replay on ANY symmetric simple graph for every hop: from each
+    walker's node, the next node is the neighbour minimizing
+    (md5('wid:k:v'), v) — including single-neighbour nodes (forced
+    backtracking) and two-node cycles, shapes the fixture graph barely
+    exercises."""
+    import hashlib
+
+    from big_data_project_spark.pipeline.graph import _dw_step
+
+    real = sorted({(min(u, v), max(u, v)) for u, v in edges if u != v})
+    if not real:
+        return
+    sym = sorted({(u, v) for a, b in real for u, v in ((a, b), (b, a))})
+    adj: dict[int, list[int]] = {}
+    for u, v in sym:
+        adj.setdefault(u, []).append(v)
+    expected = {}
+    for wid in adj:
+        node = wid
+        for k in range(1, steps + 1):
+            node = min(
+                adj[node],
+                key=lambda v: (
+                    hashlib.md5(f"{wid}:{k}:{v}".encode()).hexdigest(), v
+                ),
+            )
+        expected[wid] = node
+    edges_df = spark.createDataFrame(sym, schema="u long, v long").persist()
+    cur = edges_df.select(F.col("u").alias("wid")).distinct().select(
+        "wid", F.col("wid").alias("node")
+    )
+    try:
+        for k in range(1, steps + 1):
+            cur = _dw_step(cur, edges_df, k).persist()
+        got = {r.wid: r.node for r in cur.collect()}
+        assert got == expected
+    finally:
+        spark.catalog.clearCache()
