@@ -1448,3 +1448,25 @@ def test_negative_sampling_topk_and_pruning_plan(spark):
         assert schemas and all(s == "text:string" for s in schemas), schemas
     finally:
         spark.catalog.clearCache()
+
+
+def test_deepwalk_step_frames_are_persisted(spark):
+    """Prepped x86's diamond defense: each walk step's frame is read
+    twice (the next hop AND the final visit union), so every step must
+    persist — the plan shows at least _DW_STEPS InMemoryTableScans
+    (step frames reused from cache) plus the persisted edge frame.
+    Without the persists each step's lineage re-executes once per
+    consumer and the visit union's cost doubles per hop (the BFS/x43
+    diamond lesson)."""
+    from big_data_project_spark.pipeline.graph import (
+        _DW_STEPS, deepwalk_positive_pairs,
+    )
+
+    df = deepwalk_positive_pairs(spark, SF)
+    try:
+        df.count()  # persists fill on the first action
+        assert count_ops(df, "InMemoryTableScan") >= _DW_STEPS + 1, (
+            "persisted walk-step frames not reused"
+        )
+    finally:
+        spark.catalog.clearCache()
