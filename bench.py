@@ -276,9 +276,12 @@ def main() -> None:
         for pdf in batches:
             yield _pd.DataFrame({"s": [float((pdf["id"] * pdf["id"]).sum())]})
 
+    # numPartitions on range (not repartition) — a round-robin exchange
+    # here would entangle shuffle drift into the axis meant to isolate
+    # the Python-worker/Arrow-IPC path (ADVICE r10).
     for i in range(3):
         t0 = time.perf_counter()
-        spark.range(8_000_000).repartition(32).mapInPandas(
+        spark.range(0, 8_000_000, numPartitions=32).mapInPandas(
             _arrow_work, "s double"
         ).selectExpr("sum(s)").collect()
         dt = time.perf_counter() - t0

@@ -1595,9 +1595,10 @@ def node2vec_transition_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     same plan.  Reference analog: the scored-entity corpus analytics
     shape, big_data_project/trainer/flax_model.py.
 
-    NOT yet registered (the r10 window carries the 18-operator x68-x84
-    queue): register as `x85_node2vec_transitions` with `_N2V_ORACLE`
-    when a window slot opens.
+    Cache contract: persists the pruned edge frame (read three times by
+    `n2v_census_of_edges`: prev side, next side, triangle probe) and the
+    returned lazy frame keeps the reference — callers own cleanup; the
+    registry entry point clearCache()s on entry (the x67 discipline).
 
     Parity: edge weights are integers; the biases 0.25/1.0/0.5 are exact
     binary fractions, so every raw bias-weight is an EXACT double on
@@ -1709,9 +1710,11 @@ _N2V_ORACLE = f"""
     ORDER BY bias_class
 """
 
+query("x85_node2vec_transitions", oracle=_N2V_ORACLE)(node2vec_transition_census)
+
 
 # --------------------------------------------------------------------------
-# DeepWalk positive-pair mining (prepped for a future window)
+# DeepWalk positive-pair mining
 # --------------------------------------------------------------------------
 
 _DW_STEPS = 4       # walk length: start + 4 hops = 5 visited nodes
@@ -1756,9 +1759,10 @@ def deepwalk_positive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     analog: the scored-entity corpus analytics shape,
     big_data_project/trainer/flax_model.py.
 
-    NOT yet registered (the r10 window carries the 18-operator x68-x84
-    queue): register as `x86_deepwalk_pairs` with `_DW_ORACLE` when a
-    window slot opens.
+    Cache contract: persists the edge frame, the walker-start frame, and
+    each per-step |V|-row frame (each step is read twice: the next step
+    and the final visit union) — callers own cleanup; the registry entry
+    point clearCache()s on entry (the x67 discipline).
 
     Parity: all-integer output (counts and node ids); the only strings
     are the md5 picks, identical byte-for-byte on both engines.
@@ -1854,3 +1858,5 @@ _DW_ORACLE = _dw_ctes() + f"""
     ORDER BY n_cooc DESC, node_a, node_b
     LIMIT 20
 """
+
+query("x86_deepwalk_pairs", oracle=_DW_ORACLE)(deepwalk_positive_pairs)

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from big_data_project_spark.io import load_table
 from big_data_project_spark.pipeline.digest import md5_prefix_digest
@@ -2125,7 +2126,7 @@ _PHRASE_ORACLE = f"""
 query("x81_phrase_search", oracle=_PHRASE_ORACLE)(phrase_search)
 
 
-# --- X87 (prepped): word2vec negative-sampling table ------------------------
+# --- X87: word2vec negative-sampling table ----------------------------------
 
 _NEG_VOCAB_K = _VOCAB_K  # the x87 table samples over the x46 vocabulary
 
@@ -2141,10 +2142,6 @@ def negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum_hi for all K rows; the last cum_hi is 1 by construction, so the
     table is self-checking.  Reference analog: the corpus-curation
     shape, big_data_project/trainer/flax_model.py.
-
-    NOT yet registered (the r10 window carries the 18-operator x68-x84
-    queue): register as `x87_negative_sampling` with `_NEG_ORACLE` when
-    a window slot opens.
 
     Parity: count^0.75 is computed as sqrt(count · sqrt(count)) — both
     sqrt calls are IEEE-754 correctly rounded and the inner product
@@ -2162,8 +2159,6 @@ def negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-sized frame is the correct plan, not a scale concern.
     Text leaves the plan at the first projection (column pruning to the
     token array)."""
-    from pyspark.sql.window import Window
-
     d = load_table(spark, sf_dir, "documents")
     counts = (
         d.select(F.explode(F.split(F.lower(F.col("text")), " ")).alias("w"))
@@ -2209,3 +2204,5 @@ _NEG_ORACLE = f"""
     FROM smooth
     ORDER BY rank
 """
+
+query("x87_negative_sampling", oracle=_NEG_ORACLE)(negative_sampling_table)
