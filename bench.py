@@ -161,6 +161,11 @@ _MIN_OF_3 = {
     # head-row deltas reflect plans, not position (VERDICT r07 #4).
     "flagship_pricing_summary",
     "j2_orders_lineitem_join",
+    # footer-skip scan over the once-per-process z-ordered tmp write:
+    # the r11 adjudication measured a monotone 0.530→0.404 s decay
+    # across five same-session runs (page-cache/footer-path warm-up),
+    # so min-of-2 systematically over-reads this row by ~15%
+    "s13_zorder_write_skipping",
 }
 
 
