@@ -2186,3 +2186,109 @@ def test_negative_sampling_parity_and_table_invariants(spark):
             assert rows[0].prob / rows[-1].prob < ns[0] / ns[-1] or ns[0] == ns[-1]
         finally:
             spark.catalog.clearCache()
+
+
+def test_nn_descent_parity_convergence_and_replay(spark):
+    """x88 NN-descent k-NN graph: the oracle must hash-match at BOTH
+    fixture tiers; the census must show the convergence the operator
+    exists for (probe recall strictly improves from init to final
+    round, mean_sim non-decreasing); and every census value must agree
+    with an independent pure-Python replay of the full algorithm —
+    md5 seed partitions, rounded-sim/smallest-id top-k, symmetrized
+    neighbor-of-neighbor candidates, md5 probe sample — at sf0.001."""
+    import hashlib
+
+    import numpy as np
+
+    from big_data_project_spark.io import load_table
+    from big_data_project_spark.pipeline.similarity import (
+        _NND_K, _NND_ORACLE, _NND_PROBES, _NND_ROUNDS, _NND_SEEDS,
+        _nnd_n_blocks, nn_descent_knn_graph,
+    )
+    from tests.conftest import SF_DIR, SF_DIR_ORACLE
+    from tests.oracle_harness import compare, duckdb_connect
+
+    for sf in (SF_DIR, SF_DIR_ORACLE):
+        try:
+            con = duckdb_connect(sf)
+            df = nn_descent_knn_graph(spark, sf)
+            res = compare("nn_descent", df, con, _NND_ORACLE)
+            assert res.ok, (sf, res.detail, res.mismatches[:3])
+            rows = sorted(df.collect(), key=lambda r: r["round"])
+            assert [r["round"] for r in rows] == list(range(_NND_ROUNDS + 1))
+            assert rows[-1].probe_recall > rows[0].probe_recall, (
+                "refinement must beat the seed graph"
+            )
+            assert all(
+                b.mean_sim >= a.mean_sim for a, b in zip(rows, rows[1:])
+            ), "per-node top-k can only improve (candidates include current)"
+        finally:
+            spark.catalog.clearCache()
+
+    # --- pure-Python replay at the small tier --------------------------
+    erows = load_table(spark, SF_DIR, "embeddings").collect()
+    ids = [r.vec_id for r in erows]
+    mat = np.array([r.embedding for r in erows], dtype=float)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    idx = {v: i for i, v in enumerate(ids)}
+    sims = np.round(mat @ mat.T + 1e-9, 4)
+
+    def topk(pairs):
+        by_a = {}
+        for a, b in pairs:
+            by_a.setdefault(a, []).append((-sims[idx[a], idx[b]], b))
+        return {
+            a: [(b, -ns) for ns, b in sorted(lst)[:_NND_K]]
+            for a, lst in by_a.items()
+        }
+
+    n_blocks = _nnd_n_blocks(len(ids))
+    seed_pairs = set()
+    for j in range(_NND_SEEDS):
+        blk = {}
+        for v in ids:
+            h = int(hashlib.md5(f"{j}:{v}".encode()).hexdigest()[:15], 16)
+            blk.setdefault(h % n_blocks, []).append(v)
+        for members in blk.values():
+            seed_pairs |= {(a, b) for a in members for b in members if a != b}
+    knn = topk(seed_pairs)
+    probes = sorted(
+        ids, key=lambda v: (hashlib.md5(str(v).encode()).hexdigest(), v)
+    )[:_NND_PROBES]
+    exact = topk({(a, b) for a in probes for b in ids if b != a})
+    exact_edges = {(a, b) for a, lst in exact.items() for b, _ in lst}
+
+    def census(g, rnd):
+        edges = [(a, b, s) for a, lst in g.items() for b, s in lst]
+        hits = sum((a, b) in exact_edges for a, b, _ in edges)
+        return (
+            rnd,
+            len(edges),
+            round(sum(s for *_, s in edges) / len(edges) + 1e-9, 4),
+            round(hits / len(exact_edges) + 1e-9, 4),
+        )
+
+    expected = [census(knn, 0)]
+    for r in range(1, _NND_ROUNDS + 1):
+        cur = {(a, b) for a, lst in knn.items() for b, _ in lst}
+        sym = cur | {(b, a) for a, b in cur}
+        by_src = {}
+        for a, b in sym:
+            by_src.setdefault(a, set()).add(b)
+        non = {
+            (a, c) for a, mid in sym for c in by_src.get(mid, ()) if c != a
+        }
+        knn = topk(non | cur)
+        expected.append(census(knn, r))
+    got = [
+        (r["round"], r.n_edges, r.mean_sim, r.probe_recall)
+        for r in sorted(
+            nn_descent_knn_graph(spark, SF_DIR).collect(),
+            key=lambda r: r["round"],
+        )
+    ]
+    spark.catalog.clearCache()
+    assert len(got) == len(expected)
+    for g, e in zip(got, expected):
+        assert g[0] == e[0] and g[1] == e[1], (g, e)
+        assert abs(g[2] - e[2]) < 1e-4 and abs(g[3] - e[3]) < 1e-4, (g, e)

@@ -1470,3 +1470,59 @@ def test_deepwalk_step_frames_are_persisted(spark):
         )
     finally:
         spark.catalog.clearCache()
+
+
+def test_nn_descent_topk_window_group_limit_plan(spark):
+    """x88's per-round ranking: the constant rank bound must compile to
+    a WindowGroupLimit (map-side per-node top-k prune before the
+    window exchange), with the cosine fold JVM-side — no Python eval
+    and no cartesian anywhere in the scoring plan."""
+    from pyspark.sql import functions as F
+
+    from big_data_project_spark.io import load_table
+    from big_data_project_spark.pipeline.similarity import _nnd_topk
+    from big_data_project_spark.plans.contracts import plan_str
+
+    e = load_table(spark, SF, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cand = (
+        e.select(F.col("vec_id").alias("a"))
+        .join(e.select(F.col("vec_id").alias("b")), F.col("a") != F.col("b"))
+        .limit(1000)
+        .select("a", "b")
+    )
+    df = _nnd_topk(cand, e)
+    try:
+        assert "WindowGroupLimit" in plan_str(df, "formatted")
+        assert count_ops(df, "CartesianProduct") == 0
+        assert count_ops(df, "BatchEvalPython") + count_ops(df, "ArrowEvalPython") == 0
+    finally:
+        spark.catalog.clearCache()
+
+
+def test_nn_descent_census_plan_is_lineage_truncated(spark):
+    """x88's diamond defense: every round's k-NN frame feeds four
+    consumers (sym ×2, candidate union, census, recall join), so each
+    round must localCheckpoint — the census plan then builds on
+    ExistingRDD leaves (one per round plus the exact frame) and stays
+    BOUNDED.  The un-truncated variant measured 2757 Exchanges in the
+    formatted plan at sf0.1 (51 s wall); truncated it is ~56 (10 s).
+    A re-planned diamond here is the exponential-logical-plan
+    pathology of the r09 BFS finding."""
+    from big_data_project_spark.pipeline.similarity import (
+        _NND_ROUNDS, nn_descent_knn_graph,
+    )
+    from big_data_project_spark.plans.contracts import plan_str
+
+    df = nn_descent_knn_graph(spark, SF)
+    try:
+        text = plan_str(df, "formatted")
+        assert text.count("Scan ExistingRDD") >= _NND_ROUNDS + 2, (
+            "round frames are not checkpointed leaves"
+        )
+        assert text.count("Exchange") < 120, "census plan re-plans the diamond"
+        assert len(text) < 120_000, "plan string grew past the truncation bound"
+        assert count_ops(df, "CartesianProduct") == 0
+    finally:
+        spark.catalog.clearCache()
