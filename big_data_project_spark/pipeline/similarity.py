@@ -2205,18 +2205,19 @@ def _nnd_topk(cand_ids: DataFrame, e: DataFrame) -> DataFrame:
     """Rank candidate (a, b) id pairs by rounded cosine and keep the
     top-``_NND_K`` per a.  Vectors attach by two equi-joins on vec_id
     (never carried through the candidate set algebra); the constant
-    rank bound lets Spark prune map-side as a WindowGroupLimit."""
+    rank bound lets Spark prune map-side as a WindowGroupLimit.
+
+    Expects UNIT vectors in e.v (pre-normalized once by the caller):
+    cosine is then ONE dot fold per pair instead of three (dot + both
+    norms) — the folds are the interpreted inner loop, and the
+    one-fold kernel measured the seed-round topk 2.7 → ~1 s at sf0.1
+    over 190k candidate pairs."""
     scored = (
         cand_ids.join(e.select(F.col("vec_id").alias("a"), F.col("v").alias("va")), "a")
         .join(e.select(F.col("vec_id").alias("b"), F.col("v").alias("vb")), "b")
         .select(
             "a", "b",
-            F.round(
-                _dot(F.col("va"), F.col("vb"))
-                / (_norm(F.col("va")) * _norm(F.col("vb")))
-                + F.lit(1e-9),
-                4,
-            ).alias("sim"),
+            F.round(_dot(F.col("va"), F.col("vb")) + F.lit(1e-9), 4).alias("sim"),
         )
     )
     w = Window.partitionBy("a").orderBy(F.col("sim").desc(), "b")
@@ -2287,9 +2288,19 @@ def nn_descent_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = (
         load_table(spark, sf_dir, "embeddings")
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        # normalize ONCE (O(n·d)) so every candidate scoring is a single
+        # dot fold (saves two norm folds per pair, O(rounds·n·k²·d) — the
+        # inner loop at 100 TB); the norm fold runs once per ROW via the
+        # two-step projection (a transform-nested norm would re-fold per
+        # element)
+        .withColumn("nrm", _norm(F.col("v")))
+        .select(
+            "vec_id",
+            F.transform("v", lambda x: x / F.col("nrm")).alias("v"),
+        )
         .persist()
     )
-    n_rows, _ = _embedding_stats(sf_dir, e)
+    n_rows, _ = _embedding_stats(sf_dir, load_table(spark, sf_dir, "embeddings"))
     n_blocks = _nnd_n_blocks(n_rows)
     seeds = None
     for j in range(_NND_SEEDS):
@@ -2381,7 +2392,10 @@ def _nnd_oracle() -> str:
     )
     ctes = [
         """e AS MATERIALIZED (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)""",
+      SELECT vec_id,
+             list_transform(v0, x -> x / sqrt(list_dot_product(v0, v0))) AS v
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0
+            FROM embeddings))""",
         f"""nb AS MATERIALIZED (
       SELECT greatest({_NND_MIN_BLOCKS}, count(*) // {_NND_BLOCK_ROWS}) AS b
       FROM e)""",
@@ -2399,7 +2413,7 @@ def _nnd_oracle() -> str:
       SELECT a, nb, sim FROM (
         SELECT s.*, row_number() OVER (PARTITION BY a ORDER BY sim DESC, nb) AS rk
         FROM (SELECT c.a, c.nb,
-                     round(list_cosine_similarity(ea.v, eb.v) + 1e-9, 4) AS sim
+                     round(list_dot_product(ea.v, eb.v) + 1e-9, 4) AS sim
               FROM seeds c
               JOIN e ea ON ea.vec_id = c.a
               JOIN e eb ON eb.vec_id = c.nb) s)
@@ -2418,7 +2432,7 @@ def _nnd_oracle() -> str:
       SELECT a, nb, sim FROM (
         SELECT s.*, row_number() OVER (PARTITION BY a ORDER BY sim DESC, nb) AS rk
         FROM (SELECT c.a, c.nb,
-                     round(list_cosine_similarity(ea.v, eb.v) + 1e-9, 4) AS sim
+                     round(list_dot_product(ea.v, eb.v) + 1e-9, 4) AS sim
               FROM cand{r} c
               JOIN e ea ON ea.vec_id = c.a
               JOIN e eb ON eb.vec_id = c.nb) s)
@@ -2430,7 +2444,7 @@ def _nnd_oracle() -> str:
       SELECT a, nb FROM (
         SELECT s.*, row_number() OVER (PARTITION BY a ORDER BY sim DESC, nb) AS rk
         FROM (SELECT p.a, y.vec_id AS nb,
-                     round(list_cosine_similarity(pe.v, y.v) + 1e-9, 4) AS sim
+                     round(list_dot_product(pe.v, y.v) + 1e-9, 4) AS sim
               FROM probes p
               JOIN e pe ON pe.vec_id = p.a
               JOIN e y ON y.vec_id != p.a) s)
