@@ -2228,6 +2228,26 @@ def _nnd_topk(cand_ids: DataFrame, e: DataFrame) -> DataFrame:
     )
 
 
+def _nnd_expand(cur: DataFrame) -> DataFrame:
+    """One NN-descent candidate expansion: the symmetrized
+    neighbor-of-neighbor pairs of the current (a, b) k-NN edges, plus
+    the current edges themselves, deduped — the composable step behind
+    `nn_descent_knn_graph` (the `n2v_census_of_edges`/`_dw_step`
+    factoring precedent, so property tests can drive it over arbitrary
+    vector corpora).  Requires `cur` to be checkpointed/persisted by
+    the caller: it is read three times (both sym legs + the union)."""
+    sym = cur.select("a", "b").unionByName(
+        cur.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    non = (
+        sym.select(F.col("a"), F.col("b").alias("mid"))
+        .join(sym.select(F.col("a").alias("mid"), F.col("b")), "mid")
+        .filter(F.col("a") != F.col("b"))
+        .select("a", "b")
+    )
+    return non.unionByName(cur.select("a", "b")).distinct()
+
+
 def nn_descent_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate k-NN-graph construction by NN-descent (Dong, Moses &
     Li 2011, WWW): seed each node's neighbor list from the UNION of
@@ -2325,17 +2345,7 @@ def nn_descent_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds = [knn]
     for _ in range(_NND_ROUNDS):
         cur = rounds[-1]
-        sym = cur.select("a", "b").unionByName(
-            cur.select(F.col("b").alias("a"), F.col("a").alias("b"))
-        )
-        non = (
-            sym.select(F.col("a"), F.col("b").alias("mid"))
-            .join(sym.select(F.col("a").alias("mid"), F.col("b")), "mid")
-            .filter(F.col("a") != F.col("b"))
-            .select("a", "b")
-        )
-        cand = non.unionByName(cur.select("a", "b")).distinct()
-        rounds.append(_nnd_topk(cand, e).localCheckpoint())
+        rounds.append(_nnd_topk(_nnd_expand(cur), e).localCheckpoint())
     probes = (
         e.select("vec_id")
         .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")

@@ -491,3 +491,83 @@ def test_dw_step_matches_python_argmin_walk(spark, edges, steps):
         assert got == expected
     finally:
         spark.catalog.clearCache()
+
+
+_nnd_vectors = st.lists(
+    st.tuples(
+        st.integers(min_value=-3, max_value=3),
+        st.integers(min_value=-3, max_value=3),
+        st.integers(min_value=-3, max_value=3),
+    ).filter(lambda t: any(t)),  # zero vectors have no cosine direction
+    min_size=3,
+    max_size=12,
+)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(vecs=_nnd_vectors)
+def test_nnd_step_matches_python_on_any_vectors(spark, vecs):
+    """x88's ranking + candidate-expansion core must agree with a pure
+    numpy replay on ANY small vector corpus — duplicate and antipodal
+    vectors force rounded-sim ties (the smallest-id tie-break under
+    stress), and tiny corpora force per-node neighbor lists shorter
+    than k, shapes the embedding fixture never exercises.  One full
+    NN-descent step: top-k over all pairs, expand, re-rank."""
+    import numpy as np
+
+    from big_data_project_spark.pipeline.similarity import (
+        _NND_K, _nnd_expand, _nnd_topk,
+    )
+
+    mat = np.array(vecs, dtype=float)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = np.round(mat @ mat.T + 1e-9, 4)
+    n = len(vecs)
+
+    def py_topk(pairs):
+        by_a = {}
+        for a, b in pairs:
+            by_a.setdefault(a, []).append((-sims[a, b], b))
+        return {
+            a: [(b, -ns) for ns, b in sorted(lst)[:_NND_K]]
+            for a, lst in by_a.items()
+        }
+
+    all_pairs = {(a, b) for a in range(n) for b in range(n) if a != b}
+    knn_py = py_topk(all_pairs)
+    cur_py = {(a, b) for a, lst in knn_py.items() for b, _ in lst}
+    sym = cur_py | {(b, a) for a, b in cur_py}
+    by_src = {}
+    for a, b in sym:
+        by_src.setdefault(a, set()).add(b)
+    expand_py = {
+        (a, c) for a, m in sym for c in by_src.get(m, ()) if c != a
+    } | cur_py
+    next_py = py_topk(expand_py)
+
+    e = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(n)],
+        schema="vec_id long, v array<double>",
+    )
+    pairs_df = spark.createDataFrame(
+        sorted(all_pairs), schema="a long, b long"
+    )
+    try:
+        knn_df = _nnd_topk(pairs_df, e).persist()
+        got = {}
+        for r in knn_df.collect():
+            got.setdefault(r.a, []).append((r.b, r.sim))
+        assert {a: sorted(v) for a, v in got.items()} == {
+            a: sorted(v) for a, v in knn_py.items()
+        }
+        expand_df = _nnd_expand(knn_df)
+        assert {(r.a, r.b) for r in expand_df.collect()} == expand_py
+        got2 = {}
+        for r in _nnd_topk(expand_df, e).collect():
+            got2.setdefault(r.a, []).append((r.b, r.sim))
+        assert {a: sorted(v) for a, v in got2.items()} == {
+            a: sorted(v) for a, v in next_py.items()
+        }
+    finally:
+        spark.catalog.clearCache()
