@@ -129,6 +129,13 @@ DEMONSTRATORS = [
     # (the r09 scale finding); drift at equal calib flags a lost
     # persist or a frontier that stopped being a delta
     "x68_khop_bfs",
+    # NN-descent k-NN graph (added r11, registered that round): the
+    # fifth iterative cadence — per-round localCheckpoint over a
+    # 4-consumer candidate-expansion diamond scored by a one-fold
+    # unit-vector cosine kernel; drift at equal calib flags a lost
+    # checkpoint (the lazy variant measured 5× the wall) or a
+    # re-normalizing kernel
+    "x88_nn_descent",
 ]
 
 
@@ -154,6 +161,8 @@ _MIN_OF_3 = {
     "x51_pagerank_x4",
     # per-round persisted frontier frames fill inside the first action
     "x68_khop_bfs",
+    # per-round localCheckpoints materialize inside the first action
+    "x88_nn_descent",
     # the first two POSITIONS run on the coldest JVM: despite the global
     # and per-query warm-ups, r07 recorded flagship +0.154 s / j2 +0.242 s
     # vs r06 purely from run order (both ≤1.04× of their r01 per-query
