@@ -234,9 +234,35 @@ def free_new_rdds(spark, before: set) -> int:
     return len(new_ids)
 
 
+def _foreign_jvms() -> int:
+    """Count java processes already running BEFORE this bench starts its
+    own JVM.  An r11 A/B found a session sharing the host with one other
+    Spark JVM read headline +29% and x64 sh-norm +27% at byte-identical
+    code — the calibs only partially absorb contention, so a nonzero
+    count marks the whole file as suspect for cross-round comparison."""
+    n = 0
+    try:
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit():
+                continue
+            try:
+                with open(f"/proc/{pid}/comm") as fh:
+                    if fh.read().strip() == "java":
+                        n += 1
+            except OSError:
+                continue  # raced exit
+    except OSError:
+        return -1  # /proc unavailable; unknown
+    return n
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    foreign = _foreign_jvms()
+    if foreign:
+        print(f"# WARNING: {foreign} foreign JVM(s) running — contended "
+              "readings are not comparable across rounds", file=sys.stderr)
     spark = get_spark(app_name="bdp-spark-bench")
     qs = dict(registry.all_queries())
     qs.update(_extra_rows())
@@ -332,6 +358,7 @@ def main() -> None:
         "calib_jvm_sec": round(calib, 3) if calib is not None else None,
         "calib_shuffle_sec": round(calib_sh, 3) if calib_sh is not None else None,
         "calib_arrow_sec": round(calib_ar, 3) if calib_ar is not None else None,
+        "foreign_jvms": foreign,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
     spark.stop()
