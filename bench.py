@@ -260,9 +260,12 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
     foreign = _foreign_jvms()
-    if foreign:
+    if foreign > 0:
         print(f"# WARNING: {foreign} foreign JVM(s) running — contended "
               "readings are not comparable across rounds", file=sys.stderr)
+    elif foreign < 0:
+        print("# NOTE: foreign-JVM count unavailable (/proc unreadable)",
+              file=sys.stderr)
     spark = get_spark(app_name="bdp-spark-bench")
     qs = dict(registry.all_queries())
     qs.update(_extra_rows())

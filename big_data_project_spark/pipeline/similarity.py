@@ -2310,13 +2310,23 @@ def nn_descent_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
         # normalize ONCE (O(n·d)) so every candidate scoring is a single
         # dot fold (saves two norm folds per pair, O(rounds·n·k²·d) — the
-        # inner loop at 100 TB); the norm fold runs once per ROW via the
-        # two-step projection (a transform-nested norm would re-fold per
-        # element)
+        # inner loop at 100 TB).  A two-step withColumn+transform is NOT
+        # enough to make the norm fold per-row: CollapseProject inlines a
+        # single-use non-cheap alias into the lambda body, re-folding the
+        # norm per ELEMENT (verified on the optimized plan, r12).  Routing
+        # the fold through array_repeat's element argument forces exactly
+        # one evaluation per row regardless of projection collapse —
+        # zip_with(v, repeat(nrm, d), x/n) is bit-identical to x / nrm.
+        # Pinned: test_plans.py asserts the aggregate fold sits inside
+        # array_repeat, not inside the division lambda.
         .withColumn("nrm", _norm(F.col("v")))
         .select(
             "vec_id",
-            F.transform("v", lambda x: x / F.col("nrm")).alias("v"),
+            F.zip_with(
+                "v",
+                F.array_repeat(F.col("nrm"), F.size("v")),
+                lambda x, n: x / n,
+            ).alias("v"),
         )
         .persist()
     )

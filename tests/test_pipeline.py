@@ -2219,9 +2219,17 @@ def test_nn_descent_parity_convergence_and_replay(spark):
             assert rows[-1].probe_recall > rows[0].probe_recall, (
                 "refinement must beat the seed graph"
             )
+            # Fixture-empirical, NOT a true invariant: a node whose seed
+            # block was a singleton has a sub-k list and can gain NEW
+            # lower-sim edges in later rounds, lowering the global mean
+            # even though every existing rank only improves.  The true
+            # per-node rank-dominance invariant is asserted in the
+            # pure-Python replay below; this aggregate check just pins the
+            # current fixtures' behavior (both tiers seed with full-ish
+            # blocks, so the mean happens to be monotone here).
             assert all(
                 b.mean_sim >= a.mean_sim for a, b in zip(rows, rows[1:])
-            ), "per-node top-k can only improve (candidates include current)"
+            ), "mean_sim decreased on these fixtures (was monotone r11)"
         finally:
             spark.catalog.clearCache()
 
@@ -2278,8 +2286,20 @@ def test_nn_descent_parity_convergence_and_replay(spark):
         non = {
             (a, c) for a, mid in sym for c in by_src.get(mid, ()) if c != a
         }
+        prev = knn
         knn = topk(non | cur)
         expected.append(census(knn, r))
+        # The TRUE refinement invariant (candidates include current edges,
+        # so each node's existing top-k ranks can only improve): the new
+        # kept-sim list elementwise dominates the old over the shared
+        # prefix.  This holds per node regardless of seed-block size —
+        # unlike the global mean, which sub-k nodes gaining new lower-sim
+        # edges can legitimately pull down.
+        for a, old in prev.items():
+            new = knn.get(a, [])
+            assert len(new) >= len(old), (r, a)
+            for (_, ns), (_, os_) in zip(new, old):
+                assert ns >= os_, (r, a, new, old)
     got = [
         (r["round"], r.n_edges, r.mean_sim, r.probe_recall)
         for r in sorted(

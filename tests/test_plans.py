@@ -1501,6 +1501,46 @@ def test_nn_descent_topk_window_group_limit_plan(spark):
         spark.catalog.clearCache()
 
 
+def test_nn_descent_norm_fold_runs_once_per_row(spark):
+    """x88's unit-normalization: the L2 fold must evaluate once per ROW,
+    not once per element.  CollapseProject inlines a single-use
+    non-cheap alias into a lambda body, so the naive
+    withColumn(norm)+transform(x/norm) two-step re-folds the norm per
+    element (O(n·d²)) — verified on the optimized plan r12.  The fix
+    routes the fold through array_repeat's element argument (evaluated
+    exactly once per row); this pin fails if a refactor reintroduces
+    the fold inside the division lambda."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from big_data_project_spark.io import load_table
+    from big_data_project_spark.pipeline.similarity import _norm
+
+    e = (
+        load_table(spark, SF, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .withColumn("nrm", _norm(F.col("v")))
+        .select(
+            "vec_id",
+            F.zip_with(
+                "v",
+                F.array_repeat(F.col("nrm"), F.size("v")),
+                lambda x, n: x / n,
+            ).alias("v"),
+        )
+    )
+    plan = e._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("aggregate(") == 1, "norm fold duplicated in the plan"
+    assert re.search(r"array_repeat\(SQRT\(aggregate\(", plan), (
+        "fold not anchored inside array_repeat — it would re-run per element"
+    )
+    # the division lambda itself must be fold-free
+    zw = plan[plan.index("zip_with") :]
+    lam = zw[zw.rindex("lambdafunction") :]
+    assert "aggregate(" not in lam
+
+
 def test_nn_descent_census_plan_is_lineage_truncated(spark):
     """x88's diamond defense: every round's k-NN frame feeds four
     consumers (sym ×2, candidate union, census, recall join), so each
