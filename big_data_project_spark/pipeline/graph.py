@@ -31,6 +31,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from big_data_project_spark.io import load_table
+# similarity precedes graph in registry._MODULES, so this import keeps the
+# canonical registration order even when graph is imported directly
+from big_data_project_spark.pipeline.similarity import (
+    _NND_ROUNDS, _nnd_common_ctes, _nnd_round_frames,
+)
 from big_data_project_spark.registry import query
 
 _PR_ITERS = 3
@@ -1743,6 +1748,45 @@ def _dw_step(cur: DataFrame, edges: DataFrame, k: int) -> DataFrame:
     )
 
 
+def _dw_walk_pair_census(edges: DataFrame) -> DataFrame:
+    """Deterministic DeepWalk corpus + skip-gram pair census over an
+    arbitrary directed (u, v) edge frame: one argmin-md5 walk of
+    ``_DW_STEPS`` hops per distinct source node, every unordered pair
+    of distinct nodes within ``_DW_WINDOW`` positions counted.
+    Factored from ``deepwalk_positive_pairs`` (r12) so the same miner
+    runs over both the co-purchase graph (x86) and the NN-descent
+    k-NN graph (x89).  Persists the walker-start frame and each
+    per-step |V|-row frame (each step is read twice: the next step and
+    the final visit union — the BFS/x43 diamond lesson); the EDGE
+    frame must be persisted/checkpointed by the caller (read once per
+    step)."""
+    start = edges.select(F.col("u").alias("wid")).distinct().persist()
+    visits = [start.select("wid", F.col("wid").alias("node"), F.lit(0).alias("pos"))]
+    cur = visits[0].select("wid", "node")
+    for k in range(1, _DW_STEPS + 1):
+        cur = _dw_step(cur, edges, k).persist()
+        visits.append(cur.select("wid", "node", F.lit(k).alias("pos")))
+    walk = visits[0]
+    for extra in visits[1:]:
+        walk = walk.unionByName(extra)
+    a, b = walk.alias("a"), walk.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.wid") == F.col("b.wid"))
+            & (F.col("b.pos") > F.col("a.pos"))
+            & (F.col("b.pos") - F.col("a.pos") <= _DW_WINDOW)
+            & (F.col("a.node") != F.col("b.node")),
+        )
+        .select(
+            F.least(F.col("a.node"), F.col("b.node")).alias("node_a"),
+            F.greatest(F.col("a.node"), F.col("b.node")).alias("node_b"),
+        )
+        .groupBy("node_a", "node_b")
+        .agg(F.count(F.lit(1)).alias("n_cooc"))
+    )
+
+
 def deepwalk_positive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skip-gram positive-pair mining from DeepWalk-style uniform random
     walks (Perozzi 2014, KDD) over the weight-pruned part co-purchase
@@ -1784,31 +1828,7 @@ def deepwalk_positive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs, and top-20 runs as TakeOrderedAndProject (never a global
     sort)."""
     edges = _copurchase_weighted_edges(spark, sf_dir).persist()
-    start = edges.select(F.col("u").alias("wid")).distinct().persist()
-    visits = [start.select("wid", F.col("wid").alias("node"), F.lit(0).alias("pos"))]
-    cur = visits[0].select("wid", "node")
-    for k in range(1, _DW_STEPS + 1):
-        cur = _dw_step(cur, edges, k).persist()
-        visits.append(cur.select("wid", "node", F.lit(k).alias("pos")))
-    walk = visits[0]
-    for extra in visits[1:]:
-        walk = walk.unionByName(extra)
-    a, b = walk.alias("a"), walk.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.wid") == F.col("b.wid"))
-            & (F.col("b.pos") > F.col("a.pos"))
-            & (F.col("b.pos") - F.col("a.pos") <= _DW_WINDOW)
-            & (F.col("a.node") != F.col("b.node")),
-        )
-        .select(
-            F.least(F.col("a.node"), F.col("b.node")).alias("node_a"),
-            F.greatest(F.col("a.node"), F.col("b.node")).alias("node_b"),
-        )
-        .groupBy("node_a", "node_b")
-        .agg(F.count(F.lit(1)).alias("n_cooc"))
-    )
+    pairs = _dw_walk_pair_census(edges.select("u", "v"))
     return pairs.orderBy(F.desc("n_cooc"), "node_a", "node_b").limit(20)
 
 
@@ -1860,3 +1880,121 @@ _DW_ORACLE = _dw_ctes() + f"""
 """
 
 query("x86_deepwalk_pairs", oracle=_DW_ORACLE)(deepwalk_positive_pairs)
+
+
+# --------------------------------------------------------------------------
+# x89: DeepWalk corpus over the NN-descent ANN graph (x88 → x86 as one chain)
+# --------------------------------------------------------------------------
+
+
+def knn_graph_walk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram positive-pair mining over the NN-DESCENT k-NN graph:
+    x88's ANN-graph construction feeds x86's DeepWalk miner as ONE
+    verified chain — embeddings → NN-descent refinement → symmetrized
+    semantic edges → deterministic argmin-md5 walks → within-window
+    pair census — the end-to-end path an embedding-training pipeline
+    takes from raw vectors to a skip-gram corpus (Perozzi 2014 walks
+    over a Dong 2011 graph).  Output: the top 20 pairs by walk
+    co-occurrence (full tie-break) with an ``is_knn_edge`` flag —
+    flag-0 pairs are relationships the walks DISCOVERED beyond the
+    direct ANN edges, the added value of walk mining over the raw
+    graph.  Reference analog: the scored-entity corpus analytics
+    shape, big_data_project/trainer/flax_model.py.
+
+    Cache contract: the NN-descent round frames localCheckpoint (see
+    ``_nnd_round_frames``); the symmetrized edge frame persists (read
+    once per walk step — both union legs project a CHECKPOINTED frame,
+    so the self-union double-execution trap doesn't apply); the walk
+    miner persists its per-step frames.  Callers own cleanup (the
+    registry entry point clearCache()s; bench.py frees leftover
+    localCheckpoint RDDs delta-based).
+
+    Parity: all-integer output; the walk picks hash identical
+    wid:step:candidate strings on both engines, and the edge set is
+    the hash-verified x88 frame (rounded-sim/smallest-id ranking), so
+    the chain is deterministic end to end.  The oracle replays the
+    shared ``_nnd_common_ctes`` chain then the walk CTEs — every one
+    MATERIALIZED (each step frame feeds the next step AND the visit
+    union; plain CTEs re-inline that diamond on top of the NN-descent
+    recurrence).
+
+    Scale design: inherits x88's bounded candidate algebra (never
+    all-pairs) and x86's one-exchange-per-step walk — fan-out after
+    symmetrization is ≤ 2·_NND_K per node, pruned back to one row per
+    walker by the rank-1 filter; the pair join is quadratic only in
+    the constant walk length (5 positions → ≤4 unordered pairs per
+    window); the census partial-aggregates on integer pairs and top-20
+    runs as TakeOrderedAndProject, never a global sort.  The
+    is_knn_edge annotation joins the n·k edge set on (node_a, node_b)
+    — broadcastable under AQE wherever the census fits a cluster."""
+    _, rounds = _nnd_round_frames(spark, sf_dir)
+    knn = rounds[-1]
+    gsym = (
+        knn.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionByName(knn.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .distinct()
+        .persist()
+    )
+    pairs = _dw_walk_pair_census(gsym)
+    kedges = (
+        knn.select(
+            F.least("a", "b").alias("node_a"),
+            F.greatest("a", "b").alias("node_b"),
+        )
+        .distinct()
+        .withColumn("is_knn_edge", F.lit(1))
+    )
+    out = pairs.join(kedges, ["node_a", "node_b"], "left").fillna(
+        0, subset=["is_knn_edge"]
+    )
+    return out.orderBy(F.desc("n_cooc"), "node_a", "node_b").limit(20)
+
+
+def _knn_walk_oracle() -> str:
+    """x89's oracle: the shared NN-descent CTE chain (through
+    ``knn{_NND_ROUNDS}``) plus the unrolled deterministic-walk CTEs —
+    the ``_dw_ctes`` pattern re-rooted on the ANN graph."""
+    last = f"knn{_NND_ROUNDS}"
+    ctes = _nnd_common_ctes()
+    ctes.append(f"""gsym AS MATERIALIZED (
+      SELECT DISTINCT u, v FROM (
+        SELECT a AS u, nb AS v FROM {last}
+        UNION ALL
+        SELECT nb AS u, a AS v FROM {last}))""")
+    ctes.append("""gw0 AS MATERIALIZED (
+      SELECT DISTINCT u AS wid, u AS node FROM gsym)""")
+    for k in range(1, _DW_STEPS + 1):
+        ctes.append(f"""gw{k} AS MATERIALIZED (
+      SELECT wid, nxt AS node FROM (
+        SELECT c.wid, g.v AS nxt,
+               row_number() OVER (
+                 PARTITION BY c.wid
+                 ORDER BY md5(c.wid || ':' || {k} || ':' || g.v), g.v) AS rn
+        FROM gw{k - 1} c JOIN gsym g ON g.u = c.node)
+      WHERE rn = 1)""")
+    union = "\n      UNION ALL\n      ".join(
+        f"SELECT wid, node, {k} AS pos FROM gw{k}" for k in range(_DW_STEPS + 1)
+    )
+    ctes.append(f"""gwalk AS MATERIALIZED (
+      {union})""")
+    ctes.append(f"""kedges AS MATERIALIZED (
+      SELECT DISTINCT least(a, nb) AS node_a, greatest(a, nb) AS node_b
+      FROM {last})""")
+    return "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT p.node_a, p.node_b, p.n_cooc,
+           CASE WHEN k.node_a IS NOT NULL THEN 1 ELSE 0 END AS is_knn_edge
+    FROM (
+      SELECT least(a.node, b.node) AS node_a,
+             greatest(a.node, b.node) AS node_b,
+             CAST(count(*) AS BIGINT) AS n_cooc
+      FROM gwalk a JOIN gwalk b
+        ON a.wid = b.wid AND b.pos > a.pos
+       AND b.pos - a.pos <= {_DW_WINDOW} AND a.node <> b.node
+      GROUP BY 1, 2) p
+    LEFT JOIN kedges k ON k.node_a = p.node_a AND k.node_b = p.node_b
+    ORDER BY p.n_cooc DESC, p.node_a, p.node_b
+    LIMIT 20
+"""
+
+
+query("x89_knn_graph_walks", oracle=_knn_walk_oracle())(knn_graph_walk_pairs)

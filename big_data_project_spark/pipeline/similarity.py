@@ -2248,6 +2248,75 @@ def _nnd_expand(cur: DataFrame) -> DataFrame:
     return non.unionByName(cur.select("a", "b")).distinct()
 
 
+def _nnd_round_frames(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list[DataFrame]]:
+    """Shared NN-descent core: the unit-normalized embedding frame plus
+    the per-round k-NN frames (``rounds[0]`` = the md5-block seed graph,
+    ``rounds[_NND_ROUNDS]`` = the refined graph).  Factored out of
+    ``nn_descent_knn_graph`` (r12) so the walk miner (x89) consumes the
+    SAME frames the census (x88) verifies — ANN-graph construction and
+    walk-corpus mining stay one chain, not two re-implementations.
+
+    Cache contract: `e` persists and every round localCheckpoints
+    (each round frame feeds multiple consumers — the lazy variant
+    measured 2757 Exchanges / 51 s vs 56 / 10 s at sf0.1); callers own
+    cleanup (the registry entry point clearCache()s, and bench.py frees
+    leftover localCheckpoint RDDs delta-based)."""
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        # normalize ONCE (O(n·d)) so every candidate scoring is a single
+        # dot fold (saves two norm folds per pair, O(rounds·n·k²·d) — the
+        # inner loop at 100 TB).  A two-step withColumn+transform is NOT
+        # enough to make the norm fold per-row: CollapseProject inlines a
+        # single-use non-cheap alias into the lambda body, re-folding the
+        # norm per ELEMENT (verified on the optimized plan, r12).  Routing
+        # the fold through array_repeat's element argument forces exactly
+        # one evaluation per row regardless of projection collapse —
+        # zip_with(v, repeat(nrm, d), x/n) is bit-identical to x / nrm.
+        # Pinned: test_plans.py asserts the aggregate fold sits inside
+        # array_repeat, not inside the division lambda.
+        .withColumn("nrm", _norm(F.col("v")))
+        .select(
+            "vec_id",
+            F.zip_with(
+                "v",
+                F.array_repeat(F.col("nrm"), F.size("v")),
+                lambda x, n: x / n,
+            ).alias("v"),
+        )
+        .persist()
+    )
+    n_rows, _ = _embedding_stats(sf_dir, load_table(spark, sf_dir, "embeddings"))
+    n_blocks = _nnd_n_blocks(n_rows)
+    seeds = None
+    for j in range(_NND_SEEDS):
+        blk = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{j}:"), F.col("vec_id").cast("string"))),
+                    1, 15,
+                ),
+                16, 10,
+            ).cast("bigint") % n_blocks
+        )
+        b = e.select("vec_id", blk.alias("blk"))
+        part = (
+            b.select(F.col("vec_id").alias("a"), "blk")
+            .join(b.select(F.col("vec_id").alias("b"), "blk"), "blk")
+            .filter(F.col("a") != F.col("b"))
+            .select("a", "b")
+        )
+        seeds = part if seeds is None else seeds.unionByName(part)
+    knn = _nnd_topk(seeds.distinct(), e).localCheckpoint()
+    rounds = [knn]
+    for _ in range(_NND_ROUNDS):
+        cur = rounds[-1]
+        rounds.append(_nnd_topk(_nnd_expand(cur), e).localCheckpoint())
+    return e, rounds
+
+
 def nn_descent_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate k-NN-graph construction by NN-descent (Dong, Moses &
     Li 2011, WWW): seed each node's neighbor list from the UNION of
@@ -2305,57 +2374,7 @@ def nn_descent_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract above); the oracle needs the same discipline — plain CTEs
     re-inline the diamond and OOM DuckDB past 3 rounds, so every
     recurrence CTE is MATERIALIZED."""
-    e = (
-        load_table(spark, sf_dir, "embeddings")
-        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-        # normalize ONCE (O(n·d)) so every candidate scoring is a single
-        # dot fold (saves two norm folds per pair, O(rounds·n·k²·d) — the
-        # inner loop at 100 TB).  A two-step withColumn+transform is NOT
-        # enough to make the norm fold per-row: CollapseProject inlines a
-        # single-use non-cheap alias into the lambda body, re-folding the
-        # norm per ELEMENT (verified on the optimized plan, r12).  Routing
-        # the fold through array_repeat's element argument forces exactly
-        # one evaluation per row regardless of projection collapse —
-        # zip_with(v, repeat(nrm, d), x/n) is bit-identical to x / nrm.
-        # Pinned: test_plans.py asserts the aggregate fold sits inside
-        # array_repeat, not inside the division lambda.
-        .withColumn("nrm", _norm(F.col("v")))
-        .select(
-            "vec_id",
-            F.zip_with(
-                "v",
-                F.array_repeat(F.col("nrm"), F.size("v")),
-                lambda x, n: x / n,
-            ).alias("v"),
-        )
-        .persist()
-    )
-    n_rows, _ = _embedding_stats(sf_dir, load_table(spark, sf_dir, "embeddings"))
-    n_blocks = _nnd_n_blocks(n_rows)
-    seeds = None
-    for j in range(_NND_SEEDS):
-        blk = (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit(f"{j}:"), F.col("vec_id").cast("string"))),
-                    1, 15,
-                ),
-                16, 10,
-            ).cast("bigint") % n_blocks
-        )
-        b = e.select("vec_id", blk.alias("blk"))
-        part = (
-            b.select(F.col("vec_id").alias("a"), "blk")
-            .join(b.select(F.col("vec_id").alias("b"), "blk"), "blk")
-            .filter(F.col("a") != F.col("b"))
-            .select("a", "b")
-        )
-        seeds = part if seeds is None else seeds.unionByName(part)
-    knn = _nnd_topk(seeds.distinct(), e).localCheckpoint()
-    rounds = [knn]
-    for _ in range(_NND_ROUNDS):
-        cur = rounds[-1]
-        rounds.append(_nnd_topk(_nnd_expand(cur), e).localCheckpoint())
+    e, rounds = _nnd_round_frames(spark, sf_dir)
     probes = (
         e.select("vec_id")
         .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
@@ -2396,15 +2415,15 @@ def nn_descent_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return census.orderBy("round")
 
 
-def _nnd_oracle() -> str:
-    """Unrolled-CTE replay of the NN-descent rounds (the _lloyd_ctes /
-    _dw_ctes precedent): identical md5 seed partitions, identical
-    rounded-sim/smallest-id ranking, identical probe sample.  Every
-    recurrence CTE is MATERIALIZED: each knn{r} feeds four consumers,
-    and DuckDB's default CTE inlining re-plans that diamond per
-    reference — the exact exponential-plan pathology Spark's side
-    persists against (a plain-CTE variant OOM'd DuckDB at 4 rounds;
-    materialized, the whole chain runs in 0.2 s at sf0.01)."""
+def _nnd_common_ctes() -> list[str]:
+    """The CTE chain shared by the x88 census oracle and the x89 walk
+    oracle: normalized embeddings, md5 seed blocks, and the unrolled
+    NN-descent rounds through ``knn{_NND_ROUNDS}``.  Every recurrence
+    CTE is MATERIALIZED: each knn{r} feeds four consumers, and DuckDB's
+    default CTE inlining re-plans that diamond per reference — the
+    exact exponential-plan pathology Spark's side persists against (a
+    plain-CTE variant OOM'd DuckDB at 4 rounds; materialized, the
+    whole chain runs in 0.2 s at sf0.01)."""
     seed_union = "\n      UNION ALL\n      ".join(
         f"""SELECT x.vec_id AS a, y.vec_id AS nb
       FROM b{j} x JOIN b{j} y ON y.blk = x.blk AND y.vec_id != x.vec_id"""
@@ -2457,6 +2476,14 @@ def _nnd_oracle() -> str:
               JOIN e ea ON ea.vec_id = c.a
               JOIN e eb ON eb.vec_id = c.nb) s)
       WHERE rk <= {_NND_K})""")
+    return ctes
+
+
+def _nnd_oracle() -> str:
+    """x88's census tail on the shared chain (the _lloyd_ctes /
+    _dw_ctes precedent): identical md5 probe sample, identical
+    rounded-sim/smallest-id ranking."""
+    ctes = _nnd_common_ctes()
     ctes.append(f"""probes AS MATERIALIZED (
       SELECT vec_id AS a FROM e
       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_NND_PROBES})""")

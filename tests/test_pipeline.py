@@ -2140,6 +2140,80 @@ def test_deepwalk_pairs_parity_and_replay(spark):
         spark.catalog.clearCache()
 
 
+def test_knn_graph_walks_chain_parity_and_replay(spark):
+    """x89 (ANN-graph → walk-corpus chain): the oracle must hash-match
+    at BOTH fixture tiers, and at the small tier the walk census must
+    replay EXACTLY in pure Python over the SAME final k-NN frame the
+    x88 replay test verifies — walks, window pairs, AND the
+    is_knn_edge annotation."""
+    import hashlib
+    from collections import Counter
+
+    from big_data_project_spark import registry
+    from big_data_project_spark.pipeline.graph import (
+        _DW_STEPS, _DW_WINDOW, knn_graph_walk_pairs,
+    )
+    from big_data_project_spark.pipeline.similarity import _nnd_round_frames
+    from tests.conftest import SF_DIR, SF_DIR_ORACLE
+    from tests.oracle_harness import compare, duckdb_connect
+
+    registry.load()
+    oracle = registry.ORACLES["x89_knn_graph_walks"]
+    for sf in (SF_DIR, SF_DIR_ORACLE):
+        try:
+            con = duckdb_connect(sf)
+            df = knn_graph_walk_pairs(spark, sf)
+            res = compare("x89_knn_graph_walks", df, con, oracle)
+            assert res.ok, (sf, res.detail, res.mismatches[:3])
+        finally:
+            spark.catalog.clearCache()
+
+    try:
+        _, rounds = _nnd_round_frames(spark, SF_DIR)
+        kedges = {(r.a, r.b) for r in rounds[-1].collect()}
+        adj: dict[int, set[int]] = {}
+        for a, b in kedges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        census: Counter = Counter()
+        for wid in adj:
+            node, seq = wid, [wid]
+            for k in range(1, _DW_STEPS + 1):
+                node = min(
+                    adj[node],
+                    key=lambda v: (
+                        hashlib.md5(f"{wid}:{k}:{v}".encode()).hexdigest(), v
+                    ),
+                )
+                seq.append(node)
+            for i in range(len(seq)):
+                for j in range(i + 1, min(i + _DW_WINDOW, len(seq) - 1) + 1):
+                    if seq[i] != seq[j]:
+                        census[
+                            (min(seq[i], seq[j]), max(seq[i], seq[j]))
+                        ] += 1
+        undirected = {(min(a, b), max(a, b)) for a, b in kedges}
+        expected = [
+            (a, b, -neg, int((a, b) in undirected))
+            for neg, a, b in sorted(
+                (-n, a, b) for (a, b), n in census.items()
+            )[:20]
+        ]
+        got = [
+            (r.node_a, r.node_b, r.n_cooc, r.is_knn_edge)
+            for r in knn_graph_walk_pairs(spark, SF_DIR).collect()
+        ]
+        assert got == expected
+        assert got, "fixture walks should produce pairs"
+        # the chain's value proposition: walks surface co-occurrence
+        # pairs BEYOND the direct ANN edges (window-2 hops)
+        assert any(p not in undirected for p in census), (
+            "walk mining added nothing over the raw k-NN edge set"
+        )
+    finally:
+        spark.catalog.clearCache()
+
+
 def test_negative_sampling_parity_and_table_invariants(spark):
     """Negative-sampling table (prepped for a future window): oracle
     parity at BOTH tiers plus the table invariants a trainer relies on —

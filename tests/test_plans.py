@@ -1472,6 +1472,32 @@ def test_deepwalk_step_frames_are_persisted(spark):
         spark.catalog.clearCache()
 
 
+def test_knn_graph_walks_plan(spark):
+    """x89's chain plan: top-20 compiles to TakeOrderedAndProject
+    (never a global sort), the NN-descent rounds arrive as checkpointed
+    ExistingRDD leaves (not a re-planned recurrence diamond), the
+    per-step walk frames persist (InMemoryTableScans ≥ steps + the
+    symmetrized edge frame), and nothing is cartesian or Python-eval."""
+    from big_data_project_spark.pipeline.graph import (
+        _DW_STEPS, knn_graph_walk_pairs,
+    )
+    from big_data_project_spark.plans.contracts import plan_str
+
+    df = knn_graph_walk_pairs(spark, SF)
+    try:
+        text = plan_str(df, "formatted")
+        assert "TakeOrderedAndProject" in text
+        assert "Scan ExistingRDD" in text, "k-NN frame not a checkpoint leaf"
+        assert count_ops(df, "CartesianProduct") == 0
+        assert count_ops(df, "BatchEvalPython") + count_ops(df, "ArrowEvalPython") == 0
+        df.count()  # persists fill on the first action
+        assert count_ops(df, "InMemoryTableScan") >= _DW_STEPS + 1, (
+            "persisted walk-step frames not reused"
+        )
+    finally:
+        spark.catalog.clearCache()
+
+
 def test_nn_descent_topk_window_group_limit_plan(spark):
     """x88's per-round ranking: the constant rank bound must compile to
     a WindowGroupLimit (map-side per-node top-k prune before the
