@@ -1268,18 +1268,19 @@ def cdc_chunks(docs: DataFrame) -> DataFrame:
         F.transform(cuts, lambda i: i + 1),
         F.array(F.size("w") + 1),
     )
-    seg = F.transform(
-        F.sequence(F.lit(1), F.size(bpos) - F.lit(1)),
-        lambda j: F.struct(
-            F.concat_ws(
-                " ",
-                F.slice(
-                    F.col("w"),
-                    F.element_at(bpos, j),
-                    F.element_at(bpos, j + 1) - F.element_at(bpos, j),
-                ),
-            ).alias("chunk"),
-            (F.element_at(bpos, j + 1) - F.element_at(bpos, j)).alias("tok_len"),
+    # adjacent (start, next_start) pairs via two slices zip_with'd —
+    # NOT element_at(bpos, j)/element_at(bpos, j+1) inside a transform
+    # over sequence: a lambda-embedded outer expression re-evaluates
+    # per element, so the O(n)-to-build bpos would be recomputed per
+    # CHUNK, O(n²/D) per doc (the x88 norm-fold lesson, r12).  The two
+    # slice arguments evaluate bpos once per row each; values are
+    # identical (chunk j spans [bpos[j], bpos[j+1])).
+    seg = F.zip_with(
+        F.slice(bpos, 1, F.size(bpos) - 1),
+        F.slice(bpos, 2, F.size(bpos) - 1),
+        lambda s, t: F.struct(
+            F.concat_ws(" ", F.slice(F.col("w"), s, t - s)).alias("chunk"),
+            (t - s).alias("tok_len"),
         ),
     )
     long = (

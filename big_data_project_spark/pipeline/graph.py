@@ -1827,8 +1827,8 @@ def deepwalk_positive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     final census is one partial-aggregated groupBy on (a, b) integer
     pairs, and top-20 runs as TakeOrderedAndProject (never a global
     sort)."""
-    edges = _copurchase_weighted_edges(spark, sf_dir).persist()
-    pairs = _dw_walk_pair_census(edges.select("u", "v"))
+    edges = _copurchase_weighted_edges(spark, sf_dir).persist()  # (u, v)
+    pairs = _dw_walk_pair_census(edges)
     return pairs.orderBy(F.desc("n_cooc"), "node_a", "node_b").limit(20)
 
 

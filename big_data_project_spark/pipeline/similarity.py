@@ -649,9 +649,15 @@ def x15_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     scale = F.array_max(F.transform(v, lambda x: F.abs(x)))
-    codes = F.transform(
+    # scale (an O(d) array_max) must NOT sit inside the per-element
+    # lambda — a lambda-embedded outer expression re-evaluates per
+    # element, O(d²) per row (the x88 norm-fold lesson, r12).  Routing
+    # it through array_repeat's element argument evaluates it once per
+    # row; values are bit-identical to the inline division.
+    codes = F.zip_with(
         v,
-        lambda x: F.round(x * 127.0 / F.nullif(scale, F.lit(0.0))).cast("int"),
+        F.array_repeat(scale, F.size(v)),
+        lambda x, s: F.round(x * 127.0 / F.nullif(s, F.lit(0.0))).cast("int"),
     )
     return e.select(
         "vec_id",
@@ -2248,6 +2254,31 @@ def _nnd_expand(cur: DataFrame) -> DataFrame:
     return non.unionByName(cur.select("a", "b")).distinct()
 
 
+def _unit_normalize(df: DataFrame, id_col: str = "vec_id", vec_col: str = "v") -> DataFrame:
+    """Project ``df`` to (id_col, unit-L2-normalized vec_col) with the
+    norm fold evaluated exactly ONCE per row — O(n·d), so every
+    downstream candidate scoring is a single dot fold (saves two norm
+    folds per pair, O(rounds·n·k²·d) in x88's inner loop at 100 TB).
+
+    A two-step withColumn+transform is NOT enough for per-row folding:
+    CollapseProject inlines a single-use non-cheap alias into the
+    lambda body, re-folding the norm per ELEMENT — O(n·d²) — verified
+    on the optimized plan r12 (the fix measured x88 8.2 → 6.6 s at
+    sf0.1).  Routing the fold through array_repeat's element argument
+    forces one evaluation per row regardless of projection collapse;
+    zip_with(v, repeat(nrm, d), x/n) is bit-identical to transform's
+    x / nrm.  Pinned on THIS helper (the one the product path calls)
+    in test_plans.py::test_nn_descent_norm_fold_runs_once_per_row."""
+    return df.withColumn("nrm", _norm(F.col(vec_col))).select(
+        id_col,
+        F.zip_with(
+            vec_col,
+            F.array_repeat(F.col("nrm"), F.size(vec_col)),
+            lambda x, n: x / n,
+        ).alias(vec_col),
+    )
+
+
 def _nnd_round_frames(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, list[DataFrame]]:
@@ -2263,31 +2294,11 @@ def _nnd_round_frames(
     measured 2757 Exchanges / 51 s vs 56 / 10 s at sf0.1); callers own
     cleanup (the registry entry point clearCache()s, and bench.py frees
     leftover localCheckpoint RDDs delta-based)."""
-    e = (
-        load_table(spark, sf_dir, "embeddings")
-        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-        # normalize ONCE (O(n·d)) so every candidate scoring is a single
-        # dot fold (saves two norm folds per pair, O(rounds·n·k²·d) — the
-        # inner loop at 100 TB).  A two-step withColumn+transform is NOT
-        # enough to make the norm fold per-row: CollapseProject inlines a
-        # single-use non-cheap alias into the lambda body, re-folding the
-        # norm per ELEMENT (verified on the optimized plan, r12).  Routing
-        # the fold through array_repeat's element argument forces exactly
-        # one evaluation per row regardless of projection collapse —
-        # zip_with(v, repeat(nrm, d), x/n) is bit-identical to x / nrm.
-        # Pinned: test_plans.py asserts the aggregate fold sits inside
-        # array_repeat, not inside the division lambda.
-        .withColumn("nrm", _norm(F.col("v")))
-        .select(
-            "vec_id",
-            F.zip_with(
-                "v",
-                F.array_repeat(F.col("nrm"), F.size("v")),
-                lambda x, n: x / n,
-            ).alias("v"),
+    e = _unit_normalize(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
         )
-        .persist()
-    )
+    ).persist()
     n_rows, _ = _embedding_stats(sf_dir, load_table(spark, sf_dir, "embeddings"))
     n_blocks = _nnd_n_blocks(n_rows)
     seeds = None

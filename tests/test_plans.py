@@ -1541,19 +1541,13 @@ def test_nn_descent_norm_fold_runs_once_per_row(spark):
     from pyspark.sql import functions as F
 
     from big_data_project_spark.io import load_table
-    from big_data_project_spark.pipeline.similarity import _norm
+    from big_data_project_spark.pipeline.similarity import _unit_normalize
 
-    e = (
-        load_table(spark, SF, "embeddings")
-        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-        .withColumn("nrm", _norm(F.col("v")))
-        .select(
-            "vec_id",
-            F.zip_with(
-                "v",
-                F.array_repeat(F.col("nrm"), F.size("v")),
-                lambda x, n: x / n,
-            ).alias("v"),
+    # pin the SAME helper the product path (_nnd_round_frames) calls,
+    # so a reformulation there cannot silently outdate this test
+    e = _unit_normalize(
+        load_table(spark, SF, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
         )
     )
     plan = e._jdf.queryExecution().optimizedPlan().toString()
