@@ -1561,6 +1561,43 @@ def test_nn_descent_norm_fold_runs_once_per_row(spark):
     assert "aggregate(" not in lam
 
 
+def test_per_element_hoists_hold(spark):
+    """r12 sweep pins: an expensive outer expression inside a
+    higher-order-function lambda re-evaluates per ELEMENT.  The two
+    fixed sites must keep their hoisted shape in the optimized plan —
+    x15's O(d) array_max scale rides array_repeat's element argument
+    (once per row), and x75's O(n) CDC boundary array is consumed via
+    two slices zip_with'd (twice per row), never element_at-indexed
+    from inside a transform-over-sequence."""
+    from big_data_project_spark import registry
+
+    registry.load()
+
+    p15 = (
+        registry.QUERIES["x15_embedding_quantize"](spark, SF)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+        .replace(" ", "")
+    )
+    assert "array_repeat(array_max(" in p15, (
+        "x15 scale no longer hoisted — it would re-fold per element"
+    )
+
+    p75 = (
+        registry.QUERIES["x75_cdc_chunk_dedup"](spark, SF)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+        .replace(" ", "")
+    )
+    assert "zip_with(slice(concat" in p75, (
+        "x75 boundary array no longer consumed via sliced zip_with — "
+        "an element_at-in-lambda formulation rebuilds it per chunk"
+    )
+    spark.catalog.clearCache()
+
+
 def test_nn_descent_census_plan_is_lineage_truncated(spark):
     """x88's diamond defense: every round's k-NN frame feeds four
     consumers (sym ×2, candidate union, census, recall join), so each
