@@ -35,7 +35,13 @@ re-measure of the x62 "drift" found the ENTIRE Arrow-kernel family
 while both JVM calibs sat in their normal bands — the Python-worker +
 Arrow-serialization path drifts independently of both, and rows whose
 wall is dominated by it (x59*, x61, x62, x2/x3) should be normalized
-against this axis.
+against this axis.  Since r12 a fourth reading, ``calib_arrow_dirty_sec``,
+repeats the Arrow workload after a list-column pandas pass has shifted the
+reused Python workers into the state every Arrow demonstrator row actually
+runs in — the fresh-state axis is bimodal (~0.65 vs ~1.3 s on identical
+code depending on whether the pool has ever seen a list column through
+Arrow); the dirty-state axis is idempotent and session-stable.  Judge
+Arrow rows on the dirty axis from r12 on.
 """
 
 from __future__ import annotations
@@ -330,6 +336,44 @@ def main() -> None:
         dt = time.perf_counter() - t0
         if i > 0:
             calib_ar = dt if calib_ar is None else min(calib_ar, dt)
+    # Fourth axis (added r12): the SAME Arrow workload measured in the
+    # DIRTY worker-pool state.  An r12 probe found the Arrow round-trip
+    # is bimodal: one mapInPandas pass over a LIST column (object arrays
+    # in the worker — every embedding kernel does this) permanently
+    # shifts the session's reused Python workers from ~0.65 s to ~1.3 s
+    # on the calib workload, while flat-column numpy work and all JVM
+    # work leave it untouched (BASELINE.md "r12 arrow-state probe").
+    # Every Arrow demonstrator row is TIMED in that dirty state (its own
+    # warm-up passes list columns before its timed runs), so the
+    # fresh-state calib above under-reads their axis ~2×; it also
+    # explains the r11 driver-session reading (1.299 — squarely the
+    # dirty band) vs the clean-session 0.56-0.67.  The dirtier is
+    # idempotent (already-dirty sessions stay ~1.3), which makes this
+    # axis session-state-INSENSITIVE: measured spread 1.10-1.37 across
+    # sessions vs 0.45-1.35 for the fresh axis.  calib_arrow_sec keeps
+    # its formula for cross-round continuity; judge Arrow rows on the
+    # dirty axis from r12 on.
+    import numpy as _np  # noqa: PLC0415 — bench-local
+
+    def _arrow_dirty(batches):
+        for pdf in batches:
+            m = _np.vstack(pdf["v"].to_numpy()).astype(_np.float64)
+            yield _pd.DataFrame({"s": [float(m.sum())]})
+
+    from pyspark.sql import functions as _F  # noqa: PLC0415 — bench-local
+
+    spark.range(0, 100_000, numPartitions=32).select(
+        _F.array_repeat(_F.col("id").cast("double"), 64).alias("v")
+    ).mapInPandas(_arrow_dirty, "s double").selectExpr("sum(s)").collect()
+    calib_ar_dirty = None
+    for i in range(3):
+        t0 = time.perf_counter()
+        spark.range(0, 8_000_000, numPartitions=32).mapInPandas(
+            _arrow_work, "s double"
+        ).selectExpr("sum(s)").collect()
+        dt = time.perf_counter() - t0
+        if i > 0:
+            calib_ar_dirty = dt if calib_ar_dirty is None else min(calib_ar_dirty, dt)
     timings: dict[str, float] = {}
     for name in names:
         # clearCache below drops DataFrame caches but NOT localCheckpoint
@@ -361,7 +405,11 @@ def main() -> None:
         "calib_jvm_sec": round(calib, 3) if calib is not None else None,
         "calib_shuffle_sec": round(calib_sh, 3) if calib_sh is not None else None,
         "calib_arrow_sec": round(calib_ar, 3) if calib_ar is not None else None,
-        "foreign_jvms": foreign,
+        "calib_arrow_dirty_sec": (
+            round(calib_ar_dirty, 3) if calib_ar_dirty is not None else None
+        ),
+        # None = unknown (/proc unreadable), never conflated with 0 = clean
+        "foreign_jvms": foreign if foreign >= 0 else None,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
     spark.stop()
