@@ -493,6 +493,58 @@ def test_dw_step_matches_python_argmin_walk(spark, edges, steps):
         spark.catalog.clearCache()
 
 
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(edges=edges_strategy)
+def test_dw_walk_pair_census_matches_python(spark, edges):
+    """The FULL walk miner (`_dw_walk_pair_census`: per-node walks →
+    visit union → within-window pair census) must agree with a hashlib
+    replay on ANY symmetric simple graph — not just the per-step pick
+    the test above covers.  Both x86 (co-purchase graph) and x89 (the
+    NN-descent k-NN graph) call this exact helper, so the property
+    protects both ends of the factoring; tiny graphs force heavy
+    walk-path collisions (two-node cycles visit the same unordered
+    pair from several positions) that the fixtures barely exercise."""
+    import hashlib
+    from collections import Counter
+
+    from big_data_project_spark.pipeline.graph import (
+        _DW_STEPS, _DW_WINDOW, _dw_walk_pair_census,
+    )
+
+    real = sorted({(min(u, v), max(u, v)) for u, v in edges if u != v})
+    if not real:
+        return
+    sym = sorted({(u, v) for a, b in real for u, v in ((a, b), (b, a))})
+    adj: dict[int, list[int]] = {}
+    for u, v in sym:
+        adj.setdefault(u, []).append(v)
+    census: Counter = Counter()
+    for wid in adj:
+        node, seq = wid, [wid]
+        for k in range(1, _DW_STEPS + 1):
+            node = min(
+                adj[node],
+                key=lambda v: (
+                    hashlib.md5(f"{wid}:{k}:{v}".encode()).hexdigest(), v
+                ),
+            )
+            seq.append(node)
+        for i in range(len(seq)):
+            for j in range(i + 1, min(i + _DW_WINDOW, len(seq) - 1) + 1):
+                if seq[i] != seq[j]:
+                    census[(min(seq[i], seq[j]), max(seq[i], seq[j]))] += 1
+    edges_df = spark.createDataFrame(sym, schema="u long, v long").persist()
+    try:
+        got = {
+            (r.node_a, r.node_b): r.n_cooc
+            for r in _dw_walk_pair_census(edges_df).collect()
+        }
+        assert got == dict(census)
+    finally:
+        spark.catalog.clearCache()
+
+
 _nnd_vectors = st.lists(
     st.tuples(
         st.integers(min_value=-3, max_value=3),
