@@ -1,6 +1,6 @@
 """Independent pure-Python replays for oracle-backed queries whose only
-value evidence was the DuckDB diff (w9, b6, b7, o14 — all in the r12
-driver window).
+value evidence was the DuckDB diff (w9, b6, b7, o14, j13 — all in the
+r12 driver window).
 
 The oracle gate cannot catch MIRRORED bugs: both engines implementing
 the same wrong mental model hash-match each other.  The defense is a
@@ -167,6 +167,57 @@ def test_o14_poisson_bootstrap_matches_python_and_true_cdf(spark):
     got = {
         r.replicate: (r.n_eff, r.est_mean_chars)
         for r in o14_poisson_bootstrap(spark, SF_DIR).collect()
+    }
+    spark.catalog.clearCache()
+    assert got == expected
+
+
+def test_j13_asof_nearest_matches_pandas_merge_asof(spark):
+    """j13 claims pandas merge_asof direction='nearest' semantics (ties
+    backward).  Its DuckDB oracle mirrors the same dual-window
+    formulation, so a mirrored tie/edge error would hash-match across
+    engines; pandas' own merge_asof is the independent reference the
+    docstring names — run it and compare match, direction, and the
+    floored integer-second gap."""
+    import pandas as pd
+
+    from big_data_project_spark.io import load_table
+    from big_data_project_spark.operators.joins import j13_asof_nearest_join
+
+    rows = (
+        load_table(spark, SF_DIR, "events")
+        .select("user_id", "ts", "event_type", "event_id")
+        .collect()
+    )
+    views = pd.DataFrame(
+        [(r.user_id, r.ts) for r in rows if r.event_type == "view"],
+        columns=["user_id", "view_ts"],
+    ).sort_values("view_ts", kind="stable")
+    purchases = pd.DataFrame(
+        [(r.user_id, r.ts, r.event_id) for r in rows if r.event_type == "purchase"],
+        columns=["user_id", "ts", "event_id"],
+    ).sort_values("ts", kind="stable")
+    merged = pd.merge_asof(
+        purchases,
+        views,
+        left_on="ts",
+        right_on="view_ts",
+        by="user_id",
+        direction="nearest",
+    )
+    expected = {}
+    for r in merged.itertuples():
+        if pd.isna(r.view_ts):
+            expected[r.event_id] = (None, None, None)
+        else:
+            gap_us = abs((r.ts - r.view_ts).value // 1000)
+            direction = "backward" if r.view_ts <= r.ts else "forward"
+            expected[r.event_id] = (
+                r.view_ts.to_pydatetime(), direction, gap_us // 1_000_000
+            )
+    got = {
+        r.purchase_id: (r.nearest_view_ts, r.direction, r.gap_s)
+        for r in j13_asof_nearest_join(spark, SF_DIR).collect()
     }
     spark.catalog.clearCache()
     assert got == expected
