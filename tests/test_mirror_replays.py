@@ -1,14 +1,15 @@
 """Independent pure-Python replays for oracle-backed queries whose only
-value evidence was the DuckDB diff (w9, b6, b7, o14, j13 — all in the
-r12 driver window).
+value evidence was the DuckDB diff (w9, b6, b7, o14, j13, x56, x58 —
+all in the r12 driver window).
 
 The oracle gate cannot catch MIRRORED bugs: both engines implementing
 the same wrong mental model hash-match each other.  The defense is a
 third implementation written from the operator's DEFINITION (numpy /
-hashlib / math), the x86/x88 replay-test convention — these four were
-the intricate-semantics rows still lacking one (trailing-frame
-interpolated median, calendar-window distinct, bracketing-anchor
-interpolation, inverse-CDF bootstrap weights).
+hashlib / math / pandas / numpy), the x86/x88 replay-test convention —
+these were the intricate-semantics rows still lacking one
+(trailing-frame interpolated median, calendar-window distinct,
+bracketing-anchor interpolation, inverse-CDF bootstrap weights, as-of
+nearest, add-one bigram NLL, greedy BPE merges).
 
 All replays run at sf0.001 and follow the repo rounding convention:
 ``round(x + 1e-9, d)`` then exact equality.
@@ -219,5 +220,88 @@ def test_j13_asof_nearest_matches_pandas_merge_asof(spark):
         r.purchase_id: (r.nearest_view_ts, r.direction, r.gap_s)
         for r in j13_asof_nearest_join(spark, SF_DIR).collect()
     }
+    spark.catalog.clearCache()
+    assert got == expected
+
+
+def test_x56_bigram_perplexity_matches_python(spark):
+    """Per-doc mean NLL under the add-one bigram model, recomputed from
+    the textbook formula (counts, V = distinct continuations,
+    -ln((n12+1)/(n1+V))) — a mirrored smoothing error (vocab from w1,
+    off-by-one, or a model built per-doc instead of corpus-wide) would
+    hash-match across engines and fail here."""
+    from big_data_project_spark.io import load_table
+    from big_data_project_spark.pipeline.text import x56_bigram_perplexity
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    by_doc = defaultdict(list)
+    n12: dict = defaultdict(int)
+    n1: dict = defaultdict(int)
+    w2s = set()
+    for r in docs:
+        toks = r.text.lower().split(" ")
+        for a, b in zip(toks, toks[1:]):
+            if a != "" and b != "":
+                by_doc[r.doc_id].append((a, b))
+                n12[(a, b)] += 1
+                n1[a] += 1
+                w2s.add(b)
+    v = len(w2s)
+    expected = {}
+    for doc_id, pairs in by_doc.items():
+        nll = [
+            -math.log((n12[p] + 1.0) / (n1[p[0]] + v)) for p in pairs
+        ]
+        expected[doc_id] = (len(pairs), round(sum(nll) / len(nll) + 1e-9, 6))
+    got = {
+        r.doc_id: (r.n_bigrams, r.avg_nll)
+        for r in x56_bigram_perplexity(spark, SF_DIR).collect()
+    }
+    spark.catalog.clearCache()
+    assert got == expected
+
+
+def test_x58_bpe_train_matches_list_based_bpe(spark):
+    """The delimited-string replace trick must train the SAME merge
+    table as canonical list-based BPE (Sennrich 2016: count all
+    adjacent symbol pairs weighted by word frequency, fuse the argmax
+    greedily left-to-right non-overlapping).  Both engines share the
+    string trick, so a delimiter bug that merges inside previously
+    fused symbols — or an overlap-handling difference ('aaa' under an
+    (a,a) merge) — would be invisible to the oracle and fail here."""
+    from big_data_project_spark.io import load_table
+    from big_data_project_spark.pipeline.text import _BPE_STEPS, x58_bpe_train
+
+    docs = load_table(spark, SF_DIR, "documents").select("text").collect()
+    freqs: dict = defaultdict(int)
+    for r in docs:
+        for w in r.text.lower().split(" "):
+            if w and all("a" <= c <= "z" for c in w):
+                freqs[w] += 1
+    state = {tuple(w): f for w, f in freqs.items()}
+    expected = []
+    for step in range(1, _BPE_STEPS + 1):
+        counts: dict = defaultdict(int)
+        for syms, f in state.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] += f
+        (a, b), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        expected.append((step, a, b, cnt))
+        new_state: dict = defaultdict(int)
+        for syms, f in state.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_state[tuple(out)] += f
+        state = new_state
+    got = sorted(
+        (r.merge_step, r.left_tok, r.right_tok, r.pair_count)
+        for r in x58_bpe_train(spark, SF_DIR).collect()
+    )
     spark.catalog.clearCache()
     assert got == expected
