@@ -1,6 +1,6 @@
 """Independent pure-Python replays for oracle-backed queries whose only
 value evidence was the DuckDB diff (w9, b6, b7, o14, j13, x56, x58 —
-all in the r12 driver window).
+all in the r12 driver window — plus x33 and x47).
 
 The oracle gate cannot catch MIRRORED bugs: both engines implementing
 the same wrong mental model hash-match each other.  The defense is a
@@ -9,7 +9,8 @@ hashlib / math / pandas / numpy), the x86/x88 replay-test convention —
 these were the intricate-semantics rows still lacking one
 (trailing-frame interpolated median, calendar-window distinct,
 bracketing-anchor interpolation, inverse-CDF bootstrap weights, as-of
-nearest, add-one bigram NLL, greedy BPE merges).
+nearest, add-one bigram NLL, greedy BPE merges, T5 span corruption,
+urllib-validated URL canonicalization).
 
 All replays run at sf0.001 and follow the repo rounding convention:
 ``round(x + 1e-9, d)`` then exact equality.
@@ -303,5 +304,99 @@ def test_x58_bpe_train_matches_list_based_bpe(spark):
         (r.merge_step, r.left_tok, r.right_tok, r.pair_count)
         for r in x58_bpe_train(spark, SF_DIR).collect()
     )
+    spark.catalog.clearCache()
+    assert got == expected
+
+
+def test_x47_span_corruption_matches_python(spark):
+    """T5 span-corruption example construction replayed from the
+    schedule definition (length-_SPAN_LEN spans at every _SPAN_EVERY-th
+    token, numbered sentinels, target = sentinel + originals): a
+    mirrored off-by-one in the offset arithmetic or a sentinel
+    numbering bug would produce identical wrong digests on both
+    engines and fail here."""
+    from big_data_project_spark.io import load_table
+    from big_data_project_spark.pipeline.text import (
+        _SPAN_EVERY, _SPAN_LEN, x47_span_corruption,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select("source", "text").collect()
+    agg: dict = defaultdict(lambda: [0, 0.0, 0, 0])
+    mod = 1_000_000_007
+    for r in docs:
+        w = r.text.split(" ")
+        inp, tgt, n_masked = [], [], 0
+        for i in range(1, len(w) + 1):
+            off = (i - 1) % _SPAN_EVERY
+            if off == 0:
+                s = f"<x_{(i - 1) // _SPAN_EVERY}>"
+                inp.append(s)
+                tgt.extend([s, w[i - 1]])
+                n_masked += 1
+            elif off < _SPAN_LEN:
+                tgt.append(w[i - 1])
+                n_masked += 1
+            else:
+                inp.append(w[i - 1])
+        a = agg[r.source]
+        a[0] += 1
+        a[1] += n_masked / len(w)
+        a[2] = (a[2] + _md5_mod(" ".join(inp), mod))
+        a[3] = (a[3] + _md5_mod(" ".join(tgt), mod))
+    expected = {
+        src: (n, round(frac / n + 1e-9, 6), di, dt)
+        for src, (n, frac, di, dt) in agg.items()
+    }
+    got = {
+        r.source: (r.n_examples, r.avg_masked_frac, r.input_digest, r.target_digest)
+        for r in x47_span_corruption(spark, SF_DIR).collect()
+    }
+    spark.catalog.clearCache()
+    assert got == expected
+
+
+def test_x33_url_canonical_dedup_matches_urllib(spark):
+    """URL canonicalization replayed through urllib.parse — a genuinely
+    independent URL parser — applying the documented rules (lowercase
+    scheme+host only, strip default port / www. / fragment / one
+    trailing slash, keep only the whitelisted id param).  Both engines
+    share the regex chain, so a mirrored regex bug (e.g. lowercasing
+    the case-sensitive path, or an anchor that eats part of the host)
+    would hash-match and fail here."""
+    from urllib.parse import parse_qsl, urlsplit
+
+    from big_data_project_spark.io import load_table
+    from big_data_project_spark.pipeline.text import x33_url_canonical_dedup
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "source").collect()
+    canon: dict = defaultdict(list)
+    for r in docs:
+        url = (
+            f"HTTPS://WWW.{r.source}.Example.COM:443/Articles/{r.doc_id % 50}"
+            f"?utm_source=feed&utm_campaign=c{r.doc_id % 3}"
+            f"&id={r.doc_id % 7}#sec{r.doc_id % 4}"
+        )
+        sp = urlsplit(url)
+        host = sp.netloc.lower()
+        if sp.scheme.lower() == "https" and host.endswith(":443"):
+            host = host[: -len(":443")]
+        if host.startswith("www."):
+            host = host[len("www.") :]
+        path = sp.path[:-1] if sp.path.endswith("/") else sp.path
+        idv = dict(parse_qsl(sp.query)).get("id", "")
+        curl = f"{sp.scheme.lower()}://{host}{path}?id={idv}"
+        canon[(r.source, curl)].append(r.doc_id)
+    per_source: dict = defaultdict(lambda: [0, 0, 0, None])
+    for (src, curl), ids in canon.items():
+        a = per_source[src]
+        a[0] += len(ids)
+        a[1] += 1
+        a[2] += min(ids)
+        a[3] = curl if a[3] is None else min(a[3], curl)
+    expected = {s: tuple(a) for s, a in per_source.items()}
+    got = {
+        r.source: (r.n_urls, r.n_canonical, r.keeper_id_sum, r.sample_canonical)
+        for r in x33_url_canonical_dedup(spark, SF_DIR).collect()
+    }
     spark.catalog.clearCache()
     assert got == expected
