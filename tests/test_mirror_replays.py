@@ -1,6 +1,6 @@
 """Independent pure-Python replays for oracle-backed queries whose only
 value evidence was the DuckDB diff (w9, b6, b7, o14, j13, x56, x58 —
-all in the r12 driver window — plus x33 and x47).
+all in the r12 driver window — plus x20, x32, x33, and x47).
 
 The oracle gate cannot catch MIRRORED bugs: both engines implementing
 the same wrong mental model hash-match each other.  The defense is a
@@ -10,7 +10,8 @@ these were the intricate-semantics rows still lacking one
 (trailing-frame interpolated median, calendar-window distinct,
 bracketing-anchor interpolation, inverse-CDF bootstrap weights, as-of
 nearest, add-one bigram NLL, greedy BPE merges, T5 span corruption,
-urllib-validated URL canonicalization).
+urllib-validated URL canonicalization, token-placement-simulated
+sequence packing, keep-first segment dedup).
 
 All replays run at sf0.001 and follow the repo rounding convention:
 ``round(x + 1e-9, d)`` then exact equality.
@@ -397,6 +398,99 @@ def test_x33_url_canonical_dedup_matches_urllib(spark):
     got = {
         r.source: (r.n_urls, r.n_canonical, r.keeper_id_sum, r.sample_canonical)
         for r in x33_url_canonical_dedup(spark, SF_DIR).collect()
+    }
+    spark.catalog.clearCache()
+    assert got == expected
+
+
+def test_x20_sequence_packing_matches_token_simulation(spark):
+    """Concat-then-chunk packing verified by literally placing every
+    token: docs concatenate per source in doc_id order, token t lands
+    in chunk t // _PACK_CAP, and each doc's (seq_first, n_seqs_spanned)
+    is read off the set of chunks its tokens touch — independent of the
+    prefix-sum/floor arithmetic both engines mirror (whose off-by-one
+    at exact chunk boundaries the oracle could never catch)."""
+    from big_data_project_spark.io import load_table
+    from big_data_project_spark.pipeline.text import (
+        _PACK_CAP, x20_sequence_packing,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "source", "text"
+    ).collect()
+    by_source = defaultdict(list)
+    for r in docs:
+        by_source[r.source].append((r.doc_id, len(r.text.split(" "))))
+    expected = {}
+    for src, lst in by_source.items():
+        lst.sort()
+        pos = 0
+        for doc_id, n in lst:
+            chunks = {t // _PACK_CAP for t in range(pos, pos + n)}
+            expected[doc_id] = (src, n, min(chunks), len(chunks))
+            pos += n
+    got = {
+        r.doc_id: (r.source, r.n_tok, r.seq_first, r.n_seqs_spanned)
+        for r in x20_sequence_packing(spark, SF_DIR).collect()
+    }
+    spark.catalog.clearCache()
+    assert got == expected
+    # docs span CONTIGUOUS chunks, so len == last-first+1 must hold in
+    # the simulation too (guards the simulation itself)
+    for src, lst in by_source.items():
+        pos = 0
+        for _, n in lst:
+            chunks = sorted({t // _PACK_CAP for t in range(pos, pos + n)})
+            assert chunks == list(range(chunks[0], chunks[-1] + 1))
+            pos += n
+
+
+def test_x32_line_dedup_matches_python(spark):
+    """C4-style corpus-wide keep-first segment dedup replayed from the
+    definition: 8-word windows, global first occurrence by
+    (doc_id, seg_idx), documents rebuilt from survivors — a mirrored
+    segmentation off-by-one (last partial window), a keep-order bug, or
+    an all-segments-duplicate doc leaking into the digest would
+    hash-match across engines and fail here."""
+    from big_data_project_spark.io import load_table
+    from big_data_project_spark.pipeline.dedup import _SEG_WORDS, x32_line_dedup
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "lang", "text"
+    ).collect()
+    segs = []  # (doc_id, lang, seg_idx, seg)
+    for r in docs:
+        w = r.text.split(" ")
+        n_segs = -(-len(w) // _SEG_WORDS)
+        for i in range(n_segs):
+            segs.append(
+                (r.doc_id, r.lang, i,
+                 " ".join(w[i * _SEG_WORDS : (i + 1) * _SEG_WORDS]))
+            )
+    first_of = {}
+    for doc_id, _, idx, seg in sorted(segs, key=lambda t: (t[0], t[2])):
+        first_of.setdefault(seg, (doc_id, idx))
+    agg: dict = defaultdict(lambda: [set(), 0, 0, set(), 0])
+    rebuilt: dict = defaultdict(list)
+    for doc_id, lang, idx, seg in segs:
+        a = agg[lang]
+        a[0].add(doc_id)
+        a[1] += 1
+        if first_of[seg] == (doc_id, idx):
+            a[2] += 1
+            a[3].add(doc_id)
+            rebuilt[(doc_id, lang)].append((idx, seg))
+    mod = 1_000_000_007
+    for (doc_id, lang), kept in rebuilt.items():
+        h = " ".join(s for _, s in sorted(kept))
+        agg[lang][4] += _md5_mod(h, mod)
+    expected = {
+        lang: (len(a[0]), a[1], a[2], len(a[3]), a[4])
+        for lang, a in agg.items()
+    }
+    got = {
+        r.lang: (r.n_docs_in, r.total_segs, r.kept_segs, r.docs_out, r.digest)
+        for r in x32_line_dedup(spark, SF_DIR).collect()
     }
     spark.catalog.clearCache()
     assert got == expected
