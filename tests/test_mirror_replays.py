@@ -1,6 +1,6 @@
 """Independent pure-Python replays for oracle-backed queries whose only
 value evidence was the DuckDB diff (w9, b6, b7, o14, j13, x56, x58 —
-all in the r12 driver window — plus x20, x32, x33, and x47).
+all in the r12 driver window — plus x20, x32, x33, x44, and x47).
 
 The oracle gate cannot catch MIRRORED bugs: both engines implementing
 the same wrong mental model hash-match each other.  The defense is a
@@ -491,6 +491,55 @@ def test_x32_line_dedup_matches_python(spark):
     got = {
         r.lang: (r.n_docs_in, r.total_segs, r.kept_segs, r.docs_out, r.digest)
         for r in x32_line_dedup(spark, SF_DIR).collect()
+    }
+    spark.catalog.clearCache()
+    assert got == expected
+
+
+def test_x44_boilerplate_lines_matches_python(spark):
+    """Corpus-frequency boilerplate removal replayed from the
+    definition: a segment in >= _BP_MIN_DOCS DISTINCT documents is
+    stripped EVERYWHERE (including its first occurrence — the exact
+    point where x44 differs from x32's keep-first, a distinction a
+    mirrored bug could erase), documents rebuilt from survivors, same
+    digest contract."""
+    from big_data_project_spark.io import load_table
+    from big_data_project_spark.pipeline.text import (
+        _BP_MIN_DOCS, _BP_SEG_WORDS, x44_boilerplate_lines,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "lang", "text"
+    ).collect()
+    segs = []
+    seg_docs: dict = defaultdict(set)
+    for r in docs:
+        w = r.text.split(" ")
+        for i in range(-(-len(w) // _BP_SEG_WORDS)):
+            seg = " ".join(w[i * _BP_SEG_WORDS : (i + 1) * _BP_SEG_WORDS])
+            segs.append((r.doc_id, r.lang, i, seg))
+            seg_docs[seg].add(r.doc_id)
+    boiler = {s for s, ds in seg_docs.items() if len(ds) >= _BP_MIN_DOCS}
+    mod = 1_000_000_007
+    perdoc: dict = defaultdict(lambda: [None, 0, []])
+    for doc_id, lang, idx, seg in segs:
+        a = perdoc[doc_id]
+        a[0] = lang
+        a[1] += 1
+        if seg not in boiler:
+            a[2].append((idx, seg))
+    agg: dict = defaultdict(lambda: [0, 0, 0, 0])
+    for doc_id, (lang, total, kept) in perdoc.items():
+        a = agg[lang]
+        a[0] += 1
+        a[1] += total - len(kept)
+        if kept:
+            a[2] += 1
+            a[3] += _md5_mod(" ".join(s for _, s in sorted(kept)), mod)
+    expected = {lang: tuple(a) for lang, a in agg.items()}
+    got = {
+        r.lang: (r.n_docs_in, r.removed_segs, r.docs_out, r.digest)
+        for r in x44_boilerplate_lines(spark, SF_DIR).collect()
     }
     spark.catalog.clearCache()
     assert got == expected
