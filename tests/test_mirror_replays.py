@@ -1,6 +1,6 @@
 """Independent pure-Python replays for oracle-backed queries whose only
 value evidence was the DuckDB diff (w9, b6, b7, o14, j13, x56, x58 —
-all in the r12 driver window — plus x20, x32, x33, x44, and x47).
+all in the r12 driver window — plus x20, x32, x33, x36, x44, and x47).
 
 The oracle gate cannot catch MIRRORED bugs: both engines implementing
 the same wrong mental model hash-match each other.  The defense is a
@@ -540,6 +540,57 @@ def test_x44_boilerplate_lines_matches_python(spark):
     got = {
         r.lang: (r.n_docs_in, r.removed_segs, r.docs_out, r.digest)
         for r in x44_boilerplate_lines(spark, SF_DIR).collect()
+    }
+    spark.catalog.clearCache()
+    assert got == expected
+
+
+def test_x36_gopher_rules_match_python(spark):
+    """The Gopher rule battery replayed from the documented heuristics
+    (word-count bounds, mean-word-length band via the exact
+    single-space identity, symbol ratio over #/... carriers, alphabetic
+    fraction, distinct-stopword floor) — a mirrored threshold or a
+    feature defined subtly differently from the docstring would
+    hash-match across engines and fail here."""
+    from big_data_project_spark.io import load_table
+    from big_data_project_spark.pipeline.quality import (
+        _GOPHER_MAX_MWL, _GOPHER_MAX_SYMBOL_RATIO, _GOPHER_MAX_WORDS,
+        _GOPHER_MIN_ALPHA_FRAC, _GOPHER_MIN_MWL, _GOPHER_MIN_STOPWORDS,
+        _GOPHER_MIN_WORDS, _GOPHER_STOPWORDS, x36_gopher_quality_rules,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "lang", "text"
+    ).collect()
+    expected = {}
+    for r in docs:
+        words = r.text.split(" ")
+        n = len(words)
+        mwl = round((len(r.text) - (n - 1)) / n + 1e-9, 4)
+        n_stop = len(set(words) & set(_GOPHER_STOPWORDS))
+        alpha = round(
+            sum(1 for w in words if w[:1].isascii() and w[:1].isalpha()) / n
+            + 1e-9, 4,
+        )
+        symbol = round(
+            sum(1 for w in words if "#" in w or "..." in w) / n + 1e-9, 4
+        )
+        rw = _GOPHER_MIN_WORDS <= n <= _GOPHER_MAX_WORDS
+        rm = _GOPHER_MIN_MWL <= mwl <= _GOPHER_MAX_MWL
+        rs = symbol <= _GOPHER_MAX_SYMBOL_RATIO
+        ra = alpha >= _GOPHER_MIN_ALPHA_FRAC
+        rt = n_stop >= _GOPHER_MIN_STOPWORDS
+        expected[r.doc_id] = (
+            r.lang, n, mwl, n_stop, alpha, symbol,
+            rw, rm, rs, ra, rt, rw and rm and rs and ra and rt,
+        )
+    got = {
+        r.doc_id: (
+            r.lang, r.n_words, r.mean_word_len, r.n_stop, r.alpha_frac,
+            r.symbol_ratio, r.r_words, r.r_mean_len, r.r_symbol, r.r_alpha,
+            r.r_stop, r.keep,
+        )
+        for r in x36_gopher_quality_rules(spark, SF_DIR).collect()
     }
     spark.catalog.clearCache()
     assert got == expected
