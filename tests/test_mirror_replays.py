@@ -1,6 +1,7 @@
 """Independent pure-Python replays for oracle-backed queries whose only
 value evidence was the DuckDB diff (w9, b6, b7, o14, j13, x56, x58 —
-all in the r12 driver window — plus x20, x32, x33, x36, x44, and x47).
+all in the r12 driver window — plus x20, x32, x33, x36, x37, x44,
+x47, and x78).
 
 The oracle gate cannot catch MIRRORED bugs: both engines implementing
 the same wrong mental model hash-match each other.  The defense is a
@@ -592,5 +593,92 @@ def test_x36_gopher_rules_match_python(spark):
         )
         for r in x36_gopher_quality_rules(spark, SF_DIR).collect()
     }
+    spark.catalog.clearCache()
+    assert got == expected
+
+
+def test_x37_dsir_selection_matches_python(spark):
+    """DSIR importance scoring replayed from the paper's definition:
+    hashed-unigram bucket models for target (lang='en') and raw,
+    Laplace-smoothed log-ratio per bucket, per-doc sum, deterministic
+    top-N.  A mirrored smoothing denominator (R+B vs R+1), a
+    ratio-direction flip, or a bucket-hash mismatch would hash-match
+    across engines and fail here."""
+    from big_data_project_spark.io import load_table
+    from big_data_project_spark.pipeline.quality import (
+        _DSIR_BUCKETS, _DSIR_TARGET_LANG, _DSIR_TOP_N, x37_dsir_selection,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "lang", "text"
+    ).collect()
+    raw: dict = defaultdict(int)
+    tgt: dict = defaultdict(int)
+    doc_buckets = {}
+    for r in docs:
+        bs = [_md5_mod(t, _DSIR_BUCKETS) for t in r.text.split(" ")]
+        doc_buckets[r.doc_id] = bs
+        for b in bs:
+            raw[b] += 1
+            if r.lang == _DSIR_TARGET_LANG:
+                tgt[b] += 1
+    R, T = sum(raw.values()), sum(tgt.values())
+    lr = {
+        b: (
+            math.log((tgt.get(b, 0) + 1.0) / (T + float(_DSIR_BUCKETS)))
+            - math.log((n + 1.0) / (R + float(_DSIR_BUCKETS)))
+        )
+        for b, n in raw.items()
+    }
+    scores = [
+        (doc_id, len(bs), round(sum(lr[b] for b in bs) + 1e-9, 4))
+        for doc_id, bs in doc_buckets.items()
+    ]
+    scores.sort(key=lambda t: (-t[2], t[0]))
+    expected = [
+        (doc_id, n, s, rk + 1)
+        for rk, (doc_id, n, s) in enumerate(scores[:_DSIR_TOP_N])
+    ]
+    got = [
+        (r.doc_id, r.n_tokens, r.dsir_score, r.rk)
+        for r in sorted(
+            x37_dsir_selection(spark, SF_DIR).collect(), key=lambda r: r.rk
+        )
+    ]
+    spark.catalog.clearCache()
+    assert got == expected
+
+
+def test_x78_stratified_sample_matches_python(spark):
+    """Hash-stratified sampling replayed from the definition:
+    floor-proportional quota per language stratum, first quota docs by
+    ascending (md5(doc_id), doc_id) — a mirrored quota rounding
+    (round vs floor) or rank ordering bug would hash-match across
+    engines and fail here."""
+    from big_data_project_spark.io import load_table
+    from big_data_project_spark.pipeline.quality import (
+        _STRAT_BUDGET, hash_stratified_sample,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select("lang", "doc_id").collect()
+    by_lang = defaultdict(list)
+    for r in docs:
+        by_lang[r.lang].append(r.doc_id)
+    n_total = len(docs)
+    expected = []
+    for lang, ids in by_lang.items():
+        quota = (_STRAT_BUDGET * len(ids)) // n_total
+        ranked = sorted(
+            ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+        )
+        expected.extend(
+            (lang, doc_id, rk + 1, quota)
+            for rk, doc_id in enumerate(ranked[:quota])
+        )
+    expected.sort()
+    got = sorted(
+        (r.lang, r.doc_id, r.sample_rank, r.quota)
+        for r in hash_stratified_sample(spark, SF_DIR).collect()
+    )
     spark.catalog.clearCache()
     assert got == expected
