@@ -1832,9 +1832,65 @@ def deepwalk_positive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy(F.desc("n_cooc"), "node_a", "node_b").limit(20)
 
 
+def _walk_ctes(edge_cte: str, prefix: str, *, materialized: bool = False) -> list[str]:
+    """THE oracle-side walk recipe, defined once: unrolled
+    deterministic-walk CTEs over an arbitrary symmetrized ``(u, v)``
+    edge CTE — one walker per distinct source node, the argmin-md5
+    neighbor pick repeated ``_DW_STEPS`` times, then the
+    position-stamped visit union.  Emits ``{prefix}0 ..
+    {prefix}{_DW_STEPS}`` and ``{prefix}walk``; consumed by both
+    ``_DW_ORACLE`` (over the co-purchase ``edges``) and
+    ``_knn_walk_oracle`` (over the ANN ``gsym``), mirroring the
+    ``_dw_walk_pair_census`` factoring on the Spark side so a change
+    to the walk recipe edits exactly one CTE builder per engine.
+
+    ``materialized`` marks every CTE ``AS MATERIALIZED`` — required
+    whenever the chain sits on top of a recurrence diamond (x89's
+    NN-descent CTEs): each step frame feeds both the next step and the
+    visit union, and DuckDB's default inlining re-plans that diamond
+    per reference."""
+    mat = "AS MATERIALIZED (" if materialized else "AS ("
+    ctes = [
+        f"""{prefix}0 {mat}
+      SELECT DISTINCT u AS wid, u AS node FROM {edge_cte})"""
+    ]
+    for k in range(1, _DW_STEPS + 1):
+        ctes.append(f"""{prefix}{k} {mat}
+      SELECT wid, nxt AS node FROM (
+        SELECT c.wid, e.v AS nxt,
+               row_number() OVER (
+                 PARTITION BY c.wid
+                 ORDER BY md5(c.wid || ':' || {k} || ':' || e.v), e.v) AS rn
+        FROM {prefix}{k - 1} c JOIN {edge_cte} e ON e.u = c.node)
+      WHERE rn = 1)""")
+    union = "\n      UNION ALL\n      ".join(
+        f"SELECT wid, node, {k} AS pos FROM {prefix}{k}"
+        for k in range(_DW_STEPS + 1)
+    )
+    ctes.append(f"""{prefix}walk {mat}
+      {union})""")
+    return ctes
+
+
+def _walk_pair_census_sql(walk_cte: str) -> str:
+    """The skip-gram pair-census SELECT over a ``_walk_ctes`` visit
+    union: every unordered pair of distinct nodes within
+    ``_DW_WINDOW`` positions on the same walk, counted.  Columns
+    ``node_a, node_b, n_cooc`` — the oracle mirror of
+    ``_dw_walk_pair_census``'s census aggregate."""
+    return f"""SELECT least(a.node, b.node) AS node_a,
+           greatest(a.node, b.node) AS node_b,
+           CAST(count(*) AS BIGINT) AS n_cooc
+    FROM {walk_cte} a JOIN {walk_cte} b
+      ON a.wid = b.wid AND b.pos > a.pos
+     AND b.pos - a.pos <= {_DW_WINDOW} AND a.node <> b.node
+    GROUP BY 1, 2"""
+
+
 def _dw_ctes() -> str:
-    """CTE chain replaying the deterministic walks step-for-step: the
-    same argmin-md5 neighbor pick, unrolled ``_DW_STEPS`` times."""
+    """CTE chain replaying the deterministic walks step-for-step over
+    the weight-pruned co-purchase graph: the graph CTEs plus the
+    shared ``_walk_ctes`` recipe."""
     ctes = [
         """supo AS (
       SELECT DISTINCT l_orderkey AS ok, l_partkey AS s FROM lineitem)""",
@@ -1847,34 +1903,13 @@ def _dw_ctes() -> str:
       SELECT u, v FROM pw
       UNION ALL
       SELECT v AS u, u AS v FROM pw)""",
-        """v0 AS (
-      SELECT DISTINCT u AS wid, u AS node FROM edges)""",
     ]
-    for k in range(1, _DW_STEPS + 1):
-        ctes.append(f"""v{k} AS (
-      SELECT wid, nxt AS node FROM (
-        SELECT c.wid, e.v AS nxt,
-               row_number() OVER (
-                 PARTITION BY c.wid
-                 ORDER BY md5(c.wid || ':' || {k} || ':' || e.v), e.v) AS rn
-        FROM v{k - 1} c JOIN edges e ON e.u = c.node)
-      WHERE rn = 1)""")
-    union = "\n      UNION ALL\n      ".join(
-        f"SELECT wid, node, {k} AS pos FROM v{k}" for k in range(_DW_STEPS + 1)
-    )
-    ctes.append(f"""walk AS (
-      {union})""")
+    ctes.extend(_walk_ctes("edges", "v"))
     return "WITH " + ",\n    ".join(ctes)
 
 
 _DW_ORACLE = _dw_ctes() + f"""
-    SELECT least(a.node, b.node) AS node_a,
-           greatest(a.node, b.node) AS node_b,
-           CAST(count(*) AS BIGINT) AS n_cooc
-    FROM walk a JOIN walk b
-      ON a.wid = b.wid AND b.pos > a.pos
-     AND b.pos - a.pos <= {_DW_WINDOW} AND a.node <> b.node
-    GROUP BY 1, 2
+    {_walk_pair_census_sql("vwalk")}
     ORDER BY n_cooc DESC, node_a, node_b
     LIMIT 20
 """
@@ -1952,8 +1987,9 @@ def knn_graph_walk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _knn_walk_oracle() -> str:
     """x89's oracle: the shared NN-descent CTE chain (through
-    ``knn{_NND_ROUNDS}``) plus the unrolled deterministic-walk CTEs —
-    the ``_dw_ctes`` pattern re-rooted on the ANN graph."""
+    ``knn{_NND_ROUNDS}``) plus the shared ``_walk_ctes`` recipe
+    re-rooted on the ANN graph — every CTE MATERIALIZED because the
+    walk chain sits on top of the NN-descent recurrence diamond."""
     last = f"knn{_NND_ROUNDS}"
     ctes = _nnd_common_ctes()
     ctes.append(f"""gsym AS MATERIALIZED (
@@ -1961,22 +1997,7 @@ def _knn_walk_oracle() -> str:
         SELECT a AS u, nb AS v FROM {last}
         UNION ALL
         SELECT nb AS u, a AS v FROM {last}))""")
-    ctes.append("""gw0 AS MATERIALIZED (
-      SELECT DISTINCT u AS wid, u AS node FROM gsym)""")
-    for k in range(1, _DW_STEPS + 1):
-        ctes.append(f"""gw{k} AS MATERIALIZED (
-      SELECT wid, nxt AS node FROM (
-        SELECT c.wid, g.v AS nxt,
-               row_number() OVER (
-                 PARTITION BY c.wid
-                 ORDER BY md5(c.wid || ':' || {k} || ':' || g.v), g.v) AS rn
-        FROM gw{k - 1} c JOIN gsym g ON g.u = c.node)
-      WHERE rn = 1)""")
-    union = "\n      UNION ALL\n      ".join(
-        f"SELECT wid, node, {k} AS pos FROM gw{k}" for k in range(_DW_STEPS + 1)
-    )
-    ctes.append(f"""gwalk AS MATERIALIZED (
-      {union})""")
+    ctes.extend(_walk_ctes("gsym", "gw", materialized=True))
     ctes.append(f"""kedges AS MATERIALIZED (
       SELECT DISTINCT least(a, nb) AS node_a, greatest(a, nb) AS node_b
       FROM {last})""")
@@ -1984,13 +2005,7 @@ def _knn_walk_oracle() -> str:
     SELECT p.node_a, p.node_b, p.n_cooc,
            CASE WHEN k.node_a IS NOT NULL THEN 1 ELSE 0 END AS is_knn_edge
     FROM (
-      SELECT least(a.node, b.node) AS node_a,
-             greatest(a.node, b.node) AS node_b,
-             CAST(count(*) AS BIGINT) AS n_cooc
-      FROM gwalk a JOIN gwalk b
-        ON a.wid = b.wid AND b.pos > a.pos
-       AND b.pos - a.pos <= {_DW_WINDOW} AND a.node <> b.node
-      GROUP BY 1, 2) p
+      {_walk_pair_census_sql("gwwalk")}) p
     LEFT JOIN kedges k ON k.node_a = p.node_a AND k.node_b = p.node_b
     ORDER BY p.n_cooc DESC, p.node_a, p.node_b
     LIMIT 20

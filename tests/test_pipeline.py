@@ -2081,18 +2081,44 @@ def test_node2vec_transition_parity_and_bruteforce(spark):
         spark.catalog.clearCache()
 
 
+def _replay_walk_census(adj):
+    """Pure-Python third implementation of the deterministic-walk
+    skip-gram pair census (hashlib md5, same argmin pick; one walk of
+    ``_DW_STEPS`` hops per adjacency key), shared by the x86 and x89
+    replay tests so the walk recipe has exactly one definition per
+    engine: ``_dw_walk_pair_census`` (Spark), ``_walk_ctes`` (DuckDB
+    oracle), and this replay."""
+    import hashlib
+    from collections import Counter
+
+    from big_data_project_spark.pipeline.graph import _DW_STEPS, _DW_WINDOW
+
+    census: Counter = Counter()
+    for wid in adj:
+        node, seq = wid, [wid]
+        for k in range(1, _DW_STEPS + 1):
+            node = min(
+                adj[node],
+                key=lambda v: (
+                    hashlib.md5(f"{wid}:{k}:{v}".encode()).hexdigest(), v
+                ),
+            )
+            seq.append(node)
+        for i in range(len(seq)):
+            for j in range(i + 1, min(i + _DW_WINDOW, len(seq) - 1) + 1):
+                if seq[i] != seq[j]:
+                    census[(min(seq[i], seq[j]), max(seq[i], seq[j]))] += 1
+    return census
+
+
 def test_deepwalk_pairs_parity_and_replay(spark):
     """DeepWalk positive pairs (prepped for a future window): the oracle
     must hash-match at BOTH fixture tiers, and the full walk corpus must
     replay EXACTLY in pure Python (hashlib md5, same argmin pick) at the
     small tier — including the derived pair census, not just the top
     20."""
-    import hashlib
-    from collections import Counter
-
     from big_data_project_spark.pipeline.graph import (
-        _DW_ORACLE, _DW_STEPS, _DW_WINDOW,
-        _copurchase_weighted_edges, deepwalk_positive_pairs,
+        _DW_ORACLE, _copurchase_weighted_edges, deepwalk_positive_pairs,
     )
     from tests.conftest import SF_DIR, SF_DIR_ORACLE
     from tests.oracle_harness import compare, duckdb_connect
@@ -2109,24 +2135,7 @@ def test_deepwalk_pairs_parity_and_replay(spark):
         adj = {}
         for r in _copurchase_weighted_edges(spark, SF_DIR).collect():
             adj.setdefault(r.u, []).append(r.v)
-        walks = {}
-        for wid in adj:
-            node, seq = wid, [wid]
-            for k in range(1, _DW_STEPS + 1):
-                node = min(
-                    adj[node],
-                    key=lambda v: (
-                        hashlib.md5(f"{wid}:{k}:{v}".encode()).hexdigest(), v
-                    ),
-                )
-                seq.append(node)
-            walks[wid] = seq
-        census = Counter()
-        for seq in walks.values():
-            for i in range(len(seq)):
-                for j in range(i + 1, min(i + _DW_WINDOW, len(seq) - 1) + 1):
-                    if seq[i] != seq[j]:
-                        census[(min(seq[i], seq[j]), max(seq[i], seq[j]))] += 1
+        census = _replay_walk_census(adj)
         expected = sorted(
             ((-n, a, b) for (a, b), n in census.items())
         )[:20]
@@ -2145,53 +2154,33 @@ def test_knn_graph_walks_chain_parity_and_replay(spark):
     at BOTH fixture tiers, and at the small tier the walk census must
     replay EXACTLY in pure Python over the SAME final k-NN frame the
     x88 replay test verifies — walks, window pairs, AND the
-    is_knn_edge annotation."""
-    import hashlib
-    from collections import Counter
-
+    is_knn_edge annotation.  The whole body runs under
+    ``checkpoint_rdd_guard``: each chain run localCheckpoints the
+    NN-descent round frames, and clearCache() alone would leak those
+    blocks into the shared session for the rest of the suite."""
     from big_data_project_spark import registry
-    from big_data_project_spark.pipeline.graph import (
-        _DW_STEPS, _DW_WINDOW, knn_graph_walk_pairs,
-    )
+    from big_data_project_spark.pipeline.graph import knn_graph_walk_pairs
     from big_data_project_spark.pipeline.similarity import _nnd_round_frames
-    from tests.conftest import SF_DIR, SF_DIR_ORACLE
+    from tests.conftest import SF_DIR, SF_DIR_ORACLE, checkpoint_rdd_guard
     from tests.oracle_harness import compare, duckdb_connect
 
     registry.load()
     oracle = registry.ORACLES["x89_knn_graph_walks"]
     for sf in (SF_DIR, SF_DIR_ORACLE):
-        try:
+        with checkpoint_rdd_guard(spark):
             con = duckdb_connect(sf)
             df = knn_graph_walk_pairs(spark, sf)
             res = compare("x89_knn_graph_walks", df, con, oracle)
             assert res.ok, (sf, res.detail, res.mismatches[:3])
-        finally:
-            spark.catalog.clearCache()
 
-    try:
+    with checkpoint_rdd_guard(spark):
         _, rounds = _nnd_round_frames(spark, SF_DIR)
         kedges = {(r.a, r.b) for r in rounds[-1].collect()}
         adj: dict[int, set[int]] = {}
         for a, b in kedges:
             adj.setdefault(a, set()).add(b)
             adj.setdefault(b, set()).add(a)
-        census: Counter = Counter()
-        for wid in adj:
-            node, seq = wid, [wid]
-            for k in range(1, _DW_STEPS + 1):
-                node = min(
-                    adj[node],
-                    key=lambda v: (
-                        hashlib.md5(f"{wid}:{k}:{v}".encode()).hexdigest(), v
-                    ),
-                )
-                seq.append(node)
-            for i in range(len(seq)):
-                for j in range(i + 1, min(i + _DW_WINDOW, len(seq) - 1) + 1):
-                    if seq[i] != seq[j]:
-                        census[
-                            (min(seq[i], seq[j]), max(seq[i], seq[j]))
-                        ] += 1
+        census = _replay_walk_census(adj)
         undirected = {(min(a, b), max(a, b)) for a, b in kedges}
         expected = [
             (a, b, -neg, int((a, b) in undirected))
@@ -2210,8 +2199,6 @@ def test_knn_graph_walks_chain_parity_and_replay(spark):
         assert any(p not in undirected for p in census), (
             "walk mining added nothing over the raw k-NN edge set"
         )
-    finally:
-        spark.catalog.clearCache()
 
 
 def test_negative_sampling_parity_and_table_invariants(spark):
@@ -2279,11 +2266,11 @@ def test_nn_descent_parity_convergence_and_replay(spark):
         _NND_K, _NND_ORACLE, _NND_PROBES, _NND_ROUNDS, _NND_SEEDS,
         _nnd_n_blocks, nn_descent_knn_graph,
     )
-    from tests.conftest import SF_DIR, SF_DIR_ORACLE
+    from tests.conftest import SF_DIR, SF_DIR_ORACLE, checkpoint_rdd_guard
     from tests.oracle_harness import compare, duckdb_connect
 
     for sf in (SF_DIR, SF_DIR_ORACLE):
-        try:
+        with checkpoint_rdd_guard(spark):
             con = duckdb_connect(sf)
             df = nn_descent_knn_graph(spark, sf)
             res = compare("nn_descent", df, con, _NND_ORACLE)
@@ -2304,8 +2291,6 @@ def test_nn_descent_parity_convergence_and_replay(spark):
             assert all(
                 b.mean_sim >= a.mean_sim for a, b in zip(rows, rows[1:])
             ), "mean_sim decreased on these fixtures (was monotone r11)"
-        finally:
-            spark.catalog.clearCache()
 
     # --- pure-Python replay at the small tier --------------------------
     erows = load_table(spark, SF_DIR, "embeddings").collect()
@@ -2374,14 +2359,14 @@ def test_nn_descent_parity_convergence_and_replay(spark):
             assert len(new) >= len(old), (r, a)
             for (_, ns), (_, os_) in zip(new, old):
                 assert ns >= os_, (r, a, new, old)
-    got = [
-        (r["round"], r.n_edges, r.mean_sim, r.probe_recall)
-        for r in sorted(
-            nn_descent_knn_graph(spark, SF_DIR).collect(),
-            key=lambda r: r["round"],
-        )
-    ]
-    spark.catalog.clearCache()
+    with checkpoint_rdd_guard(spark):
+        got = [
+            (r["round"], r.n_edges, r.mean_sim, r.probe_recall)
+            for r in sorted(
+                nn_descent_knn_graph(spark, SF_DIR).collect(),
+                key=lambda r: r["round"],
+            )
+        ]
     assert len(got) == len(expected)
     for g, e in zip(got, expected):
         assert g[0] == e[0] and g[1] == e[1], (g, e)

@@ -505,12 +505,8 @@ def test_dw_walk_pair_census_matches_python(spark, edges):
     protects both ends of the factoring; tiny graphs force heavy
     walk-path collisions (two-node cycles visit the same unordered
     pair from several positions) that the fixtures barely exercise."""
-    import hashlib
-    from collections import Counter
-
-    from big_data_project_spark.pipeline.graph import (
-        _DW_STEPS, _DW_WINDOW, _dw_walk_pair_census,
-    )
+    from big_data_project_spark.pipeline.graph import _dw_walk_pair_census
+    from tests.test_pipeline import _replay_walk_census
 
     real = sorted({(min(u, v), max(u, v)) for u, v in edges if u != v})
     if not real:
@@ -519,21 +515,7 @@ def test_dw_walk_pair_census_matches_python(spark, edges):
     adj: dict[int, list[int]] = {}
     for u, v in sym:
         adj.setdefault(u, []).append(v)
-    census: Counter = Counter()
-    for wid in adj:
-        node, seq = wid, [wid]
-        for k in range(1, _DW_STEPS + 1):
-            node = min(
-                adj[node],
-                key=lambda v: (
-                    hashlib.md5(f"{wid}:{k}:{v}".encode()).hexdigest(), v
-                ),
-            )
-            seq.append(node)
-        for i in range(len(seq)):
-            for j in range(i + 1, min(i + _DW_WINDOW, len(seq) - 1) + 1):
-                if seq[i] != seq[j]:
-                    census[(min(seq[i], seq[j]), max(seq[i], seq[j]))] += 1
+    census = _replay_walk_census(adj)
     edges_df = spark.createDataFrame(sym, schema="u long, v long").persist()
     try:
         got = {
