@@ -444,9 +444,15 @@ def x8_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_search(cent, assigned, _IVF_NPROBE)
 
 
-def _ivf_search(cent: DataFrame, assigned: DataFrame, nprobe: int) -> DataFrame:
-    """Probe the nprobe nearest buckets per query, exact re-rank within
-    them (top-5, rounded-cosine + id tie-break)."""
+def _probe_cells(assigned: DataFrame, cent: DataFrame, nprobe: int) -> DataFrame:
+    """The IVF ROUTING step, defined once: per query (the first 10
+    corpus vectors — the fixture query set every X8 variant shares),
+    the ``nprobe`` nearest centroids by rounded cosine with the
+    centroid-id tie-break (§4.3.1).  Returns (query_id, va, bucket) —
+    one row per probed cell; consumed by ``_ivf_search`` (exact
+    re-rank within the cells) and ``x90_ivfadc_topk`` (ADC scan within
+    the cells).  Centroids broadcast into the 10-row query frame: the
+    routing never touches the corpus."""
     queries = assigned.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("va")
     )
@@ -454,11 +460,17 @@ def _ivf_search(cent: DataFrame, assigned: DataFrame, nprobe: int) -> DataFrame:
         "psim", F.round(F.col("sim_raw") + F.lit(1e-9), 4)
     )
     wq = Window.partitionBy("query_id").orderBy(F.col("psim").desc(), "centroid_id")
-    probes = (
+    return (
         qprobe.withColumn("rk", F.row_number().over(wq))
         .filter(F.col("rk") <= nprobe)
         .select("query_id", "va", F.col("centroid_id").alias("bucket"))
     )
+
+
+def _ivf_search(cent: DataFrame, assigned: DataFrame, nprobe: int) -> DataFrame:
+    """Probe the nprobe nearest buckets per query, exact re-rank within
+    them (top-5, rounded-cosine + id tie-break)."""
+    probes = _probe_cells(assigned, cent, nprobe)
     # search only within probed buckets
     cand = probes.join(
         assigned.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("vb"), "bucket"),
@@ -1398,6 +1410,172 @@ def x38_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
     return (
         cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _ADC_TOP_K)
+        .select("query_id", "neighbor_id", "adc_d2")
+    )
+
+
+# --- X90: composed IVF→ADC search (the FAISS IVFADC production shape) -------
+
+
+def _ivfadc_oracle() -> str:
+    """Mirror of the COMPOSED chain: _lloyd_ctes trains the coarse
+    quantizer (c{g}), a_idx assigns the corpus against it, probes
+    routes each query to its nprobe cells (both stages verbatim from
+    _ivf_trained_oracle), then the x38 ADC arithmetic — per-subspace
+    list_position codes, pow(list_distance)² terms summed — runs ONLY
+    over the probed cells (JOIN codes USING bucket), never the full
+    code table."""
+    g = _TRAINED_GENS
+    cents = _pq_centroids()
+    code_exprs = []
+    adc_terms = []
+    for j in range(_PQ_M):
+        lo, hi = j * _PQ_D + 1, (j + 1) * _PQ_D
+        dlist = ", ".join(f"list_distance(v[{lo}:{hi}], {c})" for c in cents[j])
+        code_exprs.append(
+            f"list_position([{dlist}], list_min([{dlist}])) AS code{j}"
+        )
+        adc_terms.append(
+            f"pow(list_distance(q.vq[{lo}:{hi}], ({cents[j]})[c.code{j}]), 2)"
+        )
+    return _lloyd_ctes(g) + f""",
+    a_idx AS (
+      SELECT vec_id, v, centroid_id AS bucket
+      FROM (
+        SELECT e.vec_id, e.v, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.v, c.centroid) + 1e-9, 4) DESC,
+                          c.centroid_id) AS rk
+        FROM e CROSS JOIN c{g} c)
+      WHERE rk = 1),
+    probes AS (
+      SELECT query_id, centroid_id AS bucket
+      FROM (
+        SELECT a.vec_id AS query_id, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY round(list_cosine_similarity(a.v, c.centroid) + 1e-9, 4) DESC,
+                          c.centroid_id) AS rk
+        FROM a_idx a CROSS JOIN c{g} c
+        WHERE a.vec_id < {_ADC_N_QUERIES})
+      WHERE rk <= {_IVF_NPROBE}),
+    codes AS (SELECT vec_id, bucket, {", ".join(code_exprs)} FROM a_idx),
+    q AS (SELECT vec_id AS query_id, v AS vq FROM e WHERE vec_id < {_ADC_N_QUERIES}),
+    scored AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id,
+             round({" + ".join(adc_terms)} + 1e-9, 4) AS adc_d2
+      FROM probes p
+      JOIN codes c USING (bucket)
+      JOIN q ON q.query_id = p.query_id
+      WHERE c.vec_id != p.query_id
+    )
+    SELECT query_id, neighbor_id, adc_d2
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY adc_d2, neighbor_id) AS rk
+          FROM scored)
+    WHERE rk <= {_ADC_TOP_K}"""
+
+
+@query("x90_ivfadc_topk", oracle=_ivfadc_oracle())
+def x90_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed IVF→ADC search — the FAISS IVFADC production shape
+    (Jégou et al. 2011 §IV): x31's trained coarse quantizer routes each
+    query to its ``_IVF_NPROBE`` probe cells, and x38's
+    asymmetric-distance LUT scan runs ONLY within those cells.  This
+    closes the PQ loop the way x89 closed the walk loop: x38 alone
+    ADC-scans the full code table and x8_ivf_trained_topk re-ranks with
+    exact cosine; the composition is the index an ANN service actually
+    deploys — coarse cells bound the scan set, codes bound the
+    per-candidate arithmetic.  (Codes encode RAW vectors, FAISS's
+    ``by_residual=false`` flavor, so the code table is query-independent
+    exactly as in x18/x38.)  Reference analog: the scored-entity corpus
+    analytics shape, big_data_project/trainer/flax_model.py.
+
+    Shape at 100 TB: training is gens × (broadcast-assign + k·dim-cell
+    agg) — x31's loop, vectors never shuffle; the ONE mapInPandas pass
+    encodes the corpus to (vec_id, bucket, m-byte code) — after it the
+    payload is 4 small ints per vector, the 340× compression that makes
+    the candidate stream cheap; routing is a 10-row query frame
+    crossJoined with broadcast centroids; the cell restriction is a
+    BroadcastHashJoin of the nq·nprobe probe rows into the code stream
+    (codes never shuffle, non-probed cells are filtered at the join);
+    scoring is pure JVM — the per-query LUT (nq × m·k doubles, built
+    driver-side from the bounded query batch like x38's closure)
+    arrives as a broadcast 10-row frame and each candidate pays m
+    array-gets + m-1 adds inside whole-stage codegen, no second Python
+    pass, no decompression.  The only exchange after encode is the
+    final per-query top-k rank (WindowGroupLimit map-side pushdown).
+
+    Parity: LUT doubles are driver-side numpy float64 embedded exactly;
+    both engines rank on round(adc + 1e-9, 4) with the neighbor-id
+    tie-break; codes reuse x18's first-min argmin convention; the
+    training + routing CTEs mirror _ivf_trained_oracle verbatim."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    cent = _train_centroids(e, _TRAINED_GENS)
+    assigned = _assign_nearest(e, cent)
+    probes = _probe_cells(assigned, cent, _IVF_NPROBE).select("query_id", "bucket")
+
+    cents = np.asarray(_pq_centroids())  # (m, k, d)
+
+    def encode(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdf_iter:
+            if pdf.empty:
+                continue
+            a = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            cols = []
+            for j in range(_PQ_M):
+                sub = a[:, j * _PQ_D : (j + 1) * _PQ_D]
+                d2 = ((sub[:, None, :] - cents[j][None, :, :]) ** 2).sum(axis=2)
+                cols.append(d2.argmin(axis=1))
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                "bucket": pdf["bucket"].to_numpy(dtype=np.int64),
+                "code": [r.tolist() for r in np.stack(cols, axis=1)],
+            })
+
+    codes = assigned.mapInPandas(
+        encode, schema="vec_id bigint, bucket bigint, code array<int>"
+    )
+
+    # per-query LUT from the bounded query batch (x38's closure, as a frame)
+    qrows = sorted(
+        e.filter(F.col("vec_id") < _ADC_N_QUERIES)
+        .select("vec_id", "embedding").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    lut_rows = []
+    for r in qrows:
+        qv = np.asarray(r["embedding"], dtype=np.float64)
+        flat = []
+        for j in range(_PQ_M):
+            sub = qv[j * _PQ_D : (j + 1) * _PQ_D]
+            flat.extend(((sub[None, :] - cents[j]) ** 2).sum(axis=1).tolist())
+        lut_rows.append((int(r["vec_id"]), flat))
+    lut_df = spark.createDataFrame(lut_rows, schema="query_id bigint, lut array<double>")
+
+    cand = (
+        codes.join(F.broadcast(probes.join(F.broadcast(lut_df), "query_id")), "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    adc = None
+    for j in range(_PQ_M):
+        term = F.get("lut", F.lit(j * _PQ_K) + F.get("code", F.lit(j)))
+        adc = term if adc is None else adc + term
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(adc + F.lit(1e-9), 4).alias("adc_d2"),
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= _ADC_TOP_K)
         .select("query_id", "neighbor_id", "adc_d2")
     )

@@ -88,6 +88,121 @@ def test_x8_ivf_trained_same_contract(spark, sf_dir):
     assert recall >= 0.2, f"trained-IVF recall collapsed: {recall}"
 
 
+def test_x90_ivfadc_chain_replay_and_x38_consistency(spark, sf_dir):
+    """x90 (trained IVF routing → cell-restricted ADC scan): the FULL
+    chain — Lloyd-2 training, corpus assignment, nprobe routing, PQ
+    codes, LUT gather-sum, per-cell top-k — must replay EXACTLY in
+    pure numpy at the small tier (third implementation, independent of
+    both engines), and its ADC arithmetic must agree with x38's
+    full-table scan: any (query, neighbor) pair both emit carries the
+    IDENTICAL adc_d2, and per query the global (x38) best distance
+    lower-bounds the cell-restricted (x90) best."""
+    import numpy as np
+
+    from big_data_project_spark.io import load_table
+    from big_data_project_spark.pipeline.similarity import (
+        _ADC_N_QUERIES, _ADC_TOP_K, _IVF_NPROBE, _PQ_D, _PQ_K, _PQ_M,
+        _TRAINED_GENS, _pq_centroids,
+    )
+
+    erows = load_table(spark, sf_dir, "embeddings").collect()
+    ids = np.array([r.vec_id for r in erows], dtype=np.int64)
+    labels = np.array([r.label for r in erows], dtype=np.int64)
+    mat = np.array([r.embedding for r in erows], dtype=np.float64)
+
+    def rnd(x, d):
+        return round(float(x) + 1e-9, d)
+
+    def csim4(a, b):
+        return rnd(float(a @ b) / (np.linalg.norm(a) * np.linalg.norm(b)), 4)
+
+    # Lloyd-2 training from the per-label seed (round-6 per generation)
+    cent = {
+        int(lab): [rnd(c, 6) for c in mat[labels == lab].mean(axis=0)]
+        for lab in sorted(set(labels.tolist()))
+    }
+    for _ in range(_TRAINED_GENS):
+        bucket_of = {}
+        for vid, v in zip(ids, mat):
+            best = max(
+                cent.items(), key=lambda kv: (csim4(v, np.array(kv[1])), -kv[0])
+            )[0]
+            bucket_of[int(vid)] = best
+        cent = {}
+        for b in sorted(set(bucket_of.values())):
+            members = mat[[bucket_of[int(i)] == b for i in ids]]
+            cent[b] = [rnd(c, 6) for c in members.mean(axis=0)]
+    assigned = {
+        int(vid): max(
+            cent.items(), key=lambda kv: (csim4(v, np.array(kv[1])), -kv[0])
+        )[0]
+        for vid, v in zip(ids, mat)
+    }
+    # nprobe routing per query
+    probes = {
+        int(q): [
+            b for b, _ in sorted(
+                ((b, csim4(mat[ids == q][0], np.array(c))) for b, c in cent.items()),
+                key=lambda t: (-t[1], t[0]),
+            )[:_IVF_NPROBE]
+        ]
+        for q in range(_ADC_N_QUERIES)
+    }
+    # PQ codes (first-min argmin) + per-query LUT
+    cents = np.asarray(_pq_centroids())
+    codes = {}
+    for vid, v in zip(ids, mat):
+        codes[int(vid)] = [
+            int(((v[j * _PQ_D:(j + 1) * _PQ_D] - cents[j]) ** 2).sum(axis=1).argmin())
+            for j in range(_PQ_M)
+        ]
+    expected = []
+    for q in range(_ADC_N_QUERIES):
+        qv = mat[ids == q][0]
+        lut = np.stack([
+            ((qv[j * _PQ_D:(j + 1) * _PQ_D][None, :] - cents[j]) ** 2).sum(axis=1)
+            for j in range(_PQ_M)
+        ])
+        cand = []
+        for vid in ids:
+            vid = int(vid)
+            if vid == q or assigned[vid] not in probes[q]:
+                continue
+            adc = 0.0
+            for j in range(_PQ_M):
+                adc += lut[j, codes[vid][j]]
+            cand.append((rnd(adc, 4), vid))
+        for adc, vid in sorted(cand)[:_ADC_TOP_K]:
+            expected.append((q, vid, adc))
+
+    got = [
+        (r.query_id, r.neighbor_id, r.adc_d2)
+        for r in Q["x90_ivfadc_topk"](spark, sf_dir)
+        .orderBy("query_id", "adc_d2", "neighbor_id").collect()
+    ]
+    spark.catalog.clearCache()
+    assert got == expected
+    assert got, "fixture chain should produce candidates"
+
+    # cross-operator consistency with the full-table ADC scan
+    full = {
+        (r.query_id, r.neighbor_id): r.adc_d2
+        for r in Q["x38_pq_adc_topk"](spark, sf_dir).collect()
+    }
+    cell = {(q, n): d for q, n, d in got}
+    for pair in set(full) & set(cell):
+        assert full[pair] == cell[pair], pair
+    best_full: dict[int, float] = {}
+    for (q, _), d in full.items():
+        best_full[q] = min(best_full.get(q, float("inf")), d)
+    best_cell: dict[int, float] = {}
+    for (q, _), d in cell.items():
+        best_cell[q] = min(best_cell.get(q, float("inf")), d)
+    assert set(best_cell) == set(best_full)
+    for q, d in best_cell.items():
+        assert best_full[q] <= d, (q, best_full[q], d)
+
+
 def test_x9_lang_id_beats_chance(spark, sf_dir):
     out = Q["x9_lang_id"](spark, sf_dir)
     hits = out.filter(F.col("lang_pred") == F.col("lang_true")).count()

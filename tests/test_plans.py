@@ -558,6 +558,27 @@ def test_pq_adc_is_one_kernel_pass(spark, qs):
     assert "WindowGroupLimit" in plan
 
 
+def test_ivfadc_scan_is_cell_restricted(spark, qs):
+    """x90: the composed IVF→ADC chain encodes the corpus in ONE
+    mapInPandas pass, and the ADC scan is CELL-RESTRICTED — the code
+    stream meets the nq·nprobe probe rows through a BroadcastHashJoin
+    keyed on bucket (codes never shuffle; non-probed cells drop at the
+    join), never a full-table or sort-merge pass; the per-query top-k
+    gets the WindowGroupLimit map-side pushdown."""
+    from big_data_project_spark.plans.contracts import plan_str
+
+    df = qs["x90_ivfadc_topk"](spark, SF)
+    p = plan_str(df, "simple")
+    assert p.count("MapInPandas") == 1
+    bhj = [line for line in p.splitlines() if "BroadcastHashJoin" in line]
+    assert any("bucket" in line for line in bhj), bhj  # the cell restriction
+    assert "SortMergeJoin" not in p
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    spark.catalog.clearCache()
+
+
 def test_ccnet_single_scalar_rank_exchange(spark, qs):
     """x41: scoring is the x27 zero-shuffle map fold; the only exchange is
     the per-language tercile rank carrying (doc_id, lang, score)."""
