@@ -262,16 +262,34 @@ def _foreign_jvms() -> int:
     return n
 
 
+def _loadavg_1m() -> float | None:
+    """Host 1-minute load average at bench start.  The foreign-JVM
+    counter is blind to non-JVM load: an r13 session with
+    foreign_jvms=0 but loadavg ~4.8 (residual non-Java activity) read
+    headline 24.9 s vs 8.1 s on the same code minutes later — uniformly
+    slow headline walls with FLAT demonstrators are the signature.
+    A reading ≳2 at start marks the file suspect like foreign_jvms>0."""
+    try:
+        with open("/proc/loadavg") as fh:
+            return float(fh.read().split()[0])
+    except (OSError, ValueError, IndexError):
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
     foreign = _foreign_jvms()
+    loadavg = _loadavg_1m()
     if foreign > 0:
         print(f"# WARNING: {foreign} foreign JVM(s) running — contended "
               "readings are not comparable across rounds", file=sys.stderr)
     elif foreign < 0:
         print("# NOTE: foreign-JVM count unavailable (/proc unreadable)",
               file=sys.stderr)
+    if loadavg is not None and loadavg >= 2.0:
+        print(f"# WARNING: loadavg {loadavg} at start — non-JVM host load; "
+              "readings are not comparable across rounds", file=sys.stderr)
     spark = get_spark(app_name="bdp-spark-bench")
     qs = dict(registry.all_queries())
     qs.update(_extra_rows())
@@ -410,6 +428,7 @@ def main() -> None:
         ),
         # None = unknown (/proc unreadable), never conflated with 0 = clean
         "foreign_jvms": foreign if foreign >= 0 else None,
+        "loadavg_1m": loadavg,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
     spark.stop()

@@ -1503,9 +1503,10 @@ def test_knn_graph_walks_plan(spark):
         _DW_STEPS, knn_graph_walk_pairs,
     )
     from big_data_project_spark.plans.contracts import plan_str
+    from tests.conftest import checkpoint_rdd_guard
 
-    df = knn_graph_walk_pairs(spark, SF)
-    try:
+    with checkpoint_rdd_guard(spark):  # the chain localCheckpoints per round
+        df = knn_graph_walk_pairs(spark, SF)
         text = plan_str(df, "formatted")
         assert "TakeOrderedAndProject" in text
         assert "Scan ExistingRDD" in text, "k-NN frame not a checkpoint leaf"
@@ -1515,8 +1516,6 @@ def test_knn_graph_walks_plan(spark):
         assert count_ops(df, "InMemoryTableScan") >= _DW_STEPS + 1, (
             "persisted walk-step frames not reused"
         )
-    finally:
-        spark.catalog.clearCache()
 
 
 def test_nn_descent_topk_window_group_limit_plan(spark):
@@ -1632,9 +1631,10 @@ def test_nn_descent_census_plan_is_lineage_truncated(spark):
         _NND_ROUNDS, nn_descent_knn_graph,
     )
     from big_data_project_spark.plans.contracts import plan_str
+    from tests.conftest import checkpoint_rdd_guard
 
-    df = nn_descent_knn_graph(spark, SF)
-    try:
+    with checkpoint_rdd_guard(spark):  # the rounds localCheckpoint
+        df = nn_descent_knn_graph(spark, SF)
         text = plan_str(df, "formatted")
         assert text.count("Scan ExistingRDD") >= _NND_ROUNDS + 2, (
             "round frames are not checkpointed leaves"
@@ -1642,5 +1642,3 @@ def test_nn_descent_census_plan_is_lineage_truncated(spark):
         assert text.count("Exchange") < 120, "census plan re-plans the diamond"
         assert len(text) < 120_000, "plan string grew past the truncation bound"
         assert count_ops(df, "CartesianProduct") == 0
-    finally:
-        spark.catalog.clearCache()
