@@ -1,7 +1,8 @@
 """Independent pure-Python replays for oracle-backed queries whose only
 value evidence was the DuckDB diff (w9, b6, b7, o14, j13, x56, x58 —
 all in the r12 driver window — plus x20, x32, x33, x36, x37, x44,
-x47, and x78).
+x47, x78, and — r13 — the x61/x62 PCA pair, replayed at both the
+recurrence and the eigen-definition level).
 
 The oracle gate cannot catch MIRRORED bugs: both engines implementing
 the same wrong mental model hash-match each other.  The defense is a
@@ -682,3 +683,96 @@ def test_x78_stratified_sample_matches_python(spark):
     )
     spark.catalog.clearCache()
     assert got == expected
+
+
+def test_x61_x62_pca_match_numpy_recurrence_and_eigendefinition(spark):
+    """The PCA pair, replayed at BOTH levels a CTE mirror cannot give:
+
+    (1) RECURRENCE replay — the exact rounded pipeline (mean-scaled
+    round-4 Gram, four matvec+clamped-normalize steps from the 0.125
+    constant start, Rayleigh λ, rank-1 deflation, second chain, two
+    projections) re-derived in numpy must match x61 and x62
+    value-for-value.  A mirrored recurrence bug (wrong matrix, missed
+    rounding step, deflating with the unrounded λ) hash-matches the
+    oracle and fails here.
+
+    (2) EIGEN-DEFINITION check — on the near-random fixtures the Gram
+    spectrum is almost flat (λ2/λ1 ≈ 0.93 at sf0.001) so four
+    iterations CANNOT converge there (determinism, not convergence, is
+    the registered contract); the definition is instead checked where
+    it is checkable: on a synthetic d=8 Gram with a 5× spectral gap,
+    `_power_direction` must align with numpy.linalg.eigh's leading
+    eigenvector (|cos| > 0.99) with Rayleigh quotient within 1e-3 of
+    λ₁ — proving the operator computes what PCA means, not merely what
+    both engines happen to encode."""
+    import numpy as np
+
+    from big_data_project_spark.io import load_table
+    from big_data_project_spark.pipeline.similarity import (
+        _PCA_ITERS, _power_direction, x61_pca_project, x62_pca_top2,
+    )
+
+    rows = sorted(
+        load_table(spark, SF_DIR, "embeddings")
+        .select("vec_id", "embedding").collect(),
+        key=lambda r: r.vec_id,
+    )
+    ids = [r.vec_id for r in rows]
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    n, d = mat.shape
+
+    def rnd(x, k=4):
+        return np.round(x + 1e-9, k)
+
+    def sym_round(raw):
+        """Round the upper triangle, mirror — the engines' cell shape
+        (BLAS matmuls are not bitwise symmetric)."""
+        out = np.empty_like(raw)
+        iu = np.triu_indices(raw.shape[0])
+        out[iu] = rnd(raw[iu])
+        out.T[iu] = out[iu]
+        return out
+
+    def power(gm):
+        v = np.full(gm.shape[0], 0.125)
+        for _ in range(_PCA_ITERS):
+            y = rnd(gm @ v)
+            nrm = max(float(rnd(np.sqrt((y * y).sum()))), 1e-4)
+            v = rnd(y / nrm)
+        return v
+
+    gram = sym_round(mat.T @ mat / n)
+    v = power(gram)
+    proj1 = rnd(mat @ v)
+    lam = float(rnd((v[None, :] @ gram @ v[:, None]).item()))
+    gram2 = sym_round(gram - lam * np.outer(v, v))
+    u = power(gram2)
+    proj2 = rnd(mat @ u)
+
+    got61 = {r.vec_id: r.proj for r in x61_pca_project(spark, SF_DIR).collect()}
+    spark.catalog.clearCache()
+    got62 = {
+        r.vec_id: (r.proj1, r.proj2)
+        for r in x62_pca_top2(spark, SF_DIR).collect()
+    }
+    spark.catalog.clearCache()
+    assert got61 == {vid: proj1[i] for i, vid in enumerate(ids)}
+    assert got62 == {vid: (proj1[i], proj2[i]) for i, vid in enumerate(ids)}
+
+    # --- eigen-definition check on a gapped synthetic Gram -------------
+    ds = 8
+    rng = np.random.default_rng(seed=42)
+    q, _ = np.linalg.qr(rng.standard_normal((ds, ds)))
+    a = sym_round((q * np.array([10.0, 2.0, 1.5, 1.2, 1.0, 0.8, 0.5, 0.2])) @ q.T)
+    gsym = spark.createDataFrame(
+        [(int(i), int(j), float(a[i, j])) for i in range(ds) for j in range(ds)],
+        "i long, j long, g double",
+    )
+    vd = np.zeros(ds)
+    for r in _power_direction(gsym).collect():
+        vd[r.i] = r.x
+    spark.catalog.clearCache()
+    w, vecs = np.linalg.eigh(a)
+    vn = vd / np.linalg.norm(vd)
+    assert abs(vn @ vecs[:, -1]) > 0.99, "power direction missed the eigenvector"
+    assert abs(float(vn @ a @ vn) - w[-1]) < 1e-3 * w[-1], "Rayleigh far from lam1"
