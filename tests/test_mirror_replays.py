@@ -1,8 +1,9 @@
 """Independent pure-Python replays for oracle-backed queries whose only
 value evidence was the DuckDB diff (w9, b6, b7, o14, j13, x56, x58 —
 all in the r12 driver window — plus x20, x32, x33, x36, x37, x44,
-x47, x78, and — r13 — the x61/x62 PCA pair, replayed at both the
-recurrence and the eigen-definition level).
+x47, x78, and — r13 — x41 CCNet terciles, x52 hybrid RRF (covering
+x50's BM25 formula), x63 KL drift, and the x61/x62 PCA pair replayed
+at both the recurrence and the eigen-definition level).
 
 The oracle gate cannot catch MIRRORED bugs: both engines implementing
 the same wrong mental model hash-match each other.  The defense is a
@@ -683,6 +684,175 @@ def test_x78_stratified_sample_matches_python(spark):
     )
     spark.catalog.clearCache()
     assert got == expected
+
+
+def test_x63_kl_drift_matches_python_math(spark):
+    """Token-distribution KL drift replayed from the definition: Laplace
+    smoothing with the (total + |V|) denominator, the KL(A‖B) direction,
+    and natural log via math.log — a mirrored smoothing denominator
+    (|V|·α), a flipped KL direction, or a log-base drift would
+    hash-match across engines and fail here."""
+    from collections import Counter
+
+    from big_data_project_spark.io import load_table
+    from big_data_project_spark.pipeline.text import x63_token_kl_drift
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    ca: Counter = Counter()
+    cb: Counter = Counter()
+    for r in docs:
+        half = ca if r.doc_id % 2 == 0 else cb
+        for t in r.text.lower().split(" "):
+            half[t] += 1
+    vocab = sorted(set(ca) | set(cb))
+    ta, tb, v = sum(ca.values()), sum(cb.values()), len(vocab)
+    expected = {}
+    for tok in vocab:
+        pa = (ca[tok] + 1.0) / (ta + v)
+        pb = (cb[tok] + 1.0) / (tb + v)
+        expected[tok] = (
+            ca[tok], cb[tok],
+            round(pa + 1e-9, 6), round(pb + 1e-9, 6),
+            round(pa * math.log(pa / pb) + 1e-9, 6),
+        )
+    got = {
+        r.token: (r.cnt_a, r.cnt_b, r.p_a, r.p_b, r.kl_term)
+        for r in x63_token_kl_drift(spark, SF_DIR).collect()
+    }
+    spark.catalog.clearCache()
+    assert got == expected
+    # the drift scalar the monitor alerts on must be a real KL: Σ ≥ 0
+    assert sum(t[4] for t in expected.values()) >= 0.0
+
+
+def test_x41_ccnet_terciles_match_python_ntile(spark):
+    """CCNet head/middle/tail tiering replayed from the definition: the
+    x27 map-literal score (OOV fallback, EMPTY tokens from consecutive
+    spaces score as OOV, division by the raw split length) and SQL
+    ntile's exact bucket-size rule (first n%3 buckets get the extra
+    row) — a mirrored ntile convention (ceil-everywhere, or percentile
+    boundaries) or an empty-token handling drift would hash-match and
+    fail here."""
+    from big_data_project_spark.io import load_table
+    from big_data_project_spark.pipeline.quality import (
+        _CCNET_BUCKETS, _LM_LOGPROBS, _LM_OOV, x41_ccnet_buckets,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "lang", "text").collect()
+    scored = defaultdict(list)
+    score_of = {}
+    for r in docs:
+        toks = r.text.split(" ")
+        s = round(
+            sum(_LM_LOGPROBS.get(t, _LM_OOV) for t in toks) / len(toks) + 1e-9, 4
+        )
+        scored[r.lang].append((-s, r.doc_id))
+        score_of[r.doc_id] = s
+    expected = {}
+    names = {1: "head", 2: "middle"}
+    for lang, rows in scored.items():
+        rows.sort()
+        n = len(rows)
+        base, extra = divmod(n, _CCNET_BUCKETS)
+        pos = 0
+        for b in range(1, _CCNET_BUCKETS + 1):
+            size = base + (1 if b <= extra else 0)
+            for _, doc_id in rows[pos:pos + size]:
+                expected[doc_id] = (lang, score_of[doc_id], names.get(b, "tail"))
+            pos += size
+    got = {
+        r.doc_id: (r.lang, r.avg_logprob, r.bucket)
+        for r in x41_ccnet_buckets(spark, SF_DIR).collect()
+    }
+    spark.catalog.clearCache()
+    assert got == expected
+
+
+def test_x52_hybrid_rrf_matches_python_formulas(spark):
+    """The hybrid-retrieval chain replayed formula-by-formula: Okapi
+    BM25 with the +0.5-smoothed ln(1 + (N−df+0.5)/(df+0.5)) idf and the
+    k1/b length normalization (covers x50's scorer — one definition),
+    the dense cosine leg, both leg rank-truncations, and reciprocal-rank
+    fusion 1/(k+rank) with k=60 over a FULL OUTER leg join — a mirrored
+    idf variant (no +1, log10), a swapped k1/b, or an inner-join fusion
+    that drops single-leg docs would hash-match and fail here."""
+    import numpy as np
+
+    from big_data_project_spark.io import load_table
+    from big_data_project_spark.pipeline.text import (
+        _BM25_B, _BM25_K1, _BM25_TERMS, _RRF_K, _RRF_LEG_N, _RRF_QVEC,
+        x52_hybrid_rrf,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    dl = {}
+    tf = defaultdict(lambda: defaultdict(int))
+    for r in docs:
+        toks = [w for w in r.text.lower().split(" ") if w != ""]
+        dl[r.doc_id] = len(toks)
+        for t in toks:
+            if t in _BM25_TERMS:
+                tf[r.doc_id][t] += 1
+    n_docs = len(docs)
+    avgdl = sum(dl.values()) / n_docs
+    df = defaultdict(int)
+    for terms in tf.values():
+        for t in terms:
+            df[t] += 1
+    bm25 = {}
+    for doc_id, terms in tf.items():
+        s = 0.0
+        for t, f in terms.items():
+            idf = math.log(1.0 + (n_docs - df[t] + 0.5) / (df[t] + 0.5))
+            s += idf * f * (_BM25_K1 + 1) / (
+                f + _BM25_K1 * (1 - _BM25_B + _BM25_B * dl[doc_id] / avgdl)
+            )
+        bm25[doc_id] = round(s + 1e-9, 4)
+    rank_lex = {
+        doc_id: rk + 1
+        for rk, (_, doc_id) in enumerate(
+            sorted(((-s, d) for d, s in bm25.items()))[:_RRF_LEG_N]
+        )
+    }
+
+    erows = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", "embedding").collect()
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in erows}
+    q = vecs[_RRF_QVEC]
+    sims = {
+        vid: round(
+            float(q @ v) / (np.linalg.norm(q) * np.linalg.norm(v)) + 1e-9, 4
+        )
+        for vid, v in vecs.items()
+    }
+    rank_dense = {
+        vid: rk + 1
+        for rk, (_, vid) in enumerate(
+            sorted(((-s, d) for d, s in sims.items()))[:_RRF_LEG_N]
+        )
+    }
+
+    fused = []
+    for doc_id in set(rank_lex) | set(rank_dense):
+        rl, rd = rank_lex.get(doc_id), rank_dense.get(doc_id)
+        rrf = round(
+            (1.0 / (_RRF_K + rl) if rl else 0.0)
+            + (1.0 / (_RRF_K + rd) if rd else 0.0)
+            + 1e-9,
+            6,
+        )
+        fused.append((-rrf, doc_id, rl, rd))
+    expected = [
+        (doc_id, rl, rd, -neg) for neg, doc_id, rl, rd in sorted(fused)[:20]
+    ]
+    got = [
+        (r.doc_id, r.rank_lex, r.rank_dense, r.rrf)
+        for r in x52_hybrid_rrf(spark, SF_DIR).collect()
+    ]
+    spark.catalog.clearCache()
+    assert got == expected
+    assert got, "fusion produced no candidates"
 
 
 def test_x61_x62_pca_match_numpy_recurrence_and_eigendefinition(spark):
