@@ -2,8 +2,9 @@
 value evidence was the DuckDB diff (w9, b6, b7, o14, j13, x56, x58 —
 all in the r12 driver window — plus x20, x32, x33, x36, x37, x44,
 x47, x78, and — r13 — x41 CCNet terciles, x52 hybrid RRF (covering
-x50's BM25 formula), x63 KL drift, and the x61/x62 PCA pair replayed
-at both the recurrence and the eigen-definition level).
+x50's BM25 formula), x53 PMI, x63 KL drift, x71 Zipf least-squares,
+and the x61/x62 PCA pair replayed at both the recurrence and the
+eigen-definition level).
 
 The oracle gate cannot catch MIRRORED bugs: both engines implementing
 the same wrong mental model hash-match each other.  The defense is a
@@ -853,6 +854,96 @@ def test_x52_hybrid_rrf_matches_python_formulas(spark):
     spark.catalog.clearCache()
     assert got == expected
     assert got, "fusion produced no candidates"
+
+
+def test_x53_pmi_matches_python_math(spark):
+    """PMI collocations replayed from the definition: DOCUMENT-level
+    events (distinct nonempty tokens per doc), pair counts under the
+    wa < wb canonical order and the min-co-occurrence floor, and
+    PMI = ln(n_ab·N / (n_a·n_b)) in NATURAL log — a mirrored log2
+    convention (the textbook PMI base), token-level instead of
+    document-level probabilities, or a dropped distinct would
+    hash-match across engines and fail here."""
+    from collections import Counter
+
+    from big_data_project_spark.io import load_table
+    from big_data_project_spark.pipeline.text import (
+        _PMI_MIN_COOC, x53_pmi_cooccurrence,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    doc_words = [
+        sorted({w for w in r.text.lower().split(" ") if w != ""}) for r in docs
+    ]
+    n_docs = sum(1 for ws in doc_words if ws)  # count(DISTINCT doc_id) in postings
+    wc: Counter = Counter()
+    cooc: Counter = Counter()
+    for ws in doc_words:
+        wc.update(ws)
+        for i, wa in enumerate(ws):
+            for wb in ws[i + 1:]:
+                cooc[(wa, wb)] += 1
+    scored = []
+    for (wa, wb), nab in cooc.items():
+        if nab < _PMI_MIN_COOC:
+            continue
+        pmi = round(math.log(nab * 1.0 * n_docs / (wc[wa] * wc[wb])) + 1e-9, 4)
+        scored.append((-pmi, wa, wb, nab))
+    expected = [
+        (wa, wb, nab, -neg) for neg, wa, wb, nab in sorted(scored)[:50]
+    ]
+    got = [
+        (r.wa, r.wb, r.n_cooc, r.pmi)
+        for r in x53_pmi_cooccurrence(spark, SF_DIR).collect()
+    ]
+    spark.catalog.clearCache()
+    assert got == expected
+    assert got, "fixtures should produce collocations"
+
+
+def test_x71_zipf_fit_matches_python_least_squares(spark):
+    """The Zipf power-law fit replayed from the definition: the bigram
+    census (adjacent nonempty pairs), top-500 by (count DESC, gram),
+    and ordinary least squares of ln(freq) ~ ln(rank) — slope
+    Σ(x−x̄)(y−ȳ)/Σ(x−x̄)², intercept ȳ−slope·x̄, R² the squared Pearson
+    correlation — re-derived with explicit sums.  A mirrored regr_*
+    misuse (swapped y/x argument order, R² as 1−SSE/SST of a different
+    model, log10 axes) would hash-match across engines and fail
+    here."""
+    from collections import Counter
+
+    from big_data_project_spark.io import load_table
+    from big_data_project_spark.pipeline.text import (
+        _ZIPF_MAX_RANK, zipf_slope_fit,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select("text").collect()
+    grams: Counter = Counter()
+    for r in docs:
+        ws = r.text.lower().split(" ")
+        for w1, w2 in zip(ws, ws[1:]):
+            if w1 != "" and w2 != "":
+                grams[f"{w1} {w2}"] += 1
+    n_vocab = len(grams)
+    top = sorted(((-n, g) for g, n in grams.items()))[:_ZIPF_MAX_RANK]
+    xs = [math.log(rk + 1) for rk in range(len(top))]
+    ys = [math.log(-neg) for neg, _ in top]
+    n = len(top)
+    mx, my = sum(xs) / n, sum(ys) / n
+    sxx = sum((x - mx) ** 2 for x in xs)
+    syy = sum((y - my) ** 2 for y in ys)
+    sxy = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+    slope = sxy / sxx
+    intercept = my - slope * mx
+    r2 = sxy * sxy / (sxx * syy)
+    row = zipf_slope_fit(spark, SF_DIR).collect()[0]
+    spark.catalog.clearCache()
+    assert row.n_vocab == n_vocab and row.n_fit == n
+    assert row.zipf_slope == round(slope + 1e-9, 4)
+    assert row.zipf_intercept == round(intercept + 1e-9, 4)
+    assert row.fit_r2 == round(r2 + 1e-9, 4)
+    # the law itself: natural-ish text slopes negative with a real fit
+    assert slope < 0 and 0 < r2 <= 1
 
 
 def test_x61_x62_pca_match_numpy_recurrence_and_eigendefinition(spark):
