@@ -3,8 +3,8 @@ value evidence was the DuckDB diff (w9, b6, b7, o14, j13, x56, x58 —
 all in the r12 driver window — plus x20, x32, x33, x36, x37, x44,
 x47, x78, and — r13 — x41 CCNet terciles, x52 hybrid RRF (covering
 x50's BM25 formula), x53 PMI, x63 KL drift, x71 Zipf least-squares,
-and the x61/x62 PCA pair replayed at both the recurrence and the
-eigen-definition level).
+o13 curriculum interleave, x46 vocab encode, and the x61/x62 PCA pair
+replayed at both the recurrence and the eigen-definition level).
 
 The oracle gate cannot catch MIRRORED bugs: both engines implementing
 the same wrong mental model hash-match each other.  The defense is a
@@ -944,6 +944,105 @@ def test_x71_zipf_fit_matches_python_least_squares(spark):
     assert row.fit_r2 == round(r2 + 1e-9, 4)
     # the law itself: natural-ish text slopes negative with a real fit
     assert slope < 0 and 0 < r2 <= 1
+
+
+def test_o13_curriculum_interleave_matches_python(spark):
+    """Curriculum interleaving replayed from the definition: exact
+    linear-interpolation decile thresholds (numpy's 'linear' percentile
+    — the rule Spark's exact `percentile` implements), first-match
+    `<=`-threshold bucket assignment, per-bucket (md5(doc_id), doc_id)
+    shuffle rank, and pos = (rank−1)·10 + bucket — a mirrored
+    percentile method (nearest-rank), a `<` boundary, or a
+    bucket-major instead of rank-major interleave would hash-match
+    across engines and fail here."""
+    import numpy as np
+
+    from big_data_project_spark.io import load_table
+    from big_data_project_spark.operators.sorts import (
+        _CURR_TAKE, o13_curriculum_interleave,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "n_chars").collect()
+    chars = np.array([r.n_chars for r in docs], dtype=np.float64)
+    th = np.percentile(chars, [10 * (i + 1) for i in range(9)], method="linear")
+    buckets = defaultdict(list)
+    for r in docs:
+        b = next((i for i in range(9) if r.n_chars <= th[i]), 9)
+        buckets[b].append(r.doc_id)
+    expected = []
+    for b, ids in buckets.items():
+        ranked = sorted(
+            ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+        )
+        for rn, doc_id in enumerate(ranked, start=1):
+            pos = (rn - 1) * 10 + b
+            if pos < _CURR_TAKE:
+                expected.append((pos, doc_id, b))
+    expected.sort()
+    got = [
+        (r.pos, r.doc_id, r.bucket)
+        for r in o13_curriculum_interleave(spark, SF_DIR).collect()
+    ]
+    spark.catalog.clearCache()
+    assert got == expected
+    # the property the operator exists for: each full window of 10
+    # consecutive positions spans 10 distinct difficulty deciles
+    window = [b for _, _, b in got[:10]]
+    assert len(set(window)) == len(window)
+
+
+def test_x46_vocab_encode_matches_python(spark):
+    """The tokenizer-application report replayed from the definition:
+    top-K vocabulary under the (count DESC, word ASC) tie-break over
+    the RAW split (empty tokens from consecutive spaces compete for
+    vocab slots and count toward n_tok), −1 OOV encoding, the
+    md5-of-joined-ids document digest folded through the 60-bit-prefix
+    mod-1e9+7 residue, and per-source aggregate rates — a mirrored
+    tie-break, a nonempty-filtered vocabulary, or a digest computed on
+    the token strings instead of ids would hash-match and fail here."""
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from big_data_project_spark.io import load_table
+    from big_data_project_spark.pipeline.digest import DIGEST_MOD
+    from big_data_project_spark.pipeline.text import _VOCAB_K, x46_vocab_encode
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "source", "text").collect()
+    wc: Counter = Counter()
+    for r in docs:
+        wc.update(r.text.lower().split(" "))
+    top = sorted(((-n, w) for w, n in wc.items()))[:_VOCAB_K]
+    vid = {w: i for i, (_, w) in enumerate(top)}
+    agg = defaultdict(lambda: [0, 0, 0, 0])  # docs, toks, oov, digest
+    for r in docs:
+        toks = r.text.lower().split(" ")
+        ids = [vid.get(t, -1) for t in toks]
+        h = hashlib.md5(",".join(map(str, ids)).encode()).hexdigest()
+        a = agg[r.source]
+        a[0] += 1
+        a[1] += len(toks)
+        a[2] += sum(1 for i in ids if i == -1)
+        a[3] += int(h[:15], 16) % DIGEST_MOD
+    expected = {
+        src: (
+            n_docs, n_tok, n_oov,
+            float(  # Spark F.round is HALF_UP; python round is half-even
+                Decimal(n_oov / n_tok).quantize(
+                    Decimal("0.000001"), rounding=ROUND_HALF_UP
+                )
+            ),
+            dig,
+        )
+        for src, (n_docs, n_tok, n_oov, dig) in agg.items()
+    }
+    got = {
+        r.source: (r.n_docs, r.total_tokens, r.oov_tokens, r.oov_rate, r.digest)
+        for r in x46_vocab_encode(spark, SF_DIR).collect()
+    }
+    spark.catalog.clearCache()
+    assert got == expected
 
 
 def test_x61_x62_pca_match_numpy_recurrence_and_eigendefinition(spark):
