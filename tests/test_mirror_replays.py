@@ -3,8 +3,9 @@ value evidence was the DuckDB diff (w9, b6, b7, o14, j13, x56, x58 —
 all in the r12 driver window — plus x20, x32, x33, x36, x37, x44,
 x47, x78, and — r13 — x41 CCNet terciles, x52 hybrid RRF (covering
 x50's BM25 formula), x53 PMI, x63 KL drift, x71 Zipf least-squares,
-o13 curriculum interleave, x46 vocab encode, and the x61/x62 PCA pair
-replayed at both the recurrence and the eigen-definition level).
+o13 curriculum interleave, x46 vocab encode, x42 duplicate-ngram
+fractions, x60 Matryoshka recall, and the x61/x62 PCA pair replayed at
+both the recurrence and the eigen-definition level).
 
 The oracle gate cannot catch MIRRORED bugs: both engines implementing
 the same wrong mental model hash-match each other.  The defense is a
@@ -1043,6 +1044,103 @@ def test_x46_vocab_encode_matches_python(spark):
     }
     spark.catalog.clearCache()
     assert got == expected
+
+
+def test_x42_duplicate_ngram_fractions_match_python(spark):
+    """Gopher's duplicate-n-gram fractions replayed from the definition:
+    the fraction of n-gram OCCURRENCES that repeat an earlier same-doc
+    n-gram — (count − distinct) / count over the RAW split (empty
+    tokens participate in shingles), with the ≥3-token eligibility
+    floor and the nudged ≤-threshold keep conjunction.  A mirrored
+    definition drift (fraction of TOKENS covered by duplicated grams —
+    Rae et al.'s other variant — or a strict < gate) would hash-match
+    across engines and fail here."""
+    from big_data_project_spark.io import load_table
+    from big_data_project_spark.pipeline.quality import (
+        _DUP_2GRAM_MAX, _DUP_3GRAM_MAX, x42_duplicate_ngrams,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    expected = {}
+    for r in docs:
+        toks = r.text.split(" ")
+        if len(toks) < 3:
+            continue
+        fracs = []
+        for n in (2, 3):
+            grams = [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+            fracs.append((len(grams) - len(set(grams))) / len(grams))
+        d2, d3 = fracs
+        expected[r.doc_id] = (
+            len(toks) - 1,
+            round(d2 + 1e-9, 4),
+            round(d3 + 1e-9, 4),
+            d2 + 1e-9 <= _DUP_2GRAM_MAX and d3 + 1e-9 <= _DUP_3GRAM_MAX,
+        )
+    got = {
+        r.doc_id: (r.n_2grams, r.dup_2gram_frac, r.dup_3gram_frac, r.keep)
+        for r in x42_duplicate_ngrams(spark, SF_DIR).collect()
+    }
+    spark.catalog.clearCache()
+    assert got == expected
+    assert any(not k for *_, k in expected.values()) or all(
+        k for *_, k in expected.values()
+    )
+
+
+def test_x60_matryoshka_recall_matches_python(spark):
+    """Matryoshka truncation recall replayed from the definition: both
+    legs' top-10 under (rounded cosine DESC, neighbor ASC) — the full
+    64 dims vs the FIRST-16-dims prefix slice renormalized by the
+    PREFIX norm — then per-query overlap / k.  A mirrored slice origin
+    (last-16, 0- vs 1-based slice), a prefix dot over the full-vector
+    norm, or recall against the wrong leg would hash-match across
+    engines and fail here."""
+    import numpy as np
+
+    from big_data_project_spark.io import load_table
+    from big_data_project_spark.pipeline.similarity import (
+        _MRL_PREFIX, _MRL_TOPK, x60_matryoshka_recall,
+    )
+
+    erows = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", "embedding").collect()
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in erows}
+
+    def topk(prefix):
+        out = {}
+        for q in range(10):
+            qv = vecs[q][:prefix] if prefix else vecs[q]
+            scored = []
+            for vid, v in vecs.items():
+                if vid == q:
+                    continue
+                c = v[:prefix] if prefix else v
+                sim = round(
+                    float(qv @ c) / (np.linalg.norm(qv) * np.linalg.norm(c))
+                    + 1e-9, 4,
+                )
+                scored.append((-sim, vid))
+            out[q] = {vid for _, vid in sorted(scored)[:_MRL_TOPK]}
+        return out
+
+    full, trunc = topk(None), topk(_MRL_PREFIX)
+    expected = {
+        q: (
+            len(full[q] & trunc[q]),
+            round(len(full[q] & trunc[q]) / float(_MRL_TOPK) + 1e-9, 4),
+        )
+        for q in full
+    }
+    got = {
+        r.query_id: (r.n_overlap, r.recall)
+        for r in x60_matryoshka_recall(spark, SF_DIR).collect()
+    }
+    spark.catalog.clearCache()
+    assert got == expected
+    # truncation must lose SOMETHING on near-random fixtures (recall < 1
+    # somewhere), else the prefix leg probably read all 64 dims
+    assert any(n < _MRL_TOPK for n, _ in expected.values())
 
 
 def test_x61_x62_pca_match_numpy_recurrence_and_eigendefinition(spark):
