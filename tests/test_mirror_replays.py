@@ -4,8 +4,9 @@ all in the r12 driver window — plus x20, x32, x33, x36, x37, x44,
 x47, x78, and — r13 — x41 CCNet terciles, x52 hybrid RRF (covering
 x50's BM25 formula), x53 PMI, x63 KL drift, x71 Zipf least-squares,
 o13 curriculum interleave, x46 vocab encode, x42 duplicate-ngram
-fractions, x60 Matryoshka recall, and the x61/x62 PCA pair replayed at
-both the recurrence and the eigen-definition level).
+fractions, x60 Matryoshka recall, b1 ordered funnel, t3 session
+windows, and the x61/x62 PCA pair replayed at both the recurrence and
+the eigen-definition level).
 
 The oracle gate cannot catch MIRRORED bugs: both engines implementing
 the same wrong mental model hash-match each other.  The defense is a
@@ -1141,6 +1142,93 @@ def test_x60_matryoshka_recall_matches_python(spark):
     # truncation must lose SOMETHING on near-random fixtures (recall < 1
     # somewhere), else the prefix leg probably read all 64 dims
     assert any(n < _MRL_TOPK for n, _ in expected.values())
+
+
+def test_b1_funnel_matches_python(spark):
+    """The conversion funnel replayed from the ordered-progression
+    definition: per-user FIRST timestamp of each stage, then
+    strictly-later comparisons (click after first view, purchase after
+    a click that itself followed a view).  A mirrored `>=` boundary,
+    an unordered any-stage count, or a last-instead-of-first stage
+    timestamp would hash-match across engines and fail here."""
+    from big_data_project_spark.io import load_table
+    from big_data_project_spark.operators.behavior import b1_funnel
+
+    rows = load_table(spark, SF_DIR, "events").select(
+        "user_id", "event_type", "ts").collect()
+    first = defaultdict(dict)
+    for r in rows:
+        cur = first[r.user_id].get(r.event_type)
+        if cur is None or r.ts < cur:
+            first[r.user_id][r.event_type] = r.ts
+    n_users = len(first)
+    viewed = clicked = purchased = 0
+    for stages in first.values():
+        tv, tc, tp = (stages.get(k) for k in ("view", "click", "purchase"))
+        if tv is not None:
+            viewed += 1
+        ordered_click = tc is not None and tv is not None and tc > tv
+        if ordered_click:
+            clicked += 1
+            if tp is not None and tp > tc:
+                purchased += 1
+    row = b1_funnel(spark, SF_DIR).collect()[0]
+    spark.catalog.clearCache()
+    assert (row.n_users, row.viewed, row.clicked_after_view,
+            row.purchased_after_click) == (n_users, viewed, clicked, purchased)
+    # a funnel must narrow monotonically
+    assert n_users >= viewed >= clicked >= purchased
+
+
+def test_t3_session_window_matches_python(spark):
+    """Native session_window sessionization replayed from the
+    gaps-and-islands definition: per user, events sorted by ts start a
+    new session when the inactivity gap is ≥ 30 minutes (the half-open
+    [start, last+gap) boundary — an event at exactly last+30min opens
+    a NEW session), session_end = last event + gap.  A mirrored `>`
+    boundary or an end = last-event timestamp would hash-match the
+    CTE oracle and fail here."""
+    import datetime
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from big_data_project_spark.io import load_table
+    from big_data_project_spark.streaming.windows import t3_session_window
+
+    gap = datetime.timedelta(minutes=30)
+    rows = load_table(spark, SF_DIR, "events").select(
+        "user_id", "ts", "value").collect()
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r.user_id].append((r.ts, float(r.value)))
+    expected = {}
+    for uid, evs in by_user.items():
+        evs.sort(key=lambda t: t[0])
+        sessions = []
+        for ts, v in evs:
+            if sessions and ts - sessions[-1][-1][0] < gap:
+                sessions[-1].append((ts, v))
+            else:
+                sessions.append([(ts, v)])
+        for s in sessions:
+            total = sum(v for _, v in s)
+            expected[(uid, s[0][0])] = (
+                s[-1][0] + gap,
+                len(s),
+                float(
+                    Decimal(repr(total)).quantize(  # Spark round = HALF_UP
+                        Decimal("0.0001"), rounding=ROUND_HALF_UP
+                    )
+                ),
+            )
+    got = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events, r.session_value)
+        for r in t3_session_window(spark, SF_DIR).collect()
+    }
+    spark.catalog.clearCache()
+    assert got == expected
+    # the fixture must actually exercise multi-event sessions AND splits
+    assert any(n > 1 for _, n, _ in expected.values())
+    assert len(expected) > len(by_user)
 
 
 def test_x61_x62_pca_match_numpy_recurrence_and_eigendefinition(spark):
