@@ -1748,17 +1748,17 @@ def _dw_step(cur: DataFrame, edges: DataFrame, k: int) -> DataFrame:
     )
 
 
-def _dw_walk_pair_census(edges: DataFrame) -> DataFrame:
-    """Deterministic DeepWalk corpus + skip-gram pair census over an
-    arbitrary directed (u, v) edge frame: one argmin-md5 walk of
-    ``_DW_STEPS`` hops per distinct source node, every unordered pair
-    of distinct nodes within ``_DW_WINDOW`` positions counted.
-    Factored from ``deepwalk_positive_pairs`` (r12) so the same miner
-    runs over both the co-purchase graph (x86) and the NN-descent
-    k-NN graph (x89).  Persists the walker-start frame and each
-    per-step |V|-row frame (each step is read twice: the next step and
-    the final visit union — the BFS/x43 diamond lesson); the EDGE
-    frame must be persisted/checkpointed by the caller (read once per
+def _dw_walk_visits(edges: DataFrame) -> DataFrame:
+    """The deterministic DeepWalk corpus over an arbitrary directed
+    (u, v) edge frame, as a position-stamped visit union (wid, node,
+    pos): one argmin-md5 walk of ``_DW_STEPS`` hops per distinct
+    source node.  Factored from ``_dw_walk_pair_census`` (r14) so the
+    walk corpus itself is consumable — x91 reads it twice (pair census
+    + node-frequency negative table) on the same persisted step
+    frames.  Persists the walker-start frame and each per-step |V|-row
+    frame (each step is read at least twice: the next step and the
+    final visit union — the BFS/x43 diamond lesson); the EDGE frame
+    must be persisted/checkpointed by the caller (read once per
     step)."""
     start = edges.select(F.col("u").alias("wid")).distinct().persist()
     visits = [start.select("wid", F.col("wid").alias("node"), F.lit(0).alias("pos"))]
@@ -1769,6 +1769,17 @@ def _dw_walk_pair_census(edges: DataFrame) -> DataFrame:
     walk = visits[0]
     for extra in visits[1:]:
         walk = walk.unionByName(extra)
+    return walk
+
+
+def _dw_walk_pair_census(edges: DataFrame) -> DataFrame:
+    """Skip-gram pair census over the ``_dw_walk_visits`` corpus: every
+    unordered pair of distinct nodes within ``_DW_WINDOW`` positions
+    counted.  Factored from ``deepwalk_positive_pairs`` (r12) so the
+    same miner runs over both the co-purchase graph (x86) and the
+    NN-descent k-NN graph (x89); cache contract as in
+    ``_dw_walk_visits``."""
+    walk = _dw_walk_visits(edges)
     a, b = walk.alias("a"), walk.alias("b")
     return (
         a.join(
@@ -2013,3 +2024,175 @@ def _knn_walk_oracle() -> str:
 
 
 query("x89_knn_graph_walks", oracle=_knn_walk_oracle())(knn_graph_walk_pairs)
+
+
+# --------------------------------------------------------------------------
+# x91: skip-gram training batch (x86 pairs + x87-recipe negatives, composed)
+# --------------------------------------------------------------------------
+
+_SG_BATCH = 50      # positive pairs per constructed batch (full tie-break)
+_SG_NEG_K = 5       # negatives drawn per positive pair (Mikolov 2013 k)
+_SG_NEG_VOCAB = 64  # negative-table size (the x87 _NEG_VOCAB_K convention)
+
+
+def skipgram_training_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic (center, positive, K-negatives) skip-gram training
+    examples — the artifact a word2vec/node2vec trainer actually
+    consumes, closing the similarity→graph→walks→pairs→negatives chain
+    (VERDICT r13 #4): x86's DeepWalk pair census supplies the positive
+    (center, context) pairs, and the x87 negative-sampling recipe
+    (count^0.75-smoothed unigram table with cumulative sampling
+    intervals, Mikolov 2013 NeurIPS) is rebuilt over the WALK CORPUS's
+    node-visit frequencies — the node-embedding analog of word2vec's
+    word-frequency table (corpus = walks, words = nodes).  Each of the
+    top-``_SG_BATCH`` pairs draws ``_SG_NEG_K`` negatives by inverting
+    a deterministic md5-uniform u(center:pos:j) against the cumulative
+    intervals, so the entire batch is reproducible across engines,
+    re-runs, and cluster sizes (the o7/x78 md5-determinism discipline;
+    a production trainer would redraw collisions with center/pos — kept
+    as drawn here so the draw rule stays oracle-expressible).  Output:
+    one row per (center, pos, j): center, pos, n_cooc, j, neg.
+    Reference analog: the training-batch construction shape,
+    big_data_project/trainer/flax_model.py:61-66.
+
+    Cache contract: persists the edge frame and the walk-step frames
+    (``_dw_walk_visits``); the visit union is read twice — pair census
+    and node-frequency table — on the SAME persisted step frames, so
+    the second read adds no recomputation.  Callers own cleanup (the
+    registry entry point clearCache()s).
+
+    Parity: node ids and counts are integers; the smoothed weight is
+    sqrt(n·sqrt(n)) (IEEE-exact on both engines, no libm pow); cum_hi
+    rounds to 6 with the +1e-9 nudge and cum_lo lags the ROUNDED
+    cum_hi, so interval bounds are identical doubles on both sides; the
+    draw u = (md5-prefix-int mod 1e6)/1e6 is exact on both.  Intervals
+    tile [0,1) contiguously (first cum_lo = 0, last cum_hi = 1), so
+    every draw matches exactly one table row even when 6-dp rounding
+    collapses a tiny interval to zero width.
+
+    Scale design: the negative table is vocabulary-sized by
+    construction (top-``_SG_NEG_VOCAB`` by visit count via
+    TakeOrderedAndProject, then a single-partition window over ≤64
+    rows) and BROADCAST into the draw join — the interval lookup is a
+    BroadcastNestedLoopJoin whose probe side is |batch|·K rows, never a
+    shuffle; at a real 1e6+ vocabulary the same table broadcasts as a
+    sorted array for binary search (word2vec ships ~1e8-slot tables
+    per worker).  The batch itself bounds the output (a trainer pulls
+    batches, not the full census), and the only wide work — walks +
+    census — is exactly x86's, unchanged: no shuffle is added over the
+    pair census."""
+    edges = _copurchase_weighted_edges(spark, sf_dir).persist()
+    visits = _dw_walk_visits(edges)
+    a, b = visits.alias("a"), visits.alias("b")
+    census = (
+        a.join(
+            b,
+            (F.col("a.wid") == F.col("b.wid"))
+            & (F.col("b.pos") > F.col("a.pos"))
+            & (F.col("b.pos") - F.col("a.pos") <= _DW_WINDOW)
+            & (F.col("a.node") != F.col("b.node")),
+        )
+        .select(
+            F.least(F.col("a.node"), F.col("b.node")).alias("node_a"),
+            F.greatest(F.col("a.node"), F.col("b.node")).alias("node_b"),
+        )
+        .groupBy("node_a", "node_b")
+        .agg(F.count(F.lit(1)).alias("n_cooc"))
+    )
+    pairs = census.orderBy(F.desc("n_cooc"), "node_a", "node_b").limit(_SG_BATCH)
+
+    freq = (
+        visits.groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "node")
+        .limit(_SG_NEG_VOCAB)
+    )
+    smooth = F.sqrt(F.col("n") * F.sqrt(F.col("n")))
+    rank_w = Window.orderBy(F.col("n").desc(), "node")
+    cum_w = rank_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tot_w = rank_w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    with_hi = freq.select(
+        "node",
+        F.col("n").alias("nv"),
+        F.round(
+            F.sum(smooth).over(cum_w) / F.sum(smooth).over(tot_w) + F.lit(1e-9), 6
+        ).alias("cum_hi"),
+    )
+    lag_w = Window.orderBy(F.col("nv").desc(), "node")
+    neg_table = with_hi.select(
+        F.col("node").alias("neg"),
+        F.coalesce(F.lag("cum_hi").over(lag_w), F.lit(0.0)).alias("cum_lo"),
+        "cum_hi",
+    )
+
+    js = F.array(*[F.lit(j) for j in range(1, _SG_NEG_K + 1)])
+    draws = pairs.select(
+        F.col("node_a").alias("center"),
+        F.col("node_b").alias("pos"),
+        "n_cooc",
+        F.explode(js).alias("j"),
+    ).withColumn(
+        "u",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.col("center"), F.col("pos"), F.col("j"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.lit(1_000_000)
+        )
+        / F.lit(1_000_000.0),
+    )
+    return draws.join(
+        F.broadcast(neg_table),
+        (F.col("u") >= F.col("cum_lo")) & (F.col("u") < F.col("cum_hi")),
+    ).select("center", "pos", "n_cooc", "j", "neg")
+
+
+def _sg_oracle() -> str:
+    """x91's oracle: the shared co-purchase walk chain (``_dw_ctes``,
+    the single oracle-side walk definition) extended with the batch,
+    node-frequency, cumulative-interval, and draw CTEs — each a
+    line-for-line mirror of the Spark stage above."""
+    return _dw_ctes() + f""",
+    pairs AS (
+      {_walk_pair_census_sql("vwalk")}
+      ORDER BY n_cooc DESC, node_a, node_b
+      LIMIT {_SG_BATCH}),
+    nfreq AS (
+      SELECT node, count(*) AS n FROM vwalk
+      GROUP BY node
+      ORDER BY n DESC, node
+      LIMIT {_SG_NEG_VOCAB}),
+    nsm AS (
+      SELECT node, n, sqrt(n * sqrt(n)) AS s FROM nfreq),
+    nhi AS (
+      SELECT node, n,
+             round(sum(s) OVER (ORDER BY n DESC, node
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW)
+                   / sum(s) OVER () + 1e-9, 6) AS cum_hi
+      FROM nsm),
+    nint AS (
+      SELECT node AS neg,
+             coalesce(lag(cum_hi) OVER (ORDER BY n DESC, node), 0.0) AS cum_lo,
+             cum_hi
+      FROM nhi),
+    draws AS (
+      SELECT p.node_a AS center, p.node_b AS pos, p.n_cooc,
+             CAST(g.j AS INT) AS j,
+             (CAST('0x' || substr(md5(concat_ws(':', p.node_a, p.node_b, g.j)),
+                                  1, 15) AS BIGINT) % 1000000)
+             / 1000000.0 AS u
+      FROM pairs p CROSS JOIN generate_series(1, {_SG_NEG_K}) AS g(j))
+    SELECT d.center, d.pos, d.n_cooc, d.j, t.neg
+    FROM draws d
+    JOIN nint t ON d.u >= t.cum_lo AND d.u < t.cum_hi
+"""
+
+
+query("x91_skipgram_batches", oracle=_sg_oracle())(skipgram_training_batch)

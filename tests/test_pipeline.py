@@ -2196,19 +2196,19 @@ def test_node2vec_transition_parity_and_bruteforce(spark):
         spark.catalog.clearCache()
 
 
-def _replay_walk_census(adj):
-    """Pure-Python third implementation of the deterministic-walk
-    skip-gram pair census (hashlib md5, same argmin pick; one walk of
-    ``_DW_STEPS`` hops per adjacency key), shared by the x86 and x89
-    replay tests so the walk recipe has exactly one definition per
-    engine: ``_dw_walk_pair_census`` (Spark), ``_walk_ctes`` (DuckDB
-    oracle), and this replay."""
+def _replay_walks(adj):
+    """Pure-Python third implementation of the deterministic walk corpus
+    (hashlib md5, same argmin pick; one walk of ``_DW_STEPS`` hops per
+    adjacency key) → {wid: [node at pos 0..STEPS]}.  Factored from
+    ``_replay_walk_census`` (r14) so x91's replay can read the corpus
+    twice (pair census + node-visit frequencies) while the walk recipe
+    keeps exactly one definition per engine: ``_dw_walk_visits``
+    (Spark), ``_walk_ctes`` (DuckDB oracle), and this replay."""
     import hashlib
-    from collections import Counter
 
-    from big_data_project_spark.pipeline.graph import _DW_STEPS, _DW_WINDOW
+    from big_data_project_spark.pipeline.graph import _DW_STEPS
 
-    census: Counter = Counter()
+    walks = {}
     for wid in adj:
         node, seq = wid, [wid]
         for k in range(1, _DW_STEPS + 1):
@@ -2219,6 +2219,19 @@ def _replay_walk_census(adj):
                 ),
             )
             seq.append(node)
+        walks[wid] = seq
+    return walks
+
+
+def _replay_walk_census(adj):
+    """Skip-gram pair census over the ``_replay_walks`` corpus, shared
+    by the x86, x89, and x91 replay tests."""
+    from collections import Counter
+
+    from big_data_project_spark.pipeline.graph import _DW_WINDOW
+
+    census: Counter = Counter()
+    for seq in _replay_walks(adj).values():
         for i in range(len(seq)):
             for j in range(i + 1, min(i + _DW_WINDOW, len(seq) - 1) + 1):
                 if seq[i] != seq[j]:
@@ -2314,6 +2327,83 @@ def test_knn_graph_walks_chain_parity_and_replay(spark):
         assert any(p not in undirected for p in census), (
             "walk mining added nothing over the raw k-NN edge set"
         )
+
+
+def test_skipgram_batch_parity_and_replay(spark):
+    """x91 (skip-gram training batch): oracle parity at BOTH tiers, then
+    a full-chain pure-Python replay at the small tier — walks (shared
+    ``_replay_walks``), pair census, top-``_SG_BATCH`` selection,
+    node-visit frequencies, the smoothed cumulative-interval table, the
+    md5-uniform draws, and the interval inversion — so the composed
+    operator has a third implementation from the definition, not just
+    the CTE mirror.  Also asserts the batch invariants a trainer relies
+    on: exactly K negatives per positive pair, and every negative drawn
+    from the vocabulary table."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    from big_data_project_spark import registry
+    from big_data_project_spark.pipeline.graph import (
+        _SG_BATCH, _SG_NEG_K, _SG_NEG_VOCAB, _copurchase_weighted_edges,
+        skipgram_training_batch,
+    )
+    from tests.conftest import SF_DIR, SF_DIR_ORACLE
+    from tests.oracle_harness import compare, duckdb_connect
+
+    registry.load()
+    oracle = registry.ORACLES["x91_skipgram_batches"]
+    for sf in (SF_DIR, SF_DIR_ORACLE):
+        try:
+            con = duckdb_connect(sf)
+            df = skipgram_training_batch(spark, sf)
+            res = compare("x91_skipgram_batches", df, con, oracle)
+            assert res.ok, (sf, res.detail, res.mismatches[:3])
+        finally:
+            spark.catalog.clearCache()
+
+    try:
+        adj: dict[int, list[int]] = {}
+        for r in _copurchase_weighted_edges(spark, SF_DIR).collect():
+            adj.setdefault(r.u, []).append(r.v)
+        walks = _replay_walks(adj)
+        census = _replay_walk_census(adj)
+        pairs = sorted(((-n, a, b) for (a, b), n in census.items()))[:_SG_BATCH]
+
+        visits: Counter = Counter()
+        for seq in walks.values():
+            visits.update(seq)
+        vocab = sorted(visits.items(), key=lambda kv: (-kv[1], kv[0]))
+        vocab = vocab[:_SG_NEG_VOCAB]
+        weights = [math.sqrt(n * math.sqrt(n)) for _, n in vocab]
+        tot = sum(weights)
+        cum_hi, run = [], 0.0
+        for w in weights:
+            run += w
+            cum_hi.append(round(run / tot + 1e-9, 6))
+        cum_lo = [0.0] + cum_hi[:-1]
+
+        expected = set()
+        for negn, a, b in pairs:
+            for j in range(1, _SG_NEG_K + 1):
+                h = hashlib.md5(f"{a}:{b}:{j}".encode()).hexdigest()
+                u = (int(h[:15], 16) % 1_000_000) / 1_000_000.0
+                (neg,) = [
+                    node
+                    for (node, _), lo, hi in zip(vocab, cum_lo, cum_hi)
+                    if lo <= u < hi
+                ]
+                expected.add((a, b, -negn, j, neg))
+        got = {
+            (r.center, r.pos, r.n_cooc, r.j, r.neg)
+            for r in skipgram_training_batch(spark, SF_DIR).collect()
+        }
+        assert got == expected
+        assert len(got) == min(_SG_BATCH, len(census)) * _SG_NEG_K
+        table_nodes = {node for node, _ in vocab}
+        assert {neg for *_, neg in got} <= table_nodes
+    finally:
+        spark.catalog.clearCache()
 
 
 def test_negative_sampling_parity_and_table_invariants(spark):

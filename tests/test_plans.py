@@ -1518,6 +1518,51 @@ def test_knn_graph_walks_plan(spark):
         )
 
 
+def test_skipgram_batch_plan(spark):
+    """x91's composition plan: the negative-interval lookup joins the
+    ≤64-row cumulative table as a BROADCAST nested-loop (a range
+    predicate on a broadcast side — never a shuffle, never a
+    CartesianProduct), both bounded selections (top-50 batch, top-64
+    vocabulary) compile to TakeOrderedAndProject, the walk-step frames
+    persist and are REUSED by both consumers (census + frequency table:
+    InMemoryTableScans ≥ 2·steps since each step frame feeds two reads
+    beyond the next hop), and the batch→output path adds NO Exchange
+    after the top-50 selection — the negative leg never shuffles the
+    pair stream (VERDICT r13 #4's done-bar)."""
+    from big_data_project_spark.pipeline.graph import (
+        _DW_STEPS, skipgram_training_batch,
+    )
+    from big_data_project_spark.plans.contracts import plan_str
+
+    df = skipgram_training_batch(spark, SF)
+    try:
+        text = plan_str(df, "simple")
+        assert count_ops(df, "BroadcastNestedLoopJoin") >= 1
+        assert "BuildRight" in text or "BuildLeft" in text
+        assert count_ops(df, "CartesianProduct") == 0
+        assert text.count("TakeOrderedAndProject") >= 2
+        assert count_ops(df, "BatchEvalPython") + count_ops(df, "ArrowEvalPython") == 0
+        # the BNLJ's probe branch prints first (":-"): between the join
+        # and the batch's top-50 TakeOrderedAndProject there must be no
+        # Exchange — draws flow from the bounded batch straight into the
+        # broadcast interval lookup.  (Join/shuffle COUNTS are not
+        # compared against x86: cached-lineage plans reprint their child
+        # plans per InMemoryRelation, so raw op counts over-count — the
+        # x90 num_shuffles lesson.)
+        probe = text.split("BroadcastNestedLoopJoin", 1)[1].split(
+            "TakeOrderedAndProject(limit=50", 1
+        )[0]
+        assert "Exchange" not in probe, (
+            "negative leg added a shuffle over the pair stream"
+        )
+        df.count()  # persists fill on the first action
+        assert count_ops(df, "InMemoryTableScan") >= 2 * _DW_STEPS, (
+            "walk-step frames not shared between census and frequency table"
+        )
+    finally:
+        spark.catalog.clearCache()
+
+
 def test_nn_descent_topk_window_group_limit_plan(spark):
     """x88's per-round ranking: the constant rank bound must compile to
     a WindowGroupLimit (map-side per-node top-k prune before the
