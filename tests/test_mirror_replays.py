@@ -6,7 +6,10 @@ x50's BM25 formula), x53 PMI, x63 KL drift, x71 Zipf least-squares,
 o13 curriculum interleave, x46 vocab encode, x42 duplicate-ngram
 fractions, x60 Matryoshka recall, b1 ordered funnel, t3 session
 windows, and the x61/x62 PCA pair replayed at both the recurrence and
-the eigen-definition level).
+the eigen-definition level; r14 — the iterative-graph recurrences x51
+global PageRank and x67 weighted personalized PageRank via one shared
+pure-Python power iteration parameterized on (edges, base term), and
+x65 synchronous LPA vote rounds).
 
 The oracle gate cannot catch MIRRORED bugs: both engines implementing
 the same wrong mental model hash-match each other.  The defense is a
@@ -1322,3 +1325,189 @@ def test_x61_x62_pca_match_numpy_recurrence_and_eigendefinition(spark):
     vn = vd / np.linalg.norm(vd)
     assert abs(vn @ vecs[:, -1]) > 0.99, "power direction missed the eigenvector"
     assert abs(float(vn @ a @ vn) - w[-1]) < 1e-3 * w[-1], "Rayleigh far from lam1"
+
+
+def _replay_power_iteration(edges, base, r0, damp, iters):
+    """Power iteration from the DEFINITION, shared by the x51/x67
+    replays: r' (v) = base(v) + d·Σ_{u→v} r(u)·w(u,v)/W(u), each generation
+    quantized round(x + 1e-12, 10) — the §4.3.1 convention both engines
+    implement.  ``edges``: [(u, v, w)]; ``base``: dict node → the exact
+    per-step affine term the engine adds ((1-d)/N for global PageRank,
+    (1-d)·tp(v) for personalized); ``r0``: the seed vector (already
+    quantized).  Mass stays on REACHED nodes only (both engines
+    inner-join ranks to edges), so the returned dict's key set shrinks/
+    grows exactly as theirs does."""
+    wout = defaultdict(int)
+    for u, _, w in edges:
+        wout[u] += w
+    r = dict(r0)
+    for _ in range(iters):
+        contrib = defaultdict(float)
+        for u, v, w in edges:
+            if u in r:
+                contrib[v] += r[u] * w / wout[u]
+        r = {
+            v: round(base.get(v, 0.0) + damp * c + 1e-12, 10)
+            for v, c in contrib.items()
+        }
+    return r, wout
+
+
+def test_x51_pagerank_matches_python_power_iteration(spark):
+    """Global PageRank replayed from the definition (uniform 1/N seed,
+    r' = (1-d)/N + d·Σ r/outdeg, 3 iterations) over a pure-Python join
+    of orders→lineitem — a mirrored damping/teleport error, a degree
+    folded one generation late, or a missed symmetrization would
+    hash-match the unrolled CTE and fail here."""
+    from big_data_project_spark.io import load_table
+    from big_data_project_spark.pipeline.graph import (
+        _PR_DAMP, _PR_ITERS, x51_pagerank,
+    )
+
+    cust_of = {
+        r.o_orderkey: r.o_custkey
+        for r in load_table(spark, SF_DIR, "orders")
+        .select("o_orderkey", "o_custkey")
+        .collect()
+    }
+    pairs = {
+        (f"c{cust_of[r.l_orderkey]}", f"s{r.l_suppkey}")
+        for r in load_table(spark, SF_DIR, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .collect()
+        if r.l_orderkey in cust_of
+    }
+    edges = [(u, v, 1) for c, s in pairs for u, v in ((c, s), (s, c))]
+    nodes = {u for u, _, _ in edges}
+    n = len(nodes)
+    r0 = {v: round(1.0 / n + 1e-12, 10) for v in nodes}
+    base = {v: (1.0 - _PR_DAMP) / n for v in nodes}
+    ranks, wout = _replay_power_iteration(edges, base, r0, _PR_DAMP, _PR_ITERS)
+    expected = sorted(
+        ((round(r + 1e-9, 6), v) for v, r in ranks.items()),
+        key=lambda t: (-t[0], t[1]),
+    )[:25]
+    got = [
+        (r.pagerank, r.node_id, r.degree)
+        for r in x51_pagerank(spark, SF_DIR).collect()
+    ]
+    spark.catalog.clearCache()
+    assert [(p, v) for p, v, _ in got] == expected
+    assert all(d == wout[v] for _, v, d in got)
+
+
+def test_x67_personalized_pagerank_matches_python_power_iteration(spark):
+    """Weighted personalized PageRank replayed from the definition
+    (teleport uniform over one brand's parts, contributions weighted by
+    co-purchase count over total out-weight) — the same
+    _replay_power_iteration core as x51 with a seed-restricted base
+    term, so the pair covers both recurrences VERDICT r13 #5 named.  A
+    mirrored teleport-mass error (re-adding (1-d)/N globally instead of
+    (1-d)·tp on seeds) or an unpruned/unweighted edge set would pass
+    the CTE oracle and fail here."""
+    from collections import Counter
+
+    from big_data_project_spark.io import load_table
+    from big_data_project_spark.pipeline.graph import (
+        _LPA_MIN_WEIGHT, _PPR_DAMP, _PPR_ITERS, _PPR_SEED_BRAND,
+        x67_personalized_pagerank,
+    )
+
+    by_order = defaultdict(set)
+    for r in (
+        load_table(spark, SF_DIR, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .collect()
+    ):
+        by_order[r.l_orderkey].add(r.l_partkey)
+    w: Counter = Counter()
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                w[(ps[i], ps[j])] += 1
+    edges = [
+        (a, b, c)
+        for (u, v), c in w.items()
+        if c >= _LPA_MIN_WEIGHT
+        for a, b in ((u, v), (v, u))
+    ]
+    nodes = {u for u, _, _ in edges}
+    brand = {
+        r.p_partkey
+        for r in load_table(spark, SF_DIR, "part")
+        .select("p_partkey", "p_brand")
+        .collect()
+        if r.p_brand == _PPR_SEED_BRAND
+    }
+    seeds = nodes & brand
+    assert seeds, "fixture brand must seed the graph"
+    tp = {v: round(1.0 / len(seeds) + 1e-12, 10) for v in seeds}
+    base = {v: (1.0 - _PPR_DAMP) * p for v, p in tp.items()}
+    ranks, wout = _replay_power_iteration(edges, base, tp, _PPR_DAMP, _PPR_ITERS)
+    expected = sorted(
+        (
+            (round(r + 1e-9, 6), v, wout[v], int(v in seeds))
+            for v, r in ranks.items()
+        ),
+        key=lambda t: (-t[0], t[1]),
+    )[:25]
+    got = [
+        (r.ppr, r.part_key, r.wdeg, r.is_seed)
+        for r in x67_personalized_pagerank(spark, SF_DIR).collect()
+    ]
+    spark.catalog.clearCache()
+    assert got == expected
+
+
+def test_x65_lpa_matches_python_sync_propagation(spark):
+    """Synchronous LPA replayed from the definition (Raghavan 2007 with
+    the deterministic (max vote count, min label) tie-break): 3 rounds
+    where every node simultaneously adopts its neighbourhood's most
+    frequent label, over the SAME weight-pruned co-purchase graph the
+    x67 replay rebuilds in pure Python — the third recurrence VERDICT
+    r13 #5 named.  A mirrored tie-break (max label, or count ties by
+    first-seen), an ASYNC update leaking into the round, or a vote that
+    counts the node itself would hash-match the unrolled CTE and fail
+    here."""
+    from collections import Counter
+
+    from big_data_project_spark.io import load_table
+    from big_data_project_spark.pipeline.graph import (
+        _LPA_MIN_WEIGHT, _LPA_ROUNDS, lpa_communities,
+    )
+
+    by_order = defaultdict(set)
+    for r in (
+        load_table(spark, SF_DIR, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .collect()
+    ):
+        by_order[r.l_orderkey].add(r.l_partkey)
+    w: Counter = Counter()
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                w[(ps[i], ps[j])] += 1
+    nbrs = defaultdict(list)
+    for (u, v), c in w.items():
+        if c >= _LPA_MIN_WEIGHT:
+            nbrs[u].append(v)
+            nbrs[v].append(u)
+    lbl = {v: v for v in nbrs}
+    for _ in range(_LPA_ROUNDS):
+        nxt = {}
+        for v, ns in nbrs.items():
+            votes = Counter(lbl[n] for n in ns)
+            nxt[v] = min(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        lbl = nxt  # synchronous: every node reads the PREVIOUS round
+    sizes = Counter(lbl.values())
+    expected = sorted(
+        ((s, c) for c, s in sizes.items()), key=lambda t: (-t[0], t[1])
+    )[:20]
+    got = [
+        (r.size, r.community) for r in lpa_communities(spark, SF_DIR).collect()
+    ]
+    spark.catalog.clearCache()
+    assert got == expected
