@@ -24,6 +24,13 @@ from pyspark.sql.window import Window
 from big_data_project_spark.io import load_table
 from big_data_project_spark.registry import query
 
+# The shared X8-family fixture query set: the first N corpus vectors.
+# Every variant's oracle restricts with `vec_id < 10` and every Spark
+# leg filters the same way; `_probe_cells` and the x90 oracle both
+# reference THIS constant so the routing and its oracle cannot drift
+# apart (ADVICE r13).
+_X8_N_QUERIES = 10
+
 
 def _dot(a, b):
     return F.aggregate(
@@ -445,15 +452,15 @@ def x8_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _probe_cells(assigned: DataFrame, cent: DataFrame, nprobe: int) -> DataFrame:
-    """The IVF ROUTING step, defined once: per query (the first 10
-    corpus vectors — the fixture query set every X8 variant shares),
-    the ``nprobe`` nearest centroids by rounded cosine with the
-    centroid-id tie-break (§4.3.1).  Returns (query_id, va, bucket) —
-    one row per probed cell; consumed by ``_ivf_search`` (exact
-    re-rank within the cells) and ``x90_ivfadc_topk`` (ADC scan within
-    the cells).  Centroids broadcast into the 10-row query frame: the
-    routing never touches the corpus."""
-    queries = assigned.filter(F.col("vec_id") < 10).select(
+    """The IVF ROUTING step, defined once: per query (the first
+    ``_X8_N_QUERIES`` corpus vectors — the fixture query set every X8
+    variant shares), the ``nprobe`` nearest centroids by rounded cosine
+    with the centroid-id tie-break (§4.3.1).  Returns (query_id, va,
+    bucket) — one row per probed cell; consumed by ``_ivf_search``
+    (exact re-rank within the cells) and ``x90_ivfadc_topk`` (ADC scan
+    within the cells).  Centroids broadcast into the bounded query
+    frame: the routing never touches the corpus."""
+    queries = assigned.filter(F.col("vec_id") < _X8_N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("va")
     )
     qprobe = with_cosine(queries.crossJoin(F.broadcast(cent)), "va", "centroid").withColumn(
@@ -1304,7 +1311,7 @@ def x39_prototypicality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- X38: PQ asymmetric-distance (ADC) top-k search --------------------------
 
 _ADC_TOP_K = 5
-_ADC_N_QUERIES = 10
+_ADC_N_QUERIES = _X8_N_QUERIES  # the ADC legs share the X8 fixture query set
 
 
 def _pq_adc_oracle() -> str:
@@ -1511,7 +1518,15 @@ def x90_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Parity: LUT doubles are driver-side numpy float64 embedded exactly;
     both engines rank on round(adc + 1e-9, 4) with the neighbor-id
     tie-break; codes reuse x18's first-min argmin convention; the
-    training + routing CTEs mirror _ivf_trained_oracle verbatim."""
+    training + routing CTEs mirror _ivf_trained_oracle verbatim.
+    Rounding-mode note (ADVICE r13): this leg rounds adc_d2 JVM-side
+    with F.round (HALF_UP), while x38's Spark leg rounds in numpy
+    (half-even).  Each leg matches ITS oracle exactly (both oracles use
+    DuckDB round, and the +1e-9 nudge keeps values off the 4-decimal
+    midpoints where the two modes differ); the cross-operator
+    full-vs-cell consistency test (tests/test_pipeline.py) compares the
+    two conventions directly, so a value landing exactly on a midpoint
+    despite the nudge would surface there, not as a driver red."""
     from collections.abc import Iterator
 
     import numpy as np
