@@ -1511,3 +1511,52 @@ def test_x65_lpa_matches_python_sync_propagation(spark):
     ]
     spark.catalog.clearCache()
     assert got == expected
+
+
+def test_x43_x7_components_match_python_union_find(spark):
+    """Connected components replayed by a third ALGORITHM from the
+    definition — path-compressed union-find with component-min
+    canonical labels — over the same verified near-dup pair graph both
+    engines consume.  x43 (star contraction) and x7_neardup_clusters
+    (label propagation) share one unrolled-propagation oracle, so a
+    bug in the shared PROPAGATION mental model (a direction dropped in
+    symmetrization, a round short of the fixture diameter) could
+    hash-match across engines and both queries; union-find shares no
+    structure with either.  Also checks the membership contract: every
+    node of the pair graph appears exactly once, labeled by its
+    component minimum."""
+    from big_data_project_spark.pipeline.dedup import (
+        verified_neardup_pairs, x7_neardup_clusters, x43_largestar_components,
+    )
+
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in verified_neardup_pairs(spark, SF_DIR).collect()
+    ]
+    assert pairs, "fixture must contain near-dup pairs"
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in pairs:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    members = defaultdict(set)
+    for node in parent:
+        members[find(node)].add(node)
+    expected = {
+        node: min(comp) for comp in members.values() for node in comp
+    }
+    for q in (x43_largestar_components, x7_neardup_clusters):
+        got = {r.doc_id: r.cluster for r in q(spark, SF_DIR).collect()}
+        spark.catalog.clearCache()
+        assert got == expected, q.__name__
