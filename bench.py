@@ -262,25 +262,32 @@ def _foreign_jvms() -> int:
     return n
 
 
-def _loadavg_1m() -> float | None:
-    """Host 1-minute load average at bench start.  The foreign-JVM
+def _loadavg() -> tuple[float | None, float | None]:
+    """Host (1m, 15m) load averages at bench start.  The foreign-JVM
     counter is blind to non-JVM load: an r13 session with
     foreign_jvms=0 but loadavg ~4.8 (residual non-Java activity) read
     headline 24.9 s vs 8.1 s on the same code minutes later — uniformly
     slow headline walls with FLAT demonstrators are the signature.
-    A reading ≳2 at start marks the file suspect like foreign_jvms>0."""
+    A 1m reading ≳2 at start marks the file suspect like
+    foreign_jvms>0.  The 15m axis was added in r14: a session started
+    at 1m=0.0 minutes after a 25-minute full-load pytest run (15m ~4)
+    read every persist/checkpoint-heavy demonstrator +15-35% at
+    fastest-ever calibs — recent sustained load leaves a residue
+    (thermal/cache state) the 1m axis can't see, so a high 15m with a
+    clean 1m flags the DEMONSTRATOR rows (not the headline) suspect."""
     try:
         with open("/proc/loadavg") as fh:
-            return float(fh.read().split()[0])
+            parts = fh.read().split()
+            return float(parts[0]), float(parts[2])
     except (OSError, ValueError, IndexError):
-        return None
+        return None, None
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
     foreign = _foreign_jvms()
-    loadavg = _loadavg_1m()
+    loadavg, loadavg_15m = _loadavg()
     if foreign > 0:
         print(f"# WARNING: {foreign} foreign JVM(s) running — contended "
               "readings are not comparable across rounds", file=sys.stderr)
@@ -429,6 +436,7 @@ def main() -> None:
         # None = unknown (/proc unreadable), never conflated with 0 = clean
         "foreign_jvms": foreign if foreign >= 0 else None,
         "loadavg_1m": loadavg,
+        "loadavg_15m": loadavg_15m,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
     spark.stop()
