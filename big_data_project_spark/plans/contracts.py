@@ -75,6 +75,46 @@ def num_shuffles(df: DataFrame) -> int:
     return count_ops(df, "Exchange")
 
 
+_TREE_PREFIX = re.compile(r"^[\s:+|-]*")
+
+
+def prune_cached_subtrees(text: str) -> str:
+    """Drop every InMemoryRelation's re-printed child plan from an
+    explain string.  Spark's plan printer reprints each cached frame's
+    FULL upstream lineage under its InMemoryRelation node (once per
+    cache reference, and the executed-plan printer nests AQE sub-plans
+    on top), so operator counts over the raw text over-count wildly on
+    persisted-lineage queries — x90's optimized plan prints 105
+    "Exchange"s for ~a dozen in the steady-state query.  The reprinted
+    subtree is strictly deeper-indented than its InMemoryRelation line;
+    pruning by indentation keeps the query's own operators (including
+    the InMemoryTableScan leaves) and drops only the cache-build
+    lineage, which belongs to the one-time fill, not the steady-state
+    shuffle budget."""
+    kept: list[str] = []
+    skip_depth: int | None = None
+    for line in text.splitlines():
+        depth = _TREE_PREFIX.match(line).end()
+        if skip_depth is not None:
+            if line.strip() and depth > skip_depth:
+                continue
+            skip_depth = None
+        kept.append(line)
+        if "InMemoryRelation" in line:
+            skip_depth = depth
+    return "\n".join(kept)
+
+
+def num_shuffles_steady(df: DataFrame) -> int:
+    """Shuffle exchanges in the STEADY-STATE plan: `num_shuffles` with
+    every cached subtree's reprinted lineage pruned first.  This is the
+    count to pin on persisted/localCheckpoint-lineage queries (x90,
+    x91, the iterative-graph family), where the raw text count includes
+    each cache's one-time build lineage once per reference."""
+    text = prune_cached_subtrees(plan_str(df, mode="simple"))
+    return len(re.findall(r"\bExchange\b", text))
+
+
 def whole_stage_codegen_spans(df: DataFrame) -> int:
     """Number of distinct WholeStageCodegen spans — wider/fewer is better.
     EXECUTES the frame: under AQE, codegen stage ids only exist in the

@@ -1687,3 +1687,57 @@ def test_nn_descent_census_plan_is_lineage_truncated(spark):
         assert text.count("Exchange") < 120, "census plan re-plans the diamond"
         assert len(text) < 120_000, "plan string grew past the truncation bound"
         assert count_ops(df, "CartesianProduct") == 0
+
+
+def test_prune_cached_subtrees_text_semantics():
+    """The pruner drops exactly the deeper-indented block under each
+    InMemoryRelation line (the cache's one-time build lineage) and
+    keeps everything else — including the InMemoryTableScan leaf above
+    it and siblings at or left of the relation's own depth."""
+    from big_data_project_spark.plans.contracts import prune_cached_subtrees
+
+    text = "\n".join([
+        "AdaptiveSparkPlan",
+        "+- HashAggregate",
+        "   +- Exchange hashpartitioning(a)",
+        "      +- InMemoryTableScan [a]",
+        "            +- InMemoryRelation [a]",
+        "                  +- Exchange hashpartitioning(hidden)",
+        "                     +- FileScan parquet",
+        "      +- Project",  # same depth as the table scan: resumes
+        "+- Exchange rangepartitioning(b)",
+    ])
+    pruned = prune_cached_subtrees(text)
+    assert "hidden" not in pruned
+    assert "FileScan" not in pruned
+    assert "InMemoryRelation" in pruned  # the node itself stays
+    assert "InMemoryTableScan" in pruned
+    assert pruned.count("Exchange") == 2  # (a) and (b); zero from the pruned block
+    assert pruned.count("Exchange hashpartitioning(a)") == 1
+    assert pruned.count("Exchange rangepartitioning(b)") == 1
+
+
+def test_skipgram_batch_steady_shuffles(spark):
+    """x91's steady-state shuffle budget via the cache-pruned counter:
+    the raw text count is inflated ~60× by reprinted walk-step cache
+    lineage (244 at sf0.001), while the pruned count pins the REAL
+    exchanges — the pair-census aggregate, the two sides of the
+    wid-keyed census self-join, and the node-frequency aggregate.  The
+    negative leg must add NONE of them (its table broadcasts).  This is
+    the count-based form of the probe-path pin above, now possible on a
+    cached-lineage plan (the r13 num_shuffles caveat, closed r14)."""
+    from big_data_project_spark.pipeline.graph import skipgram_training_batch
+    from big_data_project_spark.plans.contracts import (
+        num_shuffles, num_shuffles_steady,
+    )
+
+    df = skipgram_training_batch(spark, SF)
+    try:
+        steady = num_shuffles_steady(df)
+        assert steady <= 5, steady
+        assert num_shuffles(df) > 10 * steady, (
+            "raw count no longer inflated — cached lineage gone? "
+            "re-examine whether the steady counter is still needed"
+        )
+    finally:
+        spark.catalog.clearCache()
