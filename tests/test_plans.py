@@ -1741,3 +1741,40 @@ def test_skipgram_batch_steady_shuffles(spark):
         )
     finally:
         spark.catalog.clearCache()
+
+
+def test_iterative_family_steady_shuffle_budgets(spark):
+    """Steady-state shuffle budgets for the persist/checkpoint-lineage
+    family, pinned via the cache-pruned counter (raw text counts are
+    inflated 3-80× by reprinted cache lineage on these).  A lost
+    broadcast (teleport, negative table, dim), a dropped persist that
+    re-plans a subtree, or an iteration that grew an extra exchange
+    moves these counts by whole units — the regression classes the
+    bench demonstrators only catch as wall-time drift.  Bounds carry
+    one unit of headroom over the measured sf0.001 values; x43's
+    star-contraction round count is data-dependent, so it gets more.
+    x90 is deliberately absent: its UN-persisted diamond subtrees
+    reprint per reference and the pruned count still over-reads
+    (ADVICE r14) — its pins stay shape-based."""
+    from big_data_project_spark import registry
+    from big_data_project_spark.plans.contracts import num_shuffles_steady
+
+    registry.load()
+    budgets = {
+        "x51_pagerank": 13,            # measured 12: edge build + 3×(join+agg) + top-k
+        "x43_largestar_components": 6, # measured 3 at sf0.001 (fixpoint rounds vary with data)
+        "x65_lpa_communities": 11,     # measured 10: 3×(vote+adopt) + census
+        "x67_personalized_pagerank": 9,  # measured 8: broadcast teleport adds ZERO over x51's cadence
+        "x68_khop_bfs": 3,             # measured 2: per-round frontiers live in checkpoint leaves
+        "x64_triangle_count": 7,       # measured 6: degree join + oriented wedge join + census
+        "x86_deepwalk_pairs": 4,       # measured 3: census join + aggregate over persisted steps
+        "x7_minhash_neardup_pairs": 2, # measured 1: the band-key self-join is the ONLY wide op
+        "pipeline_curation_end2end": 5,  # measured 5: metadata gates + the x7 band join
+    }
+    for name, budget in budgets.items():
+        df = registry.QUERIES[name](spark, SF)
+        try:
+            steady = num_shuffles_steady(df)
+            assert steady <= budget, (name, steady, budget)
+        finally:
+            spark.catalog.clearCache()
