@@ -7,9 +7,10 @@ o13 curriculum interleave, x46 vocab encode, x42 duplicate-ngram
 fractions, x60 Matryoshka recall, b1 ordered funnel, t3 session
 windows, and the x61/x62 PCA pair replayed at both the recurrence and
 the eigen-definition level; r14 — the iterative-graph recurrences x51
-global PageRank and x67 weighted personalized PageRank via one shared
-pure-Python power iteration parameterized on (edges, base term), and
-x65 synchronous LPA vote rounds).
+global PageRank, x67 weighted personalized PageRank, and x76 TextRank
+via ONE shared pure-Python power iteration parameterized on (edges,
+base term), x65 synchronous LPA vote rounds, and union-find
+components covering the x43/x7_neardup_clusters pair).
 
 The oracle gate cannot catch MIRRORED bugs: both engines implementing
 the same wrong mental model hash-match each other.  The defense is a
@@ -1560,3 +1561,47 @@ def test_x43_x7_components_match_python_union_find(spark):
         got = {r.doc_id: r.cluster for r in q(spark, SF_DIR).collect()}
         spark.catalog.clearCache()
         assert got == expected, q.__name__
+
+
+def test_x76_textrank_matches_python_power_iteration(spark):
+    """TextRank replayed through the SAME shared power-iteration core as
+    x51/x67 — the third PageRank variant (word co-occurrence graph,
+    weight-proportional contributions, uniform (1-d)/N base).  The
+    bigram tokenization, self-pair drop, symmetrization, and weight
+    aggregation are rebuilt from the definition in pure Python over the
+    raw text column — a mirrored tokenizer quirk (empty tokens kept, a
+    window-2 pair counted once instead of per occurrence) or a weight
+    folded one generation late would pass the unrolled CTE and fail
+    here."""
+    from collections import Counter
+
+    from big_data_project_spark.io import load_table
+    from big_data_project_spark.pipeline.text import (
+        _TR_DAMP, _TR_ITERS, _TR_TOP, textrank_keywords,
+    )
+
+    w: Counter = Counter()
+    for r in load_table(spark, SF_DIR, "documents").select("text").collect():
+        toks = r.text.lower().split(" ")
+        for w1, w2 in zip(toks, toks[1:]):
+            if w1 and w2 and w1 != w2:
+                w[(min(w1, w2), max(w1, w2))] += 1
+    edges = [(a, b, c) for (u, v), c in w.items() for a, b in ((u, v), (v, u))]
+    nodes = {u for u, _, _ in edges}
+    n = len(nodes)
+    r0 = {v: round(1.0 / n + 1e-12, 10) for v in nodes}
+    base = {v: (1.0 - _TR_DAMP) / n for v in nodes}
+    ranks, wout = _replay_power_iteration(edges, base, r0, _TR_DAMP, _TR_ITERS)
+    expected = sorted(
+        (
+            (round(r + 1e-9, 6), v, wout[v])
+            for v, r in ranks.items()
+        ),
+        key=lambda t: (-t[0], t[1]),
+    )[:_TR_TOP]
+    got = [
+        (r.textrank, r.word, r.weighted_degree)
+        for r in textrank_keywords(spark, SF_DIR).collect()
+    ]
+    spark.catalog.clearCache()
+    assert got == expected
