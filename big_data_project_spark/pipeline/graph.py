@@ -2035,6 +2035,36 @@ _SG_NEG_K = 5       # negatives drawn per positive pair (Mikolov 2013 k)
 _SG_NEG_VOCAB = 64  # negative-table size (the x87 _NEG_VOCAB_K convention)
 
 
+def _neg_interval_table(freq: DataFrame) -> DataFrame:
+    """The x87-recipe cumulative sampling intervals over an arbitrary
+    (node, n) frequency frame (already capped to the vocabulary):
+    count^0.75 smoothing as sqrt(n·sqrt(n)) (IEEE-exact both engines),
+    cum_hi = round(running/total + 1e-9, 6) in (n desc, node) order,
+    cum_lo = the lagged ROUNDED cum_hi (0.0 first) — so the intervals
+    tile [0,1) contiguously and every uniform draw matches exactly one
+    row, even when 6-dp rounding collapses a tiny interval to zero
+    width (tiling invariants property-tested on random counts in
+    tests/test_properties.py).  Single-partition window by design: the
+    frame is vocabulary-sized and broadcast by the consumer."""
+    smooth = F.sqrt(F.col("n") * F.sqrt(F.col("n")))
+    rank_w = Window.orderBy(F.col("n").desc(), "node")
+    cum_w = rank_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tot_w = rank_w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    with_hi = freq.select(
+        "node",
+        F.col("n").alias("nv"),
+        F.round(
+            F.sum(smooth).over(cum_w) / F.sum(smooth).over(tot_w) + F.lit(1e-9), 6
+        ).alias("cum_hi"),
+    )
+    lag_w = Window.orderBy(F.col("nv").desc(), "node")
+    return with_hi.select(
+        F.col("node").alias("neg"),
+        F.coalesce(F.lag("cum_hi").over(lag_w), F.lit(0.0)).alias("cum_lo"),
+        "cum_hi",
+    )
+
+
 def skipgram_training_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic (center, positive, K-negatives) skip-gram training
     examples — the artifact a word2vec/node2vec trainer actually
@@ -2107,23 +2137,7 @@ def skipgram_training_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "node")
         .limit(_SG_NEG_VOCAB)
     )
-    smooth = F.sqrt(F.col("n") * F.sqrt(F.col("n")))
-    rank_w = Window.orderBy(F.col("n").desc(), "node")
-    cum_w = rank_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    tot_w = rank_w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    with_hi = freq.select(
-        "node",
-        F.col("n").alias("nv"),
-        F.round(
-            F.sum(smooth).over(cum_w) / F.sum(smooth).over(tot_w) + F.lit(1e-9), 6
-        ).alias("cum_hi"),
-    )
-    lag_w = Window.orderBy(F.col("nv").desc(), "node")
-    neg_table = with_hi.select(
-        F.col("node").alias("neg"),
-        F.coalesce(F.lag("cum_hi").over(lag_w), F.lit(0.0)).alias("cum_lo"),
-        "cum_hi",
-    )
+    neg_table = _neg_interval_table(freq)
 
     js = F.array(*[F.lit(j) for j in range(1, _SG_NEG_K + 1)])
     draws = pairs.select(

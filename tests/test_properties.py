@@ -605,3 +605,45 @@ def test_nnd_step_matches_python_on_any_vectors(spark, vecs):
         }
     finally:
         spark.catalog.clearCache()
+
+
+@given(
+    counts=st.lists(
+        st.integers(min_value=1, max_value=100_000),
+        min_size=1,
+        max_size=64,
+    ),
+    draws=st.lists(
+        st.floats(min_value=0.0, max_value=0.999999, allow_nan=False),
+        min_size=1,
+        max_size=8,
+    ),
+)
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_neg_interval_table_tiles_unit_interval(spark, counts, draws):
+    """x91's negative-sampling intervals on ARBITRARY positive counts
+    (not just the fixture's): cum_lo/cum_hi must tile [0,1)
+    contiguously — first lo 0, last hi exactly 1.0 after the nudged
+    6-dp round, each lo equal to the previous ROUNDED hi — so that any
+    uniform draw in [0,1) matches exactly one row of the broadcast
+    table (the invariant the BroadcastNestedLoopJoin's correctness
+    rests on), even when rounding collapses a tiny interval to zero
+    width."""
+    from big_data_project_spark.pipeline.graph import _neg_interval_table
+
+    freq = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(counts)], schema="node long, n long"
+    )
+    rows = sorted(
+        _neg_interval_table(freq).collect(), key=lambda r: (r.cum_lo, r.cum_hi)
+    )
+    spark.catalog.clearCache()
+    assert rows[0].cum_lo == 0.0
+    assert rows[-1].cum_hi == 1.0
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.cum_lo == prev.cum_hi  # contiguous tiling, no gap/overlap
+    for r in rows:
+        assert r.cum_lo <= r.cum_hi
+    for u in draws:
+        hits = [r.neg for r in rows if r.cum_lo <= u < r.cum_hi]
+        assert len(hits) == 1, (u, hits)
