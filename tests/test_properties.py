@@ -647,3 +647,50 @@ def test_neg_interval_table_tiles_unit_interval(spark, counts, draws):
     for u in draws:
         hits = [r.neg for r in rows if r.cum_lo <= u < r.cum_hi]
         assert len(hits) == 1, (u, hits)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(edges=edges_strategy)
+def test_walk_visits_match_python_walks(spark, edges):
+    """The deterministic walk corpus on ANY symmetrized graph — not just
+    the fixture co-purchase/ANN graphs the x86/x89/x91 replays use:
+    every (wid, pos) must name exactly the node the pure-Python
+    argmin-md5 walk visits.  This is the partition-independence claim
+    at the heart of reproducible training data (SURVEY §4.3): the
+    Spark walk picks its next hop with a rank-1 window over a
+    hash-exchanged candidate frame, and ANY dependence on partition
+    layout, row order, or tie handling (md5 ties broken by neighbor
+    id) would surface here as a diverging pick on some random graph."""
+    import hashlib
+
+    from big_data_project_spark.pipeline.graph import _DW_STEPS, _dw_walk_visits
+
+    real = {(u, v) for u, v in edges if u != v}
+    if not real:
+        return
+    sym = sorted(real | {(v, u) for u, v in real})
+    adj: dict[int, list[int]] = {}
+    for u, v in sym:
+        adj.setdefault(u, []).append(v)
+    expected = {}
+    for wid in adj:
+        node = wid
+        expected[(wid, 0)] = node
+        for k in range(1, _DW_STEPS + 1):
+            node = min(
+                adj[node],
+                key=lambda nb: (
+                    hashlib.md5(f"{wid}:{k}:{nb}".encode()).hexdigest(), nb
+                ),
+            )
+            expected[(wid, k)] = node
+
+    df = spark.createDataFrame(sym, schema="u long, v long").persist()
+    try:
+        got = {
+            (r.wid, r.pos): r.node for r in _dw_walk_visits(df).collect()
+        }
+        assert got == expected
+    finally:
+        spark.catalog.clearCache()
