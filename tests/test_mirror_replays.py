@@ -9,8 +9,10 @@ windows, and the x61/x62 PCA pair replayed at both the recurrence and
 the eigen-definition level; r14 — the iterative-graph recurrences x51
 global PageRank, x67 weighted personalized PageRank, and x76 TextRank
 via ONE shared pure-Python power iteration parameterized on (edges,
-base term), x65 synchronous LPA vote rounds, and union-find
-components covering the x43/x7_neardup_clusters pair).
+base term), x65 synchronous LPA vote rounds, union-find components
+covering the x43/x7_neardup_clusters pair, and the curation-recipe
+rows x17 hash fan-out, x25 token-budget greedy, x28 median/MAD gate,
+x34 temperature mixture, x35 hard negatives, x48 score gate).
 
 The oracle gate cannot catch MIRRORED bugs: both engines implementing
 the same wrong mental model hash-match each other.  The defense is a
@@ -1605,3 +1607,215 @@ def test_x76_textrank_matches_python_power_iteration(spark):
     ]
     spark.catalog.clearCache()
     assert got == expected
+
+
+def test_x25_token_budget_matches_python_greedy(spark):
+    """Token-budget selection from the DEFINITION: greedy by
+    (score desc, doc_id) until the cumulative token count first
+    exceeds floor(frac·total) — a mirrored boundary error (< vs ≤ at
+    the budget, ceil vs floor, or a cumsum that skips the current row)
+    would agree across the o8 two-pass primitive and the oracle's
+    window and fail here.  Tokens count split-on-space INCLUDING empty
+    strings (the engines' split semantics)."""
+    from big_data_project_spark.io import load_table
+    from big_data_project_spark.pipeline.quality import (
+        _BUDGET_FRAC, x25_token_budget_select,
+    )
+
+    docs = [
+        (r.doc_id, len(r.text.split(" ")), r.n_chars)
+        for r in load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "text", "n_chars")
+        .collect()
+    ]
+    scored = sorted(
+        (
+            (round(nc / nt + 1e-9, 6), did, nt)
+            for did, nt, nc in docs
+        ),
+        key=lambda t: (-t[0], t[1]),
+    )
+    budget = int(_BUDGET_FRAC * sum(nt for _, _, nt in scored))
+    expected, cum = set(), 0
+    for score, did, nt in scored:
+        cum += nt
+        if cum > budget:
+            break
+        expected.add((did, nt, score, cum))
+    got = {
+        (r.doc_id, r.n_tokens, r.score, r.cum_tokens)
+        for r in x25_token_budget_select(spark, SF_DIR).collect()
+    }
+    spark.catalog.clearCache()
+    assert got == expected
+    assert got, "budget selection must keep something"
+
+
+def test_x28_robust_outliers_match_python_median_mad(spark):
+    """Median/MAD outlier gate from the definition (statistics.median =
+    exact interpolated median on integer inputs, matching both engines'
+    exact median aggregates): per-source median, MAD of absolute
+    deviations, flag adev > K·max(mad, 0.5) — a mirrored nearest-rank
+    median, an unfloored MAD (zero-deviation sources flagging
+    everything), or deviations taken from the global median would pass
+    the oracle and fail here."""
+    import statistics
+
+    from big_data_project_spark.io import load_table
+    from big_data_project_spark.pipeline.quality import _MAD_K, x28_robust_outliers
+
+    by_src = defaultdict(list)
+    for r in (
+        load_table(spark, SF_DIR, "documents").select("source", "n_chars").collect()
+    ):
+        by_src[r.source].append(r.n_chars)
+    expected = {}
+    for src, lens in by_src.items():
+        med = statistics.median(lens)
+        adevs = [abs(x - med) for x in lens]
+        mad = statistics.median(adevs)
+        n_out = sum(1 for a in adevs if a > _MAD_K * max(mad, 0.5))
+        expected[src] = (
+            len(lens), n_out, round(med + 1e-9, 4), round(mad + 1e-9, 4)
+        )
+    got = {
+        r.source: (r.n_docs, r.n_outliers, r.med_chars, r.mad_chars)
+        for r in x28_robust_outliers(spark, SF_DIR).collect()
+    }
+    spark.catalog.clearCache()
+    assert got == expected
+
+
+def test_x34_temperature_mixture_matches_python_formula(spark):
+    """Temperature reweighting from the formula (q_s ∝ p_s^0.7, epochs
+    = q/p, expected = epochs·n): math.pow is the same libm call DuckDB
+    makes, so agreement here plus the driver hash pins Spark's
+    java.lang.Math.pow to the same doubles — a mirrored normalization
+    error (q over unsummed p^α, or α applied to counts instead of
+    shares) would agree across engines and fail here."""
+    import math
+
+    from big_data_project_spark.io import load_table
+    from big_data_project_spark.pipeline.quality import (
+        _MIX_TEMP_ALPHA, x34_temperature_mixture,
+    )
+
+    counts = defaultdict(int)
+    for r in load_table(spark, SF_DIR, "documents").select("source").collect():
+        counts[r.source] += 1
+    total = sum(counts.values())
+    ps = {s: n / total for s, n in counts.items()}
+    denom = sum(math.pow(p, _MIX_TEMP_ALPHA) for p in ps.values())
+    expected = {}
+    for s, n in counts.items():
+        p = ps[s]
+        q = math.pow(p, _MIX_TEMP_ALPHA) / denom
+        expected[s] = (
+            n,
+            round(p + 1e-9, 6),
+            round(q + 1e-9, 6),
+            round(q / p + 1e-9, 6),
+            round(q / p * n + 1e-9, 4),
+        )
+    got = {
+        r.source: (r.n_docs, r.p, r.q, r.epochs, r.expected_docs)
+        for r in x34_temperature_mixture(spark, SF_DIR).collect()
+    }
+    spark.catalog.clearCache()
+    assert got == expected
+
+
+def test_x17_data_mixture_matches_python_hash_fanout(spark):
+    """Mixture materialization from the definition: per-source weight w
+    → floor(w) copies plus one more iff the Knuth multiplicative hash
+    fraction (doc_id·2654435761 mod 2^32)/2^32 falls under frac(w) — a
+    mirrored modulus (2^31), a biased comparison (≤ vs <), or copy ids
+    starting at 0 would agree across engines and fail here."""
+    from big_data_project_spark.io import load_table
+    from big_data_project_spark.pipeline.quality import x17_data_mixture
+
+    expected = set()
+    for r in (
+        load_table(spark, SF_DIR, "documents").select("doc_id", "source").collect()
+    ):
+        w = 0.0 if r.source == "src0" else (2.5 if r.source in ("src1", "src2") else 1.0)
+        h = (r.doc_id * 2654435761) % 4294967296
+        n = int(w) + (1 if h / 4294967296.0 < (w - int(w)) else 0)
+        for c in range(1, n + 1):
+            expected.add((r.doc_id, r.source, c))
+    got = {
+        (r.doc_id, r.source, r.copy_id)
+        for r in x17_data_mixture(spark, SF_DIR).collect()
+    }
+    spark.catalog.clearCache()
+    assert got == expected
+    assert not any(s == "src0" for _, s, _ in got)
+
+
+def test_x35_hard_negatives_match_numpy_cosine(spark):
+    """Hard-negative mining from the definition: per query, numpy
+    cosine against every DIFFERENT-label vector, top-3 by (rounded sim
+    desc, neg_id) — a mirrored label predicate (same-label kept, or the
+    query itself admitted as its own negative), or a pre-round ranking
+    would agree across engines and fail here."""
+    import numpy as np
+
+    from big_data_project_spark.io import load_table
+    from big_data_project_spark.pipeline.similarity import x35_hard_negatives
+
+    rows = (
+        load_table(spark, SF_DIR, "embeddings")
+        .select("vec_id", "label", "embedding")
+        .collect()
+    )
+    vecs = {r.vec_id: (r.label, np.asarray(r.embedding, dtype=np.float64)) for r in rows}
+    expected = set()
+    for qid in [i for i in vecs if i < 10]:
+        qlabel, vq = vecs[qid]
+        scored = []
+        for nid, (nlabel, vn) in vecs.items():
+            if nlabel == qlabel:
+                continue
+            sim = float(vq @ vn / (np.linalg.norm(vq) * np.linalg.norm(vn)))
+            scored.append((round(sim + 1e-9, 4), nid, nlabel))
+        for sim, nid, nlabel in sorted(scored, key=lambda t: (-t[0], t[1]))[:3]:
+            expected.add((qid, nid, nlabel, sim))
+    got = {
+        (r.query_id, r.neg_id, r.neg_label, r.sim)
+        for r in x35_hard_negatives(spark, SF_DIR).collect()
+    }
+    spark.catalog.clearCache()
+    assert got == expected
+
+
+def test_x48_clip_score_gate_matches_numpy_dot(spark):
+    """Score-threshold gate from the definition: numpy dot against the
+    broadcast scoring direction, round(+1e-9, 4), keep >= threshold —
+    a mirrored fold order that drifts a boundary value across the
+    threshold, or a gate on the UNROUNDED score, would agree across
+    engines and fail here (the kept SET is the semantics, not just the
+    scores)."""
+    import numpy as np
+
+    from big_data_project_spark.io import load_table
+    from big_data_project_spark.pipeline.similarity import (
+        _CLIP_DIR, _CLIP_THRESH, x48_clip_score_filter,
+    )
+
+    w = np.asarray(_CLIP_DIR, dtype=np.float64)
+    expected = {}
+    for r in (
+        load_table(spark, SF_DIR, "embeddings")
+        .select("vec_id", "label", "embedding")
+        .collect()
+    ):
+        s = round(float(np.asarray(r.embedding, dtype=np.float64) @ w) + 1e-9, 4)
+        if s >= _CLIP_THRESH:
+            expected[r.vec_id] = (r.label, s)
+    got = {
+        r.vec_id: (r.label, r.score)
+        for r in x48_clip_score_filter(spark, SF_DIR).collect()
+    }
+    spark.catalog.clearCache()
+    assert got == expected
+    assert expected, "gate must keep something on the fixture"
