@@ -10,9 +10,11 @@ the eigen-definition level; r14 — the iterative-graph recurrences x51
 global PageRank, x67 weighted personalized PageRank, and x76 TextRank
 via ONE shared pure-Python power iteration parameterized on (edges,
 base term), x65 synchronous LPA vote rounds, union-find components
-covering the x43/x7_neardup_clusters pair, and the curation-recipe
+covering the x43/x7_neardup_clusters pair, the curation-recipe
 rows x17 hash fan-out, x25 token-budget greedy, x28 median/MAD gate,
-x34 temperature mixture, x35 hard negatives, x48 score gate).
+x34 temperature mixture, x35 hard negatives, x48 score gate, the x9
+quality-ratio and TF-IDF text rows, and the x23 incremental-admission
+classifier).
 
 The oracle gate cannot catch MIRRORED bugs: both engines implementing
 the same wrong mental model hash-match each other.  The defense is a
@@ -1819,3 +1821,141 @@ def test_x48_clip_score_gate_matches_numpy_dot(spark):
     spark.catalog.clearCache()
     assert got == expected
     assert expected, "gate must keep something on the fixture"
+
+
+def test_x9_quality_scores_match_python_ratios(spark):
+    """Quality ratios from the definition: tokens = split-on-space
+    INCLUDING empties (both engines' split semantics — an empty token
+    counts in the denominator, is never a stopword, and never matches
+    the digit regex), stopwords matched on the LOWERCASED tokens,
+    digits on the raw ones, and the pass flag gated on the UNROUNDED
+    stopword ratio — a mirrored empty-token drop, a lowercased digit
+    check, or a flag computed from the rounded ratio would agree across
+    engines and fail here."""
+    from big_data_project_spark.io import load_table
+    from big_data_project_spark.pipeline.text import _STOPWORDS, x9_quality_scores
+
+    expected = {}
+    for r in load_table(spark, SF_DIR, "documents").select("doc_id", "text").collect():
+        toks = r.text.split(" ")
+        lt = r.text.lower().split(" ")
+        n = len(toks)
+        stop = sum(1 for w in lt if w in _STOPWORDS) / n
+        digit = sum(1 for w in toks if w and w.isdigit()) / n
+        expected[r.doc_id] = (
+            len(r.text),
+            n,
+            round(len(r.text) / n + 1e-9, 4),
+            round(stop + 1e-9, 4),
+            round(digit + 1e-9, 4),
+            int(n >= 20 and stop < 0.5),
+        )
+    got = {
+        r.doc_id: (
+            r.n_chars_actual, r.n_tokens, r.chars_per_token,
+            r.stopword_ratio, r.digit_token_ratio, r.passes_quality,
+        )
+        for r in x9_quality_scores(spark, SF_DIR).collect()
+    }
+    spark.catalog.clearCache()
+    assert got == expected
+
+
+def test_x9_tfidf_matches_python_formula(spark):
+    """TF-IDF from the formula: per-(doc, term) counts over lowercased
+    split-with-empties tokens, idf = ln(N/df) with N the doc_id<50
+    subset size, top-3 per doc by (rounded score desc, term) — a
+    mirrored smoothing term (ln(N/(df+1))), a df counted over the full
+    corpus instead of the subset, or a pre-round ranking would agree
+    across engines and fail here."""
+    import math
+    from collections import Counter
+
+    from big_data_project_spark.io import load_table
+    from big_data_project_spark.pipeline.text import x9_tfidf_top_terms
+
+    docs = {
+        r.doc_id: r.text.lower().split(" ")
+        for r in load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "text")
+        .filter("doc_id < 50")
+        .collect()
+    }
+    n = len(docs)
+    df: Counter = Counter()
+    tf = {}
+    for did, toks in docs.items():
+        c = Counter(toks)
+        tf[did] = c
+        df.update(c.keys())
+    expected = set()
+    for did, c in tf.items():
+        scored = [
+            (round(f * math.log(n / df[t]) + 1e-9, 4), t)
+            for t, f in c.items()
+        ]
+        for s, t in sorted(scored, key=lambda x: (-x[0], x[1]))[:3]:
+            expected.add((did, t, s))
+    got = {
+        (r.doc_id, r.term, r.tfidf)
+        for r in x9_tfidf_top_terms(spark, SF_DIR).collect()
+    }
+    spark.catalog.clearCache()
+    assert got == expected
+
+
+def test_x23_incremental_dedup_matches_python_classifier(spark):
+    """Incremental admission from the definition: a new-batch doc is
+    'exact' if its normalized content hash (lower(trim) + whitespace
+    collapse, md5) exists in the old corpus, else 'near' if its
+    DISTINCT 3-gram shingle Jaccard with ANY old doc reaches 0.5, else
+    'accepted' — replayed with hashlib + raw set arithmetic.  A
+    mirrored precedence flip (near checked before exact), a
+    directionless Jaccard threshold, or shingling that drops
+    empty-token trigrams would agree across engines and fail here.
+    (The engine finds near-hits via the LSH band join; the fixture's
+    bimodal similarity makes recall 1 — the x7 argument — so the
+    definitional exact-Jaccard classifier is the ground truth.)"""
+    import re
+
+    from big_data_project_spark.io import load_table
+    from big_data_project_spark.pipeline.dedup import (
+        _OLD_SOURCES, x23_incremental_dedup,
+    )
+
+    old_hashes, old_shingles, new_docs = set(), [], []
+    for r in (
+        load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "source", "text")
+        .collect()
+    ):
+        norm = re.sub(r"\s+", " ", r.text.strip(" ").lower())
+        h = hashlib.md5(norm.encode()).hexdigest()
+        toks = r.text.split(" ")
+        sh = (
+            {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+            if len(toks) >= 3
+            else None
+        )
+        if r.source in _OLD_SOURCES:
+            old_hashes.add(h)
+            if sh:
+                old_shingles.append(sh)
+        else:
+            new_docs.append((r.doc_id, h, sh))
+    expected = {}
+    for did, h, sh in new_docs:
+        if h in old_hashes:
+            expected[did] = "exact"
+        elif sh and any(
+            len(sh & o) / len(sh | o) >= 0.5 for o in old_shingles
+        ):
+            expected[did] = "near"
+        else:
+            expected[did] = "accepted"
+    got = {
+        r.doc_id: r.status for r in x23_incremental_dedup(spark, SF_DIR).collect()
+    }
+    spark.catalog.clearCache()
+    assert got == expected
+    assert set(expected.values()) >= {"accepted"}, "fixture should admit something"
