@@ -13,8 +13,10 @@ base term), x65 synchronous LPA vote rounds, union-find components
 covering the x43/x7_neardup_clusters pair, the curation-recipe
 rows x17 hash fan-out, x25 token-budget greedy, x28 median/MAD gate,
 x34 temperature mixture, x35 hard negatives, x48 score gate, the x9
-quality-ratio and TF-IDF text rows, and the x23 incremental-admission
-classifier).
+quality-ratio and TF-IDF text rows, the x23 incremental-admission
+classifier, and the behavior trio b2 calendar cohorts, b3 adjacent
+purchase→error runs (at sf0.01 — sf0.001 is vacuous), b4 day-grid
+forward fill).
 
 The oracle gate cannot catch MIRRORED bugs: both engines implementing
 the same wrong mental model hash-match each other.  The defense is a
@@ -1959,3 +1961,131 @@ def test_x23_incremental_dedup_matches_python_classifier(spark):
     spark.catalog.clearCache()
     assert got == expected
     assert set(expected.values()) >= {"accepted"}, "fixture should admit something"
+
+
+def test_b2_cohort_retention_matches_python_calendar(spark):
+    """Cohort retention from the definition: cohort = midnight of each
+    user's FIRST event, day_offset = calendar-day difference, distinct
+    (user, offset) pairs counted per (cohort, offset) ≤ 7 — a mirrored
+    offset computed from raw timestamp deltas (86400-second buckets
+    instead of calendar days), an undeduplicated activity join, or an
+    off-by-one at the 7-day fence would agree across engines and fail
+    here."""
+    import datetime
+
+    from big_data_project_spark.io import load_table
+    from big_data_project_spark.operators.behavior import b2_cohort_retention
+
+    rows = load_table(spark, SF_DIR, "events").select("user_id", "ts").collect()
+    first = {}
+    for r in rows:
+        if r.user_id not in first or r.ts < first[r.user_id]:
+            first[r.user_id] = r.ts
+    cohort = {
+        u: datetime.datetime.combine(ts.date(), datetime.time())
+        for u, ts in first.items()
+    }
+    activity = {
+        (r.user_id, (r.ts.date() - cohort[r.user_id].date()).days)
+        for r in rows
+    }
+    expected = defaultdict(int)
+    for u, off in activity:
+        if off <= 7:
+            expected[(cohort[u], off)] += 1
+    got = {
+        (r.cohort_day, r.day_offset): r.n_active
+        for r in b2_cohort_retention(spark, SF_DIR).collect()
+    }
+    spark.catalog.clearCache()
+    assert got == dict(expected)
+
+
+def test_b3_next_event_pattern_matches_python_sequences(spark):
+    """Purchase→error adjacency from the definition: per user, sort by
+    (ts, event_id), look at the IMMEDIATELY next event only, require
+    error within 5 minutes INCLUSIVE — a mirrored any-later-error scan,
+    an exclusive fence, or a sort missing the event_id tie-break would
+    agree across engines and fail here.  Runs at the sf0.01 tier: the
+    sf0.001 events fixture contains ZERO qualifying runs (the replay
+    agrees, but a vacuous agreement pins nothing), while sf0.01 has
+    them."""
+    import datetime
+
+    from big_data_project_spark.io import load_table
+    from big_data_project_spark.operators.behavior import b3_next_event_pattern
+    from tests.conftest import SF_DIR_ORACLE
+
+    by_user = defaultdict(list)
+    for r in (
+        load_table(spark, SF_DIR_ORACLE, "events")
+        .select("user_id", "event_id", "ts", "event_type")
+        .collect()
+    ):
+        by_user[r.user_id].append((r.ts, r.event_id, r.event_type))
+    expected = {}
+    fence = datetime.timedelta(minutes=5)
+    for u, evs in by_user.items():
+        evs.sort(key=lambda t: (t[0], t[1]))
+        n = sum(
+            1
+            for (ts, _, et), (nts, _, net) in zip(evs, evs[1:])
+            if et == "purchase" and net == "error" and nts <= ts + fence
+        )
+        if n:
+            expected[u] = n
+    got = {
+        r.user_id: r.n_purchase_then_error
+        for r in b3_next_event_pattern(spark, SF_DIR_ORACLE).collect()
+    }
+    spark.catalog.clearCache()
+    assert got == expected
+    assert expected, "sf0.01 should contain purchase-then-error runs"
+
+
+def test_b4_resample_ffill_matches_python_grid(spark):
+    """Daily resample + forward fill from the definition: per user, a
+    COMPLETE day grid from first to last active day (gap days present),
+    observed days carry round-HALF-UP(avg, 4), gaps carry the last
+    observed value forward, days before the first observation stay
+    null — a mirrored grid built only over observed days, a backward
+    fill, or a fill that crosses users would agree across engines and
+    fail here.  (The engine rounds WITHOUT the 1e-9 nudge here, so the
+    replay uses decimal ROUND_HALF_UP — the x46 convention.)"""
+    import datetime
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from big_data_project_spark.io import load_table
+    from big_data_project_spark.operators.behavior import b4_resample_ffill
+
+    by_user_day = defaultdict(list)
+    for r in (
+        load_table(spark, SF_DIR, "events")
+        .filter("user_id < 10")
+        .select("user_id", "ts", "value")
+        .collect()
+    ):
+        by_user_day[(r.user_id, r.ts.date())].append(float(r.value))
+    users = defaultdict(list)
+    for (u, d), vals in by_user_day.items():
+        users[u].append(d)
+    expected = {}
+    for u, days in users.items():
+        d0, d1 = min(days), max(days)
+        carry = None
+        d = d0
+        while d <= d1:
+            if (u, d) in by_user_day:
+                vals = by_user_day[(u, d)]
+                avg = sum(vals) / len(vals)
+                carry = float(
+                    Decimal(repr(avg)).quantize(Decimal("0.0001"), ROUND_HALF_UP)
+                )
+            expected[(u, datetime.datetime.combine(d, datetime.time()))] = carry
+            d += datetime.timedelta(days=1)
+    got = {
+        (r.user_id, r.day): r.filled_value
+        for r in b4_resample_ffill(spark, SF_DIR).collect()
+    }
+    spark.catalog.clearCache()
+    assert got == expected
