@@ -14,9 +14,10 @@ covering the x43/x7_neardup_clusters pair, the curation-recipe
 rows x17 hash fan-out, x25 token-budget greedy, x28 median/MAD gate,
 x34 temperature mixture, x35 hard negatives, x48 score gate, the x9
 quality-ratio and TF-IDF text rows, the x23 incremental-admission
-classifier, and the behavior trio b2 calendar cohorts, b3 adjacent
+classifier, the behavior trio b2 calendar cohorts, b3 adjacent
 purchase→error runs (at sf0.01 — sf0.001 is vacuous), b4 day-grid
-forward fill).
+forward fill, and the a17/a25 bivariate-statistics pair from their
+closed forms).
 
 The oracle gate cannot catch MIRRORED bugs: both engines implementing
 the same wrong mental model hash-match each other.  The defense is a
@@ -2089,3 +2090,54 @@ def test_b4_resample_ffill_matches_python_grid(spark):
     }
     spark.catalog.clearCache()
     assert got == expected
+
+
+def test_a17_a25_bivariate_stats_match_numpy(spark):
+    """Pearson correlation, sample covariance, and the OLS family
+    (slope, intercept, R², n) recomputed from their closed forms in
+    numpy per group — a mirrored population/sample denominator (n vs
+    n−1), a slope from the POPULATION covariance over the sample
+    variance, or an R² that is not corr² would agree across the
+    engines' co-moment accumulators and fail here."""
+    import numpy as np
+
+    from big_data_project_spark.io import load_table
+    from big_data_project_spark.operators.aggregates import (
+        a17_corr_covar, a25_regression,
+    )
+
+    by_flag = defaultdict(lambda: ([], []))
+    for r in (
+        load_table(spark, SF_DIR, "lineitem")
+        .select("l_returnflag", "l_quantity", "l_extendedprice")
+        .collect()
+    ):
+        xs, ys = by_flag[r.l_returnflag]
+        xs.append(float(r.l_quantity))
+        ys.append(float(r.l_extendedprice))
+    exp17, exp25 = {}, {}
+    for flag, (xs, ys) in by_flag.items():
+        x, y = np.asarray(xs), np.asarray(ys)
+        n = len(x)
+        covs = float(((x - x.mean()) * (y - y.mean())).sum() / (n - 1))
+        corr = covs / float(x.std(ddof=1) * y.std(ddof=1))
+        slope = covs / float(x.var(ddof=1))
+        intercept = float(y.mean()) - slope * float(x.mean())
+        exp17[flag] = (round(corr, 4), round(covs, 4))
+        exp25[flag] = (
+            round(slope + 1e-9, 4),
+            round(intercept + 1e-9, 4),
+            round(corr * corr + 1e-9, 6),
+            n,
+        )
+    got17 = {
+        r.l_returnflag: (r.qty_price_corr, r.qty_price_covar)
+        for r in a17_corr_covar(spark, SF_DIR).collect()
+    }
+    got25 = {
+        r.l_returnflag: (r.slope, r.intercept, r.r2, r.n)
+        for r in a25_regression(spark, SF_DIR).collect()
+    }
+    spark.catalog.clearCache()
+    assert got17 == exp17
+    assert got25 == exp25
