@@ -16,8 +16,9 @@ x34 temperature mixture, x35 hard negatives, x48 score gate, the x9
 quality-ratio and TF-IDF text rows, the x23 incremental-admission
 classifier, the behavior trio b2 calendar cohorts, b3 adjacent
 purchase→error runs (at sf0.01 — sf0.001 is vacuous), b4 day-grid
-forward fill, and the a17/a25 bivariate-statistics pair from their
-closed forms).
+forward fill, the a17/a25 bivariate-statistics pair from their
+closed forms, w5's SQL-standard rank formulas, and the x13 mapInArrow
+L2 kernel vs a per-row math.sqrt fold).
 
 The oracle gate cannot catch MIRRORED bugs: both engines implementing
 the same wrong mental model hash-match each other.  The defense is a
@@ -2141,3 +2142,74 @@ def test_a17_a25_bivariate_stats_match_numpy(spark):
     spark.catalog.clearCache()
     assert got17 == exp17
     assert got25 == exp25
+
+
+def test_w5_distribution_ranks_match_python_formulas(spark):
+    """ntile/percent_rank/cume_dist from their SQL-standard formulas:
+    within each (priority) partition sorted by (price, key) —
+    percent_rank = (rank−1)/(n−1) with rank sharing ties, cume_dist =
+    (#rows ≤ current by sort PEER group)/n, and ntile(4) distributing
+    the remainder to the FIRST buckets (sizes ⌈n/4⌉ for the first
+    n mod 4 tiles) — a mirrored remainder-to-last-buckets ntile, a
+    row_number-based percent_rank, or a cume_dist that ignores peers
+    would agree across engines and fail here.  (This fixture's
+    (price, key) sort is totally ordered, so peers are singletons —
+    the tie formulas still pin rank vs row_number by construction.)"""
+    from big_data_project_spark.io import load_table
+    from big_data_project_spark.operators.windows import w5_distribution_ranks
+
+    by_prio = defaultdict(list)
+    for r in (
+        load_table(spark, SF_DIR, "orders")
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")
+        .collect()
+    ):
+        by_prio[r.o_orderpriority].append((float(r.o_totalprice), r.o_orderkey))
+    expected = {}
+    for prio, rows in by_prio.items():
+        rows.sort()
+        n = len(rows)
+        base, rem = divmod(n, 4)
+        for i, (_, key) in enumerate(rows):
+            # ntile: first `rem` buckets get base+1 rows
+            boundary = rem * (base + 1)
+            tile = (
+                i // (base + 1) + 1
+                if i < boundary
+                else rem + (i - boundary) // base + 1
+            ) if base else i + 1
+            pct = round((i / (n - 1) if n > 1 else 0.0) + 1e-9, 4)
+            cume = round((i + 1) / n + 1e-9, 4)
+            expected[(prio, key)] = (tile, pct, cume)
+    got = {
+        (r.o_orderpriority, r.o_orderkey): (r.quartile, r.pct_rank, r.cume)
+        for r in w5_distribution_ranks(spark, SF_DIR).collect()
+    }
+    spark.catalog.clearCache()
+    assert got == expected
+
+
+def test_x13_mapinarrow_norm_matches_python_l2(spark):
+    """The mapInArrow L2-norm kernel against a per-row math.sqrt fold in
+    pure Python — a kernel that reshapes the flat Arrow buffer with the
+    wrong row stride (the classic zero-copy bug: norms would come from
+    NEIGHBORING vectors' halves), or accumulates in float32, would
+    agree with nothing here."""
+    import math
+
+    from big_data_project_spark.io import load_table
+    from big_data_project_spark.pipeline.similarity import x13_mapinarrow_norm
+
+    expected = {
+        r.vec_id: round(
+            math.sqrt(sum(float(x) * float(x) for x in r.embedding)) + 1e-9, 4
+        )
+        for r in load_table(spark, SF_DIR, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    got = {
+        r.vec_id: r.l2_norm for r in x13_mapinarrow_norm(spark, SF_DIR).collect()
+    }
+    spark.catalog.clearCache()
+    assert got == expected
