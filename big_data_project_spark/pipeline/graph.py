@@ -1772,15 +1772,16 @@ def _dw_walk_visits(edges: DataFrame) -> DataFrame:
     return walk
 
 
-def _dw_walk_pair_census(edges: DataFrame) -> DataFrame:
-    """Skip-gram pair census over the ``_dw_walk_visits`` corpus: every
-    unordered pair of distinct nodes within ``_DW_WINDOW`` positions
-    counted.  Factored from ``deepwalk_positive_pairs`` (r12) so the
-    same miner runs over both the co-purchase graph (x86) and the
-    NN-descent k-NN graph (x89); cache contract as in
-    ``_dw_walk_visits``."""
-    walk = _dw_walk_visits(edges)
-    a, b = walk.alias("a"), walk.alias("b")
+def _dw_pair_census(visits: DataFrame) -> DataFrame:
+    """THE Spark-side skip-gram pair census, defined once over an
+    arbitrary (wid, node, pos) visit frame: every unordered pair of
+    distinct nodes within ``_DW_WINDOW`` positions on the same walk,
+    counted.  Factored out of ``_dw_walk_pair_census`` (ADVICE r14) so
+    x86/x89 (census over fresh walks) and x91/x92 (census over an
+    already-built visit corpus read twice) share ONE census definition,
+    mirroring the oracle side's single ``_walk_pair_census_sql`` — a
+    window/tie-break change now edits exactly one builder per engine."""
+    a, b = visits.alias("a"), visits.alias("b")
     return (
         a.join(
             b,
@@ -1796,6 +1797,15 @@ def _dw_walk_pair_census(edges: DataFrame) -> DataFrame:
         .groupBy("node_a", "node_b")
         .agg(F.count(F.lit(1)).alias("n_cooc"))
     )
+
+
+def _dw_walk_pair_census(edges: DataFrame) -> DataFrame:
+    """Skip-gram pair census over the ``_dw_walk_visits`` corpus.
+    Factored from ``deepwalk_positive_pairs`` (r12) so the same miner
+    runs over both the co-purchase graph (x86) and the NN-descent k-NN
+    graph (x89); census body shared via ``_dw_pair_census`` (r15);
+    cache contract as in ``_dw_walk_visits``."""
+    return _dw_pair_census(_dw_walk_visits(edges))
 
 
 def deepwalk_positive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2111,24 +2121,21 @@ def skipgram_training_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     batches, not the full census), and the only wide work — walks +
     census — is exactly x86's, unchanged: no shuffle is added over the
     pair census."""
+    _, resolved = _sg_batch_frames(spark, sf_dir)
+    return resolved
+
+
+def _sg_batch_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """The skip-gram batch's two frames, factored from
+    ``skipgram_training_batch`` (r15) so x92's SGD step consumes the
+    SAME positive pairs and resolved negatives x91 verifies: ``pairs``
+    (the top-``_SG_BATCH`` census pairs) and ``resolved`` (one row per
+    (center, pos, j) draw with its negative looked up).  Census body
+    shared with x86/x89 via ``_dw_pair_census`` (ADVICE r14); cache
+    contract as in ``skipgram_training_batch``."""
     edges = _copurchase_weighted_edges(spark, sf_dir).persist()
     visits = _dw_walk_visits(edges)
-    a, b = visits.alias("a"), visits.alias("b")
-    census = (
-        a.join(
-            b,
-            (F.col("a.wid") == F.col("b.wid"))
-            & (F.col("b.pos") > F.col("a.pos"))
-            & (F.col("b.pos") - F.col("a.pos") <= _DW_WINDOW)
-            & (F.col("a.node") != F.col("b.node")),
-        )
-        .select(
-            F.least(F.col("a.node"), F.col("b.node")).alias("node_a"),
-            F.greatest(F.col("a.node"), F.col("b.node")).alias("node_b"),
-        )
-        .groupBy("node_a", "node_b")
-        .agg(F.count(F.lit(1)).alias("n_cooc"))
-    )
+    census = _dw_pair_census(visits)
     pairs = census.orderBy(F.desc("n_cooc"), "node_a", "node_b").limit(_SG_BATCH)
 
     freq = (
@@ -2161,52 +2168,314 @@ def skipgram_training_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         / F.lit(1_000_000.0),
     )
-    return draws.join(
+    resolved = draws.join(
         F.broadcast(neg_table),
         (F.col("u") >= F.col("cum_lo")) & (F.col("u") < F.col("cum_hi")),
     ).select("center", "pos", "n_cooc", "j", "neg")
+    return pairs, resolved
 
 
-def _sg_oracle() -> str:
-    """x91's oracle: the shared co-purchase walk chain (``_dw_ctes``,
-    the single oracle-side walk definition) extended with the batch,
-    node-frequency, cumulative-interval, and draw CTEs — each a
-    line-for-line mirror of the Spark stage above."""
+def _sg_batch_ctes(*, materialized: bool = False) -> str:
+    """The x91 oracle CTE chain through the RESOLVED draws: the shared
+    co-purchase walk chain (``_dw_ctes``, the single oracle-side walk
+    definition) extended with the batch, node-frequency,
+    cumulative-interval, draw, and negative-resolution CTEs — each a
+    line-for-line mirror of ``_sg_batch_frames``.  Ends with ``pairs``
+    and ``negdraws`` in scope; shared by x91's oracle (selects
+    negdraws) and x92's (trains on pairs + negdraws), mirroring the
+    Spark-side ``_sg_batch_frames`` factoring.
+
+    ``materialized`` marks the added CTEs ``AS MATERIALIZED`` — required
+    by x92, whose training CTEs reference ``pairs`` and ``negdraws``
+    from multiple branches: DuckDB re-inlines plain CTEs per reference,
+    and the diamond re-expands the whole walk chain once per path
+    (measured: x91 plain 0.56 s, x92 plain >120 s at sf0.001 — the
+    x89 MATERIALIZED lesson, one level higher)."""
+    mat = "AS MATERIALIZED (" if materialized else "AS ("
     return _dw_ctes() + f""",
-    pairs AS (
+    pairs {mat}
       {_walk_pair_census_sql("vwalk")}
       ORDER BY n_cooc DESC, node_a, node_b
       LIMIT {_SG_BATCH}),
-    nfreq AS (
+    nfreq {mat}
       SELECT node, count(*) AS n FROM vwalk
       GROUP BY node
       ORDER BY n DESC, node
       LIMIT {_SG_NEG_VOCAB}),
-    nsm AS (
+    nsm {mat}
       SELECT node, n, sqrt(n * sqrt(n)) AS s FROM nfreq),
-    nhi AS (
+    nhi {mat}
       SELECT node, n,
              round(sum(s) OVER (ORDER BY n DESC, node
                                 ROWS BETWEEN UNBOUNDED PRECEDING
                                 AND CURRENT ROW)
                    / sum(s) OVER () + 1e-9, 6) AS cum_hi
       FROM nsm),
-    nint AS (
+    nint {mat}
       SELECT node AS neg,
              coalesce(lag(cum_hi) OVER (ORDER BY n DESC, node), 0.0) AS cum_lo,
              cum_hi
       FROM nhi),
-    draws AS (
+    draws {mat}
       SELECT p.node_a AS center, p.node_b AS pos, p.n_cooc,
              CAST(g.j AS INT) AS j,
              (CAST('0x' || substr(md5(concat_ws(':', p.node_a, p.node_b, g.j)),
                                   1, 15) AS BIGINT) % 1000000)
              / 1000000.0 AS u
-      FROM pairs p CROSS JOIN generate_series(1, {_SG_NEG_K}) AS g(j))
-    SELECT d.center, d.pos, d.n_cooc, d.j, t.neg
-    FROM draws d
-    JOIN nint t ON d.u >= t.cum_lo AND d.u < t.cum_hi
+      FROM pairs p CROSS JOIN generate_series(1, {_SG_NEG_K}) AS g(j)),
+    negdraws {mat}
+      SELECT d.center, d.pos, d.n_cooc, d.j, t.neg
+      FROM draws d
+      JOIN nint t ON d.u >= t.cum_lo AND d.u < t.cum_hi)"""
+
+
+def _sg_oracle() -> str:
+    """x91's oracle: the shared batch chain, selected through."""
+    return _sg_batch_ctes() + """
+    SELECT center, pos, n_cooc, j, neg FROM negdraws
 """
 
 
 query("x91_skipgram_batches", oracle=_sg_oracle())(skipgram_training_batch)
+
+
+# --------------------------------------------------------------------------
+# x92: one deterministic SGNS SGD step over x91's batches (VERDICT r14 #4)
+# --------------------------------------------------------------------------
+
+_SG_DIM = 4       # embedding dimension (tiny on purpose: the step must
+                  # stay CTE-unrollable; the algebra is dimension-blind)
+_SG_LR = 0.05     # SGD learning rate (same literal double both engines)
+_SG_CLAMP = 6.0   # sigmoid-argument clamp — never binds at the 0.125 init
+                  # scale (|dot| <= 4 * 0.125^2 = 0.0625) but pins the
+                  # discipline: the one transcendental gets an identical,
+                  # bounded argument on both engines
+_SG_INIT_SCALE = 0.125  # word2vec's uniform(-0.5/d, 0.5/d) with d=4;
+                        # 1/8 is exact binary, so scaling is IEEE-exact
+
+
+def _sg_init_vec(side: str):
+    """Deterministic md5-uniform initial weight for (side, node, k):
+    u = (md5-prefix-int mod 2e6)/1e6 - 1 in [-1, 1), scaled by the
+    word2vec init range and rounded to 6 decimals with the +1e-9 nudge
+    (init values are exact 9-decimal rationals, so the nudge clears
+    every representational tie — the same argument as x91's cum_hi).
+    The side prefix ('i'/'o') keeps the input and output matrices
+    independent, mirroring word2vec's two-matrix parameterization."""
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(side), F.col("node"), F.col("k"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % F.lit(2_000_000)
+    ) / F.lit(1_000_000.0) - F.lit(1.0)
+    return F.round(u * F.lit(_SG_INIT_SCALE) + F.lit(1e-9), 6)
+
+
+def sgns_train_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One deterministic skip-gram negative-sampling SGD step over
+    x91's training batch — the reference's actual core (gradient step,
+    big_data_project/trainer/flax_model.py:223-225 `update_model`;
+    batch gradient shape, flax_model.py:203-220 `apply_lst`) transposed
+    into the oracle-verified tier: where the reference's Flax optimizer
+    is opaque RNG-seeded JAX, this step is md5-derived end to end, so
+    DuckDB unrolls it CTE-for-CTE and the driver hash-checks every
+    updated weight.
+
+    The math is word2vec SGNS (Mikolov 2013 NeurIPS): examples are
+    x91's (center, pos) batch pairs with label 1 plus its (center, neg)
+    draws with label 0; per example g = sigma(v_in(center)·v_out(ctx))
+    - label; the batch gradient for v_in[c][k] sums g·v_out[ctx][k]
+    over the center's examples (and symmetrically for v_out); one SGD
+    update v' = v - lr·grad.  Output: one row per (side, node, k) with
+    v0 (md5 init), grad (batch gradient), v1 (updated weight) — the
+    artifact a trainer checkpoint holds after step 1.
+
+    Parity: duplicate draws collapse to (center, ctx, label, cnt) with
+    the multiplicity carried as a weight, so float sums never depend on
+    duplicate ordering; the dot over k and both gradient folds round to
+    6 with the +1e-9 nudge (§4.3.1); sigmoid — the only transcendental
+    — takes a 6-dp-rounded argument clamped to ±_SG_CLAMP identically
+    on both engines and its output rounds to 6 before the exact
+    subtraction of the integer label; the update rounds to 10 with the
+    +1e-12 nudge (the x51 discipline; v0 and grad are 6-dp rationals,
+    so v1's true value has <= 8 decimals and the 10-dp round only
+    clears double noise).
+
+    Scale design: the wide work — walks, census, frequency table — is
+    exactly x91's, unchanged; everything x92 adds operates on batch-
+    bounded frames (<= _SG_BATCH·(1+_SG_NEG_K) examples, vocabulary <=
+    2·_SG_BATCH + _SG_NEG_VOCAB nodes × _SG_DIM dims), so the example
+    and gradient frames BROADCAST into every join (pinned) and each
+    gradient fold is ONE partial-aggregated exchange keyed on (node, k)
+    (pinned).  At a real 1e6-node vocabulary the same plan holds with
+    the roles reversed: examples broadcast, vectors shard by node, the
+    gradient fold stays one partial+final agg — the classic parameter-
+    shard data parallelism.  No Python touches the gradient fold
+    (pinned: zero Arrow/BatchEval nodes)."""
+    batch_pairs, resolved = _sg_batch_frames(spark, sf_dir)
+    pos_ex = batch_pairs.select(
+        F.col("node_a").alias("center"),
+        F.col("node_b").alias("ctx"),
+        F.lit(1.0).alias("label"),
+    )
+    neg_ex = resolved.select(
+        "center", F.col("neg").alias("ctx"), F.lit(0.0).alias("label")
+    )
+    # localCheckpoint, not persist: every downstream frame (vectors,
+    # dots, both gradient folds, both update joins) branches off ex, and
+    # a persisted ex REPRINTS the whole x91 walk-chain lineage under
+    # each of those references — the resulting plan STRING (not the
+    # data) OOMs a default-1g driver while SQLExecution renders it for
+    # the event log.  Truncating the lineage at the 300-row examples
+    # frame caps the downstream tree at the training algebra itself;
+    # the wide x91 work still runs exactly once, materializing here.
+    ex = (
+        pos_ex.unionByName(neg_ex)
+        .groupBy("center", "ctx", "label")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+
+    vocab = (
+        ex.select(F.col("center").alias("node"))
+        .unionByName(ex.select(F.col("ctx").alias("node")))
+        .distinct()
+    )
+    ks = F.array(*[F.lit(k) for k in range(_SG_DIM)])
+    dims = vocab.select("node", F.explode(ks).alias("k"))
+    vin = dims.select("node", "k", _sg_init_vec("i").alias("v")).persist()
+    vout = dims.select("node", "k", _sg_init_vec("o").alias("v")).persist()
+
+    dots = (
+        F.broadcast(ex)
+        .join(
+            vin.select(F.col("node").alias("center"), "k", F.col("v").alias("vi")),
+            "center",
+        )
+        .join(
+            vout.select(F.col("node").alias("ctx"), "k", F.col("v").alias("vo")),
+            ["ctx", "k"],
+        )
+        .groupBy("center", "ctx", "label", "cnt")
+        .agg(F.round(F.sum(F.col("vi") * F.col("vo")) + F.lit(1e-9), 6).alias("dot"))
+    )
+    dotc = F.greatest(F.least(F.col("dot"), F.lit(_SG_CLAMP)), F.lit(-_SG_CLAMP))
+    sig = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-dotc)) + F.lit(1e-9), 6)
+    gd = dots.withColumn("g", sig - F.col("label")).persist()
+
+    grad_in = (
+        F.broadcast(gd)
+        .join(
+            vout.select(F.col("node").alias("ctx"), "k", F.col("v").alias("vo")),
+            "ctx",
+        )
+        .groupBy(F.col("center").alias("node"), "k")
+        .agg(
+            F.round(
+                F.sum(F.col("cnt") * F.col("g") * F.col("vo")) + F.lit(1e-9), 6
+            ).alias("grad")
+        )
+    )
+    grad_out = (
+        F.broadcast(gd)
+        .join(
+            vin.select(F.col("node").alias("center"), "k", F.col("v").alias("vi")),
+            "center",
+        )
+        .groupBy(F.col("ctx").alias("node"), "k")
+        .agg(
+            F.round(
+                F.sum(F.col("cnt") * F.col("g") * F.col("vi")) + F.lit(1e-9), 6
+            ).alias("grad")
+        )
+    )
+
+    def _apply(vecs: DataFrame, grads: DataFrame, side: str) -> DataFrame:
+        g = F.coalesce("grad", F.lit(0.0))
+        return vecs.join(F.broadcast(grads), ["node", "k"], "left").select(
+            F.lit(side).alias("side"),
+            "node",
+            "k",
+            F.col("v").alias("v0"),
+            g.alias("grad"),
+            F.round(F.col("v") - F.lit(_SG_LR) * g + F.lit(1e-12), 10).alias("v1"),
+        )
+    out = _apply(vin, grad_in, "in").unionByName(_apply(vout, grad_out, "out"))
+    return out.orderBy("side", "node", "k")
+
+
+def _sgns_oracle() -> str:
+    """x92's oracle: the shared x91 batch chain (``_sg_batch_ctes``)
+    extended with example, init-vector, dot/sigmoid, gradient, and
+    update CTEs — each a line-for-line mirror of the Spark stage
+    above, every rounding point identical."""
+
+    def init_sql(side: str) -> str:
+        return f"""
+      SELECT node, k,
+             round(((CAST('0x' || substr(md5(concat_ws(':', '{side}', node, k)),
+                                         1, 15) AS BIGINT)
+                     % 2000000) / 1000000.0 - 1.0) * {_SG_INIT_SCALE}
+                   + 1e-9, 6) AS v
+      FROM dims"""
+
+    return _sg_batch_ctes(materialized=True) + f""",
+    ex AS MATERIALIZED (
+      SELECT center, ctx, label, CAST(count(*) AS BIGINT) AS cnt
+      FROM (
+        SELECT node_a AS center, node_b AS ctx, 1.0 AS label FROM pairs
+        UNION ALL
+        SELECT center, neg AS ctx, 0.0 AS label FROM negdraws)
+      GROUP BY center, ctx, label),
+    vocab AS MATERIALIZED (
+      SELECT DISTINCT node FROM (
+        SELECT center AS node FROM ex
+        UNION ALL
+        SELECT ctx AS node FROM ex)),
+    dims AS MATERIALIZED (
+      SELECT v.node, CAST(g.k AS INT) AS k
+      FROM vocab v CROSS JOIN generate_series(0, {_SG_DIM - 1}) AS g(k)),
+    vin AS MATERIALIZED ({init_sql("i")}),
+    vout AS MATERIALIZED ({init_sql("o")}),
+    dots AS MATERIALIZED (
+      SELECT e.center, e.ctx, e.label, e.cnt,
+             round(sum(vi.v * vo.v) + 1e-9, 6) AS dot
+      FROM ex e
+      JOIN vin vi ON vi.node = e.center
+      JOIN vout vo ON vo.node = e.ctx AND vo.k = vi.k
+      GROUP BY e.center, e.ctx, e.label, e.cnt),
+    gd AS MATERIALIZED (
+      SELECT center, ctx, label, cnt,
+             round(1.0 / (1.0 + exp(-greatest(least(dot, {_SG_CLAMP}),
+                                              -{_SG_CLAMP}))) + 1e-9, 6)
+             - label AS g
+      FROM dots),
+    gin AS MATERIALIZED (
+      SELECT d.center AS node, vo.k,
+             round(sum(d.cnt * d.g * vo.v) + 1e-9, 6) AS grad
+      FROM gd d JOIN vout vo ON vo.node = d.ctx
+      GROUP BY d.center, vo.k),
+    gout AS MATERIALIZED (
+      SELECT d.ctx AS node, vi.k,
+             round(sum(d.cnt * d.g * vi.v) + 1e-9, 6) AS grad
+      FROM gd d JOIN vin vi ON vi.node = d.center
+      GROUP BY d.ctx, vi.k)
+    SELECT 'in' AS side, b.node, b.k, b.v AS v0,
+           coalesce(g.grad, 0.0) AS grad,
+           round(b.v - {_SG_LR} * coalesce(g.grad, 0.0) + 1e-12, 10) AS v1
+    FROM vin b LEFT JOIN gin g ON g.node = b.node AND g.k = b.k
+    UNION ALL
+    SELECT 'out' AS side, b.node, b.k, b.v AS v0,
+           coalesce(g.grad, 0.0) AS grad,
+           round(b.v - {_SG_LR} * coalesce(g.grad, 0.0) + 1e-12, 10) AS v1
+    FROM vout b LEFT JOIN gout g ON g.node = b.node AND g.k = b.k
+"""
+
+
+query("x92_sgns_train_step", oracle=_sgns_oracle())(sgns_train_step)

@@ -25,10 +25,10 @@ from big_data_project_spark.io import load_table
 from big_data_project_spark.registry import query
 
 # The shared X8-family fixture query set: the first N corpus vectors.
-# Every variant's oracle restricts with `vec_id < 10` and every Spark
-# leg filters the same way; `_probe_cells` and the x90 oracle both
-# reference THIS constant so the routing and its oracle cannot drift
-# apart (ADVICE r13).
+# Every X8-family leg — Spark filters AND oracle strings alike —
+# interpolates THIS constant (ADVICE r13 for x90's routing; ADVICE r14
+# for the sibling oracles), so changing N can never desync a Spark leg
+# from its oracle.
 _X8_N_QUERIES = 10
 
 
@@ -56,9 +56,9 @@ def with_cosine(pairs: DataFrame, col_a: str = "va", col_b: str = "vb") -> DataF
 
 @query(
     "x8_similarity_topk",
-    oracle="""
+    oracle=f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    q AS (SELECT vec_id AS query_id, v AS vq FROM e WHERE vec_id < 10),
+    q AS (SELECT vec_id AS query_id, v AS vq FROM e WHERE vec_id < {_X8_N_QUERIES}),
     scored AS (
       SELECT q.query_id, e.vec_id AS neighbor_id,
              round(list_cosine_similarity(q.vq, e.v) + 1e-9, 4) AS sim
@@ -86,7 +86,7 @@ def x8_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (x8_cosine_pairs_threshold, x8_knn_all: n² pairs).  Measure, don't
     guess — the crossover is the pair count, not the operator."""
     e = load_table(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < 10).select(
+    q = e.filter(F.col("vec_id") < _X8_N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("va")
     )
     n = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("vb"))
@@ -364,7 +364,7 @@ def _ivf_oracle_sql(nprobe: int = _IVF_NPROBE) -> str:
                  ORDER BY round(list_cosine_similarity(a.v, c.centroid) + 1e-9, 4) DESC,
                           c.centroid_id) AS rk
         FROM assigned a CROSS JOIN cent c
-        WHERE a.vec_id < 10)
+        WHERE a.vec_id < {_X8_N_QUERIES})
       WHERE rk <= {nprobe}
     ),
     scored AS (
@@ -798,7 +798,8 @@ def _srp_oracle_sql() -> str:
     return f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     srp AS ({srp}),
-    q AS (SELECT vec_id AS query_id, table_id, bucket FROM srp WHERE vec_id < 10),
+    q AS (SELECT vec_id AS query_id, table_id, bucket FROM srp
+          WHERE vec_id < {_X8_N_QUERIES}),
     cand AS (
       SELECT DISTINCT q.query_id, s.vec_id AS neighbor_id
       FROM q JOIN srp s USING (table_id, bucket)
@@ -856,7 +857,7 @@ def x16_srp_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tagged = e.select("vec_id", "embedding", F.explode(buckets).alias("tb")).select(
         "vec_id", "embedding", "tb.table_id", "tb.bucket"
     ).persist()
-    queries = tagged.filter(F.col("vec_id") < 10).select(
+    queries = tagged.filter(F.col("vec_id") < _X8_N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("va"),
         "table_id", "bucket",
     )
@@ -1153,7 +1154,7 @@ def _ivf_trained_oracle() -> str:
                  ORDER BY round(list_cosine_similarity(a.v, c.centroid) + 1e-9, 4) DESC,
                           c.centroid_id) AS rk
         FROM a_idx a CROSS JOIN c{g} c
-        WHERE a.vec_id < 10)
+        WHERE a.vec_id < {_X8_N_QUERIES})
       WHERE rk <= {_IVF_NPROBE}),
     scored AS (
       SELECT p.query_id, a.vec_id AS neighbor_id,
@@ -1192,11 +1193,12 @@ def x8_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "x35_hard_negatives",
-    oracle="""
+    oracle=f"""
     WITH e AS (
       SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ),
-    q AS (SELECT vec_id AS query_id, label AS qlabel, v AS vq FROM e WHERE vec_id < 10),
+    q AS (SELECT vec_id AS query_id, label AS qlabel, v AS vq FROM e
+          WHERE vec_id < {_X8_N_QUERIES}),
     scored AS (
       SELECT q.query_id, q.qlabel, e.vec_id AS neg_id, e.label AS neg_label,
              round(list_cosine_similarity(q.vq, e.v) + 1e-9, 4) AS sim
@@ -1219,7 +1221,7 @@ def x35_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     positives are dropped before scoring ever happens.  At 100 TB the
     mining set is the bounded query batch; the corpus streams."""
     e = load_table(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < 10).select(
+    q = e.filter(F.col("vec_id") < _X8_N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("qlabel"),
         F.col("embedding").alias("va"),
@@ -2044,7 +2046,7 @@ _MRL_TOPK = 10
     "x60_matryoshka_recall",
     oracle=f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    q AS (SELECT vec_id AS query_id, v AS vq FROM e WHERE vec_id < 10),
+    q AS (SELECT vec_id AS query_id, v AS vq FROM e WHERE vec_id < {_X8_N_QUERIES}),
     full_rank AS (
       SELECT query_id, vec_id AS neighbor_id
       FROM (
@@ -2096,7 +2098,7 @@ def x60_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         vec = F.col("embedding").cast("array<double>")
         v = F.slice(vec, 1, prefix_dims) if prefix_dims else vec
         base = e.select("vec_id", v.alias("v"))
-        q = base.filter(F.col("vec_id") < 10).select(
+        q = base.filter(F.col("vec_id") < _X8_N_QUERIES).select(
             F.col("vec_id").alias("query_id"), F.col("v").alias("va")
         )
         c = base.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("vb"))
@@ -2164,7 +2166,7 @@ def replicated_topk(spark: SparkSession, sf_dir: str, factor: int = 4) -> DataFr
         (F.col("vec_id") * factor + F.col("r")).alias("neighbor_id"),
         F.col("embedding").alias("vb"),
     )
-    q = e.filter(F.col("vec_id") < 10).select(
+    q = e.filter(F.col("vec_id") < _X8_N_QUERIES).select(
         (F.col("vec_id") * factor).alias("query_id"), F.col("embedding").alias("va")
     )
     scored = (

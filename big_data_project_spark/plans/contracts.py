@@ -66,13 +66,22 @@ def has_partial_agg(df: DataFrame) -> bool:
     return "partial_" in plan_str(df)
 
 
+# The one shuffle-counting regex, shared by num_shuffles and
+# num_shuffles_steady so the two counters cannot drift (ADVICE r14).
+# \b-anchoring already excludes Broadcast/ReusedExchange (no word
+# boundary inside either token), so the bare count IS the shuffle
+# count — the previous `- count_ops("BroadcastExchange")` subtracted
+# broadcasts a second time and undercounted every plan containing one.
+_EXCHANGE_RE = re.compile(r"\bExchange\b")
+
+
+def _count_exchanges(text: str) -> int:
+    return len(_EXCHANGE_RE.findall(text))
+
+
 def num_shuffles(df: DataFrame) -> int:
-    """Shuffle exchanges only.  count_ops' \\b-anchored regex already
-    excludes Broadcast/ReusedExchange (no word boundary inside either
-    token), so the bare count IS the shuffle count — the previous
-    `- count_ops("BroadcastExchange")` subtracted broadcasts a second
-    time and undercounted every plan that contained one."""
-    return count_ops(df, "Exchange")
+    """Shuffle exchanges only (see _EXCHANGE_RE)."""
+    return _count_exchanges(plan_str(df, mode="simple"))
 
 
 _TREE_PREFIX = re.compile(r"^[\s:+|-]*")
@@ -96,7 +105,14 @@ def prune_cached_subtrees(text: str) -> str:
     for line in text.splitlines():
         depth = _TREE_PREFIX.match(line).end()
         if skip_depth is not None:
-            if line.strip() and depth > skip_depth:
+            # Blank/whitespace-only lines carry no depth signal: drop
+            # them WITHOUT ending the skip, else a blank line inside a
+            # reprinted lineage would leak the rest of the cache-build
+            # subtree back into the steady-state count (ADVICE r14).
+            # Only a non-blank line at depth <= skip_depth ends it.
+            if not line.strip():
+                continue
+            if depth > skip_depth:
                 continue
             skip_depth = None
         kept.append(line)
@@ -112,7 +128,7 @@ def num_shuffles_steady(df: DataFrame) -> int:
     x91, the iterative-graph family), where the raw text count includes
     each cache's one-time build lineage once per reference."""
     text = prune_cached_subtrees(plan_str(df, mode="simple"))
-    return len(re.findall(r"\bExchange\b", text))
+    return _count_exchanges(text)
 
 
 def whole_stage_codegen_spans(df: DataFrame) -> int:

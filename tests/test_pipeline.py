@@ -2339,13 +2339,9 @@ def test_skipgram_batch_parity_and_replay(spark):
     the CTE mirror.  Also asserts the batch invariants a trainer relies
     on: exactly K negatives per positive pair, and every negative drawn
     from the vocabulary table."""
-    import hashlib
-    import math
-    from collections import Counter
-
     from big_data_project_spark import registry
     from big_data_project_spark.pipeline.graph import (
-        _SG_BATCH, _SG_NEG_K, _SG_NEG_VOCAB, _copurchase_weighted_edges,
+        _SG_BATCH, _SG_NEG_K, _copurchase_weighted_edges,
         skipgram_training_batch,
     )
     from tests.conftest import SF_DIR, SF_DIR_ORACLE
@@ -2366,42 +2362,165 @@ def test_skipgram_batch_parity_and_replay(spark):
         adj: dict[int, list[int]] = {}
         for r in _copurchase_weighted_edges(spark, SF_DIR).collect():
             adj.setdefault(r.u, []).append(r.v)
-        walks = _replay_walks(adj)
         census = _replay_walk_census(adj)
-        pairs = sorted(((-n, a, b) for (a, b), n in census.items()))[:_SG_BATCH]
-
-        visits: Counter = Counter()
-        for seq in walks.values():
-            visits.update(seq)
-        vocab = sorted(visits.items(), key=lambda kv: (-kv[1], kv[0]))
-        vocab = vocab[:_SG_NEG_VOCAB]
-        weights = [math.sqrt(n * math.sqrt(n)) for _, n in vocab]
-        tot = sum(weights)
-        cum_hi, run = [], 0.0
-        for w in weights:
-            run += w
-            cum_hi.append(round(run / tot + 1e-9, 6))
-        cum_lo = [0.0] + cum_hi[:-1]
-
-        expected = set()
-        for negn, a, b in pairs:
-            for j in range(1, _SG_NEG_K + 1):
-                h = hashlib.md5(f"{a}:{b}:{j}".encode()).hexdigest()
-                u = (int(h[:15], 16) % 1_000_000) / 1_000_000.0
-                (neg,) = [
-                    node
-                    for (node, _), lo, hi in zip(vocab, cum_lo, cum_hi)
-                    if lo <= u < hi
-                ]
-                expected.add((a, b, -negn, j, neg))
+        pairs, draws, table_nodes = _replay_sg_batch(adj)
+        expected = {(c, p, n, j, neg) for c, p, n, j, neg in draws}
         got = {
             (r.center, r.pos, r.n_cooc, r.j, r.neg)
             for r in skipgram_training_batch(spark, SF_DIR).collect()
         }
         assert got == expected
         assert len(got) == min(_SG_BATCH, len(census)) * _SG_NEG_K
-        table_nodes = {node for node, _ in vocab}
         assert {neg for *_, neg in got} <= table_nodes
+    finally:
+        spark.catalog.clearCache()
+
+
+def _replay_sg_batch(adj):
+    """Pure-Python replay of x91's batch construction over a replayed
+    walk corpus: top-``_SG_BATCH`` census pairs, node-visit
+    frequencies, the count^0.75-smoothed cumulative-interval table, and
+    the md5-uniform negative draws.  Returns (pairs, draws,
+    table_nodes) with pairs = [(center, pos, n_cooc)], draws =
+    [(center, pos, n_cooc, j, neg)].  Factored from the x91 replay
+    test (r15) so x92's SGD-step replay consumes the SAME rebuilt
+    batch instead of a second copy of the recipe."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    from big_data_project_spark.pipeline.graph import (
+        _SG_BATCH, _SG_NEG_K, _SG_NEG_VOCAB,
+    )
+
+    walks = _replay_walks(adj)
+    census = _replay_walk_census(adj)
+    pairs = [
+        (a, b, -negn)
+        for negn, a, b in sorted(((-n, a, b) for (a, b), n in census.items()))[
+            :_SG_BATCH
+        ]
+    ]
+
+    visits: Counter = Counter()
+    for seq in walks.values():
+        visits.update(seq)
+    vocab = sorted(visits.items(), key=lambda kv: (-kv[1], kv[0]))
+    vocab = vocab[:_SG_NEG_VOCAB]
+    weights = [math.sqrt(n * math.sqrt(n)) for _, n in vocab]
+    tot = sum(weights)
+    cum_hi, run = [], 0.0
+    for w in weights:
+        run += w
+        cum_hi.append(round(run / tot + 1e-9, 6))
+    cum_lo = [0.0] + cum_hi[:-1]
+
+    draws = []
+    for a, b, n in pairs:
+        for j in range(1, _SG_NEG_K + 1):
+            h = hashlib.md5(f"{a}:{b}:{j}".encode()).hexdigest()
+            u = (int(h[:15], 16) % 1_000_000) / 1_000_000.0
+            (neg,) = [
+                node
+                for (node, _), lo, hi in zip(vocab, cum_lo, cum_hi)
+                if lo <= u < hi
+            ]
+            draws.append((a, b, n, j, neg))
+    return pairs, draws, {node for node, _ in vocab}
+
+
+def test_sgns_train_step_parity_and_replay(spark):
+    """x92 (one SGNS SGD step over x91's batch): oracle parity at BOTH
+    tiers, then a full-chain pure-Python replay at the small tier —
+    the rebuilt batch (shared ``_replay_sg_batch``), the md5 vector
+    init, the per-example dot + clamped sigmoid, BOTH gradient folds
+    with draw multiplicity, and the rounded SGD update — every value
+    compared EXACTLY, so the training step has a third implementation
+    from the SGNS definition (Mikolov 2013), not just the CTE mirror.
+    Also asserts the trainer-facing invariants: two full matrices
+    (2 sides × vocab × _SG_DIM rows), every center-role node moved in
+    v_in, and v1 = v0 wherever the gradient is zero."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    from big_data_project_spark import registry
+    from big_data_project_spark.pipeline.graph import (
+        _SG_CLAMP, _SG_DIM, _SG_INIT_SCALE, _SG_LR,
+        _copurchase_weighted_edges, sgns_train_step,
+    )
+    from tests.conftest import SF_DIR, SF_DIR_ORACLE
+    from tests.oracle_harness import compare, duckdb_connect
+
+    registry.load()
+    oracle = registry.ORACLES["x92_sgns_train_step"]
+    for sf in (SF_DIR, SF_DIR_ORACLE):
+        try:
+            con = duckdb_connect(sf)
+            df = sgns_train_step(spark, sf)
+            res = compare("x92_sgns_train_step", df, con, oracle)
+            assert res.ok, (sf, res.detail, res.mismatches[:3])
+        finally:
+            spark.catalog.clearCache()
+
+    try:
+        adj: dict[int, list[int]] = {}
+        for r in _copurchase_weighted_edges(spark, SF_DIR).collect():
+            adj.setdefault(r.u, []).append(r.v)
+        pairs, draws, _ = _replay_sg_batch(adj)
+
+        ex: Counter = Counter()
+        for c, p, _n in pairs:
+            ex[(c, p, 1.0)] += 1
+        for c, _p, _n, _j, neg in draws:
+            ex[(c, neg, 0.0)] += 1
+        nodes = sorted({c for c, _, _ in ex} | {x for _, x, _ in ex})
+
+        def init(side, node, k):
+            h = hashlib.md5(f"{side}:{node}:{k}".encode()).hexdigest()
+            u = (int(h[:15], 16) % 2_000_000) / 1_000_000.0 - 1.0
+            return round(u * _SG_INIT_SCALE + 1e-9, 6)
+
+        vin = {(n, k): init("i", n, k) for n in nodes for k in range(_SG_DIM)}
+        vout = {(n, k): init("o", n, k) for n in nodes for k in range(_SG_DIM)}
+        gin: dict = {}
+        gout: dict = {}
+        for (c, x, label), cnt in ex.items():
+            dot = round(
+                sum(vin[c, k] * vout[x, k] for k in range(_SG_DIM)) + 1e-9, 6
+            )
+            dc = max(min(dot, _SG_CLAMP), -_SG_CLAMP)
+            g = round(1.0 / (1.0 + math.exp(-dc)) + 1e-9, 6) - label
+            for k in range(_SG_DIM):
+                gin[c, k] = gin.get((c, k), 0.0) + cnt * g * vout[x, k]
+                gout[x, k] = gout.get((x, k), 0.0) + cnt * g * vin[c, k]
+
+        expected = set()
+        for side, vecs, grads in (("in", vin, gin), ("out", vout, gout)):
+            for (n, k), v0 in vecs.items():
+                gr = (
+                    round(grads[n, k] + 1e-9, 6) if (n, k) in grads else 0.0
+                )
+                v1 = round(v0 - _SG_LR * gr + 1e-12, 10)
+                expected.add((side, n, k, v0, gr, v1))
+
+        got = {
+            (r.side, r.node, r.k, r.v0, r.grad, r.v1)
+            for r in sgns_train_step(spark, SF_DIR).collect()
+        }
+        assert got == expected
+        assert len(got) == 2 * len(nodes) * _SG_DIM
+
+        # trainer-facing invariants
+        centers = {c for c, _, _ in ex}
+        moved_in = {n for (s, n, _k, v0, _g, v1) in got if s == "in" and v1 != v0}
+        assert moved_in == {
+            n for n in centers
+            if any(round(gin[n, k] + 1e-9, 6) != 0.0 for k in range(_SG_DIM))
+        }
+        for s, n, k, v0, g, v1 in got:
+            if g == 0.0:
+                assert v1 == v0, (s, n, k)
     finally:
         spark.catalog.clearCache()
 

@@ -1717,6 +1717,32 @@ def test_prune_cached_subtrees_text_semantics():
     assert pruned.count("Exchange rangepartitioning(b)") == 1
 
 
+def test_prune_cached_subtrees_blank_line_inside_lineage():
+    """A blank/whitespace-only line inside a reprinted cache lineage
+    must NOT end the skip (ADVICE r14): blank lines carry no depth
+    signal, so the pruner drops them and keeps skipping until a
+    non-blank line at or left of the InMemoryRelation's depth."""
+    from big_data_project_spark.plans.contracts import prune_cached_subtrees
+
+    text = "\n".join([
+        "AdaptiveSparkPlan",
+        "   +- InMemoryTableScan [a]",
+        "         +- InMemoryRelation [a]",
+        "               +- Exchange hashpartitioning(hidden1)",
+        "",                                   # blank INSIDE the lineage
+        "               +- Exchange hashpartitioning(hidden2)",
+        "   ",                                # whitespace-only, still inside
+        "                  +- FileScan parquet",
+        "   +- Exchange rangepartitioning(kept)",  # resumes at shallower depth
+    ])
+    pruned = prune_cached_subtrees(text)
+    assert "hidden1" not in pruned
+    assert "hidden2" not in pruned
+    assert "FileScan" not in pruned
+    assert pruned.count("Exchange") == 1
+    assert "kept" in pruned
+
+
 def test_skipgram_batch_steady_shuffles(spark):
     """x91's steady-state shuffle budget via the cache-pruned counter:
     the raw text count is inflated ~60× by reprinted walk-step cache
@@ -1778,3 +1804,47 @@ def test_iterative_family_steady_shuffle_budgets(spark):
             assert steady <= budget, (name, steady, budget)
         finally:
             spark.catalog.clearCache()
+
+
+def test_sgns_step_plan(spark):
+    """x92's training-step plan (VERDICT r14 #4's done-bar): the
+    example/gradient frames BROADCAST into every downstream join (the
+    batch is bounded by construction), each gradient fold is EXACTLY
+    one partial+final aggregate exchange keyed (node, k), no Python
+    touches the gradient fold, and no sort-merge join or cartesian
+    appears anywhere in the steady-state plan.  Also pins the lineage
+    TRUNCATION at the examples frame: before the localCheckpoint, the
+    walk chain reprinted under every downstream cache reference and the
+    plan STRING alone (7339 raw Exchanges at sf0.001) OOMed a
+    default-1g driver inside SQLExecution's explain rendering — the
+    bound here fails if a lineage leak ever regrows the tree."""
+    import re
+
+    from big_data_project_spark.pipeline.graph import sgns_train_step
+    from big_data_project_spark.plans.contracts import (
+        num_shuffles, num_shuffles_steady, plan_str, prune_cached_subtrees,
+    )
+
+    df = sgns_train_step(spark, SF)
+    try:
+        raw = plan_str(df, "simple")
+        assert len(raw) < 120_000, "x92 plan string regrew — lineage leak"
+        text = prune_cached_subtrees(raw)
+
+        def n(op):
+            return len(re.findall(rf"\b{op}\b", text))
+
+        assert n("SortMergeJoin") == 0
+        assert n("CartesianProduct") == 0
+        assert n("BatchEvalPython") + n("ArrowEvalPython") == 0, (
+            "Python leaked into the gradient fold"
+        )
+        assert n("BroadcastHashJoin") >= 4  # 2 gradient joins + 2 update joins
+        # ONE partial-agg exchange per gradient fold (in + out), nothing else
+        assert len(re.findall(r"Exchange hashpartitioning", text)) == 2
+        assert text.count("partial_sum") == 2
+        steady = num_shuffles_steady(df)
+        assert steady <= 4, steady  # 2 gradient folds + the output sort
+        assert num_shuffles(df) <= 20  # checkpoint keeps the raw tree small
+    finally:
+        spark.catalog.clearCache()

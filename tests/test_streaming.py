@@ -449,9 +449,11 @@ def test_t12_stream_stream_left_outer_emits_unmatched(spark, tmp_path):
         (89, "2024-06-01 01:00:00", 44, "view", 1.0),
     ], vdir, "b2")
     run_pass()
-    # the watermark computed from batch 2 only takes effect in the NEXT
-    # micro-batch (availableNow stops before running a no-data batch), so
-    # one more arrival is needed to flush the expired outer-join state
+    # belt-and-braces: availableNow on this Spark DOES run a trailing
+    # no-data batch when the watermark advances (pinned by
+    # test_attribution_event_time_simulator), so batch 2 alone should
+    # flush the orphan; a third arrival keeps the assertion robust to
+    # noDataMicroBatches being disabled
     _write_batch(spark, [
         (100, "2024-06-01 01:05:00", 43, "purchase", 9.0),
     ], pdir, "b3")
@@ -508,8 +510,9 @@ def test_t13_stream_stream_full_outer_emits_both_orphans(spark, tmp_path):
         if r.view_id is not None and r.purchase_id is not None
     }
 
-    # advance BOTH watermarks past every expiry bound, twice (the second
-    # pass runs the no-data batch that flushes expired state)
+    # advance BOTH watermarks past every expiry bound, twice (one pass
+    # suffices when the trailing no-data batch runs — see
+    # test_attribution_event_time_simulator — the second is robustness)
     for name, ts in (("b2", "2024-06-01 01:00:00"), ("b3", "2024-06-01 01:05:00")):
         _write_batch(spark, [(80 + int(name[1]), ts, 44, "view", 1.0)], vdir, name)
         _write_batch(spark, [(90 + int(name[1]), ts, 45, "purchase", 9.0)], pdir, name)
@@ -523,3 +526,219 @@ def test_t13_stream_stream_full_outer_emits_both_orphans(spark, tmp_path):
     assert 21 in set(orphan_purch["purchase_id"])
     assert (orphan_purch["outcome"] == "organic").all()
     assert out["gap_s"][out.view_id.isnull() | out.purchase_id.isnull()].isnull().all()
+
+
+# --- t12/t13 pure-Python event-time simulator (VERDICT r14 #5) --------------
+
+
+class _AttributionSim:
+    """Pure-Python event-time simulator for the stream-stream
+    attribution pair — a THIRD implementation of the outer-join
+    watermark semantics from Spark's documented model (not from the
+    engine), closing the one intricate-semantics family whose evidence
+    was engine-pair-only:
+
+      * one scripted pass = one DATA micro-batch over both sources
+        (file source + availableNow, no maxFilesPerTrigger) plus, when
+        the watermark advanced, the trailing NO-DATA micro-batch Spark
+        runs before stopping (noDataMicroBatches, on by default) — so
+        state eviction within a pass sees the watermark computed from
+        that pass's own data (verified against the engine: the orphan
+        below flushes in the SAME pass whose arrivals advanced the
+        watermark past its expiry, one pass earlier than a
+        strictly-lagged model predicts);
+      * the global watermark is min(max event time seen per side) -
+        delay;
+      * inner matches (purchase within [view_ts, view_ts + window] for
+        the same user) emit in the batch where both sides are present;
+      * a buffered view expires when the in-effect watermark passes
+        view_ts + window, a buffered purchase when it passes
+        purchase_ts (its earliest admissible view); expired rows leave
+        state, and the ones that never matched emit as outer rows —
+        views in both modes, purchases only under how='full'.
+
+    Scenarios must keep expiry bounds >= 1 minute away from watermark
+    values: Spark's internal eviction comparison at EXACT equality is
+    an implementation detail this model deliberately does not encode
+    (the join condition's own <= boundary IS exact and IS exercised)."""
+
+    def __init__(self, how: str, delay_s: int = 600, window_s: int = 1800):
+        assert how in ("left", "full")
+        self.how = how
+        self.delay = delay_s
+        self.window = window_s
+        self.vmax: float | None = None
+        self.pmax: float | None = None
+        self.wm: float | None = None      # in effect for the NEXT batch
+        self.vstate: list = []            # [view_id, user, ts, matched]
+        self.pstate: list = []            # [purchase_id, user, ts, matched]
+        self.emitted: list = []
+
+    def _emit_match(self, v, p):
+        gap = int(p[2] - v[2])
+        if self.how == "left":
+            self.emitted.append((v[0], p[0], v[1], gap, 1))
+        else:
+            self.emitted.append((v[0], p[0], v[1], gap, "attributed"))
+        v[3] = p[3] = True
+
+    def run_pass(self, views, purchases):
+        """views: [(view_id, user, epoch_s)], purchases likewise."""
+        new_v = [[i, u, ts, False] for i, u, ts in views]
+        new_p = [[i, u, ts, False] for i, u, ts in purchases]
+        # joins: new x (state + new), both directions, no double count
+        for v in new_v:
+            for p in self.pstate + new_p:
+                if p[1] == v[1] and v[2] <= p[2] <= v[2] + self.window:
+                    self._emit_match(v, p)
+        for p in new_p:
+            for v in self.vstate:
+                if v[1] == p[1] and v[2] <= p[2] <= v[2] + self.window:
+                    self._emit_match(v, p)
+        self.vstate.extend(new_v)
+        self.pstate.extend(new_p)
+        # watermark update from this batch's maxima: the trailing
+        # no-data micro-batch makes it effective within the same pass
+        if views:
+            ts = max(t for _, _, t in views)
+            self.vmax = ts if self.vmax is None else max(self.vmax, ts)
+        if purchases:
+            ts = max(t for _, _, t in purchases)
+            self.pmax = ts if self.pmax is None else max(self.pmax, ts)
+        if self.vmax is not None and self.pmax is not None:
+            self.wm = min(self.vmax, self.pmax) - self.delay
+        if self.wm is not None:
+            keep_v = []
+            for v in self.vstate:
+                if v[2] + self.window < self.wm:
+                    if not v[3]:
+                        if self.how == "left":
+                            self.emitted.append((v[0], None, v[1], None, 0))
+                        else:
+                            self.emitted.append(
+                                (v[0], None, v[1], None, "unconverted")
+                            )
+                else:
+                    keep_v.append(v)
+            self.vstate = keep_v
+            keep_p = []
+            for p in self.pstate:
+                if p[2] < self.wm:
+                    if not p[3] and self.how == "full":
+                        self.emitted.append((None, p[0], p[1], None, "organic"))
+                else:
+                    keep_p.append(p)
+            self.pstate = keep_p
+
+
+def _epoch(iso: str) -> float:
+    return dt.datetime.fromisoformat(iso).replace(tzinfo=dt.timezone.utc).timestamp()
+
+
+# Five scripted passes exercising: same-batch match, cross-batch match,
+# a 31-minute near-miss on the <= window boundary, an organic purchase,
+# an unconverted view, watermark-lagged orphan flushes spread over three
+# different passes, and rows that expire silently because they matched.
+_ATTRIB_SCENARIO = [
+    # (views, purchases): (id, user, iso_ts)
+    (
+        [(10, 1, "2024-06-01 00:00:00"), (11, 2, "2024-06-01 00:00:00"),
+         (12, 3, "2024-06-01 00:05:00")],
+        [(20, 1, "2024-06-01 00:10:00"), (21, 4, "2024-06-01 00:15:00"),
+         (22, 3, "2024-06-01 00:35:00")],   # exactly +30 min: still a match
+    ),
+    (
+        [(13, 5, "2024-06-01 00:40:00")],
+        [(23, 2, "2024-06-01 00:31:00")],   # 31 min after view 11: NO match
+    ),
+    (
+        [(14, 6, "2024-06-01 01:22:00")],
+        [(24, 5, "2024-06-01 00:50:00")],   # cross-batch match with view 13
+    ),
+    (
+        [(15, 9, "2024-06-01 02:00:00")],
+        [(25, 9, "2024-06-01 02:00:00")],   # match; advances both sides
+    ),
+    (
+        [(16, 10, "2024-06-01 03:00:00")],
+        [(26, 10, "2024-06-01 03:00:00")],  # final flush pair
+    ),
+]
+
+
+@pytest.mark.parametrize("how", ["left", "full"])
+def test_attribution_event_time_simulator(spark, tmp_path, how):
+    """t12/t13 vs the pure-Python event-time simulator: after EVERY
+    scripted pass, the engine's cumulative emitted multiset must equal
+    the simulator's — matched rows, orphan flush TIMING under the
+    lagged watermark, and silent expiry of matched state, not just the
+    final row set."""
+    from collections import Counter
+
+    from big_data_project_spark.streaming.windows import (
+        attribution_full_join, attribution_left_join,
+    )
+
+    builder = attribution_left_join if how == "left" else attribution_full_join
+    vdir, pdir = str(tmp_path / "views"), str(tmp_path / "purchases")
+    out_dir, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    os.makedirs(vdir)
+    os.makedirs(pdir)
+
+    sim = _AttributionSim(how)
+
+    def engine_rows():
+        if not os.path.isdir(out_dir):
+            return Counter()
+        pdf = spark.read.parquet(out_dir).toPandas()
+        out: Counter = Counter()
+        for r in pdf.itertuples():
+            vid = None if pd.isna(r.view_id) else int(r.view_id)
+            pid = None if pd.isna(r.purchase_id) else int(r.purchase_id)
+            gap = None if pd.isna(r.gap_s) else int(r.gap_s)
+            last = r.converted if how == "left" else r.outcome
+            out[(vid, pid, int(r.user_id), gap, last)] += 1
+        return out
+
+    for i, (views, purchases) in enumerate(_ATTRIB_SCENARIO):
+        _write_batch(
+            spark,
+            [(i_, f"{ts}", u, "view", 1.0) for i_, u, ts in views],
+            vdir,
+            f"b{i}",
+        )
+        _write_batch(
+            spark,
+            [(i_, f"{ts}", u, "purchase", 9.0) for i_, u, ts in purchases],
+            pdir,
+            f"b{i}",
+        )
+        v = stream_events_from_dir(spark, vdir).withWatermark("ts", "10 minutes")
+        p = stream_events_from_dir(spark, pdir).withWatermark("ts", "10 minutes")
+        joined = builder(v, p)
+
+        def sink(df, batch_id):
+            if df.count():
+                df.write.mode("append").parquet(out_dir)
+
+        run_available_now(
+            joined, out_dir, ck, output_mode="append", foreach_batch=sink
+        )
+        sim.run_pass(
+            [(i_, u, _epoch(ts)) for i_, u, ts in views],
+            [(i_, u, _epoch(ts)) for i_, u, ts in purchases],
+        )
+        assert engine_rows() == Counter(sim.emitted), (
+            f"{how}: divergence after pass {i}"
+        )
+
+    # the scenario must actually exercise every outcome class
+    kinds = {e[-1] for e in sim.emitted}
+    if how == "left":
+        assert kinds == {0, 1}
+    else:
+        assert kinds == {"attributed", "unconverted", "organic"}
+    # and some matched state must have expired silently (no orphan row)
+    matched_views = {e[0] for e in sim.emitted if e[0] is not None and e[1] is not None}
+    orphan_views = {e[0] for e in sim.emitted if e[0] is not None and e[1] is None}
+    assert matched_views.isdisjoint(orphan_views)
