@@ -283,6 +283,21 @@ def _loadavg() -> tuple[float | None, float | None]:
         return None, None
 
 
+# Clean-host calibration bands (r15): both loadavg axes CLEAN do not
+# guarantee a comparable host — an r15 session at 1m=1.13/15m=0.38 read
+# calib_shuffle 1.997 and calib_arrow_dirty 7.996 (vs the r12-r14 bands
+# below) and every x8-family row 4-6× its trend; the immediate re-run
+# reverted.  CPU-quota/steal throttling is invisible to loadavg, so the
+# calibration axes are the AUTHORITATIVE discard signal: a reading with
+# calib_flag non-empty is not comparable across rounds regardless of
+# load axes.  Bands = max clean r12-r14 reading × 1.35 headroom.
+_CALIB_BANDS = {
+    "calib_jvm_sec": 0.25,
+    "calib_shuffle_sec": 1.85,
+    "calib_arrow_dirty_sec": 1.95,
+}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -437,6 +452,16 @@ def main() -> None:
         "foreign_jvms": foreign if foreign >= 0 else None,
         "loadavg_1m": loadavg,
         "loadavg_15m": loadavg_15m,
+        # calibration axes outside their clean-host bands (see
+        # _CALIB_BANDS): non-empty = host degraded, discard the reading
+        "calib_flag": sorted(
+            k for k, v in {
+                "calib_jvm_sec": calib,
+                "calib_shuffle_sec": calib_sh,
+                "calib_arrow_dirty_sec": calib_ar_dirty,
+            }.items()
+            if v is not None and v > _CALIB_BANDS[k]
+        ),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
     spark.stop()
