@@ -2318,6 +2318,38 @@ def sgns_train_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     gradient fold stays one partial+final agg — the classic parameter-
     shard data parallelism.  No Python touches the gradient fold
     (pinned: zero Arrow/BatchEval nodes)."""
+    ex, vin, vout = _sgns_inputs(spark, sf_dir)
+    grad_in, grad_out = _sgns_grads(ex, vin, vout)
+
+    def _apply(vecs: DataFrame, grads: DataFrame, side: str) -> DataFrame:
+        g = F.coalesce("grad", F.lit(0.0))
+        return vecs.join(F.broadcast(grads), ["node", "k"], "left").select(
+            F.lit(side).alias("side"),
+            "node",
+            "k",
+            F.col("v").alias("v0"),
+            g.alias("grad"),
+            F.round(F.col("v") - F.lit(_SG_LR) * g + F.lit(1e-12), 10).alias("v1"),
+        )
+    out = _apply(vin, grad_in, "in").unionByName(_apply(vout, grad_out, "out"))
+    return out.orderBy("side", "node", "k")
+
+
+def _sgns_inputs(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The SGNS training inputs, shared by x92 (one step) and x93 (an
+    epoch): the weighted examples frame and the two md5-initialized
+    vector matrices.
+
+    ex localCheckpoints, not persists: every downstream frame (vectors,
+    dots, both gradient folds, both update joins) branches off it, and
+    a persisted ex REPRINTS the whole x91 walk-chain lineage under
+    each of those references — the resulting plan STRING (not the
+    data) OOMs a default-1g driver while SQLExecution renders it for
+    the event log.  Truncating the lineage at the 300-row examples
+    frame caps the downstream tree at the training algebra itself;
+    the wide x91 work still runs exactly once, materializing here."""
     batch_pairs, resolved = _sg_batch_frames(spark, sf_dir)
     pos_ex = batch_pairs.select(
         F.col("node_a").alias("center"),
@@ -2327,14 +2359,6 @@ def sgns_train_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     neg_ex = resolved.select(
         "center", F.col("neg").alias("ctx"), F.lit(0.0).alias("label")
     )
-    # localCheckpoint, not persist: every downstream frame (vectors,
-    # dots, both gradient folds, both update joins) branches off ex, and
-    # a persisted ex REPRINTS the whole x91 walk-chain lineage under
-    # each of those references — the resulting plan STRING (not the
-    # data) OOMs a default-1g driver while SQLExecution renders it for
-    # the event log.  Truncating the lineage at the 300-row examples
-    # frame caps the downstream tree at the training algebra itself;
-    # the wide x91 work still runs exactly once, materializing here.
     ex = (
         pos_ex.unionByName(neg_ex)
         .groupBy("center", "ctx", "label")
@@ -2351,7 +2375,18 @@ def sgns_train_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     dims = vocab.select("node", F.explode(ks).alias("k"))
     vin = dims.select("node", "k", _sg_init_vec("i").alias("v")).persist()
     vout = dims.select("node", "k", _sg_init_vec("o").alias("v")).persist()
+    return ex, vin, vout
 
+
+def _sgns_grads(
+    ex: DataFrame, vin: DataFrame, vout: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """THE batch-gradient algebra, defined once per engine (mirrored by
+    the oracle's ``_sgns_step_ctes`` and the test replay's step
+    function): per-example 6-dp dot, clamped sigmoid, g = sigma -
+    label, then the two multiplicity-weighted gradient folds keyed
+    (node, k).  Shared by x92 (one step, grads exposed in the output)
+    and x93 (an epoch, grads consumed by ``_sgns_apply`` per step)."""
     dots = (
         F.broadcast(ex)
         .join(
@@ -2395,26 +2430,40 @@ def sgns_train_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("grad")
         )
     )
+    return grad_in, grad_out
 
-    def _apply(vecs: DataFrame, grads: DataFrame, side: str) -> DataFrame:
+
+def _sgns_step(
+    ex: DataFrame, vin: DataFrame, vout: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """One full SGD step: gradients via ``_sgns_grads``, the rounded
+    update applied to both matrices.  Each updated matrix
+    localCheckpoints (the ADVICE r15 rule: multi-step compositions
+    truncate lineage per step, or the step recurrence reprints every
+    prior step under each of the next step's four consumers)."""
+
+    def upd(vecs: DataFrame, grads: DataFrame) -> DataFrame:
         g = F.coalesce("grad", F.lit(0.0))
-        return vecs.join(F.broadcast(grads), ["node", "k"], "left").select(
-            F.lit(side).alias("side"),
-            "node",
-            "k",
-            F.col("v").alias("v0"),
-            g.alias("grad"),
-            F.round(F.col("v") - F.lit(_SG_LR) * g + F.lit(1e-12), 10).alias("v1"),
+        return (
+            vecs.join(F.broadcast(grads), ["node", "k"], "left")
+            .select(
+                "node",
+                "k",
+                F.round(F.col("v") - F.lit(_SG_LR) * g + F.lit(1e-12), 10).alias(
+                    "v"
+                ),
+            )
+            .localCheckpoint(eager=True)
         )
-    out = _apply(vin, grad_in, "in").unionByName(_apply(vout, grad_out, "out"))
-    return out.orderBy("side", "node", "k")
+
+    grad_in, grad_out = _sgns_grads(ex, vin, vout)
+    return upd(vin, grad_in), upd(vout, grad_out)
 
 
-def _sgns_oracle() -> str:
-    """x92's oracle: the shared x91 batch chain (``_sg_batch_ctes``)
-    extended with example, init-vector, dot/sigmoid, gradient, and
-    update CTEs — each a line-for-line mirror of the Spark stage
-    above, every rounding point identical."""
+def _sgns_base_ctes() -> str:
+    """The SGNS oracle base: the shared x91 batch chain extended with
+    the example, vocabulary, dim-grid, and init-vector CTEs (``ex``,
+    ``vin0``, ``vout0``) — the oracle mirror of ``_sgns_inputs``."""
 
     def init_sql(side: str) -> str:
         return f"""
@@ -2441,41 +2490,157 @@ def _sgns_oracle() -> str:
     dims AS MATERIALIZED (
       SELECT v.node, CAST(g.k AS INT) AS k
       FROM vocab v CROSS JOIN generate_series(0, {_SG_DIM - 1}) AS g(k)),
-    vin AS MATERIALIZED ({init_sql("i")}),
-    vout AS MATERIALIZED ({init_sql("o")}),
-    dots AS MATERIALIZED (
+    vin0 AS MATERIALIZED ({init_sql("i")}),
+    vout0 AS MATERIALIZED ({init_sql("o")})"""
+
+
+def _sgns_step_ctes(i: int) -> str:
+    """One SGD step as CTEs — the oracle mirror of ``_sgns_grads`` +
+    ``_sgns_step``: ``dots{i}``/``gd{i}``/``gin{i}``/``gout{i}`` from
+    ``vin{i}``/``vout{i}``, producing ``vin{i+1}``/``vout{i+1}`` with
+    the rounded update.  Defined ONCE and unrolled per step by both the
+    x92 and x93 oracles, mirroring the Spark-side factoring."""
+    return f""",
+    dots{i} AS MATERIALIZED (
       SELECT e.center, e.ctx, e.label, e.cnt,
              round(sum(vi.v * vo.v) + 1e-9, 6) AS dot
       FROM ex e
-      JOIN vin vi ON vi.node = e.center
-      JOIN vout vo ON vo.node = e.ctx AND vo.k = vi.k
+      JOIN vin{i} vi ON vi.node = e.center
+      JOIN vout{i} vo ON vo.node = e.ctx AND vo.k = vi.k
       GROUP BY e.center, e.ctx, e.label, e.cnt),
-    gd AS MATERIALIZED (
+    gd{i} AS MATERIALIZED (
       SELECT center, ctx, label, cnt,
              round(1.0 / (1.0 + exp(-greatest(least(dot, {_SG_CLAMP}),
                                               -{_SG_CLAMP}))) + 1e-9, 6)
              - label AS g
-      FROM dots),
-    gin AS MATERIALIZED (
+      FROM dots{i}),
+    gin{i} AS MATERIALIZED (
       SELECT d.center AS node, vo.k,
              round(sum(d.cnt * d.g * vo.v) + 1e-9, 6) AS grad
-      FROM gd d JOIN vout vo ON vo.node = d.ctx
+      FROM gd{i} d JOIN vout{i} vo ON vo.node = d.ctx
       GROUP BY d.center, vo.k),
-    gout AS MATERIALIZED (
+    gout{i} AS MATERIALIZED (
       SELECT d.ctx AS node, vi.k,
              round(sum(d.cnt * d.g * vi.v) + 1e-9, 6) AS grad
-      FROM gd d JOIN vin vi ON vi.node = d.center
-      GROUP BY d.ctx, vi.k)
+      FROM gd{i} d JOIN vin{i} vi ON vi.node = d.center
+      GROUP BY d.ctx, vi.k),
+    vin{i + 1} AS MATERIALIZED (
+      SELECT b.node, b.k,
+             round(b.v - {_SG_LR} * coalesce(g.grad, 0.0) + 1e-12, 10) AS v
+      FROM vin{i} b LEFT JOIN gin{i} g ON g.node = b.node AND g.k = b.k),
+    vout{i + 1} AS MATERIALIZED (
+      SELECT b.node, b.k,
+             round(b.v - {_SG_LR} * coalesce(g.grad, 0.0) + 1e-12, 10) AS v
+      FROM vout{i} b LEFT JOIN gout{i} g ON g.node = b.node AND g.k = b.k)"""
+
+
+def _sgns_oracle() -> str:
+    """x92's oracle: base + ONE unrolled step; v0/grad come from the
+    step-0 frames, v1 from the updated matrices (identical values to
+    computing the update in the final select — the r15 restructuring
+    shared the step CTEs with x93 without moving any rounding
+    point)."""
+    return _sgns_base_ctes() + _sgns_step_ctes(0) + f"""
     SELECT 'in' AS side, b.node, b.k, b.v AS v0,
-           coalesce(g.grad, 0.0) AS grad,
-           round(b.v - {_SG_LR} * coalesce(g.grad, 0.0) + 1e-12, 10) AS v1
-    FROM vin b LEFT JOIN gin g ON g.node = b.node AND g.k = b.k
+           coalesce(g.grad, 0.0) AS grad, u.v AS v1
+    FROM vin0 b
+    LEFT JOIN gin0 g ON g.node = b.node AND g.k = b.k
+    JOIN vin1 u ON u.node = b.node AND u.k = b.k
     UNION ALL
     SELECT 'out' AS side, b.node, b.k, b.v AS v0,
-           coalesce(g.grad, 0.0) AS grad,
-           round(b.v - {_SG_LR} * coalesce(g.grad, 0.0) + 1e-12, 10) AS v1
-    FROM vout b LEFT JOIN gout g ON g.node = b.node AND g.k = b.k
+           coalesce(g.grad, 0.0) AS grad, u.v AS v1
+    FROM vout0 b
+    LEFT JOIN gout0 g ON g.node = b.node AND g.k = b.k
+    JOIN vout1 u ON u.node = b.node AND u.k = b.k
 """
 
 
 query("x92_sgns_train_step", oracle=_sgns_oracle())(sgns_train_step)
+
+
+# --------------------------------------------------------------------------
+# x93 (PREPPED r15, un-registered): a 2-step SGNS epoch over the same batch
+# --------------------------------------------------------------------------
+
+_SG_EPOCH_STEPS = 2
+
+
+def sgns_train_epoch(
+    spark: SparkSession, sf_dir: str, steps: int = _SG_EPOCH_STEPS
+) -> DataFrame:
+    """A deterministic ``_SG_EPOCH_STEPS``-step SGNS epoch over x91's
+    batch — the reference's ``train_epoch`` loop
+    (big_data_project/trainer/flax_model.py:228-253) at the verified
+    tier: x92's step algebra (shared ``_sgns_grads``/``_sgns_step``)
+    applied twice, step 2's gradients computed from step 1's UPDATED
+    matrices, so the oracle must track the full trajectory, not one
+    closed form.  Output: (side, node, k, v0, v1, v2) — init, after
+    step 1, after step 2.
+
+    PREPPED r15, not registered: the r16 window is exactly filled by
+    rotation (ADVICE r15), so registration is one line —
+    ``query("x93_sgns_train_epoch", oracle=_sgns_epoch_oracle())
+    (sgns_train_epoch)`` — for the round that has a slot.
+
+    Parity: every rounding point is the shared step recipe's (6-dp
+    dots/sigmoid/gradients, 10-dp updates); v1 values are 10-dp
+    rationals, so step 2's products and sums carry the same tie-safety
+    argument as step 1's (§4.3.1 nudges throughout).
+
+    Scale design: identical to x92 per step — examples and gradient
+    frames broadcast, one partial+final agg exchange per gradient
+    fold; each step's updated matrices localCheckpoint (the ADVICE r15
+    rule), so the plan tree and the driver's explain string stay
+    CONSTANT-size in the number of steps rather than growing the step
+    recurrence — the property that lets the same dataflow run a real
+    multi-epoch schedule."""
+    ex, vin0, vout0 = _sgns_inputs(spark, sf_dir)
+    vins, vouts = [vin0], [vout0]
+    for _ in range(steps):
+        nvin, nvout = _sgns_step(ex, vins[-1], vouts[-1])
+        vins.append(nvin)
+        vouts.append(nvout)
+
+    def side_out(frames: list[DataFrame], side: str) -> DataFrame:
+        # broadcast each step frame into the trajectory join: the
+        # localCheckpoint leaves carry no stats, so Catalyst would
+        # otherwise sort-merge a vocab×dim-row join
+        out = frames[0].select(
+            F.lit(side).alias("side"), "node", "k", F.col("v").alias("v0")
+        )
+        for step, frame in enumerate(frames[1:], start=1):
+            out = out.join(
+                F.broadcast(
+                    frame.select("node", "k", F.col("v").alias(f"v{step}"))
+                ),
+                ["node", "k"],
+            )
+        return out
+
+    out = side_out(vins, "in").unionByName(side_out(vouts, "out"))
+    return out.orderBy("side", "node", "k")
+
+
+def _sgns_epoch_oracle() -> str:
+    """x93's oracle: base + ``_SG_EPOCH_STEPS`` unrolled step CTEs, the
+    final select walking the vin0..vinN / vout0..voutN trajectory."""
+    steps = "".join(_sgns_step_ctes(i) for i in range(_SG_EPOCH_STEPS))
+    vcols = ", ".join(
+        f"s{i}.v AS v{i}" for i in range(_SG_EPOCH_STEPS + 1)
+    )
+
+    def side_sql(prefix: str, side: str) -> str:
+        joins = "\n    ".join(
+            f"JOIN {prefix}{i} s{i} ON s{i}.node = s0.node AND s{i}.k = s0.k"
+            for i in range(1, _SG_EPOCH_STEPS + 1)
+        )
+        return f"""SELECT '{side}' AS side, s0.node, s0.k, {vcols}
+    FROM {prefix}0 s0
+    {joins}"""
+
+    return _sgns_base_ctes() + steps + f"""
+    {side_sql("vin", "in")}
+    UNION ALL
+    {side_sql("vout", "out")}
+"""
+

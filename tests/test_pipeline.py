@@ -2440,15 +2440,8 @@ def test_sgns_train_step_parity_and_replay(spark):
     Also asserts the trainer-facing invariants: two full matrices
     (2 sides × vocab × _SG_DIM rows), every center-role node moved in
     v_in, and v1 = v0 wherever the gradient is zero."""
-    import hashlib
-    import math
-    from collections import Counter
-
     from big_data_project_spark import registry
-    from big_data_project_spark.pipeline.graph import (
-        _SG_CLAMP, _SG_DIM, _SG_INIT_SCALE, _SG_LR,
-        _copurchase_weighted_edges, sgns_train_step,
-    )
+    from big_data_project_spark.pipeline.graph import _SG_DIM, sgns_train_step
     from tests.conftest import SF_DIR, SF_DIR_ORACLE
     from tests.oracle_harness import compare, duckdb_connect
 
@@ -2464,45 +2457,18 @@ def test_sgns_train_step_parity_and_replay(spark):
             spark.catalog.clearCache()
 
     try:
-        adj: dict[int, list[int]] = {}
-        for r in _copurchase_weighted_edges(spark, SF_DIR).collect():
-            adj.setdefault(r.u, []).append(r.v)
-        pairs, draws, _ = _replay_sg_batch(adj)
-
-        ex: Counter = Counter()
-        for c, p, _n in pairs:
-            ex[(c, p, 1.0)] += 1
-        for c, _p, _n, _j, neg in draws:
-            ex[(c, neg, 0.0)] += 1
-        nodes = sorted({c for c, _, _ in ex} | {x for _, x, _ in ex})
-
-        def init(side, node, k):
-            h = hashlib.md5(f"{side}:{node}:{k}".encode()).hexdigest()
-            u = (int(h[:15], 16) % 2_000_000) / 1_000_000.0 - 1.0
-            return round(u * _SG_INIT_SCALE + 1e-9, 6)
-
-        vin = {(n, k): init("i", n, k) for n in nodes for k in range(_SG_DIM)}
-        vout = {(n, k): init("o", n, k) for n in nodes for k in range(_SG_DIM)}
-        gin: dict = {}
-        gout: dict = {}
-        for (c, x, label), cnt in ex.items():
-            dot = round(
-                sum(vin[c, k] * vout[x, k] for k in range(_SG_DIM)) + 1e-9, 6
-            )
-            dc = max(min(dot, _SG_CLAMP), -_SG_CLAMP)
-            g = round(1.0 / (1.0 + math.exp(-dc)) + 1e-9, 6) - label
-            for k in range(_SG_DIM):
-                gin[c, k] = gin.get((c, k), 0.0) + cnt * g * vout[x, k]
-                gout[x, k] = gout.get((x, k), 0.0) + cnt * g * vin[c, k]
+        ex, nodes, vin, vout = _replay_sgns_setup(spark)
+        ginr, goutr, vin1, vout1 = _replay_sgns_step(ex, vin, vout)
 
         expected = set()
-        for side, vecs, grads in (("in", vin, gin), ("out", vout, gout)):
-            for (n, k), v0 in vecs.items():
-                gr = (
-                    round(grads[n, k] + 1e-9, 6) if (n, k) in grads else 0.0
+        for side, vecs, grads, upd in (
+            ("in", vin, ginr, vin1),
+            ("out", vout, goutr, vout1),
+        ):
+            for key, v0 in vecs.items():
+                expected.add(
+                    (side, *key, v0, grads.get(key, 0.0), upd[key])
                 )
-                v1 = round(v0 - _SG_LR * gr + 1e-12, 10)
-                expected.add((side, n, k, v0, gr, v1))
 
         got = {
             (r.side, r.node, r.k, r.v0, r.grad, r.v1)
@@ -2516,11 +2482,139 @@ def test_sgns_train_step_parity_and_replay(spark):
         moved_in = {n for (s, n, _k, v0, _g, v1) in got if s == "in" and v1 != v0}
         assert moved_in == {
             n for n in centers
-            if any(round(gin[n, k] + 1e-9, 6) != 0.0 for k in range(_SG_DIM))
+            if any(ginr.get((n, k), 0.0) != 0.0 for k in range(_SG_DIM))
         }
         for s, n, k, v0, g, v1 in got:
             if g == 0.0:
                 assert v1 == v0, (s, n, k)
+    finally:
+        spark.catalog.clearCache()
+
+
+def _replay_sgns_setup(spark):
+    """Pure-Python SGNS inputs over the replayed batch (mirror of
+    ``_sgns_inputs``): the weighted example Counter, the vocabulary,
+    and the two md5-initialized matrices as {(node, k): v} dicts.
+    Shared by the x92 and x93 replay tests (r15)."""
+    import hashlib
+    from collections import Counter
+
+    from big_data_project_spark.pipeline.graph import (
+        _SG_DIM, _SG_INIT_SCALE, _copurchase_weighted_edges,
+    )
+    from tests.conftest import SF_DIR
+
+    adj: dict[int, list[int]] = {}
+    for r in _copurchase_weighted_edges(spark, SF_DIR).collect():
+        adj.setdefault(r.u, []).append(r.v)
+    pairs, draws, _ = _replay_sg_batch(adj)
+
+    ex: Counter = Counter()
+    for c, p, _n in pairs:
+        ex[(c, p, 1.0)] += 1
+    for c, _p, _n, _j, neg in draws:
+        ex[(c, neg, 0.0)] += 1
+    nodes = sorted({c for c, _, _ in ex} | {x for _, x, _ in ex})
+
+    def init(side, node, k):
+        h = hashlib.md5(f"{side}:{node}:{k}".encode()).hexdigest()
+        u = (int(h[:15], 16) % 2_000_000) / 1_000_000.0 - 1.0
+        return round(u * _SG_INIT_SCALE + 1e-9, 6)
+
+    vin = {(n, k): init("i", n, k) for n in nodes for k in range(_SG_DIM)}
+    vout = {(n, k): init("o", n, k) for n in nodes for k in range(_SG_DIM)}
+    return ex, nodes, vin, vout
+
+
+def _replay_sgns_step(ex, vin, vout):
+    """Pure-Python mirror of ONE ``_sgns_grads`` + ``_sgns_step``
+    round: returns (gin, gout, vin1, vout1) with the gradients rounded
+    per the 6-dp discipline (present only for keys that received any
+    contribution) and the matrices updated per the 10-dp rule.  Shared
+    by the x92 (one call) and x93 (two calls) replay tests."""
+    import math
+
+    from big_data_project_spark.pipeline.graph import (
+        _SG_CLAMP, _SG_DIM, _SG_LR,
+    )
+
+    gin: dict = {}
+    gout: dict = {}
+    for (c, x, label), cnt in ex.items():
+        dot = round(
+            sum(vin[c, k] * vout[x, k] for k in range(_SG_DIM)) + 1e-9, 6
+        )
+        dc = max(min(dot, _SG_CLAMP), -_SG_CLAMP)
+        g = round(1.0 / (1.0 + math.exp(-dc)) + 1e-9, 6) - label
+        for k in range(_SG_DIM):
+            gin[c, k] = gin.get((c, k), 0.0) + cnt * g * vout[x, k]
+            gout[x, k] = gout.get((x, k), 0.0) + cnt * g * vin[c, k]
+    ginr = {key: round(v + 1e-9, 6) for key, v in gin.items()}
+    goutr = {key: round(v + 1e-9, 6) for key, v in gout.items()}
+    vin1 = {
+        key: round(v - _SG_LR * ginr.get(key, 0.0) + 1e-12, 10)
+        for key, v in vin.items()
+    }
+    vout1 = {
+        key: round(v - _SG_LR * goutr.get(key, 0.0) + 1e-12, 10)
+        for key, v in vout.items()
+    }
+    return ginr, goutr, vin1, vout1
+
+
+def test_sgns_epoch_parity_replay_and_trajectory(spark):
+    """x93 (2-step SGNS epoch; PREPPED r15, un-registered — ADVICE r15:
+    the r16 window is exactly filled by rotation, registration is one
+    line when a slot opens): oracle parity at BOTH tiers via a direct
+    compare, a pure-Python replay applying the shared step function
+    TWICE (step 2's gradients over step 1's updated matrices — the
+    trajectory, not a closed form), and the consistency contract with
+    x92: the epoch's (v0, v1) columns must equal the registered
+    single-step query's output exactly."""
+    from big_data_project_spark.pipeline.graph import (
+        _SG_DIM, _sgns_epoch_oracle, sgns_train_epoch, sgns_train_step,
+    )
+    from tests.conftest import SF_DIR, SF_DIR_ORACLE
+    from tests.oracle_harness import compare, duckdb_connect
+
+    oracle = _sgns_epoch_oracle()
+    for sf in (SF_DIR, SF_DIR_ORACLE):
+        try:
+            con = duckdb_connect(sf)
+            df = sgns_train_epoch(spark, sf)
+            res = compare("x93_sgns_train_epoch", df, con, oracle)
+            assert res.ok, (sf, res.detail, res.mismatches[:3])
+        finally:
+            spark.catalog.clearCache()
+
+    try:
+        ex, nodes, vin, vout = _replay_sgns_setup(spark)
+        _gi1, _go1, vin1, vout1 = _replay_sgns_step(ex, vin, vout)
+        _gi2, _go2, vin2, vout2 = _replay_sgns_step(ex, vin1, vout1)
+
+        expected = set()
+        for side, m0, m1, m2 in (
+            ("in", vin, vin1, vin2),
+            ("out", vout, vout1, vout2),
+        ):
+            for key, v0 in m0.items():
+                expected.add((side, *key, v0, m1[key], m2[key]))
+
+        rows = sgns_train_epoch(spark, SF_DIR).collect()
+        got = {(r.side, r.node, r.k, r.v0, r.v1, r.v2) for r in rows}
+        assert got == expected
+        assert len(got) == 2 * len(nodes) * _SG_DIM
+
+        # x92 consistency: the epoch's first step IS the registered step
+        step_rows = {
+            (r.side, r.node, r.k, r.v0, r.v1)
+            for r in sgns_train_step(spark, SF_DIR).collect()
+        }
+        assert {(s, n, k, v0, v1) for s, n, k, v0, v1, _ in got} == step_rows
+
+        # the epoch actually trains: some vector moves in BOTH steps,
+        # and no step-2 update without a step-1 update on the in side
+        assert any(v1 != v0 and v2 != v1 for _, _, _, v0, v1, v2 in got)
     finally:
         spark.catalog.clearCache()
 

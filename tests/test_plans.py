@@ -1848,3 +1848,38 @@ def test_sgns_step_plan(spark):
         assert num_shuffles(df) <= 20  # checkpoint keeps the raw tree small
     finally:
         spark.catalog.clearCache()
+
+
+def test_sgns_epoch_plan_constant_in_steps(spark):
+    """x93's scale claim (PREPPED r15): the OUTPUT plan stays
+    constant-size in the number of training steps because each step's
+    updated matrices localCheckpoint (the ADVICE r15 rule) — a 3-step
+    plan must not be materially larger than a 1-step plan, and the
+    trajectory join must broadcast (the checkpoint leaves carry no
+    stats, so an unhinted join would sort-merge).  Without the per-step
+    truncation the step recurrence reprints every prior step under each
+    of the next step's four consumers and the explain string grows
+    geometrically — the x92 default-1g-driver OOM class."""
+    import re
+
+    from big_data_project_spark.pipeline.graph import sgns_train_epoch
+    from big_data_project_spark.plans.contracts import (
+        num_shuffles_steady, plan_str, prune_cached_subtrees,
+    )
+    from tests.conftest import checkpoint_rdd_guard
+
+    with checkpoint_rdd_guard(spark):
+        len1 = len(plan_str(sgns_train_epoch(spark, SF, steps=1), "simple"))
+        df3 = sgns_train_epoch(spark, SF, steps=3)
+        raw3 = plan_str(df3, "simple")
+        assert len(raw3) < 40_000, "epoch plan no longer constant-size"
+        assert len(raw3) < int(len1 * 1.8), (len1, len(raw3))
+        text = prune_cached_subtrees(raw3)
+        assert len(re.findall(r"\bSortMergeJoin\b", text)) == 0
+        assert len(re.findall(r"\bCartesianProduct\b", text)) == 0
+        assert (
+            len(re.findall(r"\bBatchEvalPython\b|\bArrowEvalPython\b", text))
+            == 0
+        )
+        assert len(re.findall(r"\bBroadcastHashJoin\b", text)) >= 6
+        assert num_shuffles_steady(df3) <= 2  # only the output sort survives
