@@ -694,3 +694,132 @@ def test_walk_visits_match_python_walks(spark, edges):
         assert got == expected
     finally:
         spark.catalog.clearCache()
+
+
+# --- r15: attribution-simulator conservation laws (pure Python, no Spark) ---
+
+_sim_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),      # pass index
+        st.booleans(),                              # view side?
+        st.integers(min_value=1, max_value=6),      # user
+        st.integers(min_value=0, max_value=7200),   # ts offset (s)
+    ),
+    min_size=0,
+    max_size=30,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(events=_sim_events)
+def test_attribution_sim_conservation(events):
+    """The t12/t13 event-time simulator's conservation laws on ANY
+    scripted arrival sequence (the simulator is load-bearing as the
+    third implementation of the outer-join watermark semantics, so its
+    own internals get hypothesis coverage): every view is accounted
+    for EXACTLY once across {matched-at-least-once, emitted-orphan,
+    still-buffered}; no view emits both matched and orphan rows; no
+    duplicate orphan; matched emission is monotone under passes; and
+    under how='left' no purchase-orphan rows exist while how='full'
+    emits each unmatched expired purchase exactly once."""
+    from tests.test_streaming import _AttributionSim
+
+    for how in ("left", "full"):
+        sim = _AttributionSim(how)
+        views, purchases = [], []
+        vid, pid = 100, 200
+        batches: dict[int, tuple[list, list]] = {
+            i: ([], []) for i in range(5)
+        }
+        for pi, is_view, user, off in events:
+            ts = 1_700_000_000.0 + off
+            if is_view:
+                batches[pi][0].append((vid, user, ts))
+                views.append(vid)
+                vid += 1
+            else:
+                batches[pi][1].append((pid, user, ts))
+                purchases.append(pid)
+                pid += 1
+        for i in range(5):
+            sim.run_pass(*batches[i])
+
+        matched_v = [e[0] for e in sim.emitted if e[0] is not None and e[1] is not None]
+        orphan_v = [e[0] for e in sim.emitted if e[0] is not None and e[1] is None]
+        orphan_p = [e[1] for e in sim.emitted if e[0] is None]
+        buffered_v = [v[0] for v in sim.vstate]
+
+        # views: matched xor orphan xor buffered-unmatched, never both
+        assert set(matched_v).isdisjoint(orphan_v)
+        assert len(orphan_v) == len(set(orphan_v))  # no duplicate orphan
+        for v in views:
+            states = (
+                (v in set(matched_v))
+                + (v in set(orphan_v))
+                + (v in set(buffered_v) and v not in set(matched_v))
+            )
+            assert states <= 1 or v in set(matched_v), v
+        # every emitted or buffered view id is a real input
+        assert set(matched_v) | set(orphan_v) | set(buffered_v) <= set(views)
+
+        if how == "left":
+            assert not orphan_p
+        else:
+            assert len(orphan_p) == len(set(orphan_p))
+            matched_p = {
+                e[1] for e in sim.emitted if e[0] is not None and e[1] is not None
+            }
+            assert set(orphan_p).isdisjoint(matched_p)
+            assert set(orphan_p) <= set(purchases)
+
+        # matches carry non-negative gaps within the window
+        for e in sim.emitted:
+            if e[0] is not None and e[1] is not None:
+                assert e[3] is not None and 0 <= e[3] <= sim.window
+
+
+# --- r15: the SGNS epoch optimizes its objective (replay-tier, no Spark) ---
+
+
+def _sgns_batch_loss(ex, vin, vout):
+    """The SGNS objective the step's gradient is the derivative of:
+    -sum cnt*[label*log(sigma) + (1-label)*log(1-sigma)] over the
+    6-dp-rounded clamped dots — computed from the SAME replay state the
+    step function consumes."""
+    import math
+
+    from big_data_project_spark.pipeline.graph import _SG_CLAMP, _SG_DIM
+
+    loss = 0.0
+    for (c, x, label), cnt in ex.items():
+        dot = round(
+            sum(vin[c, k] * vout[x, k] for k in range(_SG_DIM)) + 1e-9, 6
+        )
+        dc = max(min(dot, _SG_CLAMP), -_SG_CLAMP)
+        sig = 1.0 / (1.0 + math.exp(-dc))
+        loss -= cnt * (
+            label * math.log(sig) + (1.0 - label) * math.log(1.0 - sig)
+        )
+    return loss
+
+
+def test_sgns_epoch_decreases_loss(spark):
+    """Training semantics, not just parity: each replayed SGD step over
+    the fixture batch must strictly DECREASE the SGNS objective — the
+    property that makes x92/x93 a training step rather than an
+    arbitrary deterministic transform.  (Full-batch descent at lr=0.05
+    on a smooth bounded-gradient objective; a failure here means a sign
+    error or a gradient/update mismatch that value-parity alone cannot
+    catch, since the oracle mirrors the same formula.)"""
+    from tests.test_pipeline import _replay_sgns_setup, _replay_sgns_step
+
+    ex, _nodes, vin, vout = _replay_sgns_setup(spark)
+    l0 = _sgns_batch_loss(ex, vin, vout)
+    _, _, vin1, vout1 = _replay_sgns_step(ex, vin, vout)
+    l1 = _sgns_batch_loss(ex, vin1, vout1)
+    _, _, vin2, vout2 = _replay_sgns_step(ex, vin1, vout1)
+    l2 = _sgns_batch_loss(ex, vin2, vout2)
+    assert l1 < l0, (l0, l1)
+    assert l2 < l1, (l1, l2)
+    # and the descent is material, not rounding noise
+    assert (l0 - l2) > 1e-3 * l0
