@@ -352,6 +352,26 @@ def main() -> None:
         dt = time.perf_counter() - t0
         if i > 0:
             calib_sh = dt if calib_sh is None else min(calib_sh, dt)
+    # Fifth calibration axis (added r15): fixed stage-LAUNCH overhead.
+    # The r15 anchor-confirmation pair exposed a drift mode none of the
+    # other axes see: two adjacent clean sessions (calib_flag [] both,
+    # jvm/sh/ar_dirty within 8-14%) read headline walls 50% apart.  The
+    # headline rows are short MULTI-STAGE jobs (0.1-2 s, 2-6 stages), so
+    # per-stage scheduling/wake latency dominates them while every other
+    # calib times one or two big stages where it amortizes to nothing.
+    # This axis runs 12 minimal two-stage jobs (200 rows through one
+    # 8-partition exchange each) — almost pure scheduler/launch path —
+    # so short-query walls can be normalized against it.
+    calib_stages = None
+    for i in range(3):
+        t0 = time.perf_counter()
+        for j in range(12):
+            spark.range(0, 200, 1, 8).selectExpr(
+                f"(id + {j}) % 7 AS k"
+            ).groupBy("k").count().selectExpr("sum(count)").collect()
+        dt = time.perf_counter() - t0
+        if i > 0:
+            calib_stages = dt if calib_stages is None else min(calib_stages, dt)
     # Third calibration axis (added r10): a fixed Arrow/Python-worker
     # round-trip.  The JVM calibs share no code with the pandas-UDF path
     # (Python worker fork, Arrow IPC both ways, numpy kernel); the r10
@@ -447,6 +467,9 @@ def main() -> None:
         "calib_arrow_sec": round(calib_ar, 3) if calib_ar is not None else None,
         "calib_arrow_dirty_sec": (
             round(calib_ar_dirty, 3) if calib_ar_dirty is not None else None
+        ),
+        "calib_stages_sec": (
+            round(calib_stages, 3) if calib_stages is not None else None
         ),
         # None = unknown (/proc unreadable), never conflated with 0 = clean
         "foreign_jvms": foreign if foreign >= 0 else None,
