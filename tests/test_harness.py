@@ -59,3 +59,33 @@ def test_canon_tuples_lists_for_sorting():
 def test_math_copysign_guard():
     # the implementation detail the signed-zero check relies on
     assert math.copysign(1.0, -0.0) == -1.0
+
+
+def test_bench_calib_bands_match_emitted_keys():
+    """bench.py's calib_flag iterates a literal dict whose keys must
+    stay in lockstep with _CALIB_BANDS — a renamed key would otherwise
+    first surface as a KeyError inside the DRIVER's bench run (r15).
+    Parse the source rather than importing: bench.main() starts a
+    SparkSession."""
+    import ast
+    import pathlib
+
+    src = pathlib.Path(__file__).resolve().parent.parent / "bench.py"
+    tree = ast.parse(src.read_text())
+    bands = None
+    calib_dicts = []
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Assign) and any(
+            getattr(t, "id", None) == "_CALIB_BANDS" for t in node.targets
+        ):
+            bands = {k.value for k in node.value.keys}
+        elif isinstance(node, ast.Dict) and node.keys:
+            keys = {getattr(k, "value", None) for k in node.keys}
+            if all(
+                isinstance(k, str) and k.startswith("calib_") for k in keys
+            ):
+                calib_dicts.append(keys)
+    assert bands, "_CALIB_BANDS not found in bench.py"
+    assert calib_dicts, "calib_flag's value dict not found in bench.py"
+    for keys in calib_dicts:
+        assert bands <= keys, (bands, keys)
