@@ -456,12 +456,12 @@ def main() -> None:
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
     total = round(sum(t for n, t in timings.items() if n in HEADLINE), 3)
     demo = {n: t for n, t in timings.items() if n in DEMONSTRATORS}
-    print(json.dumps({
-        "metric": "headline_query_wall_seconds",
-        "value": total,
-        "unit": "sec",
-        "queries": {n: t for n, t in timings.items() if n in HEADLINE},
-        "demonstrators": demo,
+    # One readings mapping feeds BOTH the emitted calib_* fields and
+    # calib_flag, and the flag compares the same round(v, 3) values that
+    # land in the JSON — so the discard decision is reproducible from the
+    # recorded file alone, and a new axis without a _CALIB_BANDS entry
+    # simply goes unflagged instead of KeyError-ing in the driver's run.
+    readings = {
         "calib_jvm_sec": round(calib, 3) if calib is not None else None,
         "calib_shuffle_sec": round(calib_sh, 3) if calib_sh is not None else None,
         "calib_arrow_sec": round(calib_ar, 3) if calib_ar is not None else None,
@@ -471,6 +471,14 @@ def main() -> None:
         "calib_stages_sec": (
             round(calib_stages, 3) if calib_stages is not None else None
         ),
+    }
+    print(json.dumps({
+        "metric": "headline_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": {n: t for n, t in timings.items() if n in HEADLINE},
+        "demonstrators": demo,
+        **readings,
         # None = unknown (/proc unreadable), never conflated with 0 = clean
         "foreign_jvms": foreign if foreign >= 0 else None,
         "loadavg_1m": loadavg,
@@ -478,12 +486,8 @@ def main() -> None:
         # calibration axes outside their clean-host bands (see
         # _CALIB_BANDS): non-empty = host degraded, discard the reading
         "calib_flag": sorted(
-            k for k, v in {
-                "calib_jvm_sec": calib,
-                "calib_shuffle_sec": calib_sh,
-                "calib_arrow_dirty_sec": calib_ar_dirty,
-            }.items()
-            if v is not None and v > _CALIB_BANDS[k]
+            k for k, bound in _CALIB_BANDS.items()
+            if readings.get(k) is not None and readings[k] > bound
         ),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))

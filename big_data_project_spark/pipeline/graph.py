@@ -26,7 +26,7 @@ ulps cannot compound across iterations (§4.3.1).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -2329,7 +2329,7 @@ def sgns_train_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             "k",
             F.col("v").alias("v0"),
             g.alias("grad"),
-            F.round(F.col("v") - F.lit(_SG_LR) * g + F.lit(1e-12), 10).alias("v1"),
+            _sgns_update_col(g).alias("v1"),
         )
     out = _apply(vin, grad_in, "in").unionByName(_apply(vout, grad_out, "out"))
     return out.orderBy("side", "node", "k")
@@ -2433,6 +2433,15 @@ def _sgns_grads(
     return grad_in, grad_out
 
 
+def _sgns_update_col(g: Column) -> Column:
+    """THE Spark-side SGNS update — ``round(v - lr·grad + 1e-12, 10)``,
+    the x51 rounding discipline — defined once so x92's ``_apply`` and
+    ``_sgns_step``'s ``upd`` cannot drift (one definition per engine;
+    the SQL twin is the ``round(b.v - lr * coalesce(g.grad, 0.0) +
+    1e-12, 10)`` line in ``_sgns_step_ctes``)."""
+    return F.round(F.col("v") - F.lit(_SG_LR) * g + F.lit(1e-12), 10)
+
+
 def _sgns_step(
     ex: DataFrame, vin: DataFrame, vout: DataFrame
 ) -> tuple[DataFrame, DataFrame]:
@@ -2446,13 +2455,7 @@ def _sgns_step(
         g = F.coalesce("grad", F.lit(0.0))
         return (
             vecs.join(F.broadcast(grads), ["node", "k"], "left")
-            .select(
-                "node",
-                "k",
-                F.round(F.col("v") - F.lit(_SG_LR) * g + F.lit(1e-12), 10).alias(
-                    "v"
-                ),
-            )
+            .select("node", "k", _sgns_update_col(g).alias("v"))
             .localCheckpoint(eager=True)
         )
 

@@ -2442,21 +2442,22 @@ def test_sgns_train_step_parity_and_replay(spark):
     v_in, and v1 = v0 wherever the gradient is zero."""
     from big_data_project_spark import registry
     from big_data_project_spark.pipeline.graph import _SG_DIM, sgns_train_step
-    from tests.conftest import SF_DIR, SF_DIR_ORACLE
+    from tests.conftest import SF_DIR, SF_DIR_ORACLE, checkpoint_rdd_guard
     from tests.oracle_harness import compare, duckdb_connect
 
     registry.load()
     oracle = registry.ORACLES["x92_sgns_train_step"]
+    # checkpoint_rdd_guard, not bare clearCache: _sgns_inputs/_sgns_step
+    # localCheckpoint, and those RDD blocks would otherwise leak into the
+    # shared session fixture for the rest of the suite (ADVICE r15).
     for sf in (SF_DIR, SF_DIR_ORACLE):
-        try:
+        with checkpoint_rdd_guard(spark):
             con = duckdb_connect(sf)
             df = sgns_train_step(spark, sf)
             res = compare("x92_sgns_train_step", df, con, oracle)
             assert res.ok, (sf, res.detail, res.mismatches[:3])
-        finally:
-            spark.catalog.clearCache()
 
-    try:
+    with checkpoint_rdd_guard(spark):
         ex, nodes, vin, vout = _replay_sgns_setup(spark)
         ginr, goutr, vin1, vout1 = _replay_sgns_step(ex, vin, vout)
 
@@ -2487,8 +2488,6 @@ def test_sgns_train_step_parity_and_replay(spark):
         for s, n, k, v0, g, v1 in got:
             if g == 0.0:
                 assert v1 == v0, (s, n, k)
-    finally:
-        spark.catalog.clearCache()
 
 
 def _replay_sgns_setup(spark):
@@ -2563,31 +2562,28 @@ def _replay_sgns_step(ex, vin, vout):
 
 
 def test_sgns_epoch_parity_replay_and_trajectory(spark):
-    """x93 (2-step SGNS epoch; PREPPED r15, un-registered — ADVICE r15:
-    the r16 window is exactly filled by rotation, registration is one
-    line when a slot opens): oracle parity at BOTH tiers via a direct
-    compare, a pure-Python replay applying the shared step function
-    TWICE (step 2's gradients over step 1's updated matrices — the
-    trajectory, not a closed form), and the consistency contract with
-    x92: the epoch's (v0, v1) columns must equal the registered
+    """x93 (2-step SGNS epoch; prepped r15, registered r16 as the
+    round's sanctioned stretch): oracle parity at BOTH tiers via a
+    direct compare, a pure-Python replay applying the shared step
+    function TWICE (step 2's gradients over step 1's updated matrices —
+    the trajectory, not a closed form), and the consistency contract
+    with x92: the epoch's (v0, v1) columns must equal the registered
     single-step query's output exactly."""
     from big_data_project_spark.pipeline.graph import (
         _SG_DIM, _sgns_epoch_oracle, sgns_train_epoch, sgns_train_step,
     )
-    from tests.conftest import SF_DIR, SF_DIR_ORACLE
+    from tests.conftest import SF_DIR, SF_DIR_ORACLE, checkpoint_rdd_guard
     from tests.oracle_harness import compare, duckdb_connect
 
     oracle = _sgns_epoch_oracle()
     for sf in (SF_DIR, SF_DIR_ORACLE):
-        try:
+        with checkpoint_rdd_guard(spark):
             con = duckdb_connect(sf)
             df = sgns_train_epoch(spark, sf)
             res = compare("x93_sgns_train_epoch", df, con, oracle)
             assert res.ok, (sf, res.detail, res.mismatches[:3])
-        finally:
-            spark.catalog.clearCache()
 
-    try:
+    with checkpoint_rdd_guard(spark):
         ex, nodes, vin, vout = _replay_sgns_setup(spark)
         _gi1, _go1, vin1, vout1 = _replay_sgns_step(ex, vin, vout)
         _gi2, _go2, vin2, vout2 = _replay_sgns_step(ex, vin1, vout1)
@@ -2615,8 +2611,6 @@ def test_sgns_epoch_parity_replay_and_trajectory(spark):
         # the epoch actually trains: some vector moves in BOTH steps,
         # and no step-2 update without a step-1 update on the in side
         assert any(v1 != v0 and v2 != v1 for _, _, _, v0, v1, v2 in got)
-    finally:
-        spark.catalog.clearCache()
 
 
 def test_negative_sampling_parity_and_table_invariants(spark):
