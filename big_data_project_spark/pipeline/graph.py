@@ -2378,6 +2378,43 @@ def _sgns_inputs(
     return ex, vin, vout
 
 
+def _sgns_dots(ex: DataFrame, vin: DataFrame, vout: DataFrame) -> DataFrame:
+    """THE per-example score: 6-dp-rounded dot between each example's
+    center row of ``vin`` and context row of ``vout``, one output row
+    per (center, ctx, label, cnt).  Defined once per engine (the SQL
+    twin is ``_sgns_dots_cte``) and shared by the gradient algebra
+    (``_sgns_grads``) and the epoch-metrics evaluation
+    (``sgns_epoch_metrics``)."""
+    evi = F.broadcast(ex).join(
+        vin.select(F.col("node").alias("center"), "k", F.col("v").alias("vi")),
+        "center",
+    )
+    # the ex-side intermediate stays batch-bounded (|ex|·dim rows), so it
+    # broadcasts into the vout probe — the matrices are localCheckpoint
+    # leaves after step 1 and carry no stats, so an unhinted join would
+    # sort-merge the vocab×dim side (the x93 trajectory-join lesson)
+    return (
+        F.broadcast(evi)
+        .join(
+            vout.select(F.col("node").alias("ctx"), "k", F.col("v").alias("vo")),
+            ["ctx", "k"],
+        )
+        .groupBy("center", "ctx", "label", "cnt")
+        .agg(F.round(F.sum(F.col("vi") * F.col("vo")) + F.lit(1e-9), 6).alias("dot"))
+    )
+
+
+def _sgns_sig_col() -> Column:
+    """THE 6-dp-rounded sigmoid of the ±``_SG_CLAMP``-clamped ``dot``
+    column — the single transcendental of the SGNS recipe, identical
+    bounded argument both engines.  Shared by ``_sgns_grads`` (g =
+    sigma - label) and ``sgns_epoch_metrics`` (the cross-entropy
+    terms); the SQL twin is the ``round(1.0 / (1.0 + exp(...)))``
+    expression in ``_sgns_step_ctes`` / ``_sgns_metrics_oracle``."""
+    dotc = F.greatest(F.least(F.col("dot"), F.lit(_SG_CLAMP)), F.lit(-_SG_CLAMP))
+    return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-dotc)) + F.lit(1e-9), 6)
+
+
 def _sgns_grads(
     ex: DataFrame, vin: DataFrame, vout: DataFrame
 ) -> tuple[DataFrame, DataFrame]:
@@ -2387,22 +2424,8 @@ def _sgns_grads(
     label, then the two multiplicity-weighted gradient folds keyed
     (node, k).  Shared by x92 (one step, grads exposed in the output)
     and x93 (an epoch, grads consumed by ``_sgns_apply`` per step)."""
-    dots = (
-        F.broadcast(ex)
-        .join(
-            vin.select(F.col("node").alias("center"), "k", F.col("v").alias("vi")),
-            "center",
-        )
-        .join(
-            vout.select(F.col("node").alias("ctx"), "k", F.col("v").alias("vo")),
-            ["ctx", "k"],
-        )
-        .groupBy("center", "ctx", "label", "cnt")
-        .agg(F.round(F.sum(F.col("vi") * F.col("vo")) + F.lit(1e-9), 6).alias("dot"))
-    )
-    dotc = F.greatest(F.least(F.col("dot"), F.lit(_SG_CLAMP)), F.lit(-_SG_CLAMP))
-    sig = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-dotc)) + F.lit(1e-9), 6)
-    gd = dots.withColumn("g", sig - F.col("label")).persist()
+    dots = _sgns_dots(ex, vin, vout)
+    gd = dots.withColumn("g", _sgns_sig_col() - F.col("label")).persist()
 
     grad_in = (
         F.broadcast(gd)
@@ -2497,12 +2520,11 @@ def _sgns_base_ctes() -> str:
     vout0 AS MATERIALIZED ({init_sql("o")})"""
 
 
-def _sgns_step_ctes(i: int) -> str:
-    """One SGD step as CTEs — the oracle mirror of ``_sgns_grads`` +
-    ``_sgns_step``: ``dots{i}``/``gd{i}``/``gin{i}``/``gout{i}`` from
-    ``vin{i}``/``vout{i}``, producing ``vin{i+1}``/``vout{i+1}`` with
-    the rounded update.  Defined ONCE and unrolled per step by both the
-    x92 and x93 oracles, mirroring the Spark-side factoring."""
+def _sgns_dots_cte(i: int) -> str:
+    """The ``dots{i}`` CTE — the oracle mirror of ``_sgns_dots`` over
+    ``vin{i}``/``vout{i}``.  Factored out of ``_sgns_step_ctes`` so the
+    x94 metrics oracle can score the POST-epoch matrices (``dots{N}``)
+    without unrolling a step that never runs."""
     return f""",
     dots{i} AS MATERIALIZED (
       SELECT e.center, e.ctx, e.label, e.cnt,
@@ -2510,7 +2532,16 @@ def _sgns_step_ctes(i: int) -> str:
       FROM ex e
       JOIN vin{i} vi ON vi.node = e.center
       JOIN vout{i} vo ON vo.node = e.ctx AND vo.k = vi.k
-      GROUP BY e.center, e.ctx, e.label, e.cnt),
+      GROUP BY e.center, e.ctx, e.label, e.cnt)"""
+
+
+def _sgns_step_ctes(i: int) -> str:
+    """One SGD step as CTEs — the oracle mirror of ``_sgns_grads`` +
+    ``_sgns_step``: ``dots{i}``/``gd{i}``/``gin{i}``/``gout{i}`` from
+    ``vin{i}``/``vout{i}``, producing ``vin{i+1}``/``vout{i+1}`` with
+    the rounded update.  Defined ONCE and unrolled per step by both the
+    x92 and x93 oracles, mirroring the Spark-side factoring."""
+    return _sgns_dots_cte(i) + f""",
     gd{i} AS MATERIALIZED (
       SELECT center, ctx, label, cnt,
              round(1.0 / (1.0 + exp(-greatest(least(dot, {_SG_CLAMP}),
@@ -2649,4 +2680,124 @@ def _sgns_epoch_oracle() -> str:
 
 
 query("x93_sgns_train_epoch", oracle=_sgns_epoch_oracle())(sgns_train_epoch)
+
+
+# --------------------------------------------------------------------------
+# x94 (prepped r16, un-registered): per-step epoch metrics — loss + accuracy
+# --------------------------------------------------------------------------
+
+
+def _sgns_metrics_row(dots: DataFrame, step: int) -> DataFrame:
+    """Batch metrics over one ``_sgns_dots`` frame: multiplicity-
+    weighted mean binary cross-entropy (the SGNS objective the step
+    descends) and mean prediction accuracy, both 6-dp rounded per the
+    §4.3.1 nudge discipline.
+
+    Parity notes (verified over the FULL realizable grid before this
+    landed): ``ln`` on the 6-dp sigmoid values matches DuckDB only to
+    1 ulp (JVM ``Math.log`` differs from libm on ~7% of the grid), so
+    the per-example loss is 6-dp rounded BEFORE the weighted fold —
+    after which the rounded values hash-matched on all 995,055 grid
+    points, with the minimum possible loss 0.002476 (no ``-0.0``
+    class).  Accuracy needs no transcendental at all: ``sig > 0.5``
+    iff ``dot > 0`` exactly (the sigmoid is monotone with sigma(0) =
+    0.5), so ``correct`` is pure integer arithmetic and the final
+    ratio divides two exactly-representable integers."""
+    sig = _sgns_sig_col()
+    loss_ex = F.round(
+        -(
+            F.col("label") * F.log(sig)
+            + (F.lit(1.0) - F.col("label")) * F.log(F.lit(1.0) - sig)
+        )
+        + F.lit(1e-9),
+        6,
+    )
+    correct = (
+        ((F.col("dot") > F.lit(0.0)) == (F.col("label") == F.lit(1.0)))
+        .cast("int")
+    )
+    return dots.agg(
+        F.sum("cnt").alias("n_examples"),
+        F.round(
+            F.sum(F.col("cnt") * loss_ex) / F.sum("cnt") + F.lit(1e-9), 6
+        ).alias("loss"),
+        F.round(
+            F.sum(F.col("cnt") * correct) / F.sum("cnt") + F.lit(1e-9), 6
+        ).alias("accuracy"),
+    ).select(F.lit(step).alias("step"), "n_examples", "loss", "accuracy")
+
+
+def sgns_epoch_metrics(
+    spark: SparkSession, sf_dir: str, steps: int = _SG_EPOCH_STEPS
+) -> DataFrame:
+    """Per-step training metrics over x93's epoch — the reference's
+    epoch bookkeeping (``epoch_loss``/``epoch_accuracy`` means inside
+    ``train_epoch``, big_data_project/trainer/flax_model.py:246-253,
+    and the per-epoch eval logged by ``train_and_evaluate``,
+    flax_model.py:368-377) at the verified tier: one row per
+    evaluation point i in 0..steps scoring matrices (vin_i, vout_i) —
+    rows 0..steps-1 are the loss each training step SEES before its
+    update (the reference's per-step ``loss`` appends), row ``steps``
+    is the post-epoch evaluation (the reference's after-epoch
+    ``test_loss`` apply).  Output: (step, n_examples, loss, accuracy).
+
+    This turns the x92/x93 property-test descent claim into an
+    ORACLE-VERIFIED descent trajectory: loss must strictly fall across
+    the rows, and both engines must agree on every 6-dp value.
+
+    Prepped r16, un-registered: the r16 window is exactly filled by
+    flagship + x93 + the r10 cohort rotation (VERDICT r15 #2), so
+    registration is one line — ``query("x94_sgns_epoch_metrics",
+    oracle=_sgns_metrics_oracle())(sgns_epoch_metrics)`` — for the
+    round that has a slot.
+
+    Scale design: per evaluation point, ONE broadcast-ex join chain
+    (``_sgns_dots``) and one partial+final global agg over batch-
+    bounded rows; the trajectory matrices are x93's localCheckpoint
+    leaves, so the plan stays constant-size in ``steps`` (the x92
+    default-1g-driver plan-string lesson) and at a real vocabulary the
+    dots probe shards by node exactly like the gradient folds."""
+    ex, vin0, vout0 = _sgns_inputs(spark, sf_dir)
+    vins, vouts = [vin0], [vout0]
+    for _ in range(steps):
+        nvin, nvout = _sgns_step(ex, vins[-1], vouts[-1])
+        vins.append(nvin)
+        vouts.append(nvout)
+    out = _sgns_metrics_row(_sgns_dots(ex, vins[0], vouts[0]), 0)
+    for i in range(1, steps + 1):
+        out = out.unionByName(
+            _sgns_metrics_row(_sgns_dots(ex, vins[i], vouts[i]), i)
+        )
+    return out.orderBy("step")
+
+
+def _sgns_metrics_oracle(steps: int = _SG_EPOCH_STEPS) -> str:
+    """x94's oracle: base + the unrolled step CTEs + ``dots{steps}``
+    for the post-epoch evaluation, then one metrics SELECT per
+    evaluation point (UNION ALL) mirroring ``_sgns_metrics_row``
+    rounding point for rounding point."""
+    sig = (
+        f"round(1.0 / (1.0 + exp(-greatest(least(dot, {_SG_CLAMP}),"
+        f" -{_SG_CLAMP}))) + 1e-9, 6)"
+    )
+
+    def met_sql(i: int) -> str:
+        return f"""SELECT {i} AS step, CAST(sum(cnt) AS BIGINT) AS n_examples,
+           round(sum(cnt * round(-(label * ln(sig)
+                                   + (1.0 - label) * ln(1.0 - sig)) + 1e-9, 6))
+                 / sum(cnt) + 1e-9, 6) AS loss,
+           round(sum(cnt * (CASE WHEN (dot > 0) = (label = 1.0)
+                            THEN 1 ELSE 0 END))
+                 / sum(cnt) + 1e-9, 6) AS accuracy
+    FROM (SELECT cnt, label, dot, {sig} AS sig FROM dots{i}) m{i}"""
+
+    body = "\n    UNION ALL\n    ".join(met_sql(i) for i in range(steps + 1))
+    return (
+        _sgns_base_ctes()
+        + "".join(_sgns_step_ctes(i) for i in range(steps))
+        + _sgns_dots_cte(steps)
+        + "\n    "
+        + body
+        + "\n"
+    )
 

@@ -2613,6 +2613,80 @@ def test_sgns_epoch_parity_replay_and_trajectory(spark):
         assert any(v1 != v0 and v2 != v1 for _, _, _, v0, v1, v2 in got)
 
 
+def _replay_sgns_metrics(ex, vin, vout):
+    """Pure-Python mirror of ``_sgns_metrics_row`` over one pair of
+    replay matrices: (n_examples, loss, accuracy) from the Mikolov
+    2013 objective — multiplicity-weighted mean binary cross-entropy
+    on the 6-dp clamped sigmoid, accuracy via the exact ``dot > 0``
+    decision — every rounding point the engine recipe's."""
+    import math
+
+    from big_data_project_spark.pipeline.graph import _SG_CLAMP, _SG_DIM
+
+    tot, loss_sum, ok = 0, 0.0, 0
+    for (c, x, label), cnt in ex.items():
+        dot = round(
+            sum(vin[c, k] * vout[x, k] for k in range(_SG_DIM)) + 1e-9, 6
+        )
+        dc = max(min(dot, _SG_CLAMP), -_SG_CLAMP)
+        sig = round(1.0 / (1.0 + math.exp(-dc)) + 1e-9, 6)
+        lex = round(
+            -(label * math.log(sig) + (1.0 - label) * math.log(1.0 - sig))
+            + 1e-9,
+            6,
+        )
+        tot += cnt
+        loss_sum += cnt * lex
+        ok += cnt * (1 if (dot > 0) == (label == 1.0) else 0)
+    return tot, round(loss_sum / tot + 1e-9, 6), round(ok / tot + 1e-9, 6)
+
+
+def test_sgns_epoch_metrics_parity_replay_and_descent(spark):
+    """x94 (per-step epoch metrics; prepped r16, un-registered — the
+    r16 window is exactly filled by flagship + x93 + rotation):
+    oracle parity at BOTH tiers via a direct compare, a pure-Python
+    replay of loss/accuracy at every evaluation point over the shared
+    replay trajectory, and the claim the query exists to verify: the
+    loss STRICTLY DESCENDS across the epoch — the reference's
+    ``epoch_loss`` bookkeeping (flax_model.py:246-253) with the
+    descent now oracle-checkable, not just property-tested."""
+    from big_data_project_spark.pipeline.graph import (
+        _sgns_metrics_oracle, sgns_epoch_metrics,
+    )
+    from tests.conftest import SF_DIR, SF_DIR_ORACLE, checkpoint_rdd_guard
+    from tests.oracle_harness import compare, duckdb_connect
+
+    oracle = _sgns_metrics_oracle()
+    for sf in (SF_DIR, SF_DIR_ORACLE):
+        with checkpoint_rdd_guard(spark):
+            con = duckdb_connect(sf)
+            df = sgns_epoch_metrics(spark, sf)
+            res = compare("x94_sgns_epoch_metrics", df, con, oracle)
+            assert res.ok, (sf, res.detail, res.mismatches[:3])
+
+    with checkpoint_rdd_guard(spark):
+        ex, _nodes, vin, vout = _replay_sgns_setup(spark)
+        traj = [(vin, vout)]
+        for _ in range(2):
+            _gi, _go, nvin, nvout = _replay_sgns_step(ex, *traj[-1])
+            traj.append((nvin, nvout))
+        expected = [
+            (i, *_replay_sgns_metrics(ex, m_in, m_out))
+            for i, (m_in, m_out) in enumerate(traj)
+        ]
+
+        rows = sgns_epoch_metrics(spark, SF_DIR).collect()
+        got = [(r.step, r.n_examples, r.loss, r.accuracy) for r in rows]
+        assert got == expected
+
+        # the oracle-verified descent trajectory: strictly falling loss
+        losses = [loss for _, _, loss, _ in got]
+        assert all(a > b for a, b in zip(losses, losses[1:])), losses
+        # constant batch size across evaluation points (the reference
+        # scores the same examples it trains on within an epoch)
+        assert len({n for _, n, _, _ in got}) == 1
+
+
 def test_negative_sampling_parity_and_table_invariants(spark):
     """Negative-sampling table (prepped for a future window): oracle
     parity at BOTH tiers plus the table invariants a trainer relies on —

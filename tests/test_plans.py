@@ -1883,3 +1883,38 @@ def test_sgns_epoch_plan_constant_in_steps(spark):
         )
         assert len(re.findall(r"\bBroadcastHashJoin\b", text)) >= 6
         assert num_shuffles_steady(df3) <= 2  # only the output sort survives
+
+
+def test_sgns_metrics_plan(spark):
+    """x94's evaluation plan (prepped r16): every dots probe is a
+    BROADCAST join even against the step-1/2 localCheckpoint leaves
+    (the batch-bounded ex-side intermediate carries the hint — an
+    unhinted probe sort-merged the vocab×dim side), zero Python
+    anywhere, no cartesian, and the plan string stays inside the x92
+    default-1g-driver bound.  The per-point global aggregates are
+    partial+final (SinglePartition exchanges), so at a real vocabulary
+    the metric fold ships 32 partial rows, not the dots frame."""
+    import re
+
+    from big_data_project_spark.pipeline.graph import sgns_epoch_metrics
+    from big_data_project_spark.plans.contracts import (
+        num_shuffles_steady, plan_str, prune_cached_subtrees,
+    )
+    from tests.conftest import checkpoint_rdd_guard
+
+    with checkpoint_rdd_guard(spark):
+        df = sgns_epoch_metrics(spark, SF)
+        raw = plan_str(df, "simple")
+        assert len(raw) < 60_000, "x94 plan string regrew — lineage leak"
+        text = prune_cached_subtrees(raw)
+        assert len(re.findall(r"\bSortMergeJoin\b", text)) == 0
+        assert len(re.findall(r"\bCartesianProduct\b", text)) == 0
+        assert (
+            len(re.findall(r"\bBatchEvalPython\b|\bArrowEvalPython\b", text))
+            == 0
+        )
+        # 2 joins per evaluation point (ex⋈vin, then ⋈vout), all broadcast
+        assert len(re.findall(r"\bBroadcastHashJoin\b", text)) == 6
+        # one partial+final global agg per evaluation point
+        assert len(re.findall(r"Exchange SinglePartition", text)) == 3
+        assert num_shuffles_steady(df) <= 6  # measured 5 at sf0.001
