@@ -823,3 +823,15 @@ def test_sgns_epoch_decreases_loss(spark):
     assert l2 < l1, (l1, l2)
     # and the descent is material, not rounding noise
     assert (l0 - l2) > 1e-3 * l0
+
+    # bind the x94 engine metric (6-dp-rounded recipe) to this
+    # mathematical objective: the two definitions are different tiers
+    # on purpose, but they must agree to per-example rounding error —
+    # a sign/label error in the metric would pass oracle parity (the
+    # SQL mirrors the same formula) yet diverge here.
+    from tests.test_pipeline import _replay_sgns_metrics
+
+    n = sum(ex.values())
+    for mats, l_math in (((vin, vout), l0), ((vin1, vout1), l1), ((vin2, vout2), l2)):
+        _tot, l_engine, _acc = _replay_sgns_metrics(ex, *mats)
+        assert abs(l_engine - l_math / n) < 1e-5, (l_engine, l_math / n)
