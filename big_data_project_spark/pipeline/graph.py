@@ -2535,12 +2535,12 @@ def _sgns_dots_cte(i: int) -> str:
       GROUP BY e.center, e.ctx, e.label, e.cnt)"""
 
 
-def _sgns_step_ctes(i: int) -> str:
-    """One SGD step as CTEs — the oracle mirror of ``_sgns_grads`` +
-    ``_sgns_step``: ``dots{i}``/``gd{i}``/``gin{i}``/``gout{i}`` from
-    ``vin{i}``/``vout{i}``, producing ``vin{i+1}``/``vout{i+1}`` with
-    the rounded update.  Defined ONCE and unrolled per step by both the
-    x92 and x93 oracles, mirroring the Spark-side factoring."""
+def _sgns_grads_ctes(i: int) -> str:
+    """The gradient block as CTEs — the oracle mirror of
+    ``_sgns_grads``: ``dots{i}``/``gd{i}``/``gin{i}``/``gout{i}`` from
+    ``vin{i}``/``vout{i}``.  Factored out of ``_sgns_step_ctes`` so
+    the x95 Adam oracle can consume the same gradients under a
+    different update rule."""
     return _sgns_dots_cte(i) + f""",
     gd{i} AS MATERIALIZED (
       SELECT center, ctx, label, cnt,
@@ -2557,7 +2557,15 @@ def _sgns_step_ctes(i: int) -> str:
       SELECT d.ctx AS node, vi.k,
              round(sum(d.cnt * d.g * vi.v) + 1e-9, 6) AS grad
       FROM gd{i} d JOIN vin{i} vi ON vi.node = d.center
-      GROUP BY d.ctx, vi.k),
+      GROUP BY d.ctx, vi.k)"""
+
+
+def _sgns_step_ctes(i: int) -> str:
+    """One SGD step as CTEs — the oracle mirror of ``_sgns_grads`` +
+    ``_sgns_step``: the gradient block plus ``vin{i+1}``/``vout{i+1}``
+    with the rounded update.  Defined ONCE and unrolled per step by
+    both the x92 and x93 oracles, mirroring the Spark-side factoring."""
+    return _sgns_grads_ctes(i) + f""",
     vin{i + 1} AS MATERIALIZED (
       SELECT b.node, b.k,
              round(b.v - {_SG_LR} * coalesce(g.grad, 0.0) + 1e-12, 10) AS v
@@ -2801,3 +2809,198 @@ def _sgns_metrics_oracle(steps: int = _SG_EPOCH_STEPS) -> str:
         + "\n"
     )
 
+
+
+# --------------------------------------------------------------------------
+# x95 (prepped r16, un-registered): the reference's ACTUAL optimizer — Adam
+# --------------------------------------------------------------------------
+
+_ADAM_B1 = 0.9    # optax.adam defaults (Kingma & Ba 2014), the reference's
+_ADAM_B2 = 0.999  # optimizer: tx = optax.adam(config.learning_rate)
+_ADAM_EPS = 1e-8  # (big_data_project/trainer/flax_model.py:272)
+
+
+def _sgns_adam_step(
+    ex: DataFrame, state_in: DataFrame, state_out: DataFrame, t: int
+) -> tuple[DataFrame, DataFrame]:
+    """One bias-corrected Adam step (step number ``t``, 1-indexed)
+    over both (node, k, w, m, s) state frames: gradients via the
+    SHARED ``_sgns_grads`` (the one gradient definition per engine),
+    then per-coordinate moment decay + the Adam update.  Every stored
+    quantity (m, s, w) is 10-dp rounded with the 1e-12 nudge; the
+    intermediate m-hat/v-hat/sqrt/divide arithmetic is IEEE-exact on
+    identical inputs (sqrt and divide are correctly rounded), so no
+    rounding point hides between the stored values.  Each updated
+    state localCheckpoints (the x93 per-step lineage rule)."""
+    grad_in, grad_out = _sgns_grads(
+        ex,
+        state_in.select("node", "k", F.col("w").alias("v")),
+        state_out.select("node", "k", F.col("w").alias("v")),
+    )
+    bc1 = 1.0 - _ADAM_B1**t
+    bc2 = 1.0 - _ADAM_B2**t
+
+    def upd(state: DataFrame, grads: DataFrame) -> DataFrame:
+        g = F.coalesce("grad", F.lit(0.0))
+        moments = state.join(F.broadcast(grads), ["node", "k"], "left").select(
+            "node",
+            "k",
+            "w",
+            F.round(
+                F.lit(_ADAM_B1) * F.col("m")
+                + F.lit(1.0 - _ADAM_B1) * g
+                + F.lit(1e-12),
+                10,
+            ).alias("m"),
+            F.round(
+                F.lit(_ADAM_B2) * F.col("s")
+                + F.lit(1.0 - _ADAM_B2) * g * g
+                + F.lit(1e-12),
+                10,
+            ).alias("s"),
+        )
+        return (
+            moments.select(
+                "node",
+                "k",
+                F.round(
+                    F.col("w")
+                    - F.lit(_SG_LR)
+                    * (F.col("m") / F.lit(bc1))
+                    / (F.sqrt(F.col("s") / F.lit(bc2)) + F.lit(_ADAM_EPS))
+                    + F.lit(1e-12),
+                    10,
+                ).alias("w"),
+                "m",
+                "s",
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    return upd(state_in, grad_in), upd(state_out, grad_out)
+
+
+def sgns_adam_epoch(
+    spark: SparkSession, sf_dir: str, steps: int = _SG_EPOCH_STEPS
+) -> DataFrame:
+    """A deterministic ``steps``-step Adam epoch over x91's batch —
+    the reference's ACTUAL optimizer (``tx = optax.adam(...)``,
+    big_data_project/trainer/flax_model.py:272, consumed by
+    ``update_model``'s ``apply_gradients``, flax_model.py:223-225)
+    where x92/x93 transposed the plain-SGD simplification: first and
+    second moment decay (beta1=0.9, beta2=0.999), bias correction
+    1-beta^t per step, and the m-hat/(sqrt(v-hat)+eps) update, per
+    Kingma & Ba 2014 / the optax defaults.  Output: (side, node, k,
+    w0..wN, m, s) — the weight trajectory plus the final moments, so
+    the oracle verifies the full optimizer STATE, not just weights.
+
+    Prepped r16, un-registered (the window is exactly filled by
+    rotation + x93): registration is one line —
+    ``query("x95_sgns_adam_epoch", oracle=_sgns_adam_oracle())
+    (sgns_adam_epoch)`` — for the round that has a slot.
+
+    Scale design: identical exchange structure to x92/x93 per step
+    (broadcast examples, one partial+final agg exchange per gradient
+    fold) — the Adam update itself is a PER-COORDINATE map over the
+    state frame with the gradient frame broadcast into it, adding
+    ZERO exchanges; each state localCheckpoints per step so the plan
+    stays constant-size in ``steps`` (the x92 plan-string OOM rule).
+    At a real vocabulary this is exactly parameter-server Adam:
+    moments shard WITH their weights (same (node, k) key), no
+    re-partitioning between optimizer and model state, examples
+    broadcast."""
+    ex, vin0, vout0 = _sgns_inputs(spark, sf_dir)
+
+    def init_state(mat: DataFrame) -> DataFrame:
+        return mat.select(
+            "node",
+            "k",
+            F.col("v").alias("w"),
+            F.lit(0.0).alias("m"),
+            F.lit(0.0).alias("s"),
+        )
+
+    sins, souts = [init_state(vin0)], [init_state(vout0)]
+    for t in range(1, steps + 1):
+        nin, nout = _sgns_adam_step(ex, sins[-1], souts[-1], t)
+        sins.append(nin)
+        souts.append(nout)
+
+    def side_out(frames: list[DataFrame], side: str) -> DataFrame:
+        # broadcast each step frame into the trajectory join — the
+        # checkpoint leaves carry no stats (the x93 trajectory lesson)
+        out = frames[0].select(
+            F.lit(side).alias("side"), "node", "k", F.col("w").alias("w0")
+        )
+        last = len(frames) - 1
+        for step, frame in enumerate(frames[1:], start=1):
+            cols = ["node", "k", F.col("w").alias(f"w{step}")]
+            if step == last:
+                cols += [F.col("m"), F.col("s")]
+            out = out.join(F.broadcast(frame.select(*cols)), ["node", "k"])
+        return out
+
+    out = side_out(sins, "in").unionByName(side_out(souts, "out"))
+    return out.orderBy("side", "node", "k")
+
+
+def _sgns_adam_oracle(steps: int = _SG_EPOCH_STEPS) -> str:
+    """x95's oracle: base + per step (weight re-aliases for the shared
+    gradient block + the Adam moment/update CTEs), the final select
+    walking the ain0..ainN / aout0..aoutN trajectory with the final
+    moments.  All Adam constants are injected via ``repr`` so both
+    engines parse the IDENTICAL doubles the Spark literals hold."""
+    b1c, b2c = 1.0 - _ADAM_B1, 1.0 - _ADAM_B2
+    parts = [_sgns_base_ctes()]
+    parts.append(f""",
+    ain0 AS MATERIALIZED (
+      SELECT node, k, v AS w, 0.0 AS m, 0.0 AS s FROM vin0),
+    aout0 AS MATERIALIZED (
+      SELECT node, k, v AS w, 0.0 AS m, 0.0 AS s FROM vout0)""")
+    for i in range(steps):
+        t = i + 1
+        bc1, bc2 = 1.0 - _ADAM_B1**t, 1.0 - _ADAM_B2**t
+        if i > 0:
+            parts.append(f""",
+    vin{i} AS MATERIALIZED (SELECT node, k, w AS v FROM ain{i}),
+    vout{i} AS MATERIALIZED (SELECT node, k, w AS v FROM aout{i})""")
+        parts.append(_sgns_grads_ctes(i))
+        for pre, gtab in (("ain", f"gin{i}"), ("aout", f"gout{i}")):
+            # the "+ 0.0" after each signed round: DuckDB's round keeps
+            # the float sign bit and m/w can legitimately round to zero
+            # from below (Spark never emits -0.0; the grading hash
+            # distinguishes them) — s stays non-negative by construction
+            parts.append(f""",
+    {pre}{t} AS MATERIALIZED (
+      SELECT node, k,
+             round(w - {_SG_LR!r} * (m / {bc1!r})
+                   / (sqrt(s / {bc2!r}) + {_ADAM_EPS!r}) + 1e-12, 10)
+             + 0.0 AS w,
+             m, s
+      FROM (SELECT a.node, a.k, a.w,
+                   round({_ADAM_B1!r} * a.m
+                         + {b1c!r} * coalesce(g.grad, 0.0) + 1e-12, 10)
+                   + 0.0 AS m,
+                   round({_ADAM_B2!r} * a.s
+                         + {b2c!r} * coalesce(g.grad, 0.0)
+                           * coalesce(g.grad, 0.0) + 1e-12, 10) AS s
+            FROM {pre}{i} a LEFT JOIN {gtab} g
+              ON g.node = a.node AND g.k = a.k) u{pre}{t})""")
+
+    wcols = ", ".join(f"s{i}.w AS w{i}" for i in range(steps + 1))
+
+    def side_sql(prefix: str, side: str) -> str:
+        joins = "\n    ".join(
+            f"JOIN {prefix}{i} s{i} ON s{i}.node = s0.node AND s{i}.k = s0.k"
+            for i in range(1, steps + 1)
+        )
+        return f"""SELECT '{side}' AS side, s0.node, s0.k, {wcols},
+           s{steps}.m AS m, s{steps}.s AS s
+    FROM {prefix}0 s0
+    {joins}"""
+
+    return "".join(parts) + f"""
+    {side_sql("ain", "in")}
+    UNION ALL
+    {side_sql("aout", "out")}
+"""

@@ -2525,17 +2525,16 @@ def _replay_sgns_setup(spark):
     return ex, nodes, vin, vout
 
 
-def _replay_sgns_step(ex, vin, vout):
-    """Pure-Python mirror of ONE ``_sgns_grads`` + ``_sgns_step``
-    round: returns (gin, gout, vin1, vout1) with the gradients rounded
-    per the 6-dp discipline (present only for keys that received any
-    contribution) and the matrices updated per the 10-dp rule.  Shared
-    by the x92 (one call) and x93 (two calls) replay tests."""
+def _replay_sgns_grads(ex, vin, vout):
+    """Pure-Python mirror of ``_sgns_grads`` alone: the two 6-dp
+    multiplicity-weighted gradient folds as {(node, k): grad} dicts
+    (present only for keys that received any contribution).  THE one
+    replay-tier gradient definition — shared by the SGD step
+    (``_replay_sgns_step``) and the Adam step
+    (``_replay_sgns_adam_epoch``)."""
     import math
 
-    from big_data_project_spark.pipeline.graph import (
-        _SG_CLAMP, _SG_DIM, _SG_LR,
-    )
+    from big_data_project_spark.pipeline.graph import _SG_CLAMP, _SG_DIM
 
     gin: dict = {}
     gout: dict = {}
@@ -2550,6 +2549,18 @@ def _replay_sgns_step(ex, vin, vout):
             gout[x, k] = gout.get((x, k), 0.0) + cnt * g * vin[c, k]
     ginr = {key: round(v + 1e-9, 6) for key, v in gin.items()}
     goutr = {key: round(v + 1e-9, 6) for key, v in gout.items()}
+    return ginr, goutr
+
+
+def _replay_sgns_step(ex, vin, vout):
+    """Pure-Python mirror of ONE ``_sgns_grads`` + ``_sgns_step``
+    round: returns (gin, gout, vin1, vout1) with the gradients from
+    the shared ``_replay_sgns_grads`` and the matrices updated per the
+    10-dp rule.  Shared by the x92 (one call) and x93 (two calls)
+    replay tests."""
+    from big_data_project_spark.pipeline.graph import _SG_LR
+
+    ginr, goutr = _replay_sgns_grads(ex, vin, vout)
     vin1 = {
         key: round(v - _SG_LR * ginr.get(key, 0.0) + 1e-12, 10)
         for key, v in vin.items()
@@ -2685,6 +2696,117 @@ def test_sgns_epoch_metrics_parity_replay_and_descent(spark):
         # constant batch size across evaluation points (the reference
         # scores the same examples it trains on within an epoch)
         assert len({n for _, n, _, _ in got}) == 1
+
+
+def _replay_sgns_adam_epoch(ex, vin, vout, steps=2):
+    """Pure-Python mirror of ``sgns_adam_epoch``: gradients via the
+    shared ``_replay_sgns_grads``, then the bias-corrected Adam
+    moment/update recipe at every rounding point the engines use.
+    Returns (w_trajectories, m, s) per side as {(node, k): ...}
+    dicts: trajectories are lists [w0..wN]."""
+    import math
+
+    from big_data_project_spark.pipeline.graph import (
+        _ADAM_B1, _ADAM_B2, _ADAM_EPS, _SG_LR,
+    )
+
+    w_in, w_out = dict(vin), dict(vout)
+    m_in = dict.fromkeys(w_in, 0.0)
+    s_in = dict.fromkeys(w_in, 0.0)
+    m_out = dict.fromkeys(w_out, 0.0)
+    s_out = dict.fromkeys(w_out, 0.0)
+    traj_in = {key: [w] for key, w in w_in.items()}
+    traj_out = {key: [w] for key, w in w_out.items()}
+    for t in range(1, steps + 1):
+        gi, go = _replay_sgns_grads(ex, w_in, w_out)
+        bc1, bc2 = 1.0 - _ADAM_B1**t, 1.0 - _ADAM_B2**t
+        for w, m, s, g, traj in (
+            (w_in, m_in, s_in, gi, traj_in),
+            (w_out, m_out, s_out, go, traj_out),
+        ):
+            for key in w:
+                gv = g.get(key, 0.0)
+                m[key] = round(
+                    _ADAM_B1 * m[key] + (1.0 - _ADAM_B1) * gv + 1e-12, 10
+                )
+                s[key] = round(
+                    _ADAM_B2 * s[key] + (1.0 - _ADAM_B2) * gv * gv + 1e-12,
+                    10,
+                )
+                w[key] = round(
+                    w[key]
+                    - _SG_LR
+                    * (m[key] / bc1)
+                    / (math.sqrt(s[key] / bc2) + _ADAM_EPS)
+                    + 1e-12,
+                    10,
+                )
+                traj[key].append(w[key])
+    return (traj_in, m_in, s_in), (traj_out, m_out, s_out)
+
+
+def test_sgns_adam_epoch_parity_replay_and_state(spark):
+    """x95 (2-step Adam epoch — the reference's ACTUAL optimizer,
+    optax.adam at flax_model.py:272, where x92/x93 transposed the
+    plain-SGD simplification; prepped r16, un-registered): oracle
+    parity at BOTH tiers via direct compare, a pure-Python replay of
+    the full optimizer state (weight trajectory AND final first/second
+    moments) over the shared gradient definition, and the state
+    invariants Adam guarantees: s >= 0 everywhere, m = s = 0 exactly
+    where no gradient ever arrived (with w frozen), and every
+    gradient-receiving coordinate moved in step 1."""
+    from big_data_project_spark.pipeline.graph import (
+        _SG_DIM, _sgns_adam_oracle, sgns_adam_epoch,
+    )
+    from tests.conftest import SF_DIR, SF_DIR_ORACLE, checkpoint_rdd_guard
+    from tests.oracle_harness import compare, duckdb_connect
+
+    oracle = _sgns_adam_oracle()
+    for sf in (SF_DIR, SF_DIR_ORACLE):
+        with checkpoint_rdd_guard(spark):
+            con = duckdb_connect(sf)
+            df = sgns_adam_epoch(spark, sf)
+            res = compare("x95_sgns_adam_epoch", df, con, oracle)
+            assert res.ok, (sf, res.detail, res.mismatches[:3])
+
+    with checkpoint_rdd_guard(spark):
+        ex, nodes, vin, vout = _replay_sgns_setup(spark)
+        (ti, mi, si), (to, mo, so) = _replay_sgns_adam_epoch(ex, vin, vout)
+
+        expected = set()
+        for side, traj, m, s in (("in", ti, mi, si), ("out", to, mo, so)):
+            for key, ws in traj.items():
+                expected.add((side, *key, *ws, m[key], s[key]))
+
+        rows = sgns_adam_epoch(spark, SF_DIR).collect()
+        got = {
+            (r.side, r.node, r.k, r.w0, r.w1, r.w2, r.m, r.s) for r in rows
+        }
+        assert got == expected
+        assert len(got) == 2 * len(nodes) * _SG_DIM
+
+        # optimizer-state invariants
+        gi1, _go1 = _replay_sgns_grads(ex, vin, vout)
+        for side, n, k, w0, w1, w2, m, s in got:
+            assert s >= 0.0, (side, n, k, s)
+            if m == 0.0 and s == 0.0:
+                # no gradient ever arrived: Adam must not move the weight
+                assert w0 == w1 == w2, (side, n, k)
+            if side == "in" and gi1.get((n, k), 0.0) != 0.0:
+                assert w1 != w0, (n, k)  # every step-1 gradient moves w
+
+        # Adam out-descends SGD at the same lr on this batch (both
+        # trajectories are deterministic; the property tier asserts
+        # descent itself — this pins the optimizer actually biting)
+        from tests.test_properties import _sgns_batch_loss
+
+        w_in_final = {key: ws[-1] for key, ws in ti.items()}
+        w_out_final = {key: ws[-1] for key, ws in to.items()}
+        _, _, vin1, vout1 = _replay_sgns_step(ex, vin, vout)
+        _, _, vin2, vout2 = _replay_sgns_step(ex, vin1, vout1)
+        assert _sgns_batch_loss(ex, w_in_final, w_out_final) < _sgns_batch_loss(
+            ex, vin2, vout2
+        )
 
 
 def test_negative_sampling_parity_and_table_invariants(spark):

@@ -1918,3 +1918,38 @@ def test_sgns_metrics_plan(spark):
         # one partial+final global agg per evaluation point
         assert len(re.findall(r"Exchange SinglePartition", text)) == 3
         assert num_shuffles_steady(df) <= 6  # measured 5 at sf0.001
+
+
+def test_sgns_adam_epoch_plan_constant_in_steps(spark):
+    """x95's scale claim (prepped r16): the per-step Adam state
+    localCheckpoints, so the OUTPUT plan is nothing but the broadcast
+    trajectory joins over checkpoint leaves — constant-size in the
+    step count (measured 7.8 KB at 1 step vs 9.4 KB at 2), zero
+    Python, zero sort-merge, zero hashpartitioning exchange (the
+    gradient folds live behind the leaves), and ≤1 steady shuffle
+    (the output sort).  The optimizer adds NO exchange over x93's
+    SGD: moments shard with their weights on (node, k)."""
+    import re
+
+    from big_data_project_spark.pipeline.graph import sgns_adam_epoch
+    from big_data_project_spark.plans.contracts import (
+        num_shuffles_steady, plan_str, prune_cached_subtrees,
+    )
+    from tests.conftest import checkpoint_rdd_guard
+
+    with checkpoint_rdd_guard(spark):
+        len1 = len(plan_str(sgns_adam_epoch(spark, SF, steps=1), "simple"))
+        df3 = sgns_adam_epoch(spark, SF, steps=3)
+        raw3 = plan_str(df3, "simple")
+        assert len(raw3) < 40_000, "Adam epoch plan no longer constant-size"
+        assert len(raw3) < int(len1 * 1.8), (len1, len(raw3))
+        text = prune_cached_subtrees(raw3)
+        assert len(re.findall(r"\bSortMergeJoin\b", text)) == 0
+        assert len(re.findall(r"\bCartesianProduct\b", text)) == 0
+        assert (
+            len(re.findall(r"\bBatchEvalPython\b|\bArrowEvalPython\b", text))
+            == 0
+        )
+        assert len(re.findall(r"Exchange hashpartitioning", text)) == 0
+        assert len(re.findall(r"\bBroadcastHashJoin\b", text)) >= 6
+        assert num_shuffles_steady(df3) <= 2  # only the output sort survives

@@ -835,3 +835,30 @@ def test_sgns_epoch_decreases_loss(spark):
     for mats, l_math in (((vin, vout), l0), ((vin1, vout1), l1), ((vin2, vout2), l2)):
         _tot, l_engine, _acc = _replay_sgns_metrics(ex, *mats)
         assert abs(l_engine - l_math / n) < 1e-5, (l_engine, l_math / n)
+
+
+def test_sgns_adam_epoch_decreases_loss(spark):
+    """x95's training semantics: each replayed Adam step must strictly
+    DECREASE the SGNS objective — same bar as the SGD epoch, under the
+    reference's actual optimizer (optax.adam, flax_model.py:272).  A
+    sign error in the moment recipe or a bias-correction mix-up would
+    pass oracle parity (the SQL mirrors the same formula) but ascend
+    or stall here."""
+    from tests.test_pipeline import (
+        _replay_sgns_adam_epoch, _replay_sgns_setup,
+    )
+
+    ex, _nodes, vin, vout = _replay_sgns_setup(spark)
+    (ti, _mi, _si), (to, _mo, _so) = _replay_sgns_adam_epoch(ex, vin, vout)
+    losses = [
+        _sgns_batch_loss(
+            ex,
+            {key: ws[step] for key, ws in ti.items()},
+            {key: ws[step] for key, ws in to.items()},
+        )
+        for step in range(3)
+    ]
+    assert losses[1] < losses[0], losses
+    assert losses[2] < losses[1], losses
+    # and the descent is material, not rounding noise
+    assert (losses[0] - losses[2]) > 1e-3 * losses[0]
