@@ -291,6 +291,11 @@ def _loadavg() -> tuple[float | None, float | None]:
 # calibration axes are the AUTHORITATIVE discard signal: a reading with
 # calib_flag non-empty is not comparable across rounds regardless of
 # load axes.  Bands = max clean r12-r14 reading × 1.35 headroom.
+# Comparison semantics (ADVICE r15/r16): calib_flag compares the
+# 3-dp-ROUNDED readings (the values the JSON records) against these
+# bounds, so a raw reading up to 0.0005 above a band records unflagged —
+# intentional, so a recorded file alone reproduces its own flag; any
+# future band re-base must account for that half-millisecond edge.
 _CALIB_BANDS = {
     "calib_jvm_sec": 0.25,
     "calib_shuffle_sec": 1.85,

@@ -2319,7 +2319,10 @@ def sgns_train_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard data parallelism.  No Python touches the gradient fold
     (pinned: zero Arrow/BatchEval nodes)."""
     ex, vin, vout = _sgns_inputs(spark, sf_dir)
-    grad_in, grad_out = _sgns_grads(ex, vin, vout)
+    # gd stays persisted: the returned (lazy) output folds both gradient
+    # frames, so gd is consumed at driver-collect time and released by the
+    # next entry point's cache/RDD sweep (registry.query).
+    grad_in, grad_out, _gd = _sgns_grads(ex, vin, vout)
 
     def _apply(vecs: DataFrame, grads: DataFrame, side: str) -> DataFrame:
         g = F.coalesce("grad", F.lit(0.0))
@@ -2417,13 +2420,19 @@ def _sgns_sig_col() -> Column:
 
 def _sgns_grads(
     ex: DataFrame, vin: DataFrame, vout: DataFrame
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """THE batch-gradient algebra, defined once per engine (mirrored by
     the oracle's ``_sgns_step_ctes`` and the test replay's step
     function): per-example 6-dp dot, clamped sigmoid, g = sigma -
     label, then the two multiplicity-weighted gradient folds keyed
     (node, k).  Shared by x92 (one step, grads exposed in the output)
-    and x93 (an epoch, grads consumed by ``_sgns_apply`` per step)."""
+    and x93 (an epoch, grads consumed by ``_sgns_apply`` per step).
+
+    Also returns the persisted ``gd`` frame (dots + g) so the caller
+    owns its lifecycle (ADVICE r16): eager-step callers (x93/x95)
+    unpersist it as soon as both gradient folds have materialized;
+    x94 reuses it as the pre-update evaluation frame instead of
+    recomputing the identical dot-product join chain."""
     dots = _sgns_dots(ex, vin, vout)
     gd = dots.withColumn("g", _sgns_sig_col() - F.col("label")).persist()
 
@@ -2453,7 +2462,7 @@ def _sgns_grads(
             ).alias("grad")
         )
     )
-    return grad_in, grad_out
+    return grad_in, grad_out, gd
 
 
 def _sgns_update_col(g: Column) -> Column:
@@ -2466,13 +2475,21 @@ def _sgns_update_col(g: Column) -> Column:
 
 
 def _sgns_step(
-    ex: DataFrame, vin: DataFrame, vout: DataFrame
-) -> tuple[DataFrame, DataFrame]:
+    ex: DataFrame, vin: DataFrame, vout: DataFrame, return_gd: bool = False
+):
     """One full SGD step: gradients via ``_sgns_grads``, the rounded
     update applied to both matrices.  Each updated matrix
     localCheckpoints (the ADVICE r15 rule: multi-step compositions
     truncate lineage per step, or the step recurrence reprints every
-    prior step under each of the next step's four consumers)."""
+    prior step under each of the next step's four consumers).
+
+    The eager checkpoints materialize both gradient folds inside this
+    call, so ``gd``'s job is done on return: by default it is
+    unpersisted here (ADVICE r16 — x93's per-step gd persists
+    otherwise outlive the query into the driver window).  With
+    ``return_gd=True`` the caller receives ``(vin', vout', gd)`` still
+    persisted and owns the release — x94 reuses gd as the pre-update
+    metrics frame."""
 
     def upd(vecs: DataFrame, grads: DataFrame) -> DataFrame:
         g = F.coalesce("grad", F.lit(0.0))
@@ -2482,8 +2499,12 @@ def _sgns_step(
             .localCheckpoint(eager=True)
         )
 
-    grad_in, grad_out = _sgns_grads(ex, vin, vout)
-    return upd(vin, grad_in), upd(vout, grad_out)
+    grad_in, grad_out, gd = _sgns_grads(ex, vin, vout)
+    nvin, nvout = upd(vin, grad_in), upd(vout, grad_out)
+    if return_gd:
+        return nvin, nvout, gd
+    gd.unpersist()
+    return nvin, nvout
 
 
 def _sgns_base_ctes() -> str:
@@ -2612,7 +2633,7 @@ def sgns_train_epoch(
 ) -> DataFrame:
     """A deterministic ``_SG_EPOCH_STEPS``-step SGNS epoch over x91's
     batch — the reference's ``train_epoch`` loop
-    (big_data_project/trainer/flax_model.py:228-253) at the verified
+    (trainer/flax_model.py:229-261) at the verified
     tier: x92's step algebra (shared ``_sgns_grads``/``_sgns_step``)
     applied twice, step 2's gradients computed from step 1's UPDATED
     matrices, so the oracle must track the full trajectory, not one
@@ -2740,9 +2761,9 @@ def sgns_epoch_metrics(
 ) -> DataFrame:
     """Per-step training metrics over x93's epoch — the reference's
     epoch bookkeeping (``epoch_loss``/``epoch_accuracy`` means inside
-    ``train_epoch``, big_data_project/trainer/flax_model.py:246-253,
+    ``train_epoch``, trainer/flax_model.py:238-259,
     and the per-epoch eval logged by ``train_and_evaluate``,
-    flax_model.py:368-377) at the verified tier: one row per
+    flax_model.py:355-375) at the verified tier: one row per
     evaluation point i in 0..steps scoring matrices (vin_i, vout_i) —
     rows 0..steps-1 are the loss each training step SEES before its
     update (the reference's per-step ``loss`` appends), row ``steps``
@@ -2753,29 +2774,29 @@ def sgns_epoch_metrics(
     ORACLE-VERIFIED descent trajectory: loss must strictly fall across
     the rows, and both engines must agree on every 6-dp value.
 
-    Prepped r16, un-registered: the r16 window is exactly filled by
-    flagship + x93 + the r10 cohort rotation (VERDICT r15 #2), so
-    registration is one line — ``query("x94_sgns_epoch_metrics",
-    oracle=_sgns_metrics_oracle())(sgns_epoch_metrics)`` — for the
-    round that has a slot.
+    Prepped r16, registered r17 (VERDICT r16 #2 sanctioned the two-slot
+    displacement alongside x95).
 
     Scale design: per evaluation point, ONE broadcast-ex join chain
     (``_sgns_dots``) and one partial+final global agg over batch-
     bounded rows; the trajectory matrices are x93's localCheckpoint
     leaves, so the plan stays constant-size in ``steps`` (the x92
     default-1g-driver plan-string lesson) and at a real vocabulary the
-    dots probe shards by node exactly like the gradient folds."""
-    ex, vin0, vout0 = _sgns_inputs(spark, sf_dir)
-    vins, vouts = [vin0], [vout0]
-    for _ in range(steps):
-        nvin, nvout = _sgns_step(ex, vins[-1], vouts[-1])
-        vins.append(nvin)
-        vouts.append(nvout)
-    out = _sgns_metrics_row(_sgns_dots(ex, vins[0], vouts[0]), 0)
-    for i in range(1, steps + 1):
-        out = out.unionByName(
-            _sgns_metrics_row(_sgns_dots(ex, vins[i], vouts[i]), i)
-        )
+    dots probe shards by node exactly like the gradient folds.  The
+    pre-update evaluation points 0..steps-1 REUSE each step's persisted
+    ``gd`` frame (ADVICE r16 — the step already computed the identical
+    dots), so only the post-epoch row builds a fresh ``_sgns_dots``;
+    the gd persists are consumed lazily at collect time and released by
+    the next entry point's cache/RDD sweep (registry.query)."""
+    ex, vin, vout = _sgns_inputs(spark, sf_dir)
+    rows = []
+    for i in range(steps):
+        vin, vout, gd = _sgns_step(ex, vin, vout, return_gd=True)
+        rows.append(_sgns_metrics_row(gd, i))
+    rows.append(_sgns_metrics_row(_sgns_dots(ex, vin, vout), steps))
+    out = rows[0]
+    for row in rows[1:]:
+        out = out.unionByName(row)
     return out.orderBy("step")
 
 
@@ -2810,14 +2831,16 @@ def _sgns_metrics_oracle(steps: int = _SG_EPOCH_STEPS) -> str:
     )
 
 
+query("x94_sgns_epoch_metrics", oracle=_sgns_metrics_oracle())(sgns_epoch_metrics)
+
 
 # --------------------------------------------------------------------------
-# x95 (prepped r16, un-registered): the reference's ACTUAL optimizer — Adam
+# x95 (prepped r16, registered r17): the reference's ACTUAL optimizer — Adam
 # --------------------------------------------------------------------------
 
 _ADAM_B1 = 0.9    # optax.adam defaults (Kingma & Ba 2014), the reference's
 _ADAM_B2 = 0.999  # optimizer: tx = optax.adam(config.learning_rate)
-_ADAM_EPS = 1e-8  # (big_data_project/trainer/flax_model.py:272)
+_ADAM_EPS = 1e-8  # (trainer/flax_model.py:275)
 
 
 def _sgns_adam_step(
@@ -2831,8 +2854,10 @@ def _sgns_adam_step(
     intermediate m-hat/v-hat/sqrt/divide arithmetic is IEEE-exact on
     identical inputs (sqrt and divide are correctly rounded), so no
     rounding point hides between the stored values.  Each updated
-    state localCheckpoints (the x93 per-step lineage rule)."""
-    grad_in, grad_out = _sgns_grads(
+    state localCheckpoints (the x93 per-step lineage rule); ``gd``
+    is unpersisted once both eager checkpoints have consumed the
+    gradient folds (ADVICE r16)."""
+    grad_in, grad_out, gd = _sgns_grads(
         ex,
         state_in.select("node", "k", F.col("w").alias("v")),
         state_out.select("node", "k", F.col("w").alias("v")),
@@ -2877,7 +2902,9 @@ def _sgns_adam_step(
             .localCheckpoint(eager=True)
         )
 
-    return upd(state_in, grad_in), upd(state_out, grad_out)
+    nin, nout = upd(state_in, grad_in), upd(state_out, grad_out)
+    gd.unpersist()
+    return nin, nout
 
 
 def sgns_adam_epoch(
@@ -2885,8 +2912,8 @@ def sgns_adam_epoch(
 ) -> DataFrame:
     """A deterministic ``steps``-step Adam epoch over x91's batch —
     the reference's ACTUAL optimizer (``tx = optax.adam(...)``,
-    big_data_project/trainer/flax_model.py:272, consumed by
-    ``update_model``'s ``apply_gradients``, flax_model.py:223-225)
+    trainer/flax_model.py:275, consumed by
+    ``update_model``'s ``apply_gradients``, flax_model.py:222-224)
     where x92/x93 transposed the plain-SGD simplification: first and
     second moment decay (beta1=0.9, beta2=0.999), bias correction
     1-beta^t per step, and the m-hat/(sqrt(v-hat)+eps) update, per
@@ -2894,10 +2921,11 @@ def sgns_adam_epoch(
     w0..wN, m, s) — the weight trajectory plus the final moments, so
     the oracle verifies the full optimizer STATE, not just weights.
 
-    Prepped r16, un-registered (the window is exactly filled by
-    rotation + x93): registration is one line —
-    ``query("x95_sgns_adam_epoch", oracle=_sgns_adam_oracle())
-    (sgns_adam_epoch)`` — for the round that has a slot.
+    Prepped r16, registered r17 (VERDICT r16 #2 sanctioned the
+    two-slot displacement alongside x94).  ``steps`` must be >= 1:
+    the trajectory select appends the final (m, s) columns to the
+    LAST post-step frame, so a zero-step call would silently drop
+    them from the documented schema (ADVICE r16).
 
     Scale design: identical exchange structure to x92/x93 per step
     (broadcast examples, one partial+final agg exchange per gradient
@@ -2909,6 +2937,11 @@ def sgns_adam_epoch(
     moments shard WITH their weights (same (node, k) key), no
     re-partitioning between optimizer and model state, examples
     broadcast."""
+    if steps < 1:
+        raise ValueError(
+            f"sgns_adam_epoch needs steps >= 1 (got {steps}): the final "
+            "(m, s) columns ride the last post-step frame"
+        )
     ex, vin0, vout0 = _sgns_inputs(spark, sf_dir)
 
     def init_state(mat: DataFrame) -> DataFrame:
@@ -3004,3 +3037,299 @@ def _sgns_adam_oracle(steps: int = _SG_EPOCH_STEPS) -> str:
     UNION ALL
     {side_sql("aout", "out")}
 """
+
+
+query("x95_sgns_adam_epoch", oracle=_sgns_adam_oracle())(sgns_adam_epoch)
+
+
+# --------------------------------------------------------------------------
+# pipeline_sgns_training_end2end (prepped r17, un-registered): the full
+# training driver — the reference's train_and_evaluate as ONE pipeline
+# --------------------------------------------------------------------------
+
+_TE_EPOCHS = 4  # keep=3 must SWEEP an epoch for the retention contract to bite
+_TE_KEEP = 3
+
+
+def sgns_training_end2end(
+    spark: SparkSession,
+    sf_dir: str,
+    epochs: int = _TE_EPOCHS,
+    steps_per_epoch: int = _SG_EPOCH_STEPS,
+    keep: int = _TE_KEEP,
+) -> DataFrame:
+    """The reference's FULL training driver — ``train_and_evaluate``
+    (trainer/flax_model.py:295-390) — as one composed, oracle-checked
+    pipeline over the verified-tier SGNS chain: per epoch, (1) a
+    ``steps_per_epoch``-step train loop (x93's shared ``_sgns_step``
+    algebra), (2) epoch bookkeeping — train_loss/train_accuracy as the
+    mean of the per-step pre-update metrics (``np.mean(epoch_loss)``,
+    flax_model.py:256-259) plus the post-epoch test_loss/test_accuracy
+    eval (flax_model.py:355-364) — appended long-format to a parquet
+    metrics sink, one row per ``summary_writer.scalar`` tag
+    (flax_model.py:371-375, the s7 shape), and (3) a keep-N weight
+    checkpoint (``checkpoints.save_checkpoint(..., keep=3)``,
+    flax_model.py:377, the s6 shape via ``write_checkpoint``).  The
+    returned frame is built ONLY from the sinks' read-back: per epoch,
+    the four metric scalars (append-lossless: ALL epochs survive the
+    metrics log) LEFT-joined with the surviving checkpoints' row count
+    and weight checksum (retention: epochs ``1..epochs-keep`` are
+    swept, reading back NULL).  Output: (epoch, train_loss,
+    train_accuracy, test_loss, test_accuracy, ckpt_rows, ckpt_wsum).
+
+    Composition contract (the new content over the verified pieces —
+    pinned by the pure-Python replay in tests): each kept epoch's
+    checkpoint rows equal the shared SGNS chain's state after
+    ``epoch·steps_per_epoch`` steps (epoch 1's checkpoint is exactly
+    x93's v2 matrix — and is the one the sweep deletes), and epoch 1's
+    metrics row equals x94's rows 0..2 folded to means.
+
+    The checksum is ORDER-INDEPENDENT exact arithmetic: weights are
+    10-dp rationals, so ``sum(cast(round(w·1e10) as bigint))`` is an
+    integer fold both engines agree on regardless of partial-sum order
+    (a double sum over vocab×dim values would be reduction-order ulp
+    noise).
+
+    Scale design: the train loop is x93's (constant-size plan via
+    per-step localCheckpoint; examples/gradients broadcast; one
+    partial+final agg exchange per fold); the metrics rows reuse each
+    step's persisted ``gd`` (the x94 ADVICE-r16 rule), unpersisted as
+    soon as the epoch's sink write materializes them; the sinks are
+    the real scale story — the returned plan reads PARQUET only, so
+    the analysis/report side is fully decoupled from the training
+    lineage, exactly how a 1000-executor training job ships metrics to
+    TensorBoard and checkpoints to object storage."""
+    import os
+    import shutil
+
+    from big_data_project_spark.sources.formats import _tmp, write_checkpoint
+
+    if epochs < 1 or steps_per_epoch < 1 or keep < 1:
+        raise ValueError("epochs, steps_per_epoch and keep must all be >= 1")
+
+    mroot = _tmp("te_metrics")
+    croot = _tmp("te_ckpt")
+    for root in (mroot, croot):
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+
+    ex, vin, vout = _sgns_inputs(spark, sf_dir)
+    step_no = 0
+    for epoch in range(1, epochs + 1):
+        gds: list[DataFrame] = []
+        train_rows: DataFrame | None = None
+        for _ in range(steps_per_epoch):
+            vin, vout, gd = _sgns_step(ex, vin, vout, return_gd=True)
+            gds.append(gd)
+            row = _sgns_metrics_row(gd, step_no)
+            train_rows = row if train_rows is None else train_rows.unionByName(row)
+            step_no += 1
+        train_agg = train_rows.agg(
+            F.round(F.avg("loss") + F.lit(1e-9), 6).alias("train_loss"),
+            F.round(F.avg("accuracy") + F.lit(1e-9), 6).alias("train_accuracy"),
+        )
+        test_agg = _sgns_metrics_row(_sgns_dots(ex, vin, vout), step_no).select(
+            F.col("loss").alias("test_loss"),
+            F.col("accuracy").alias("test_accuracy"),
+        )
+        scalars = train_agg.crossJoin(test_agg).selectExpr(
+            "stack(4, 'train_loss', train_loss, 'train_accuracy', train_accuracy,"
+            " 'test_loss', test_loss, 'test_accuracy', test_accuracy)"
+            " AS (metric, value)"
+        ).select(F.lit(epoch).alias("epoch"), "metric", "value")
+        scalars.write.mode("append").parquet(mroot)  # action: gds consumed
+        for gd in gds:
+            gd.unpersist()
+        state = vin.select(
+            F.lit("in").alias("side"), "node", "k", F.col("v").alias("w")
+        ).unionByName(
+            vout.select(F.lit("out").alias("side"), "node", "k", F.col("v").alias("w"))
+        )
+        write_checkpoint(state, croot, epoch, keep=keep)
+
+    metrics = spark.read.parquet(mroot)
+    wide = metrics.groupBy("epoch").agg(
+        *[
+            F.max(F.when(F.col("metric") == m, F.col("value"))).alias(m)
+            for m in ("train_loss", "train_accuracy", "test_loss", "test_accuracy")
+        ]
+    )
+    ckpts = (
+        spark.read.option("basePath", croot)
+        .parquet(croot)
+        .groupBy("epoch")
+        .agg(
+            F.count(F.lit(1)).alias("ckpt_rows"),
+            F.sum(F.round(F.col("w") * F.lit(1e10)).cast("long")).alias("ckpt_wsum"),
+        )
+    )
+    return wide.join(ckpts, "epoch", "left").orderBy("epoch")
+
+
+def _sgns_end2end_oracle(
+    epochs: int = _TE_EPOCHS,
+    steps_per_epoch: int = _SG_EPOCH_STEPS,
+    keep: int = _TE_KEEP,
+) -> str:
+    """The composition's oracle: base + ``epochs·steps_per_epoch``
+    unrolled step CTEs + the post-epoch dots frames, one-row metric
+    CTEs per evaluation point (the x94 ``met_sql`` algebra), per-epoch
+    means, and the surviving checkpoints' integer checksum straight
+    from the ``vin{2e}``/``vout{2e}`` trajectory CTEs — epochs swept by
+    keep-N read back NULL via the LEFT JOIN."""
+    total = epochs * steps_per_epoch
+    sig = (
+        f"round(1.0 / (1.0 + exp(-greatest(least(dot, {_SG_CLAMP}),"
+        f" -{_SG_CLAMP}))) + 1e-9, 6)"
+    )
+    parts = [_sgns_base_ctes()]
+    parts.extend(_sgns_step_ctes(i) for i in range(total))
+    parts.append(_sgns_dots_cte(total))
+    for i in range(total + 1):
+        parts.append(f""",
+    met{i} AS MATERIALIZED (
+      SELECT round(sum(cnt * round(-(label * ln(sig)
+                                     + (1.0 - label) * ln(1.0 - sig)) + 1e-9, 6))
+                   / sum(cnt) + 1e-9, 6) AS loss,
+             round(sum(cnt * (CASE WHEN (dot > 0) = (label = 1.0)
+                              THEN 1 ELSE 0 END))
+                   / sum(cnt) + 1e-9, 6) AS accuracy
+      FROM (SELECT cnt, label, dot, {sig} AS sig FROM dots{i}) m{i})""")
+
+    def epoch_sql(e: int) -> str:
+        first = (e - 1) * steps_per_epoch
+        union = "\n        UNION ALL\n        ".join(
+            f"SELECT loss, accuracy FROM met{first + s}"
+            for s in range(steps_per_epoch)
+        )
+        return f"""SELECT CAST({e} AS INT) AS epoch,
+           round(avg(loss) + 1e-9, 6) AS train_loss,
+           round(avg(accuracy) + 1e-9, 6) AS train_accuracy,
+           (SELECT loss FROM met{e * steps_per_epoch}) AS test_loss,
+           (SELECT accuracy FROM met{e * steps_per_epoch}) AS test_accuracy
+    FROM ({union})"""
+
+    kept = range(max(1, epochs - keep + 1), epochs + 1)
+
+    def ckpt_sql(e: int) -> str:
+        n = e * steps_per_epoch
+        return f"""SELECT CAST({e} AS INT) AS epoch,
+           CAST(count(*) AS BIGINT) AS ckpt_rows,
+           CAST(sum(CAST(round(w * 1e10) AS BIGINT)) AS BIGINT) AS ckpt_wsum
+    FROM (SELECT v AS w FROM vin{n} UNION ALL SELECT v AS w FROM vout{n})"""
+
+    epochs_body = "\n    UNION ALL\n    ".join(epoch_sql(e) for e in range(1, epochs + 1))
+    ckpt_body = "\n    UNION ALL\n    ".join(ckpt_sql(e) for e in kept)
+    return "".join(parts) + f"""
+    SELECT m.epoch, m.train_loss, m.train_accuracy, m.test_loss, m.test_accuracy,
+           c.ckpt_rows, c.ckpt_wsum
+    FROM ({epochs_body}) m
+    LEFT JOIN ({ckpt_body}) c ON c.epoch = m.epoch
+"""
+
+
+# Registration queued for a free r18 window slot (VERDICT r16 #4 — prep
+# only this round): query("pipeline_sgns_training_end2end",
+# oracle=_sgns_end2end_oracle())(sgns_training_end2end)
+
+
+# --------------------------------------------------------------------------
+# pipeline_sgns_prediction_snapshots (prepped r17, un-registered): the
+# reference's save_predictions sink — modulo-gated per-epoch snapshots
+# --------------------------------------------------------------------------
+
+_PRED_EVERY = 2  # the reference gates on epoch % 10 == 0 (flax_model.py:380)
+
+
+def sgns_prediction_snapshots(
+    spark: SparkSession,
+    sf_dir: str,
+    epochs: int = _TE_EPOCHS,
+    steps_per_epoch: int = _SG_EPOCH_STEPS,
+    every: int = _PRED_EVERY,
+) -> DataFrame:
+    """The reference's prediction sink — ``save_predictions``
+    (trainer/flax_model.py:279-285), called from the training loop
+    only on epochs passing the ``epoch % 10 == 0`` gate
+    (flax_model.py:380-384), persisting (inputs, labels, preds) per
+    epoch directory — at the verified tier: run the shared SGNS
+    schedule, and at each gated epoch snapshot the model's
+    per-example predictions (the 6-dp clamped sigmoid over the
+    epoch-state dots, ``_sgns_sig_col`` — THE recipe's single
+    transcendental) with their examples to an epoch-partitioned
+    parquet dir (the reference's ``epoch_{e}/`` layout).  The
+    returned frame is the sink's READ-BACK only: (epoch, center, ctx,
+    label, cnt, dot, pred) — ungated epochs must be absent, gated
+    ones lossless.
+
+    Prepped r17, un-registered: queued for a free r18 window slot
+    behind ``pipeline_sgns_training_end2end`` — registration is one
+    line, ``query("pipeline_sgns_prediction_snapshots",
+    oracle=_sgns_pred_oracle())(sgns_prediction_snapshots)``.
+
+    Scale design: the training loop is x93's (constant-size plan via
+    per-step localCheckpoint, per-step gd unpersisted); each snapshot
+    is one broadcast-ex dots chain + a columnar write of
+    batch-bounded rows; the returned plan scans PARQUET only (one
+    FileScan + the output sort — no join, no Python), so the
+    review/analysis side never drags the training lineage — at a real
+    vocabulary the prediction scan is the classic score-and-dump
+    side output, sharded by the same (node, k) keys as the folds."""
+    import os
+    import shutil
+
+    from big_data_project_spark.sources.formats import _tmp
+
+    if epochs < 1 or steps_per_epoch < 1 or every < 1:
+        raise ValueError("epochs, steps_per_epoch and every must all be >= 1")
+
+    proot = _tmp("te_pred_snapshots")
+    shutil.rmtree(proot, ignore_errors=True)
+    os.makedirs(proot, exist_ok=True)
+
+    ex, vin, vout = _sgns_inputs(spark, sf_dir)
+    for epoch in range(1, epochs + 1):
+        for _ in range(steps_per_epoch):
+            vin, vout = _sgns_step(ex, vin, vout)
+        if epoch % every == 0:
+            preds = _sgns_dots(ex, vin, vout).select(
+                "center", "ctx", "label", "cnt", "dot",
+                _sgns_sig_col().alias("pred"),
+            )
+            preds.write.mode("overwrite").parquet(
+                os.path.join(proot, f"epoch={epoch}")
+            )
+    return (
+        spark.read.option("basePath", proot)
+        .parquet(proot)
+        .select("epoch", "center", "ctx", "label", "cnt", "dot", "pred")
+        .orderBy("epoch", "center", "ctx", "label")
+    )
+
+
+def _sgns_pred_oracle(
+    epochs: int = _TE_EPOCHS,
+    steps_per_epoch: int = _SG_EPOCH_STEPS,
+    every: int = _PRED_EVERY,
+) -> str:
+    """The snapshot sink's oracle: base + the unrolled step CTEs, then
+    for each GATED epoch one select over the epoch-state dots frame
+    with the shared sigmoid expression — ungated epochs simply never
+    appear, which is the modulo-gate contract."""
+    total = epochs * steps_per_epoch
+    gated = [e for e in range(1, epochs + 1) if e % every == 0]
+    sig = (
+        f"round(1.0 / (1.0 + exp(-greatest(least(dot, {_SG_CLAMP}),"
+        f" -{_SG_CLAMP}))) + 1e-9, 6)"
+    )
+    parts = [_sgns_base_ctes()]
+    parts.extend(_sgns_step_ctes(i) for i in range(total))
+    if gated and gated[-1] * steps_per_epoch == total:
+        parts.append(_sgns_dots_cte(total))
+    body = "\n    UNION ALL\n    ".join(
+        f"""SELECT CAST({e} AS INT) AS epoch, center, ctx, label, cnt, dot,
+           {sig} AS pred
+    FROM dots{e * steps_per_epoch}"""
+        for e in gated
+    )
+    return "".join(parts) + "\n    " + body + "\n"

@@ -226,6 +226,16 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
         def entry_point(spark: SparkSession, sf_dir: str, *args, **kwargs):
             try:
                 spark.catalog.clearCache()
+                # clearCache releases persisted DataFrames but NOT
+                # localCheckpoint RDD blocks (ADVICE r16: each x93-class
+                # driver run otherwise leaks its per-step checkpoint
+                # blocks into the 50-query window).  Sweep every still-
+                # persisted RDD: any prior query's returned frame has
+                # already been collected, so leftover blocks are garbage
+                # by the time the next entry point builds its plan.
+                jrdds = spark.sparkContext._jsc.getPersistentRDDs()
+                for rid in list(jrdds.keySet()):
+                    jrdds.get(rid).unpersist()
             except Exception:
                 pass  # never let cleanup mask the query itself
             return fn(spark, sf_dir, *args, **kwargs)

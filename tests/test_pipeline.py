@@ -2653,8 +2653,7 @@ def _replay_sgns_metrics(ex, vin, vout):
 
 
 def test_sgns_epoch_metrics_parity_replay_and_descent(spark):
-    """x94 (per-step epoch metrics; prepped r16, un-registered — the
-    r16 window is exactly filled by flagship + x93 + rotation):
+    """x94 (per-step epoch metrics; prepped r16, registered r17):
     oracle parity at BOTH tiers via a direct compare, a pure-Python
     replay of loss/accuracy at every evaluation point over the shared
     replay trajectory, and the claim the query exists to verify: the
@@ -2747,8 +2746,8 @@ def _replay_sgns_adam_epoch(ex, vin, vout, steps=2):
 
 def test_sgns_adam_epoch_parity_replay_and_state(spark):
     """x95 (2-step Adam epoch — the reference's ACTUAL optimizer,
-    optax.adam at flax_model.py:272, where x92/x93 transposed the
-    plain-SGD simplification; prepped r16, un-registered): oracle
+    optax.adam at flax_model.py:275, where x92/x93 transposed the
+    plain-SGD simplification; prepped r16, registered r17): oracle
     parity at BOTH tiers via direct compare, a pure-Python replay of
     the full optimizer state (weight trajectory AND final first/second
     moments) over the shared gradient definition, and the state
@@ -2807,6 +2806,153 @@ def test_sgns_adam_epoch_parity_replay_and_state(spark):
         assert _sgns_batch_loss(ex, w_in_final, w_out_final) < _sgns_batch_loss(
             ex, vin2, vout2
         )
+
+
+def test_sgns_training_end2end_parity_replay_and_contract(spark):
+    """The full training driver composition (prepped r17,
+    un-registered — queued for a free r18 window slot per VERDICT r16
+    #4): the reference's ``train_and_evaluate``
+    (trainer/flax_model.py:295-390) as x93 epochs + x94 metrics + the
+    s6 keep-N checkpoint + the s7 metrics sink, returning only the
+    sinks' read-back.  Checks: oracle parity at BOTH tiers, a
+    pure-Python replay of the entire 8-step schedule (metrics means,
+    retention sweep, integer weight checksums), and the COMPOSITION
+    CONTRACT against the already-verified pieces — epoch 1's metrics
+    are exactly x94's rows 0..2 folded to means, and epoch 1's
+    checkpoint is the one keep=3 swept (NULL read-back)."""
+    from big_data_project_spark.pipeline.graph import (
+        _SG_DIM, _SG_EPOCH_STEPS, _TE_EPOCHS, _TE_KEEP,
+        _sgns_end2end_oracle, sgns_epoch_metrics, sgns_training_end2end,
+    )
+    from tests.conftest import SF_DIR, SF_DIR_ORACLE, checkpoint_rdd_guard
+    from tests.oracle_harness import compare, duckdb_connect
+
+    oracle = _sgns_end2end_oracle()
+    for sf in (SF_DIR, SF_DIR_ORACLE):
+        with checkpoint_rdd_guard(spark):
+            con = duckdb_connect(sf)
+            df = sgns_training_end2end(spark, sf)
+            res = compare("pipeline_sgns_training_end2end", df, con, oracle)
+            assert res.ok, (sf, res.detail, res.mismatches[:3])
+
+    with checkpoint_rdd_guard(spark):
+        ex, nodes, vin, vout = _replay_sgns_setup(spark)
+        total = _TE_EPOCHS * _SG_EPOCH_STEPS
+        traj = [(vin, vout)]
+        for _ in range(total):
+            _gi, _go, nvin, nvout = _replay_sgns_step(ex, *traj[-1])
+            traj.append((nvin, nvout))
+        mets = [_replay_sgns_metrics(ex, mi, mo) for mi, mo in traj]
+
+        def wsum(state):
+            return sum(
+                int(round(w * 1e10))
+                for side in state
+                for w in side.values()
+            )
+
+        kept = set(range(_TE_EPOCHS - _TE_KEEP + 1, _TE_EPOCHS + 1))
+        expected = []
+        for e in range(1, _TE_EPOCHS + 1):
+            pre = mets[(e - 1) * _SG_EPOCH_STEPS : e * _SG_EPOCH_STEPS]
+            post = mets[e * _SG_EPOCH_STEPS]
+            tl = round(sum(m[1] for m in pre) / len(pre) + 1e-9, 6)
+            ta = round(sum(m[2] for m in pre) / len(pre) + 1e-9, 6)
+            ck = (
+                (2 * len(nodes) * _SG_DIM, wsum(traj[e * _SG_EPOCH_STEPS]))
+                if e in kept
+                else (None, None)
+            )
+            expected.append((e, tl, ta, post[1], post[2], *ck))
+
+        rows = sgns_training_end2end(spark, SF_DIR).collect()
+        got = [
+            (
+                r.epoch, r.train_loss, r.train_accuracy,
+                r.test_loss, r.test_accuracy, r.ckpt_rows, r.ckpt_wsum,
+            )
+            for r in rows
+        ]
+        assert got == expected
+
+        # composition contract vs the verified pieces: epoch 1's metrics
+        # ARE x94's rows 0..2 folded to means...
+        by_step = {r.step: r for r in sgns_epoch_metrics(spark, SF_DIR).collect()}
+        e1 = got[0]
+        assert e1[1] == round(
+            (by_step[0].loss + by_step[1].loss) / 2 + 1e-9, 6
+        )
+        assert e1[2] == round(
+            (by_step[0].accuracy + by_step[1].accuracy) / 2 + 1e-9, 6
+        )
+        assert (e1[3], e1[4]) == (by_step[2].loss, by_step[2].accuracy)
+        # ...and epoch 1's checkpoint (x93's v2 matrix) is the one the
+        # keep=3 sweep deleted
+        assert e1[5] is None and e1[6] is None
+        # the composed schedule still trains: eval loss never rises and
+        # strictly improves end-to-end
+        test_losses = [r[3] for r in got]
+        assert all(a >= b for a, b in zip(test_losses, test_losses[1:]))
+        assert test_losses[-1] < test_losses[0]
+
+
+def test_sgns_prediction_snapshots_parity_replay_and_gate(spark):
+    """The prediction sink (prepped r17, un-registered — queued behind
+    the end2end composition): the reference's ``save_predictions``
+    (trainer/flax_model.py:279-285) under its modulo epoch gate
+    (flax_model.py:380-384).  Checks: oracle parity at BOTH tiers, a
+    pure-Python replay of every snapshot row (per-example 6-dp dot +
+    clamped sigmoid at the gated epoch states), and the GATE contract —
+    ungated epochs are absent from the read-back, gated ones lossless."""
+    import math
+
+    from big_data_project_spark.pipeline.graph import (
+        _PRED_EVERY, _SG_CLAMP, _SG_DIM, _SG_EPOCH_STEPS, _TE_EPOCHS,
+        _sgns_pred_oracle, sgns_prediction_snapshots,
+    )
+    from tests.conftest import SF_DIR, SF_DIR_ORACLE, checkpoint_rdd_guard
+    from tests.oracle_harness import compare, duckdb_connect
+
+    oracle = _sgns_pred_oracle()
+    for sf in (SF_DIR, SF_DIR_ORACLE):
+        with checkpoint_rdd_guard(spark):
+            con = duckdb_connect(sf)
+            df = sgns_prediction_snapshots(spark, sf)
+            res = compare("pipeline_sgns_prediction_snapshots", df, con, oracle)
+            assert res.ok, (sf, res.detail, res.mismatches[:3])
+
+    with checkpoint_rdd_guard(spark):
+        ex, _nodes, vin, vout = _replay_sgns_setup(spark)
+        state = (vin, vout)
+        states = {}
+        for e in range(1, _TE_EPOCHS + 1):
+            for _ in range(_SG_EPOCH_STEPS):
+                _gi, _go, nvin, nvout = _replay_sgns_step(ex, *state)
+                state = (nvin, nvout)
+            if e % _PRED_EVERY == 0:
+                states[e] = state
+        assert set(states) == {2, 4}  # the gate at the default schedule
+
+        expected = set()
+        for e, (mi, mo) in states.items():
+            for (c, x, label), cnt in ex.items():
+                dot = round(
+                    sum(mi[c, k] * mo[x, k] for k in range(_SG_DIM)) + 1e-9, 6
+                )
+                dc = max(min(dot, _SG_CLAMP), -_SG_CLAMP)
+                pred = round(1.0 / (1.0 + math.exp(-dc)) + 1e-9, 6)
+                expected.add((e, c, x, label, cnt, dot, pred))
+
+        rows = sgns_prediction_snapshots(spark, SF_DIR).collect()
+        got = {
+            (r.epoch, r.center, r.ctx, r.label, r.cnt, r.dot, r.pred)
+            for r in rows
+        }
+        assert got == expected
+        # gate contract: ungated epochs never reach the sink
+        assert {r.epoch for r in rows} == {2, 4}
+        # snapshots are lossless: every example appears in every snapshot
+        assert len(rows) == 2 * len(ex)
 
 
 def test_negative_sampling_parity_and_table_invariants(spark):

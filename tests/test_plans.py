@@ -1886,8 +1886,11 @@ def test_sgns_epoch_plan_constant_in_steps(spark):
 
 
 def test_sgns_metrics_plan(spark):
-    """x94's evaluation plan (prepped r16): every dots probe is a
-    BROADCAST join even against the step-1/2 localCheckpoint leaves
+    """x94's evaluation plan (registered r17): the pre-update points
+    0..steps-1 read each step's PERSISTED gd frame (ADVICE r16 — the
+    step already computed the identical dots), so after pruning cached
+    subtrees the only live dots chain is the post-epoch one — both its
+    probes BROADCAST joins even against the localCheckpoint leaves
     (the batch-bounded ex-side intermediate carries the hint — an
     unhinted probe sort-merged the vocab×dim side), zero Python
     anywhere, no cartesian, and the plan string stays inside the x92
@@ -1913,11 +1916,74 @@ def test_sgns_metrics_plan(spark):
             len(re.findall(r"\bBatchEvalPython\b|\bArrowEvalPython\b", text))
             == 0
         )
-        # 2 joins per evaluation point (ex⋈vin, then ⋈vout), all broadcast
-        assert len(re.findall(r"\bBroadcastHashJoin\b", text)) == 6
+        # only the post-epoch point builds a fresh dots chain (ex⋈vin,
+        # then ⋈vout), both broadcast; points 0..1 scan cached gd
+        assert len(re.findall(r"\bBroadcastHashJoin\b", text)) == 2
         # one partial+final global agg per evaluation point
         assert len(re.findall(r"Exchange SinglePartition", text)) == 3
-        assert num_shuffles_steady(df) <= 6  # measured 5 at sf0.001
+        assert num_shuffles_steady(df) <= 6
+
+
+def test_sgns_end2end_report_plan_reads_sinks_only(spark):
+    """The train_and_evaluate composition's returned plan (prepped
+    r17): the report side reads the PARQUET SINKS ONLY — metrics log +
+    surviving checkpoints — with the entire training lineage decoupled
+    behind the writes (how a real cluster job ships metrics to
+    TensorBoard and checkpoints to object storage; the analysis query
+    must not drag the training graph).  Zero Python, no sort-merge, no
+    cartesian, and a tiny plan string (no training-lineage echo)."""
+    import re
+
+    from big_data_project_spark.pipeline.graph import sgns_training_end2end
+    from big_data_project_spark.plans.contracts import (
+        num_shuffles_steady, plan_str, prune_cached_subtrees,
+    )
+    from tests.conftest import checkpoint_rdd_guard
+
+    with checkpoint_rdd_guard(spark):
+        df = sgns_training_end2end(spark, SF)
+        raw = plan_str(df, "simple")
+        assert len(raw) < 20_000, "report plan dragged the training lineage"
+        text = prune_cached_subtrees(raw)
+        assert len(re.findall(r"\bSortMergeJoin\b", text)) == 0
+        assert len(re.findall(r"\bCartesianProduct\b", text)) == 0
+        assert (
+            len(re.findall(r"\bBatchEvalPython\b|\bArrowEvalPython\b", text))
+            == 0
+        )
+        # both legs are parquet scans of the sinks
+        assert len(re.findall(r"Scan parquet", text)) == 2
+        assert num_shuffles_steady(df) <= 6
+
+
+def test_sgns_pred_snapshots_plan_scan_only(spark):
+    """The prediction-snapshot sink's read-back plan (prepped r17):
+    ONE parquet scan + the output sort — no join of any kind, zero
+    Python, and no training-lineage echo in the plan string.  The
+    predictions were scored at WRITE time (the score-and-dump side
+    output), so the review query is a pure columnar scan."""
+    import re
+
+    from big_data_project_spark.pipeline.graph import (
+        sgns_prediction_snapshots,
+    )
+    from big_data_project_spark.plans.contracts import (
+        num_shuffles_steady, plan_str, prune_cached_subtrees,
+    )
+    from tests.conftest import checkpoint_rdd_guard
+
+    with checkpoint_rdd_guard(spark):
+        df = sgns_prediction_snapshots(spark, SF)
+        raw = plan_str(df, "simple")
+        assert len(raw) < 12_000, "read-back plan dragged the training lineage"
+        text = prune_cached_subtrees(raw)
+        assert len(re.findall(r"Join", text)) == 0
+        assert (
+            len(re.findall(r"\bBatchEvalPython\b|\bArrowEvalPython\b", text))
+            == 0
+        )
+        assert len(re.findall(r"Scan parquet", text)) == 1
+        assert num_shuffles_steady(df) <= 2  # only the output sort
 
 
 def test_sgns_adam_epoch_plan_constant_in_steps(spark):

@@ -201,3 +201,33 @@ def test_rows_only_priority_order(monkeypatch):
     assert max(positions) < first_other, (
         "prioritized rows-only queries must precede the rest of the bucket"
     )
+
+
+def test_entry_point_sweeps_checkpoint_blocks(spark):
+    """The registered entry point releases BOTH leftover cache layers
+    before building its plan: persisted DataFrames (clearCache) AND
+    localCheckpoint RDD blocks, which clearCache does NOT touch
+    (ADVICE r16 — each x93-class driver run otherwise leaks its
+    per-step checkpoint blocks into the 50-query window).  Safe by
+    construction: any prior query's returned frame has been collected
+    by the time the next entry point runs."""
+    from big_data_project_spark import registry
+    from tests.conftest import SF_DIR
+
+    registry.load()
+    jsc = spark.sparkContext._jsc
+    spark.catalog.clearCache()
+    leftovers = jsc.getPersistentRDDs()
+    for rid in list(leftovers.keySet()):
+        leftovers.get(rid).unpersist()
+
+    ckpt_leak = spark.range(8).localCheckpoint(eager=True)
+    assert ckpt_leak.count() == 8
+    cache_leak = spark.range(4).persist()
+    assert cache_leak.count() == 4
+    assert len(set(jsc.getPersistentRDDs().keySet())) >= 2
+
+    # p1 neither persists nor checkpoints, so after its entry point
+    # runs the only possible survivors would be the leaks — swept
+    registry.QUERIES["p1_project_alias"](spark, SF_DIR).collect()
+    assert len(set(jsc.getPersistentRDDs().keySet())) == 0

@@ -180,23 +180,30 @@ def test_bench_frees_checkpoint_rdds_between_rows(spark, sf_dir):
     release localCheckpoint RDD blocks, so the bench frees each row's
     leftovers itself.  Pin the mechanism: after an x61 run (which
     checkpoints the d²-cell gsym frame) free_new_rdds must release every
-    RDD the row pinned — and leave anything persisted beforehand alone."""
+    RDD the row pinned — and leave anything persisted beforehand alone.
+
+    Uses the RAW x61 function, not the registered entry point: since
+    r17 the entry point itself sweeps ALL leftover RDD blocks (the
+    ADVICE-r16 window-leak fix, pinned in test_registry), which would
+    release `pre` before free_new_rdds's leave-older-RDDs-alone
+    property could be observed — the bench delta mechanism under test
+    here is the BETWEEN-rows safety net, independent of that sweep."""
     import bench
-    from big_data_project_spark.registry import all_queries
+    from big_data_project_spark.pipeline.similarity import x61_pca_project
 
     # The pre-existing entry must be localCheckpoint-backed, NOT .cache():
-    # both the x61 entry point and the bench's between-run reset call
-    # clearCache(), which drops DataFrame caches — a cached `pre` would be
-    # gone before free_new_rdds ever ran and the leave-older-RDDs-alone
-    # property would be vacuously true.  clearCache does not release
-    # checkpoint RDD blocks, so this survives to make the assertion real.
+    # the bench's between-run reset calls clearCache(), which drops
+    # DataFrame caches — a cached `pre` would be gone before
+    # free_new_rdds ever ran and the leave-older-RDDs-alone property
+    # would be vacuously true.  clearCache does not release checkpoint
+    # RDD blocks, so this survives to make the assertion real.
     base = bench.snapshot_rdd_ids(spark)
     pre = spark.range(10).localCheckpoint(eager=True)
     pre_ids = bench.snapshot_rdd_ids(spark) - base
     assert pre_ids, "pre-existing localCheckpoint should be persisted"
     try:
         before = bench.snapshot_rdd_ids(spark)
-        all_queries()["x61_pca_project"](spark, sf_dir).count()
+        x61_pca_project(spark, sf_dir).count()
         spark.catalog.clearCache()  # the bench's between-run reset...
         leaked = bench.snapshot_rdd_ids(spark) - before
         assert leaked, "x61 should leave localCheckpoint RDDs behind"
