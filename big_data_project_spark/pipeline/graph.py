@@ -2541,28 +2541,31 @@ def _sgns_base_ctes() -> str:
     vout0 AS MATERIALIZED ({init_sql("o")})"""
 
 
-def _sgns_dots_cte(i: int) -> str:
+def _sgns_dots_cte(i: int, ex_table: str = "ex") -> str:
     """The ``dots{i}`` CTE — the oracle mirror of ``_sgns_dots`` over
     ``vin{i}``/``vout{i}``.  Factored out of ``_sgns_step_ctes`` so the
     x94 metrics oracle can score the POST-epoch matrices (``dots{N}``)
-    without unrolling a step that never runs."""
+    without unrolling a step that never runs.  ``ex_table`` names the
+    examples CTE (default the shared full batch) so the x96 permuted-
+    batch oracle can score per-step subsets."""
     return f""",
     dots{i} AS MATERIALIZED (
       SELECT e.center, e.ctx, e.label, e.cnt,
              round(sum(vi.v * vo.v) + 1e-9, 6) AS dot
-      FROM ex e
+      FROM {ex_table} e
       JOIN vin{i} vi ON vi.node = e.center
       JOIN vout{i} vo ON vo.node = e.ctx AND vo.k = vi.k
       GROUP BY e.center, e.ctx, e.label, e.cnt)"""
 
 
-def _sgns_grads_ctes(i: int) -> str:
+def _sgns_grads_ctes(i: int, ex_table: str = "ex") -> str:
     """The gradient block as CTEs — the oracle mirror of
     ``_sgns_grads``: ``dots{i}``/``gd{i}``/``gin{i}``/``gout{i}`` from
     ``vin{i}``/``vout{i}``.  Factored out of ``_sgns_step_ctes`` so
     the x95 Adam oracle can consume the same gradients under a
-    different update rule."""
-    return _sgns_dots_cte(i) + f""",
+    different update rule; ``ex_table`` selects the step's examples
+    (the x96 permuted-batch oracle feeds per-batch subsets)."""
+    return _sgns_dots_cte(i, ex_table) + f""",
     gd{i} AS MATERIALIZED (
       SELECT center, ctx, label, cnt,
              round(1.0 / (1.0 + exp(-greatest(least(dot, {_SG_CLAMP}),
@@ -2581,12 +2584,14 @@ def _sgns_grads_ctes(i: int) -> str:
       GROUP BY d.ctx, vi.k)"""
 
 
-def _sgns_step_ctes(i: int) -> str:
+def _sgns_step_ctes(i: int, ex_table: str = "ex") -> str:
     """One SGD step as CTEs — the oracle mirror of ``_sgns_grads`` +
     ``_sgns_step``: the gradient block plus ``vin{i+1}``/``vout{i+1}``
     with the rounded update.  Defined ONCE and unrolled per step by
-    both the x92 and x93 oracles, mirroring the Spark-side factoring."""
-    return _sgns_grads_ctes(i) + f""",
+    both the x92 and x93 oracles, mirroring the Spark-side factoring;
+    ``ex_table`` selects the step's examples (default the shared full
+    batch; x96 feeds per-batch subsets)."""
+    return _sgns_grads_ctes(i, ex_table) + f""",
     vin{i + 1} AS MATERIALIZED (
       SELECT b.node, b.k,
              round(b.v - {_SG_LR} * coalesce(g.grad, 0.0) + 1e-12, 10) AS v
@@ -3333,3 +3338,131 @@ def _sgns_pred_oracle(
         for e in gated
     )
     return "".join(parts) + "\n    " + body + "\n"
+
+
+# --------------------------------------------------------------------------
+# x96 (prepped r17, un-registered): permuted mini-batch epoch — the
+# reference's per-epoch permutation + batch reshape + skip-incomplete
+# --------------------------------------------------------------------------
+
+
+def sgns_permuted_batches(
+    spark: SparkSession, sf_dir: str, batches: int = _SG_EPOCH_STEPS
+) -> DataFrame:
+    """The last ``train_epoch`` semantic the verified tier had not yet
+    mirrored: the reference permutes the dataset each epoch, reshapes
+    it into equal mini-batches, DROPS the incomplete remainder, and
+    takes one optimizer step per DISTINCT batch
+    (``jax.random.permutation`` → ``perms.reshape((steps_per_epoch,
+    batch_size))`` with ``perms[: steps_per_epoch * batch_size]``,
+    trainer/flax_model.py:234-236) — where x93/x95 step repeatedly
+    over ONE shared batch.  Here the deterministic permutation is the
+    md5 order of each distinct weighted example, the reshape is
+    row_number → ``batch = floor((rn-1)/bs)`` with ``bs = N //
+    batches``, the remainder ``rn > batches·bs`` is skipped, and each
+    step's gradients fold ONLY its own batch (nodes outside a batch
+    receive no gradient and must not move — the per-batch sparsity
+    the full-batch chain never exercises).  Output: (side, node, k,
+    v0..vB) — the weight trajectory across the mini-batch steps.
+
+    Prepped r17, un-registered: queued for a free window slot behind
+    the two sink compositions — registration is one line,
+    ``query("x96_sgns_permuted_batches",
+    oracle=_sgns_permuted_oracle())(sgns_permuted_batches)``.
+
+    Scale design: identical per-step exchange structure to x93 (batch
+    broadcast into the dots/gradient chain, one partial+final agg per
+    fold, per-step localCheckpoint + per-step gd release).  The
+    row_number permutation runs over the batch-BOUNDED examples frame
+    (≤ _SG_BATCH·(1+_SG_NEG_K) rows by construction), so its single-
+    partition window is a bounded scalar pass — at a real corpus the
+    permutation is the standard distributed shuffle-assign (hash the
+    example key into a batch id), which this md5 formulation already
+    is once the rank step is swapped for direct bucketing."""
+    ex, vin, vout = _sgns_inputs(spark, sf_dir)
+    n_examples = ex.count()  # bounded scalar: |ex| ≤ batch·(1+K) rows
+    bs = n_examples // batches
+    if bs < 1:
+        raise ValueError(
+            f"fewer examples ({n_examples}) than batches ({batches})"
+        )
+    key = F.md5(
+        F.concat_ws(
+            ":", F.col("center"), F.col("ctx"), F.col("label").cast("int")
+        )
+    )
+    exb = (
+        ex.withColumn("rn", F.row_number().over(Window.orderBy(key)))
+        .filter(F.col("rn") <= batches * bs)
+        .withColumn(
+            "batch", F.floor((F.col("rn") - 1) / F.lit(bs)).cast("int")
+        )
+        .localCheckpoint(eager=True)
+    )
+    vins, vouts = [vin], [vout]
+    for b in range(batches):
+        ex_b = exb.filter(F.col("batch") == b).select(
+            "center", "ctx", "label", "cnt"
+        )
+        nvin, nvout = _sgns_step(ex_b, vins[-1], vouts[-1])
+        vins.append(nvin)
+        vouts.append(nvout)
+
+    def side_out(frames: list[DataFrame], side: str) -> DataFrame:
+        # broadcast the trajectory joins — checkpoint leaves carry no
+        # stats (the x93 lesson)
+        out = frames[0].select(
+            F.lit(side).alias("side"), "node", "k", F.col("v").alias("v0")
+        )
+        for step, frame in enumerate(frames[1:], start=1):
+            out = out.join(
+                F.broadcast(
+                    frame.select("node", "k", F.col("v").alias(f"v{step}"))
+                ),
+                ["node", "k"],
+            )
+        return out
+
+    out = side_out(vins, "in").unionByName(side_out(vouts, "out"))
+    return out.orderBy("side", "node", "k")
+
+
+def _sgns_permuted_oracle(batches: int = _SG_EPOCH_STEPS) -> str:
+    """x96's oracle: base + the md5-rank permutation/reshape CTE
+    (``exb``), one batch-subset CTE per step feeding the SHARED step
+    block via its ``ex_table`` parameter, and the x93-shaped
+    trajectory select."""
+    parts = [_sgns_base_ctes()]
+    parts.append(f""",
+    exb AS MATERIALIZED (
+      SELECT center, ctx, label, cnt,
+             CAST(floor((rn - 1) / bs) AS INT) AS batch
+      FROM (
+        SELECT center, ctx, label, cnt,
+               row_number() OVER (
+                 ORDER BY md5(concat_ws(':', center, ctx,
+                                        CAST(label AS INT)))) AS rn,
+               (SELECT count(*) // {batches} FROM ex) AS bs
+        FROM ex) ranked
+      WHERE rn <= {batches} * bs)""")
+    for i in range(batches):
+        parts.append(f""",
+    exb{i} AS MATERIALIZED (
+      SELECT center, ctx, label, cnt FROM exb WHERE batch = {i})""")
+        parts.append(_sgns_step_ctes(i, ex_table=f"exb{i}"))
+    vcols = ", ".join(f"s{i}.v AS v{i}" for i in range(batches + 1))
+
+    def side_sql(prefix: str, side: str) -> str:
+        joins = "\n    ".join(
+            f"JOIN {prefix}{i} s{i} ON s{i}.node = s0.node AND s{i}.k = s0.k"
+            for i in range(1, batches + 1)
+        )
+        return f"""SELECT '{side}' AS side, s0.node, s0.k, {vcols}
+    FROM {prefix}0 s0
+    {joins}"""
+
+    return "".join(parts) + f"""
+    {side_sql("vin", "in")}
+    UNION ALL
+    {side_sql("vout", "out")}
+"""

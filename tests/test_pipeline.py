@@ -2955,6 +2955,88 @@ def test_sgns_prediction_snapshots_parity_replay_and_gate(spark):
         assert len(rows) == 2 * len(ex)
 
 
+def test_sgns_permuted_batches_parity_replay_and_sparsity(spark):
+    """x96 (prepped r17, un-registered): the reference's per-epoch
+    permutation + batch reshape + skip-incomplete-remainder
+    (trainer/flax_model.py:234-236) — one SGD step per DISTINCT
+    mini-batch, where x93/x95 step repeatedly over one shared batch.
+    Checks: oracle parity at BOTH tiers, a pure-Python replay of the
+    md5 permutation / reshape / remainder-skip / per-batch steps, and
+    the PER-BATCH SPARSITY invariant the full-batch chain never
+    exercises: a weight whose node is absent from step b's batch must
+    not move at step b."""
+    import hashlib
+
+    from big_data_project_spark.pipeline.graph import (
+        _SG_DIM, _SG_EPOCH_STEPS, _sgns_permuted_oracle,
+        sgns_permuted_batches,
+    )
+    from tests.conftest import SF_DIR, SF_DIR_ORACLE, checkpoint_rdd_guard
+    from tests.oracle_harness import compare, duckdb_connect
+
+    oracle = _sgns_permuted_oracle()
+    for sf in (SF_DIR, SF_DIR_ORACLE):
+        with checkpoint_rdd_guard(spark):
+            con = duckdb_connect(sf)
+            df = sgns_permuted_batches(spark, sf)
+            res = compare("x96_sgns_permuted_batches", df, con, oracle)
+            assert res.ok, (sf, res.detail, res.mismatches[:3])
+
+    with checkpoint_rdd_guard(spark):
+        ex, nodes, vin, vout = _replay_sgns_setup(spark)
+        n_batches = _SG_EPOCH_STEPS
+        keys = sorted(
+            ex,
+            key=lambda t: hashlib.md5(
+                f"{t[0]}:{t[1]}:{int(t[2])}".encode()
+            ).hexdigest(),
+        )
+        bs = len(keys) // n_batches
+        kept = keys[: n_batches * bs]  # the skipped incomplete remainder
+        batch_exs = [
+            {key: ex[key] for key in kept[i * bs : (i + 1) * bs]}
+            for i in range(n_batches)
+        ]
+        traj = [(vin, vout)]
+        for bex in batch_exs:
+            _gi, _go, nvin, nvout = _replay_sgns_step(bex, *traj[-1])
+            traj.append((nvin, nvout))
+
+        expected = set()
+        for side, idx in (("in", 0), ("out", 1)):
+            for key in traj[0][idx]:
+                expected.add(
+                    (side, *key, *[traj[i][idx][key] for i in range(len(traj))])
+                )
+
+        rows = sgns_permuted_batches(spark, SF_DIR).collect()
+        vcols = [f"v{i}" for i in range(n_batches + 1)]
+        got = {
+            (r.side, r.node, r.k, *[r[c] for c in vcols]) for r in rows
+        }
+        assert got == expected
+        assert len(got) == 2 * len(nodes) * _SG_DIM
+
+        # per-batch sparsity: a node absent from batch b's examples
+        # receives no gradient at step b+1 and must not move
+        for b, bex in enumerate(batch_exs):
+            centers = {c for c, _x, _l in bex}
+            ctxs = {x for _c, x, _l in bex}
+            for side, idx, present in (("in", 0, centers), ("out", 1, ctxs)):
+                for (node, k), _v in traj[0][idx].items():
+                    if node not in present:
+                        assert traj[b + 1][idx][node, k] == traj[b][idx][node, k]
+        # ...and the reshape contract: equal-size DISJOINT batches
+        # covering exactly the kept prefix, each step actually training
+        assert all(len(bex) == bs for bex in batch_exs)
+        assert not set(batch_exs[0]) & set(batch_exs[1])
+        assert set(batch_exs[0]) | set(batch_exs[1]) == set(kept)
+        for i in range(len(batch_exs)):
+            assert any(
+                traj[i + 1][0][key] != traj[i][0][key] for key in traj[0][0]
+            ), f"mini-batch step {i} moved nothing"
+
+
 def test_negative_sampling_parity_and_table_invariants(spark):
     """Negative-sampling table (prepped for a future window): oracle
     parity at BOTH tiers plus the table invariants a trainer relies on —

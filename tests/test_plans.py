@@ -1986,6 +1986,37 @@ def test_sgns_pred_snapshots_plan_scan_only(spark):
         assert num_shuffles_steady(df) <= 2  # only the output sort
 
 
+def test_sgns_permuted_batches_plan(spark):
+    """x96's plan (prepped r17): the permutation/reshape runs once
+    behind the examples frame's localCheckpoint leaf (its single-
+    partition rank window over the batch-bounded frame never appears
+    in the output plan), each mini-batch step keeps x93's exchange
+    structure, and the output is the broadcast trajectory walk over
+    checkpoint leaves — zero Python, zero sort-merge, ≤2 steady
+    shuffles, plan string inside the default-1g-driver bound."""
+    import re
+
+    from big_data_project_spark.pipeline.graph import sgns_permuted_batches
+    from big_data_project_spark.plans.contracts import (
+        num_shuffles_steady, plan_str, prune_cached_subtrees,
+    )
+    from tests.conftest import checkpoint_rdd_guard
+
+    with checkpoint_rdd_guard(spark):
+        df = sgns_permuted_batches(spark, SF)
+        raw = plan_str(df, "simple")
+        assert len(raw) < 40_000, "x96 plan string regrew — lineage leak"
+        text = prune_cached_subtrees(raw)
+        assert len(re.findall(r"\bSortMergeJoin\b", text)) == 0
+        assert len(re.findall(r"\bCartesianProduct\b", text)) == 0
+        assert (
+            len(re.findall(r"\bBatchEvalPython\b|\bArrowEvalPython\b", text))
+            == 0
+        )
+        assert len(re.findall(r"\bBroadcastHashJoin\b", text)) >= 4
+        assert num_shuffles_steady(df) <= 2  # only the output sort
+
+
 def test_sgns_adam_epoch_plan_constant_in_steps(spark):
     """x95's scale claim (prepped r16): the per-step Adam state
     localCheckpoints, so the OUTPUT plan is nothing but the broadcast
