@@ -1132,3 +1132,212 @@ def s22_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("uid").cast("bigint").alias("user_id_sum"),
         )
     )
+
+
+# --- pipeline_read_dataset_split (prepped r17, un-registered): the
+# --- reference's full read_dataset — scan → parse → impute → split --------
+
+_RD_SHARDS = 4
+_RD_PATCHES = 8
+_RD_SIDE = 8
+_RD_VALID = (200.0, 330.0)
+_RD_RATIO = 0.9
+
+
+def _rd_shard_dir() -> str:
+    """Synthesize the v3 shard set: the s3 formula EXTENDED with
+    deterministic out-of-range cells (``(i·31+p·7+y·13+x·3) % 19 == 0``
+    → 400.0, above the valid ceiling) so the impute path actually
+    fires — the base s3 shards are entirely in-range.  All values stay
+    exact multiples of 0.25, so every downstream float64 sum is EXACT
+    and reduction order cannot move a single ulp (the property the s3
+    oracle already relies on)."""
+    import numpy as np
+
+    shard_dir = _tmp("s3_npz_shards_v3_invalid")
+    existing = [f for f in os.listdir(shard_dir) if f.endswith(".npz")]
+    if len(existing) != _RD_SHARDS:
+        for f in existing:
+            os.unlink(os.path.join(shard_dir, f))
+        i_ix, p_ix, y_ix, x_ix = np.meshgrid(
+            np.arange(_RD_SHARDS), np.arange(_RD_PATCHES),
+            np.arange(_RD_SIDE), np.arange(_RD_SIDE), indexing="ij",
+        )
+        base = ((i_ix * 97 + p_ix * 31 + y_ix * 7 + x_ix * 13) % 256) * 0.25 + 250
+        invalid = (i_ix * 31 + p_ix * 7 + y_ix * 13 + x_ix * 3) % 19 == 0
+        lst_all = np.where(invalid, 400.0, base).astype(np.float32)[..., None]
+        for i in range(_RD_SHARDS):
+            rng = np.random.default_rng(seed=200 + i)
+            np.savez(
+                os.path.join(shard_dir, f"shard_{i}.npz"),
+                inputs=rng.standard_normal(
+                    (_RD_PATCHES, _RD_SIDE, _RD_SIDE, 3)
+                ).astype(np.float32),
+                labels_landcover=rng.integers(
+                    0, 9, (_RD_PATCHES, _RD_SIDE, _RD_SIDE, 1)
+                ).astype(np.uint8),
+                labels_lst=lst_all[i],
+            )
+    return shard_dir
+
+
+def read_dataset_split(
+    spark: SparkSession, sf_dir: str, train_ratio: float = _RD_RATIO
+) -> DataFrame:
+    """The reference's FULL ingest — ``read_dataset``
+    (trainer/flax_model.py:99-144) — as ONE composed pipeline over the
+    deterministic npz shards: glob the shard directory (:102, the s1
+    scan), np.load each shard's patches (:110 via ``read_example``
+    :53-66, the s3 decode), repair out-of-range temperatures
+    (``interpolate_invalid_temperatures`` :79-96: invalid-mask →
+    replace → clip to the valid range; the p3/p4 shapes — the
+    replacement here is the patch's valid-cell mean quantized back to
+    the 0.25 sensor grid, where the reference uses a Gaussian-filter
+    estimate, transposed so the oracle stays exact), concatenate
+    (:118-120, u1), and the SEQUENTIAL train/test split ``train_size =
+    int(n · ratio)`` over global patch order (:125-131, the o3 shape).
+    Output: one row per patch — (split, shard, patch_idx, n_cells,
+    n_invalid, lst_mean) with lst_mean over the IMPUTED cells.
+
+    Prepped r17, un-registered: queued for a free window slot with the
+    other r17 preps — registration is one line,
+    ``query("pipeline_read_dataset_split",
+    oracle=_read_dataset_oracle())(read_dataset_split)``.
+
+    Parity: every stored LST value (including the quantized
+    replacement and the clip endpoints) is a multiple of 0.25, so all
+    sums are exact in float64 and partial-aggregation order cannot
+    diverge; the valid-mean divides an exact sum by a cell count and
+    rounds to 6 with the §4.3.1 nudge, and its ×4 re-quantization
+    carries the same nudge before the integer round.
+
+    Scale design: ONE Arrow pass over the binary shards (mapInPandas
+    decode, the only Python), per-patch stats as one partial+final agg
+    keyed (shard, patch), the stats frame broadcast back into the
+    cell-level impute join (patch-bounded), and the split a pure
+    projection over the global patch index — no shuffle the ingest
+    didn't already need.  At a real corpus each shard decodes
+    independently (binaryFile splits by file) and the split index is
+    metadata, exactly how a distributed loader shards a training
+    manifest."""
+    shard_dir = _rd_shard_dir()
+    lo, hi = _RD_VALID
+    total = _RD_SHARDS * _RD_PATCHES
+    train_size = int(total * train_ratio)  # the reference's int() truncation
+
+    def decode(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io as _io
+
+        import numpy as _np
+
+        for pdf in pdf_iter:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                with _np.load(_io.BytesIO(content)) as npz:
+                    lst = npz["labels_lst"].astype("float64")
+                    for p in range(lst.shape[0]):
+                        for y in range(lst.shape[1]):
+                            for x in range(lst.shape[2]):
+                                rows.append({
+                                    "shard": os.path.basename(path),
+                                    "patch_idx": p,
+                                    "lst": float(lst[p, y, x, 0]),
+                                })
+            yield pd.DataFrame(rows)
+
+    files = spark.read.format("binaryFile").load(shard_dir)
+    # persist the decoded cells: BOTH the stats agg and the impute join
+    # consume them, and an unpersisted fan-out would run the Arrow
+    # decode pass twice (pinned: exactly one MapInPandas).  Released by
+    # the next entry point's cache/RDD sweep.
+    cells = files.select("path", "content").mapInPandas(
+        decode, schema="shard string, patch_idx int, lst double"
+    ).persist()
+    valid = (F.col("lst") >= F.lit(lo)) & (F.col("lst") <= F.lit(hi))
+    stats = cells.groupBy("shard", "patch_idx").agg(
+        F.round(F.avg(F.when(valid, F.col("lst"))) + F.lit(1e-9), 6).alias(
+            "valid_mean"
+        ),
+        F.sum(F.when(valid, 0).otherwise(1)).alias("n_invalid"),
+    )
+    repl = F.least(
+        F.greatest(
+            F.round(F.col("valid_mean") * 4 + F.lit(1e-9), 0) / 4, F.lit(lo)
+        ),
+        F.lit(hi),
+    )
+    imp = (
+        cells.join(F.broadcast(stats), ["shard", "patch_idx"])
+        .withColumn("lst_i", F.when(valid, F.col("lst")).otherwise(repl))
+    )
+    gidx = (
+        F.regexp_extract("shard", r"shard_(\d+)", 1).cast("int")
+        * _RD_PATCHES
+        + F.col("patch_idx")
+    )
+    return (
+        imp.groupBy("shard", "patch_idx", "n_invalid")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.round(F.avg("lst_i") + F.lit(1e-9), 6).alias("lst_mean"),
+        )
+        .select(
+            F.when(gidx < train_size, F.lit("train"))
+            .otherwise(F.lit("test"))
+            .alias("split"),
+            "shard",
+            "patch_idx",
+            "n_cells",
+            F.col("n_invalid").cast("long").alias("n_invalid"),
+            "lst_mean",
+        )
+        .orderBy("shard", "patch_idx")
+    )
+
+
+def _read_dataset_oracle(train_ratio: float = _RD_RATIO) -> str:
+    """The composition's oracle: rebuild the per-cell grid (base
+    formula + the deterministic invalid mask) with generate_series,
+    mirror the valid-mean/quantize/clip impute and the sequential
+    int(n·ratio) split — rounding point for rounding point."""
+    lo, hi = _RD_VALID
+    train_size = int(_RD_SHARDS * _RD_PATCHES * train_ratio)
+    return f"""
+    WITH cells AS MATERIALIZED (
+      SELECT i, p,
+             CASE WHEN (i*31 + p*7 + y*13 + x*3) % 19 = 0 THEN 400.0
+                  ELSE ((i*97 + p*31 + y*7 + x*13) % 256) * 0.25 + 250
+             END AS lst
+      FROM unnest(generate_series(0, {_RD_SHARDS - 1})) AS si(i),
+           unnest(generate_series(0, {_RD_PATCHES - 1})) AS sp(p),
+           unnest(generate_series(0, {_RD_SIDE - 1})) AS sy(y),
+           unnest(generate_series(0, {_RD_SIDE - 1})) AS sx(x)),
+    stats AS MATERIALIZED (
+      SELECT i, p,
+             round(avg(CASE WHEN lst >= {lo!r} AND lst <= {hi!r}
+                            THEN lst END) + 1e-9, 6) AS valid_mean,
+             CAST(sum(CASE WHEN lst < {lo!r} OR lst > {hi!r}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_invalid
+      FROM cells GROUP BY i, p),
+    imp AS MATERIALIZED (
+      SELECT c.i, c.p, s.n_invalid,
+             CASE WHEN c.lst >= {lo!r} AND c.lst <= {hi!r} THEN c.lst
+                  ELSE least(greatest(round(s.valid_mean * 4 + 1e-9) / 4,
+                                      {lo!r}), {hi!r})
+             END AS lst_i
+      FROM cells c JOIN stats s ON s.i = c.i AND s.p = c.p)
+    SELECT CASE WHEN i * {_RD_PATCHES} + p < {train_size}
+                THEN 'train' ELSE 'test' END AS split,
+           'shard_' || i || '.npz' AS shard,
+           CAST(p AS INT) AS patch_idx,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           n_invalid,
+           round(avg(lst_i) + 1e-9, 6) AS lst_mean
+    FROM imp
+    GROUP BY i, p, n_invalid
+"""
+
+
+# Registration queued for a free r18+ window slot (r17 prep):
+# query("pipeline_read_dataset_split",
+#       oracle=_read_dataset_oracle())(read_dataset_split)

@@ -3207,3 +3207,71 @@ def test_nn_descent_parity_convergence_and_replay(spark):
     for g, e in zip(got, expected):
         assert g[0] == e[0] and g[1] == e[1], (g, e)
         assert abs(g[2] - e[2]) < 1e-4 and abs(g[3] - e[3]) < 1e-4, (g, e)
+
+
+def test_read_dataset_split_parity_replay_and_contract(spark):
+    """pipeline_read_dataset_split (prepped r17, un-registered): the
+    reference's full ``read_dataset`` ingest (trainer/
+    flax_model.py:99-144) — glob → npz decode → invalid-temperature
+    repair → concat → sequential int(n·ratio) split — as one composed
+    pipeline over the deterministic v3 shards.  Checks: oracle parity
+    at BOTH tiers (the binary write → binaryFile scan → Arrow np.load
+    roundtrip is real; the oracle recomputes from the formula), a
+    numpy replay of the impute/split, and the composition contract:
+    28 train / 4 test patches at ratio 0.9, the invalid mask actually
+    fires, and imputed means stay inside the valid range."""
+    import numpy as np
+
+    from big_data_project_spark.sources.formats import (
+        _RD_PATCHES, _RD_RATIO, _RD_SHARDS, _RD_SIDE, _RD_VALID,
+        _read_dataset_oracle, read_dataset_split,
+    )
+    from tests.conftest import SF_DIR, SF_DIR_ORACLE
+    from tests.oracle_harness import compare, duckdb_connect
+
+    oracle = _read_dataset_oracle()
+    for sf in (SF_DIR, SF_DIR_ORACLE):
+        con = duckdb_connect(sf)
+        df = read_dataset_split(spark, sf)
+        res = compare("pipeline_read_dataset_split", df, con, oracle)
+        assert res.ok, (sf, res.detail, res.mismatches[:3])
+
+    # numpy replay of the whole composition from the generating formula
+    lo, hi = _RD_VALID
+    i_ix, p_ix, y_ix, x_ix = np.meshgrid(
+        np.arange(_RD_SHARDS), np.arange(_RD_PATCHES),
+        np.arange(_RD_SIDE), np.arange(_RD_SIDE), indexing="ij",
+    )
+    base = ((i_ix * 97 + p_ix * 31 + y_ix * 7 + x_ix * 13) % 256) * 0.25 + 250
+    lst = np.where((i_ix * 31 + p_ix * 7 + y_ix * 13 + x_ix * 3) % 19 == 0,
+                   400.0, base)
+    train_size = int(_RD_SHARDS * _RD_PATCHES * _RD_RATIO)
+    expected = []
+    for i in range(_RD_SHARDS):
+        for p in range(_RD_PATCHES):
+            patch = lst[i, p]
+            invalid = (patch < lo) | (patch > hi)
+            vm = round(float(patch[~invalid].mean()) + 1e-9, 6)
+            repl = min(max(round(vm * 4 + 1e-9) / 4, lo), hi)
+            imputed = np.where(invalid, repl, patch)
+            expected.append((
+                "train" if i * _RD_PATCHES + p < train_size else "test",
+                f"shard_{i}.npz", p, patch.size, int(invalid.sum()),
+                round(float(imputed.mean()) + 1e-9, 6),
+            ))
+
+    rows = read_dataset_split(spark, SF_DIR).collect()
+    got = [
+        (r.split, r.shard, r.patch_idx, r.n_cells, r.n_invalid, r.lst_mean)
+        for r in rows
+    ]
+    assert got == expected
+
+    # composition contract
+    assert sum(1 for r in got if r[0] == "train") == train_size == 28
+    assert sum(1 for r in got if r[0] == "test") == 4
+    assert sum(r[4] for r in got) > 0, "the invalid mask never fired"
+    assert all(lo <= r[5] <= hi for r in got)
+    # the split is SEQUENTIAL: no train patch after the first test patch
+    splits = [r[0] for r in got]  # ordered by (shard, patch_idx)
+    assert splits == ["train"] * train_size + ["test"] * 4

@@ -2050,3 +2050,32 @@ def test_sgns_adam_epoch_plan_constant_in_steps(spark):
         assert len(re.findall(r"Exchange hashpartitioning", text)) == 0
         assert len(re.findall(r"\bBroadcastHashJoin\b", text)) >= 6
         assert num_shuffles_steady(df3) <= 2  # only the output sort survives
+
+
+def test_read_dataset_split_plan(spark):
+    """The read_dataset composition's plan (prepped r17): the npz
+    corpus streams through exactly ONE Arrow decode pass (the only
+    Python), the per-patch stats broadcast back into the cell-level
+    impute join (never sort-merged), and the split is a pure
+    projection — the ingest pays its two aggregation exchanges and
+    nothing else."""
+    import re
+
+    from big_data_project_spark.plans.contracts import (
+        num_shuffles_steady, plan_str,
+    )
+    from big_data_project_spark.sources.formats import read_dataset_split
+
+    from big_data_project_spark.plans.contracts import prune_cached_subtrees
+
+    df = read_dataset_split(spark, SF)
+    text = plan_str(df, "simple")
+    # both consumers (stats agg + impute join) read the PERSISTED
+    # decode — an unpersisted fan-out ran the Arrow pass twice
+    assert text.count("InMemoryTableScan") == 2
+    pruned = prune_cached_subtrees(text)
+    assert pruned.count("MapInPandas") == 0  # decode only inside the cache
+    assert len(re.findall(r"\bSortMergeJoin\b", pruned)) == 0
+    assert len(re.findall(r"\bCartesianProduct\b", pruned)) == 0
+    assert len(re.findall(r"\bBroadcastHashJoin\b", pruned)) >= 1
+    assert num_shuffles_steady(df) <= 5  # measured 3 at sf0.001
