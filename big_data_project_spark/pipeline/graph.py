@@ -2849,8 +2849,12 @@ _ADAM_EPS = 1e-8  # (trainer/flax_model.py:275)
 
 
 def _sgns_adam_step(
-    ex: DataFrame, state_in: DataFrame, state_out: DataFrame, t: int
-) -> tuple[DataFrame, DataFrame]:
+    ex: DataFrame,
+    state_in: DataFrame,
+    state_out: DataFrame,
+    t: int,
+    return_gd: bool = False,
+):
     """One bias-corrected Adam step (step number ``t``, 1-indexed)
     over both (node, k, w, m, s) state frames: gradients via the
     SHARED ``_sgns_grads`` (the one gradient definition per engine),
@@ -2861,7 +2865,9 @@ def _sgns_adam_step(
     rounding point hides between the stored values.  Each updated
     state localCheckpoints (the x93 per-step lineage rule); ``gd``
     is unpersisted once both eager checkpoints have consumed the
-    gradient folds (ADVICE r16)."""
+    gradient folds (ADVICE r16), unless ``return_gd=True`` hands its
+    lifecycle to the caller (the full-fidelity trainer reuses it for
+    the per-batch train metrics, the x94 rule)."""
     grad_in, grad_out, gd = _sgns_grads(
         ex,
         state_in.select("node", "k", F.col("w").alias("v")),
@@ -2908,6 +2914,8 @@ def _sgns_adam_step(
         )
 
     nin, nout = upd(state_in, grad_in), upd(state_out, grad_out)
+    if return_gd:
+        return nin, nout, gd
     gd.unpersist()
     return nin, nout
 
@@ -2982,33 +2990,40 @@ def sgns_adam_epoch(
     return out.orderBy("side", "node", "k")
 
 
-def _sgns_adam_oracle(steps: int = _SG_EPOCH_STEPS) -> str:
-    """x95's oracle: base + per step (weight re-aliases for the shared
-    gradient block + the Adam moment/update CTEs), the final select
-    walking the ain0..ainN / aout0..aoutN trajectory with the final
-    moments.  All Adam constants are injected via ``repr`` so both
-    engines parse the IDENTICAL doubles the Spark literals hold."""
-    b1c, b2c = 1.0 - _ADAM_B1, 1.0 - _ADAM_B2
-    parts = [_sgns_base_ctes()]
-    parts.append(f""",
+def _sgns_adam_init_ctes() -> str:
+    """The Adam state-init CTEs (``ain0``/``aout0``: weights from the
+    shared init matrices, zero moments) — factored so the full-fidelity
+    trainer oracle shares them with x95's."""
+    return """,
     ain0 AS MATERIALIZED (
       SELECT node, k, v AS w, 0.0 AS m, 0.0 AS s FROM vin0),
     aout0 AS MATERIALIZED (
-      SELECT node, k, v AS w, 0.0 AS m, 0.0 AS s FROM vout0)""")
-    for i in range(steps):
-        t = i + 1
-        bc1, bc2 = 1.0 - _ADAM_B1**t, 1.0 - _ADAM_B2**t
-        if i > 0:
-            parts.append(f""",
+      SELECT node, k, v AS w, 0.0 AS m, 0.0 AS s FROM vout0)"""
+
+
+def _sgns_adam_step_ctes(i: int, ex_table: str = "ex") -> str:
+    """One bias-corrected Adam step as CTEs (step index ``i``, Adam
+    timestep ``t = i+1``): the weight re-aliases for the shared
+    gradient block, then the moment-decay/update CTEs.  Factored out of
+    ``_sgns_adam_oracle`` so the full-fidelity trainer oracle can
+    unroll Adam steps over per-batch example subsets (``ex_table``).
+    All Adam constants are injected via ``repr`` so both engines parse
+    the IDENTICAL doubles the Spark literals hold."""
+    b1c, b2c = 1.0 - _ADAM_B1, 1.0 - _ADAM_B2
+    t = i + 1
+    bc1, bc2 = 1.0 - _ADAM_B1**t, 1.0 - _ADAM_B2**t
+    parts = []
+    if i > 0:
+        parts.append(f""",
     vin{i} AS MATERIALIZED (SELECT node, k, w AS v FROM ain{i}),
     vout{i} AS MATERIALIZED (SELECT node, k, w AS v FROM aout{i})""")
-        parts.append(_sgns_grads_ctes(i))
-        for pre, gtab in (("ain", f"gin{i}"), ("aout", f"gout{i}")):
-            # the "+ 0.0" after each signed round: DuckDB's round keeps
-            # the float sign bit and m/w can legitimately round to zero
-            # from below (Spark never emits -0.0; the grading hash
-            # distinguishes them) — s stays non-negative by construction
-            parts.append(f""",
+    parts.append(_sgns_grads_ctes(i, ex_table))
+    for pre, gtab in (("ain", f"gin{i}"), ("aout", f"gout{i}")):
+        # the "+ 0.0" after each signed round: DuckDB's round keeps
+        # the float sign bit and m/w can legitimately round to zero
+        # from below (Spark never emits -0.0; the grading hash
+        # distinguishes them) — s stays non-negative by construction
+        parts.append(f""",
     {pre}{t} AS MATERIALIZED (
       SELECT node, k,
              round(w - {_SG_LR!r} * (m / {bc1!r})
@@ -3024,6 +3039,15 @@ def _sgns_adam_oracle(steps: int = _SG_EPOCH_STEPS) -> str:
                            * coalesce(g.grad, 0.0) + 1e-12, 10) AS s
             FROM {pre}{i} a LEFT JOIN {gtab} g
               ON g.node = a.node AND g.k = a.k) u{pre}{t})""")
+    return "".join(parts)
+
+
+def _sgns_adam_oracle(steps: int = _SG_EPOCH_STEPS) -> str:
+    """x95's oracle: base + state init + per step the factored Adam
+    step block, the final select walking the ain0..ainN / aout0..aoutN
+    trajectory with the final moments."""
+    parts = [_sgns_base_ctes(), _sgns_adam_init_ctes()]
+    parts.extend(_sgns_adam_step_ctes(i) for i in range(steps))
 
     wcols = ", ".join(f"s{i}.w AS w{i}" for i in range(steps + 1))
 
@@ -3346,6 +3370,38 @@ def _sgns_pred_oracle(
 # --------------------------------------------------------------------------
 
 
+def _sgns_batched(ex: DataFrame, batches: int, epoch: int | None = None) -> DataFrame:
+    """The deterministic permutation + reshape + skip-incomplete over
+    the examples frame (trainer/flax_model.py:234-236): md5-rank the
+    distinct weighted examples (prefixed with the epoch number when
+    given — the reference re-splits its rng per epoch, :350), keep the
+    first ``batches·bs`` ranks, bucket ``floor((rn-1)/bs)``.  Shared
+    by x96 (one epoch, no seed) and the full-fidelity trainer (one
+    re-permutation per epoch).  The returned frame localCheckpoints:
+    every step of the epoch filters it.  The rank window runs single-
+    partition over the batch-BOUNDED frame (≤ _SG_BATCH·(1+_SG_NEG_K)
+    rows); at a real corpus the rank step is swapped for direct
+    hash-bucketing, which this md5 formulation already is."""
+    n_examples = ex.count()  # bounded scalar: |ex| ≤ batch·(1+K) rows
+    bs = n_examples // batches
+    if bs < 1:
+        raise ValueError(
+            f"fewer examples ({n_examples}) than batches ({batches})"
+        )
+    key_parts = ([F.lit(epoch)] if epoch is not None else []) + [
+        F.col("center"), F.col("ctx"), F.col("label").cast("int"),
+    ]
+    key = F.md5(F.concat_ws(":", *key_parts))
+    return (
+        ex.withColumn("rn", F.row_number().over(Window.orderBy(key)))
+        .filter(F.col("rn") <= batches * bs)
+        .withColumn(
+            "batch", F.floor((F.col("rn") - 1) / F.lit(bs)).cast("int")
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
 def sgns_permuted_batches(
     spark: SparkSession, sf_dir: str, batches: int = _SG_EPOCH_STEPS
 ) -> DataFrame:
@@ -3380,25 +3436,7 @@ def sgns_permuted_batches(
     example key into a batch id), which this md5 formulation already
     is once the rank step is swapped for direct bucketing."""
     ex, vin, vout = _sgns_inputs(spark, sf_dir)
-    n_examples = ex.count()  # bounded scalar: |ex| ≤ batch·(1+K) rows
-    bs = n_examples // batches
-    if bs < 1:
-        raise ValueError(
-            f"fewer examples ({n_examples}) than batches ({batches})"
-        )
-    key = F.md5(
-        F.concat_ws(
-            ":", F.col("center"), F.col("ctx"), F.col("label").cast("int")
-        )
-    )
-    exb = (
-        ex.withColumn("rn", F.row_number().over(Window.orderBy(key)))
-        .filter(F.col("rn") <= batches * bs)
-        .withColumn(
-            "batch", F.floor((F.col("rn") - 1) / F.lit(bs)).cast("int")
-        )
-        .localCheckpoint(eager=True)
-    )
+    exb = _sgns_batched(ex, batches)
     vins, vouts = [vin], [vout]
     for b in range(batches):
         ex_b = exb.filter(F.col("batch") == b).select(
@@ -3466,3 +3504,269 @@ def _sgns_permuted_oracle(batches: int = _SG_EPOCH_STEPS) -> str:
     UNION ALL
     {side_sql("vout", "out")}
 """
+
+
+# --------------------------------------------------------------------------
+# pipeline_sgns_train_and_evaluate (prepped r17, un-registered): the
+# reference driver at FULL fidelity — Adam over per-epoch re-permuted
+# mini-batches, with all three sinks
+# --------------------------------------------------------------------------
+
+
+def sgns_train_and_evaluate(
+    spark: SparkSession,
+    sf_dir: str,
+    epochs: int = _TE_EPOCHS,
+    batches: int = _SG_EPOCH_STEPS,
+    keep: int = _TE_KEEP,
+    every: int = _PRED_EVERY,
+) -> DataFrame:
+    """``train_and_evaluate`` (trainer/flax_model.py:295-390) at FULL
+    fidelity — every semantic of the reference's training driver in
+    ONE composed, oracle-checked pipeline: per epoch, (1) a fresh
+    deterministic permutation of the examples into equal mini-batches
+    with the incomplete remainder dropped (:234-236, re-seeded per
+    epoch like the per-epoch rng split at :350 — the ``_sgns_batched``
+    epoch prefix), (2) one bias-corrected ADAM step per distinct batch
+    (the reference's actual optimizer, ``optax.adam`` :275, via the
+    shared ``_sgns_adam_step``), (3) epoch bookkeeping — per-batch
+    pre-update loss/accuracy folded to epoch means (:238-259) plus the
+    post-epoch full-set eval (:355-364) — appended to the s7-shaped
+    metrics sink (:371-375), (4) a keep-N checkpoint of the FULL
+    optimizer state (weights + both moments; :377, the s6 shape), and
+    (5) a modulo-gated prediction snapshot (:380-384, the
+    save_predictions shape).  The returned frame is built ONLY from
+    the sinks' read-back, one row per epoch: (epoch, train_loss,
+    train_accuracy, test_loss, test_accuracy, ckpt_rows,
+    state_checksum, pred_rows) — swept checkpoints and ungated
+    snapshots read back NULL.
+
+    ``state_checksum`` folds the ENTIRE Adam state to one
+    order-independent integer: w/m/s are 10-dp rationals, so
+    ``sum(round(w·1e10) + round(m·1e10) + round(s·1e10))`` over both
+    state sides is exact bigint arithmetic both engines agree on.
+
+    Prepped r17, un-registered (the r17 window is spent on x94/x95 +
+    rotation): registration is one line,
+    ``query("pipeline_sgns_train_and_evaluate",
+    oracle=_sgns_tae_oracle())(sgns_train_and_evaluate)`` — queued
+    with the other r17 preps, and it SUPERSEDES them semantically
+    (end2end = this with SGD + one shared batch; snapshots/x96 are its
+    legs), so if the window can take only one new slot, take this one.
+
+    Scale design: per step, x95's exchange structure exactly (batch
+    broadcast into the dots/gradient chain, one partial+final agg per
+    fold, moments sharding WITH weights on (node, k), per-step
+    localCheckpoint, per-epoch gd release after the metrics write);
+    the per-epoch permutation is a bounded single-pass rank (at a real
+    corpus: direct hash-bucketing); the report side reads PARQUET
+    only.  This is the 1000-executor training-driver shape end to end:
+    shuffle-assign batches, parameter-server Adam, metrics to the log
+    store, optimizer state to object storage, gated prediction dumps."""
+    import os
+    import shutil
+
+    from big_data_project_spark.sources.formats import _tmp, write_checkpoint
+
+    if epochs < 1 or batches < 1 or keep < 1 or every < 1:
+        raise ValueError("epochs, batches, keep and every must all be >= 1")
+
+    mroot = _tmp("tae_metrics")
+    croot = _tmp("tae_ckpt")
+    proot = _tmp("tae_pred")
+    for root in (mroot, croot, proot):
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+
+    ex, vin0, vout0 = _sgns_inputs(spark, sf_dir)
+
+    def init_state(mat: DataFrame) -> DataFrame:
+        return mat.select(
+            "node", "k", F.col("v").alias("w"),
+            F.lit(0.0).alias("m"), F.lit(0.0).alias("s"),
+        )
+
+    state_in, state_out = init_state(vin0), init_state(vout0)
+    t = 0
+    for epoch in range(1, epochs + 1):
+        exb = _sgns_batched(ex, batches, epoch=epoch)
+        gds: list[DataFrame] = []
+        train_rows: DataFrame | None = None
+        for b in range(batches):
+            ex_b = exb.filter(F.col("batch") == b).select(
+                "center", "ctx", "label", "cnt"
+            )
+            state_in, state_out, gd = _sgns_adam_step(
+                ex_b, state_in, state_out, t + 1, return_gd=True
+            )
+            gds.append(gd)
+            row = _sgns_metrics_row(gd, t)
+            train_rows = row if train_rows is None else train_rows.unionByName(row)
+            t += 1
+        w_in = state_in.select("node", "k", F.col("w").alias("v"))
+        w_out = state_out.select("node", "k", F.col("w").alias("v"))
+        train_agg = train_rows.agg(
+            F.round(F.avg("loss") + F.lit(1e-9), 6).alias("train_loss"),
+            F.round(F.avg("accuracy") + F.lit(1e-9), 6).alias("train_accuracy"),
+        )
+        test_agg = _sgns_metrics_row(_sgns_dots(ex, w_in, w_out), t).select(
+            F.col("loss").alias("test_loss"),
+            F.col("accuracy").alias("test_accuracy"),
+        )
+        scalars = train_agg.crossJoin(test_agg).selectExpr(
+            "stack(4, 'train_loss', train_loss, 'train_accuracy', train_accuracy,"
+            " 'test_loss', test_loss, 'test_accuracy', test_accuracy)"
+            " AS (metric, value)"
+        ).select(F.lit(epoch).alias("epoch"), "metric", "value")
+        scalars.write.mode("append").parquet(mroot)  # action: gds consumed
+        for gd in gds:
+            gd.unpersist()
+        state = state_in.select(
+            F.lit("in").alias("side"), "node", "k", "w", "m", "s"
+        ).unionByName(
+            state_out.select(F.lit("out").alias("side"), "node", "k", "w", "m", "s")
+        )
+        write_checkpoint(state, croot, epoch, keep=keep)
+        if epoch % every == 0:
+            preds = _sgns_dots(ex, w_in, w_out).select(
+                "center", "ctx", "label", "cnt", "dot",
+                _sgns_sig_col().alias("pred"),
+            )
+            preds.write.mode("overwrite").parquet(
+                os.path.join(proot, f"epoch={epoch}")
+            )
+
+    metrics = spark.read.parquet(mroot)
+    wide = metrics.groupBy("epoch").agg(
+        *[
+            F.max(F.when(F.col("metric") == m, F.col("value"))).alias(m)
+            for m in ("train_loss", "train_accuracy", "test_loss", "test_accuracy")
+        ]
+    )
+    icoin = lambda c: F.round(F.col(c) * F.lit(1e10)).cast("long")  # noqa: E731
+    ckpts = (
+        spark.read.option("basePath", croot)
+        .parquet(croot)
+        .groupBy("epoch")
+        .agg(
+            F.count(F.lit(1)).alias("ckpt_rows"),
+            F.sum(icoin("w") + icoin("m") + icoin("s")).alias("state_checksum"),
+        )
+    )
+    preds_rb = (
+        spark.read.option("basePath", proot)
+        .parquet(proot)
+        .groupBy("epoch")
+        .agg(F.count(F.lit(1)).alias("pred_rows"))
+    )
+    return (
+        wide.join(ckpts, "epoch", "left")
+        .join(preds_rb, "epoch", "left")
+        .orderBy("epoch")
+    )
+
+
+def _sgns_tae_oracle(
+    epochs: int = _TE_EPOCHS,
+    batches: int = _SG_EPOCH_STEPS,
+    keep: int = _TE_KEEP,
+    every: int = _PRED_EVERY,
+) -> str:
+    """The full-fidelity trainer's oracle: base + Adam state init, then
+    per epoch the seeded permutation CTE, per batch the subset CTE +
+    the factored Adam step block + the x94-shaped per-step metrics
+    CTE, per epoch the full-set post-epoch eval (``tdots{e}`` joins
+    ``ain/aout`` directly so its aliases never collide with the next
+    epoch's step block), and the final read-back mirror: metric means,
+    kept-state integer checksums, gated snapshot row counts — swept /
+    ungated epochs NULL via the LEFT JOINs."""
+    sig = (
+        f"round(1.0 / (1.0 + exp(-greatest(least(dot, {_SG_CLAMP}),"
+        f" -{_SG_CLAMP}))) + 1e-9, 6)"
+    )
+
+    def met_sql(src: str) -> str:
+        return f"""
+      SELECT round(sum(cnt * round(-(label * ln(sig)
+                                     + (1.0 - label) * ln(1.0 - sig)) + 1e-9, 6))
+                   / sum(cnt) + 1e-9, 6) AS loss,
+             round(sum(cnt * (CASE WHEN (dot > 0) = (label = 1.0)
+                              THEN 1 ELSE 0 END))
+                   / sum(cnt) + 1e-9, 6) AS accuracy
+      FROM (SELECT cnt, label, dot, {sig} AS sig FROM {src}) m_{src}"""
+
+    parts = [_sgns_base_ctes(), _sgns_adam_init_ctes()]
+    i = 0
+    for e in range(1, epochs + 1):
+        parts.append(f""",
+    exb{e} AS MATERIALIZED (
+      SELECT center, ctx, label, cnt,
+             CAST(floor((rn - 1) / bs) AS INT) AS batch
+      FROM (
+        SELECT center, ctx, label, cnt,
+               row_number() OVER (
+                 ORDER BY md5(concat_ws(':', {e}, center, ctx,
+                                        CAST(label AS INT)))) AS rn,
+               (SELECT count(*) // {batches} FROM ex) AS bs
+        FROM ex) ranked
+      WHERE rn <= {batches} * bs)""")
+        for b in range(batches):
+            parts.append(f""",
+    exb{e}b{b} AS MATERIALIZED (
+      SELECT center, ctx, label, cnt FROM exb{e} WHERE batch = {b})""")
+            parts.append(_sgns_adam_step_ctes(i, ex_table=f"exb{e}b{b}"))
+            parts.append(f""",
+    met{i} AS MATERIALIZED ({met_sql(f"dots{i}")})""")
+            i += 1
+        parts.append(f""",
+    tdots{e} AS MATERIALIZED (
+      SELECT e.center, e.ctx, e.label, e.cnt,
+             round(sum(vi.w * vo.w) + 1e-9, 6) AS dot
+      FROM ex e
+      JOIN ain{i} vi ON vi.node = e.center
+      JOIN aout{i} vo ON vo.node = e.ctx AND vo.k = vi.k
+      GROUP BY e.center, e.ctx, e.label, e.cnt),
+    tmet{e} AS MATERIALIZED ({met_sql(f"tdots{e}")})""")
+
+    def epoch_sql(e: int) -> str:
+        first = (e - 1) * batches
+        union = "\n        UNION ALL\n        ".join(
+            f"SELECT loss, accuracy FROM met{first + b}" for b in range(batches)
+        )
+        return f"""SELECT CAST({e} AS INT) AS epoch,
+           round(avg(loss) + 1e-9, 6) AS train_loss,
+           round(avg(accuracy) + 1e-9, 6) AS train_accuracy,
+           (SELECT loss FROM tmet{e}) AS test_loss,
+           (SELECT accuracy FROM tmet{e}) AS test_accuracy
+    FROM ({union})"""
+
+    def ckpt_sql(e: int) -> str:
+        n = e * batches
+        coin = "CAST(round(w * 1e10) AS BIGINT) + CAST(round(m * 1e10) AS BIGINT) + CAST(round(s * 1e10) AS BIGINT)"
+        return f"""SELECT CAST({e} AS INT) AS epoch,
+           CAST(count(*) AS BIGINT) AS ckpt_rows,
+           CAST(sum({coin}) AS BIGINT) AS state_checksum
+    FROM (SELECT w, m, s FROM ain{n} UNION ALL SELECT w, m, s FROM aout{n})"""
+
+    def pred_sql(e: int) -> str:
+        return f"""SELECT CAST({e} AS INT) AS epoch,
+           (SELECT CAST(count(*) AS BIGINT) FROM ex) AS pred_rows"""
+
+    kept = range(max(1, epochs - keep + 1), epochs + 1)
+    gated = [e for e in range(1, epochs + 1) if e % every == 0]
+    eps = "\n    UNION ALL\n    ".join(epoch_sql(e) for e in range(1, epochs + 1))
+    cks = "\n    UNION ALL\n    ".join(ckpt_sql(e) for e in kept)
+    prs = "\n    UNION ALL\n    ".join(pred_sql(e) for e in gated)
+    return "".join(parts) + f"""
+    SELECT m.epoch, m.train_loss, m.train_accuracy, m.test_loss, m.test_accuracy,
+           c.ckpt_rows, c.state_checksum, p.pred_rows
+    FROM ({eps}) m
+    LEFT JOIN ({cks}) c ON c.epoch = m.epoch
+    LEFT JOIN ({prs}) p ON p.epoch = m.epoch
+"""
+
+
+# Registration queued (r17 prep; supersedes the end2end/snapshot/x96 legs
+# if the window can take only one): query("pipeline_sgns_train_and_evaluate",
+#                                         oracle=_sgns_tae_oracle())
+#                                        (sgns_train_and_evaluate)

@@ -3275,3 +3275,114 @@ def test_read_dataset_split_parity_replay_and_contract(spark):
     # the split is SEQUENTIAL: no train patch after the first test patch
     splits = [r[0] for r in got]  # ordered by (shard, patch_idx)
     assert splits == ["train"] * train_size + ["test"] * 4
+
+
+def test_sgns_train_and_evaluate_full_fidelity(spark):
+    """pipeline_sgns_train_and_evaluate (prepped r17, un-registered):
+    the reference driver at FULL fidelity — per-epoch re-permuted
+    mini-batches (flax_model.py:234-236, :350), one bias-corrected
+    Adam step per distinct batch (:275), epoch metrics (:238-259,
+    :355-375), keep-3 full-optimizer-state checkpoints (:377), and
+    modulo-gated prediction snapshots (:380-384) — in ONE pipeline
+    returning only the sinks' read-back.  Checks: oracle parity at
+    BOTH tiers, a pure-Python replay of the ENTIRE schedule (8 Adam
+    steps over 8 distinct batches, metric means, full-state integer
+    checksums), and the sink contracts (swept checkpoint NULL, ungated
+    snapshots NULL, gated ones lossless)."""
+    import hashlib
+    import math
+
+    from big_data_project_spark.pipeline.graph import (
+        _ADAM_B1, _ADAM_B2, _ADAM_EPS, _PRED_EVERY, _SG_DIM,
+        _SG_EPOCH_STEPS, _SG_LR, _TE_EPOCHS, _TE_KEEP,
+        _sgns_tae_oracle, sgns_train_and_evaluate,
+    )
+    from tests.conftest import SF_DIR, SF_DIR_ORACLE, checkpoint_rdd_guard
+    from tests.oracle_harness import compare, duckdb_connect
+
+    oracle = _sgns_tae_oracle()
+    for sf in (SF_DIR, SF_DIR_ORACLE):
+        with checkpoint_rdd_guard(spark):
+            con = duckdb_connect(sf)
+            df = sgns_train_and_evaluate(spark, sf)
+            res = compare("pipeline_sgns_train_and_evaluate", df, con, oracle)
+            assert res.ok, (sf, res.detail, res.mismatches[:3])
+
+    with checkpoint_rdd_guard(spark):
+        ex, nodes, vin, vout = _replay_sgns_setup(spark)
+        n_batches = _SG_EPOCH_STEPS
+        w_in, w_out = dict(vin), dict(vout)
+        m_in = dict.fromkeys(w_in, 0.0)
+        s_in = dict.fromkeys(w_in, 0.0)
+        m_out = dict.fromkeys(w_out, 0.0)
+        s_out = dict.fromkeys(w_out, 0.0)
+
+        def adam_update(w, m, s, g, t):
+            bc1, bc2 = 1.0 - _ADAM_B1**t, 1.0 - _ADAM_B2**t
+            for key in w:
+                gv = g.get(key, 0.0)
+                m[key] = round(
+                    _ADAM_B1 * m[key] + (1.0 - _ADAM_B1) * gv + 1e-12, 10
+                )
+                s[key] = round(
+                    _ADAM_B2 * s[key] + (1.0 - _ADAM_B2) * gv * gv + 1e-12, 10
+                )
+                w[key] = round(
+                    w[key]
+                    - _SG_LR * (m[key] / bc1)
+                    / (math.sqrt(s[key] / bc2) + _ADAM_EPS)
+                    + 1e-12,
+                    10,
+                )
+
+        def checksum():
+            return sum(
+                int(round(v * 1e10))
+                for d in (w_in, m_in, s_in, w_out, m_out, s_out)
+                for v in d.values()
+            )
+
+        t = 0
+        expected = []
+        kept = set(range(_TE_EPOCHS - _TE_KEEP + 1, _TE_EPOCHS + 1))
+        n_state_rows = 2 * len(nodes) * _SG_DIM
+        for e in range(1, _TE_EPOCHS + 1):
+            keys = sorted(
+                ex,
+                key=lambda key: hashlib.md5(
+                    f"{e}:{key[0]}:{key[1]}:{int(key[2])}".encode()
+                ).hexdigest(),
+            )
+            bs = len(keys) // n_batches
+            pre_mets = []
+            for b in range(n_batches):
+                bex = {key: ex[key] for key in keys[b * bs : (b + 1) * bs]}
+                pre_mets.append(_replay_sgns_metrics(bex, w_in, w_out))
+                gi, go = _replay_sgns_grads(bex, w_in, w_out)
+                t += 1
+                adam_update(w_in, m_in, s_in, gi, t)
+                adam_update(w_out, m_out, s_out, go, t)
+            tl = round(sum(m[1] for m in pre_mets) / n_batches + 1e-9, 6)
+            ta = round(sum(m[2] for m in pre_mets) / n_batches + 1e-9, 6)
+            _tn, test_l, test_a = _replay_sgns_metrics(ex, w_in, w_out)
+            ck = (n_state_rows, checksum()) if e in kept else (None, None)
+            pr = len(ex) if e % _PRED_EVERY == 0 else None
+            expected.append((e, tl, ta, test_l, test_a, *ck, pr))
+
+        rows = sgns_train_and_evaluate(spark, SF_DIR).collect()
+        got = [
+            (
+                r.epoch, r.train_loss, r.train_accuracy,
+                r.test_loss, r.test_accuracy,
+                r.ckpt_rows, r.state_checksum, r.pred_rows,
+            )
+            for r in rows
+        ]
+        assert got == expected
+
+        # sink contracts made explicit
+        assert got[0][5] is None and got[0][6] is None  # epoch 1 swept
+        for e, row in enumerate(got, start=1):
+            assert (row[7] is None) == (e % _PRED_EVERY != 0)
+        # the driver trains: full-set eval improves end to end
+        assert got[-1][3] < got[0][3]

@@ -2079,3 +2079,33 @@ def test_read_dataset_split_plan(spark):
     assert len(re.findall(r"\bCartesianProduct\b", pruned)) == 0
     assert len(re.findall(r"\bBroadcastHashJoin\b", pruned)) >= 1
     assert num_shuffles_steady(df) <= 5  # measured 3 at sf0.001
+
+
+def test_sgns_train_and_evaluate_report_plan(spark):
+    """The full-fidelity trainer's report plan (prepped r17): all
+    three sinks — metrics log, kept optimizer-state checkpoints, gated
+    prediction snapshots — read back as pure parquet scans with the
+    training lineage fully decoupled; zero Python, no sort-merge, and
+    a plan string with no training echo."""
+    import re
+
+    from big_data_project_spark.pipeline.graph import sgns_train_and_evaluate
+    from big_data_project_spark.plans.contracts import (
+        num_shuffles_steady, plan_str, prune_cached_subtrees,
+    )
+    from tests.conftest import checkpoint_rdd_guard
+
+    with checkpoint_rdd_guard(spark):
+        df = sgns_train_and_evaluate(spark, SF)
+        raw = plan_str(df, "simple")
+        assert len(raw) < 30_000, "report plan dragged the training lineage"
+        text = prune_cached_subtrees(raw)
+        assert len(re.findall(r"\bSortMergeJoin\b", text)) == 0
+        assert len(re.findall(r"\bCartesianProduct\b", text)) == 0
+        assert (
+            len(re.findall(r"\bBatchEvalPython\b|\bArrowEvalPython\b", text))
+            == 0
+        )
+        # all three legs are parquet scans of the sinks
+        assert len(re.findall(r"Scan parquet", text)) == 3
+        assert num_shuffles_steady(df) <= 8
