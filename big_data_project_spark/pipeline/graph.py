@@ -3153,9 +3153,22 @@ def sgns_training_end2end(
             row = _sgns_metrics_row(gd, step_no)
             train_rows = row if train_rows is None else train_rows.unionByName(row)
             step_no += 1
+        # Exact fold (ADVICE r17): the per-step values are 6-dp, so sum
+        # them as scaled integers — Spark's avg over unioned partitions
+        # has no guaranteed reduction order, and a double fold could
+        # drift 1 ulp against the oracle's fixed textual order at larger
+        # step counts.  Integer sums are order-independent and exact.
+        scaled = lambda c: F.sum(  # noqa: E731
+            F.round(F.col(c) * F.lit(1e6)).cast("long")
+        )
         train_agg = train_rows.agg(
-            F.round(F.avg("loss") + F.lit(1e-9), 6).alias("train_loss"),
-            F.round(F.avg("accuracy") + F.lit(1e-9), 6).alias("train_accuracy"),
+            F.round(
+                scaled("loss") / (F.count(F.lit(1)) * F.lit(1e6)) + F.lit(1e-9), 6
+            ).alias("train_loss"),
+            F.round(
+                scaled("accuracy") / (F.count(F.lit(1)) * F.lit(1e6))
+                + F.lit(1e-9), 6,
+            ).alias("train_accuracy"),
         )
         test_agg = _sgns_metrics_row(_sgns_dots(ex, vin, vout), step_no).select(
             F.col("loss").alias("test_loss"),
@@ -3232,8 +3245,10 @@ def _sgns_end2end_oracle(
             for s in range(steps_per_epoch)
         )
         return f"""SELECT CAST({e} AS INT) AS epoch,
-           round(avg(loss) + 1e-9, 6) AS train_loss,
-           round(avg(accuracy) + 1e-9, 6) AS train_accuracy,
+           round(sum(CAST(round(loss * 1e6) AS BIGINT))
+                 / (count(*) * 1e6) + 1e-9, 6) AS train_loss,
+           round(sum(CAST(round(accuracy * 1e6) AS BIGINT))
+                 / (count(*) * 1e6) + 1e-9, 6) AS train_accuracy,
            (SELECT loss FROM met{e * steps_per_epoch}) AS test_loss,
            (SELECT accuracy FROM met{e * steps_per_epoch}) AS test_accuracy
     FROM ({union})"""
@@ -3311,6 +3326,10 @@ def sgns_prediction_snapshots(
 
     if epochs < 1 or steps_per_epoch < 1 or every < 1:
         raise ValueError("epochs, steps_per_epoch and every must all be >= 1")
+    if every > epochs:
+        # no epoch would pass the modulo gate: the sink would stay empty
+        # and the read-back would fail schema inference (ADVICE r17)
+        raise ValueError("every must be <= epochs (gate must admit an epoch)")
 
     proot = _tmp("te_pred_snapshots")
     shutil.rmtree(proot, ignore_errors=True)
@@ -3345,6 +3364,11 @@ def _sgns_pred_oracle(
     for each GATED epoch one select over the epoch-state dots frame
     with the shared sigmoid expression — ungated epochs simply never
     appear, which is the modulo-gate contract."""
+    if every > epochs:
+        # the UNION body below would be empty — CTEs with no final
+        # SELECT is a DuckDB parse error (ADVICE r17); mirror the
+        # runner's guard so both sides fail loudly and identically
+        raise ValueError("every must be <= epochs (gate must admit an epoch)")
     total = epochs * steps_per_epoch
     gated = [e for e in range(1, epochs + 1) if e % every == 0]
     sig = (
@@ -3570,6 +3594,10 @@ def sgns_train_and_evaluate(
 
     if epochs < 1 or batches < 1 or keep < 1 or every < 1:
         raise ValueError("epochs, batches, keep and every must all be >= 1")
+    if every > epochs:
+        # no epoch would pass the snapshot gate: the pred sink would stay
+        # empty and its read-back would fail schema inference (ADVICE r17)
+        raise ValueError("every must be <= epochs (gate must admit an epoch)")
 
     mroot = _tmp("tae_metrics")
     croot = _tmp("tae_ckpt")
@@ -3605,9 +3633,22 @@ def sgns_train_and_evaluate(
             t += 1
         w_in = state_in.select("node", "k", F.col("w").alias("v"))
         w_out = state_out.select("node", "k", F.col("w").alias("v"))
+        # Exact fold (ADVICE r17): the per-step values are 6-dp, so sum
+        # them as scaled integers — Spark's avg over unioned partitions
+        # has no guaranteed reduction order, and a double fold could
+        # drift 1 ulp against the oracle's fixed textual order at larger
+        # step counts.  Integer sums are order-independent and exact.
+        scaled = lambda c: F.sum(  # noqa: E731
+            F.round(F.col(c) * F.lit(1e6)).cast("long")
+        )
         train_agg = train_rows.agg(
-            F.round(F.avg("loss") + F.lit(1e-9), 6).alias("train_loss"),
-            F.round(F.avg("accuracy") + F.lit(1e-9), 6).alias("train_accuracy"),
+            F.round(
+                scaled("loss") / (F.count(F.lit(1)) * F.lit(1e6)) + F.lit(1e-9), 6
+            ).alias("train_loss"),
+            F.round(
+                scaled("accuracy") / (F.count(F.lit(1)) * F.lit(1e6))
+                + F.lit(1e-9), 6,
+            ).alias("train_accuracy"),
         )
         test_agg = _sgns_metrics_row(_sgns_dots(ex, w_in, w_out), t).select(
             F.col("loss").alias("test_loss"),
@@ -3680,6 +3721,10 @@ def _sgns_tae_oracle(
     epoch's step block), and the final read-back mirror: metric means,
     kept-state integer checksums, gated snapshot row counts — swept /
     ungated epochs NULL via the LEFT JOINs."""
+    if every > epochs:
+        # the gated-epoch UNION leg would be empty SQL text — a DuckDB
+        # parse error (ADVICE r17); mirror the runner's guard
+        raise ValueError("every must be <= epochs (gate must admit an epoch)")
     sig = (
         f"round(1.0 / (1.0 + exp(-greatest(least(dot, {_SG_CLAMP}),"
         f" -{_SG_CLAMP}))) + 1e-9, 6)"
@@ -3734,8 +3779,10 @@ def _sgns_tae_oracle(
             f"SELECT loss, accuracy FROM met{first + b}" for b in range(batches)
         )
         return f"""SELECT CAST({e} AS INT) AS epoch,
-           round(avg(loss) + 1e-9, 6) AS train_loss,
-           round(avg(accuracy) + 1e-9, 6) AS train_accuracy,
+           round(sum(CAST(round(loss * 1e6) AS BIGINT))
+                 / (count(*) * 1e6) + 1e-9, 6) AS train_loss,
+           round(sum(CAST(round(accuracy * 1e6) AS BIGINT))
+                 / (count(*) * 1e6) + 1e-9, 6) AS train_accuracy,
            (SELECT loss FROM tmet{e}) AS test_loss,
            (SELECT accuracy FROM tmet{e}) AS test_accuracy
     FROM ({union})"""
@@ -3766,7 +3813,8 @@ def _sgns_tae_oracle(
 """
 
 
-# Registration queued (r17 prep; supersedes the end2end/snapshot/x96 legs
-# if the window can take only one): query("pipeline_sgns_train_and_evaluate",
-#                                         oracle=_sgns_tae_oracle())
-#                                        (sgns_train_and_evaluate)
+# Registered r18 (VERDICT r17 #2 sanctioned slot; supersedes the
+# end2end/snapshot/x96 legs, which stay library-only compositions).
+query("pipeline_sgns_train_and_evaluate", oracle=_sgns_tae_oracle())(
+    sgns_train_and_evaluate
+)

@@ -201,6 +201,25 @@ def _ordered(names: list[str]) -> list[str]:
 _loaded = False
 
 
+# RDD ids created inside a prior registered entry point, snapshotted as the
+# before/after delta around each call.  The NEXT entry point releases exactly
+# these — the localCheckpoint blocks clearCache cannot reach (ADVICE r16) —
+# and nothing else, so an RDD a CALLER persisted or checkpointed outside any
+# entry point is never destroyed (ADVICE r17: the blanket sweep silently
+# truncated caller-owned checkpoint lineage, which — unlike a cache
+# unpersist, whose lineage recomputes — is irrecoverable).  Remaining caveat,
+# documented rather than fixable without collect hooks: a frame RETURNED by
+# entry point A that depends on A's own checkpoint blocks must be collected
+# before entry point B runs; the driver's run-then-collect loop guarantees
+# this, and library callers wanting frames that survive across queries should
+# compose the raw (undecorated) functions instead.
+_SWEEP_PENDING: set[int] = set()
+
+
+def _persistent_rdd_ids(spark: SparkSession) -> set[int]:
+    return {int(r) for r in spark.sparkContext._jsc.getPersistentRDDs().keySet()}
+
+
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Decorator: register a named query and (optionally) its DuckDB oracle.
 
@@ -216,6 +235,13 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     contracts order-dependently.  Entry-point clearCache keeps every
     query's plan and memory footprint self-contained; the raw function
     (returned undecorated) composes internally without the reset.
+
+    localCheckpoint RDD blocks — which clearCache does NOT release — are
+    swept as a DELTA: each entry point records the RDD ids it newly
+    persisted (``_SWEEP_PENDING``) and the next entry point unpersists
+    only those, leaving caller-owned checkpoints intact (clearCache on a
+    caller's cached frame merely forces a recompute; unpersisting a
+    caller's checkpoint block would break it permanently).
     """
 
     def deco(fn: QueryFn) -> QueryFn:
@@ -224,21 +250,27 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
         @functools.wraps(fn)
         def entry_point(spark: SparkSession, sf_dir: str, *args, **kwargs):
+            before: set[int] | None = None
             try:
                 spark.catalog.clearCache()
-                # clearCache releases persisted DataFrames but NOT
-                # localCheckpoint RDD blocks (ADVICE r16: each x93-class
-                # driver run otherwise leaks its per-step checkpoint
-                # blocks into the 50-query window).  Sweep every still-
-                # persisted RDD: any prior query's returned frame has
-                # already been collected, so leftover blocks are garbage
-                # by the time the next entry point builds its plan.
                 jrdds = spark.sparkContext._jsc.getPersistentRDDs()
                 for rid in list(jrdds.keySet()):
-                    jrdds.get(rid).unpersist()
+                    if int(rid) in _SWEEP_PENDING:
+                        jrdds.get(rid).unpersist()
+                _SWEEP_PENDING.clear()
+                before = _persistent_rdd_ids(spark)
             except Exception:
                 pass  # never let cleanup mask the query itself
-            return fn(spark, sf_dir, *args, **kwargs)
+            try:
+                return fn(spark, sf_dir, *args, **kwargs)
+            finally:
+                if before is not None:
+                    try:
+                        _SWEEP_PENDING.update(
+                            _persistent_rdd_ids(spark) - before
+                        )
+                    except Exception:
+                        pass
 
         QUERIES[name] = entry_point
         if oracle is not None:

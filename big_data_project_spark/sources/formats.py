@@ -1152,32 +1152,47 @@ def _rd_shard_dir() -> str:
     exact multiples of 0.25, so every downstream float64 sum is EXACT
     and reduction order cannot move a single ulp (the property the s3
     oracle already relies on)."""
+    import shutil
+
     import numpy as np
 
-    shard_dir = _tmp("s3_npz_shards_v3_invalid")
-    existing = [f for f in os.listdir(shard_dir) if f.endswith(".npz")]
-    if len(existing) != _RD_SHARDS:
-        for f in existing:
-            os.unlink(os.path.join(shard_dir, f))
-        i_ix, p_ix, y_ix, x_ix = np.meshgrid(
-            np.arange(_RD_SHARDS), np.arange(_RD_PATCHES),
-            np.arange(_RD_SIDE), np.arange(_RD_SIDE), indexing="ij",
+    # Write-once, atomic-publish (ADVICE r17): generate into a staging
+    # sibling and os.rename it into place, so a crash mid-generation can
+    # never leave a partial-but-count-coincident shard set that a later
+    # run would silently reuse.  The published dir is only ever the
+    # result of a completed generation; reuse checks existence alone.
+    base = os.path.join(tempfile.gettempdir(), f"bdp_spark_{os.getpid()}")
+    shard_dir = os.path.join(base, "s3_npz_shards_v3_invalid")
+    if os.path.isdir(shard_dir):
+        return shard_dir
+    stage = _tmp("s3_npz_shards_v3_invalid.staging")
+    for f in os.listdir(stage):
+        os.unlink(os.path.join(stage, f))
+    i_ix, p_ix, y_ix, x_ix = np.meshgrid(
+        np.arange(_RD_SHARDS), np.arange(_RD_PATCHES),
+        np.arange(_RD_SIDE), np.arange(_RD_SIDE), indexing="ij",
+    )
+    base_v = ((i_ix * 97 + p_ix * 31 + y_ix * 7 + x_ix * 13) % 256) * 0.25 + 250
+    invalid = (i_ix * 31 + p_ix * 7 + y_ix * 13 + x_ix * 3) % 19 == 0
+    lst_all = np.where(invalid, 400.0, base_v).astype(np.float32)[..., None]
+    for i in range(_RD_SHARDS):
+        rng = np.random.default_rng(seed=200 + i)
+        np.savez(
+            os.path.join(stage, f"shard_{i}.npz"),
+            inputs=rng.standard_normal(
+                (_RD_PATCHES, _RD_SIDE, _RD_SIDE, 3)
+            ).astype(np.float32),
+            labels_landcover=rng.integers(
+                0, 9, (_RD_PATCHES, _RD_SIDE, _RD_SIDE, 1)
+            ).astype(np.uint8),
+            labels_lst=lst_all[i],
         )
-        base = ((i_ix * 97 + p_ix * 31 + y_ix * 7 + x_ix * 13) % 256) * 0.25 + 250
-        invalid = (i_ix * 31 + p_ix * 7 + y_ix * 13 + x_ix * 3) % 19 == 0
-        lst_all = np.where(invalid, 400.0, base).astype(np.float32)[..., None]
-        for i in range(_RD_SHARDS):
-            rng = np.random.default_rng(seed=200 + i)
-            np.savez(
-                os.path.join(shard_dir, f"shard_{i}.npz"),
-                inputs=rng.standard_normal(
-                    (_RD_PATCHES, _RD_SIDE, _RD_SIDE, 3)
-                ).astype(np.float32),
-                labels_landcover=rng.integers(
-                    0, 9, (_RD_PATCHES, _RD_SIDE, _RD_SIDE, 1)
-                ).astype(np.uint8),
-                labels_lst=lst_all[i],
-            )
+    try:
+        os.rename(stage, shard_dir)
+    except OSError:
+        # lost a publish race to a concurrent generator — its completed
+        # set is identical (deterministic formula); drop the staging copy
+        shutil.rmtree(stage, ignore_errors=True)
     return shard_dir
 
 
@@ -1338,6 +1353,8 @@ def _read_dataset_oracle(train_ratio: float = _RD_RATIO) -> str:
 """
 
 
-# Registration queued for a free r18+ window slot (r17 prep):
-# query("pipeline_read_dataset_split",
-#       oracle=_read_dataset_oracle())(read_dataset_split)
+# Registered r18 (VERDICT r17 #2's second sanctioned slot — closes the
+# reference's read_dataset seam, trainer/flax_model.py:99-144).
+query("pipeline_read_dataset_split", oracle=_read_dataset_oracle())(
+    read_dataset_split
+)

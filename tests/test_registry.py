@@ -203,14 +203,14 @@ def test_rows_only_priority_order(monkeypatch):
     )
 
 
-def test_entry_point_sweeps_checkpoint_blocks(spark):
-    """The registered entry point releases BOTH leftover cache layers
-    before building its plan: persisted DataFrames (clearCache) AND
-    localCheckpoint RDD blocks, which clearCache does NOT touch
-    (ADVICE r16 — each x93-class driver run otherwise leaks its
-    per-step checkpoint blocks into the 50-query window).  Safe by
-    construction: any prior query's returned frame has been collected
-    by the time the next entry point runs."""
+def test_entry_point_sweeps_only_its_own_checkpoint_blocks(spark):
+    """The registered entry point releases leftover cache layers as a
+    DELTA (ADVICE r16 + r17): persisted DataFrames via clearCache (safe
+    for callers — lineage recomputes), and localCheckpoint RDD blocks —
+    which clearCache does NOT touch and whose unpersist is irrecoverable
+    — only when a PRIOR entry point created them.  A checkpoint a caller
+    made outside any entry point must survive the sweep and stay
+    collectible."""
     from big_data_project_spark import registry
     from tests.conftest import SF_DIR
 
@@ -220,14 +220,36 @@ def test_entry_point_sweeps_checkpoint_blocks(spark):
     leftovers = jsc.getPersistentRDDs()
     for rid in list(leftovers.keySet()):
         leftovers.get(rid).unpersist()
+    registry._SWEEP_PENDING.clear()
 
-    ckpt_leak = spark.range(8).localCheckpoint(eager=True)
-    assert ckpt_leak.count() == 8
-    cache_leak = spark.range(4).persist()
-    assert cache_leak.count() == 4
-    assert len(set(jsc.getPersistentRDDs().keySet())) >= 2
+    # caller-owned blocks, created OUTSIDE any entry point: protected
+    caller_ckpt = spark.range(8).localCheckpoint(eager=True)
+    assert caller_ckpt.count() == 8
+    caller_ids = registry._persistent_rdd_ids(spark)
+    assert caller_ids
 
-    # p1 neither persists nor checkpoints, so after its entry point
-    # runs the only possible survivors would be the leaks — swept
-    registry.QUERIES["p1_project_alias"](spark, SF_DIR).collect()
-    assert len(set(jsc.getPersistentRDDs().keySet())) == 0
+    # an entry point that checkpoints internally: its block ids land in
+    # _SWEEP_PENDING at exit and the NEXT entry point releases them
+    def leaky(spark_, sf_dir_):
+        leaked = spark_.range(5).localCheckpoint(eager=True)
+        assert leaked.count() == 5
+        return leaked
+
+    registry.query("test_sweep_tmp_leaky")(leaky)
+    try:
+        registry.QUERIES["test_sweep_tmp_leaky"](spark, SF_DIR).collect()
+        pending = set(registry._SWEEP_PENDING)
+        assert pending and pending.isdisjoint(caller_ids)
+
+        # p1 neither persists nor checkpoints; after its entry point runs,
+        # the prior entry point's blocks are gone — the caller's remain
+        registry.QUERIES["p1_project_alias"](spark, SF_DIR).collect()
+        alive = registry._persistent_rdd_ids(spark)
+        assert alive.isdisjoint(pending)
+        assert caller_ids <= alive
+        # and the caller's checkpointed frame is still collectible
+        assert caller_ckpt.count() == 8
+    finally:
+        registry.QUERIES.pop("test_sweep_tmp_leaky", None)
+        caller_ckpt.unpersist()
+        registry._SWEEP_PENDING.clear()
