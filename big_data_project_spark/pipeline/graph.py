@@ -26,6 +26,8 @@ ulps cannot compound across iterations (§4.3.1).
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -2144,8 +2146,16 @@ def _sg_batch_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataF
         .orderBy(F.col("n").desc(), "node")
         .limit(_SG_NEG_VOCAB)
     )
-    neg_table = _neg_interval_table(freq)
+    return pairs, _sg_neg_draws(pairs, _neg_interval_table(freq))
 
+
+def _sg_neg_draws(pairs: DataFrame, neg_table: DataFrame) -> DataFrame:
+    """The x87-recipe negative resolution, factored (r18) from
+    ``_sg_batch_frames`` so the patch-corpus example builder
+    (``_patch_batch_frames``) draws negatives through the IDENTICAL
+    md5-uniform + interval-lookup path: per positive pair, ``j`` =
+    1..k seeded draws, each matched to exactly one ``neg_table``
+    interval (broadcast — the table is vocabulary-sized)."""
     js = F.array(*[F.lit(j) for j in range(1, _SG_NEG_K + 1)])
     draws = pairs.select(
         F.col("node_a").alias("center"),
@@ -2168,11 +2178,10 @@ def _sg_batch_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataF
         )
         / F.lit(1_000_000.0),
     )
-    resolved = draws.join(
+    return draws.join(
         F.broadcast(neg_table),
         (F.col("u") >= F.col("cum_lo")) & (F.col("u") < F.col("cum_hi")),
     ).select("center", "pos", "n_cooc", "j", "neg")
-    return pairs, resolved
 
 
 def _sg_batch_ctes(*, materialized: bool = False) -> str:
@@ -2201,7 +2210,16 @@ def _sg_batch_ctes(*, materialized: bool = False) -> str:
       SELECT node, count(*) AS n FROM vwalk
       GROUP BY node
       ORDER BY n DESC, node
-      LIMIT {_SG_NEG_VOCAB}),
+      LIMIT {_SG_NEG_VOCAB})""" + _neg_chain_ctes(materialized=materialized)
+
+
+def _neg_chain_ctes(*, materialized: bool = False) -> str:
+    """The sampling-interval + draw-resolution CTEs (``nsm`` …
+    ``negdraws``) over whatever ``pairs`` and ``nfreq`` are in scope —
+    the oracle mirror of ``_neg_interval_table`` + ``_sg_neg_draws``,
+    factored (r18) so the patch-corpus chain shares them verbatim."""
+    mat = "AS MATERIALIZED (" if materialized else "AS ("
+    return f""",
     nsm {mat}
       SELECT node, n, sqrt(n * sqrt(n)) AS s FROM nfreq),
     nhi {mat}
@@ -2353,8 +2371,20 @@ def _sgns_inputs(
     the event log.  Truncating the lineage at the 300-row examples
     frame caps the downstream tree at the training algebra itself;
     the wide x91 work still runs exactly once, materializing here."""
-    batch_pairs, resolved = _sg_batch_frames(spark, sf_dir)
-    pos_ex = batch_pairs.select(
+    return _sgns_assemble_inputs(*_sg_batch_frames(spark, sf_dir))
+
+
+def _sgns_assemble_inputs(
+    pairs: DataFrame, resolved: DataFrame
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Assemble (ex, vin, vout) from a (pairs, resolved) example source
+    — factored (r18) from ``_sgns_inputs`` so the patch-corpus trainer
+    composition shares the example/vocabulary/init algebra verbatim:
+    positives + resolved negatives fold to the weighted ``ex`` frame
+    (localCheckpointed — the lineage-truncation waist), the vocabulary
+    is ex's node set, and both matrices md5-initialize over vocab ×
+    dim."""
+    pos_ex = pairs.select(
         F.col("node_a").alias("center"),
         F.col("node_b").alias("ctx"),
         F.lit(1.0).alias("label"),
@@ -2507,10 +2537,12 @@ def _sgns_step(
     return nvin, nvout
 
 
-def _sgns_base_ctes() -> str:
-    """The SGNS oracle base: the shared x91 batch chain extended with
-    the example, vocabulary, dim-grid, and init-vector CTEs (``ex``,
-    ``vin0``, ``vout0``) — the oracle mirror of ``_sgns_inputs``."""
+def _sgns_ex_init_ctes() -> str:
+    """The example/vocabulary/init CTE tail (``ex``, ``vocab``,
+    ``dims``, ``vin0``, ``vout0``) — the oracle mirror of
+    ``_sgns_assemble_inputs``, factored (r18) so any chain ending in
+    ``pairs`` + ``negdraws`` (the graph walks; the patch corpus) feeds
+    the identical training algebra."""
 
     def init_sql(side: str) -> str:
         return f"""
@@ -2521,7 +2553,7 @@ def _sgns_base_ctes() -> str:
                    + 1e-9, 6) AS v
       FROM dims"""
 
-    return _sg_batch_ctes(materialized=True) + f""",
+    return f""",
     ex AS MATERIALIZED (
       SELECT center, ctx, label, CAST(count(*) AS BIGINT) AS cnt
       FROM (
@@ -2539,6 +2571,13 @@ def _sgns_base_ctes() -> str:
       FROM vocab v CROSS JOIN generate_series(0, {_SG_DIM - 1}) AS g(k)),
     vin0 AS MATERIALIZED ({init_sql("i")}),
     vout0 AS MATERIALIZED ({init_sql("o")})"""
+
+
+def _sgns_base_ctes() -> str:
+    """The SGNS oracle base: the shared x91 batch chain extended with
+    the example, vocabulary, dim-grid, and init-vector CTEs (``ex``,
+    ``vin0``, ``vout0``) — the oracle mirror of ``_sgns_inputs``."""
+    return _sg_batch_ctes(materialized=True) + _sgns_ex_init_ctes()
 
 
 def _sgns_dots_cte(i: int, ex_table: str = "ex") -> str:
@@ -3544,6 +3583,10 @@ def sgns_train_and_evaluate(
     batches: int = _SG_EPOCH_STEPS,
     keep: int = _TE_KEEP,
     every: int = _PRED_EVERY,
+    _inputs: Callable[
+        [SparkSession, str], tuple[DataFrame, DataFrame, DataFrame]
+    ] | None = None,
+    _tag: str = "tae",
 ) -> DataFrame:
     """``train_and_evaluate`` (trainer/flax_model.py:295-390) at FULL
     fidelity — every semantic of the reference's training driver in
@@ -3599,14 +3642,14 @@ def sgns_train_and_evaluate(
         # empty and its read-back would fail schema inference (ADVICE r17)
         raise ValueError("every must be <= epochs (gate must admit an epoch)")
 
-    mroot = _tmp("tae_metrics")
-    croot = _tmp("tae_ckpt")
-    proot = _tmp("tae_pred")
+    mroot = _tmp(f"{_tag}_metrics")
+    croot = _tmp(f"{_tag}_ckpt")
+    proot = _tmp(f"{_tag}_pred")
     for root in (mroot, croot, proot):
         shutil.rmtree(root, ignore_errors=True)
         os.makedirs(root, exist_ok=True)
 
-    ex, vin0, vout0 = _sgns_inputs(spark, sf_dir)
+    ex, vin0, vout0 = (_inputs or _sgns_inputs)(spark, sf_dir)
 
     def init_state(mat: DataFrame) -> DataFrame:
         return mat.select(
@@ -3712,6 +3755,7 @@ def _sgns_tae_oracle(
     batches: int = _SG_EPOCH_STEPS,
     keep: int = _TE_KEEP,
     every: int = _PRED_EVERY,
+    base_ctes: str | None = None,
 ) -> str:
     """The full-fidelity trainer's oracle: base + Adam state init, then
     per epoch the seeded permutation CTE, per batch the subset CTE +
@@ -3740,7 +3784,7 @@ def _sgns_tae_oracle(
                    / sum(cnt) + 1e-9, 6) AS accuracy
       FROM (SELECT cnt, label, dot, {sig} AS sig FROM {src}) m_{src}"""
 
-    parts = [_sgns_base_ctes(), _sgns_adam_init_ctes()]
+    parts = [base_ctes or _sgns_base_ctes(), _sgns_adam_init_ctes()]
     i = 0
     for e in range(1, epochs + 1):
         parts.append(f""",
@@ -3818,3 +3862,275 @@ def _sgns_tae_oracle(
 query("pipeline_sgns_train_and_evaluate", oracle=_sgns_tae_oracle())(
     sgns_train_and_evaluate
 )
+
+
+# --------------------------------------------------------------------------
+# pipeline_main_ingest_to_training (prepped r18, un-registered): the
+# reference's OUTERMOST composition — main() (trainer/flax_model.py:403-412)
+# — the read_dataset ingest feeding the train_and_evaluate driver
+# --------------------------------------------------------------------------
+
+
+def _patch_token_cells(spark: SparkSession) -> DataFrame:
+    """The TRAIN-split token cells of the synthetic patch corpus — the
+    ingest leg of the ``main()`` composition: glob + binary decode of
+    the npz shards WITH cell coordinates (the s1/s3 shapes,
+    ``read_example`` trainer/flax_model.py:53-66), the
+    ``interpolate_invalid_temperatures`` repair (:79-96 — valid-mean
+    quantized to the 0.25 sensor grid, clipped; the exact-arithmetic
+    transposition shared with ``read_dataset_split``), the sequential
+    ``int(n·ratio)`` train cut (:125-131), and tokenization: ``tok =
+    floor(lst_imputed)`` — the integer degree bin, exact for the
+    corpus's 0.25-grid values in both engines.
+
+    One Arrow pass (mapInPandas, vectorized reshape — no per-cell
+    Python loop), one patch-keyed partial+final agg for the impute
+    stats, stats broadcast back into the cell repair: the ingest's own
+    shuffle budget, nothing more.  At a real corpus each shard decodes
+    independently (binaryFile splits by file) and the split predicate
+    is manifest metadata."""
+    from big_data_project_spark.sources.formats import (
+        _RD_PATCHES,
+        _RD_RATIO,
+        _RD_SHARDS,
+        _RD_VALID,
+        _rd_shard_dir,
+    )
+
+    shard_dir = _rd_shard_dir()
+    lo, hi = _RD_VALID
+    train_size = int(_RD_SHARDS * _RD_PATCHES * _RD_RATIO)
+
+    def decode(pdf_iter):
+        import io as _io
+        import re as _re
+
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in pdf_iter:
+            outs = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                with _np.load(_io.BytesIO(content)) as npz:
+                    lst = npz["labels_lst"].astype("float64")[..., 0]
+                np_, ny, nx = lst.shape
+                p_ix, y_ix, x_ix = _np.meshgrid(
+                    _np.arange(np_), _np.arange(ny), _np.arange(nx),
+                    indexing="ij",
+                )
+                outs.append(_pd.DataFrame({
+                    "i": int(_re.search(r"shard_(\d+)", path).group(1)),
+                    "p": p_ix.ravel(),
+                    "y": y_ix.ravel(),
+                    "x": x_ix.ravel(),
+                    "lst": lst.ravel(),
+                }))
+            yield _pd.concat(outs) if outs else _pd.DataFrame(
+                {"i": [], "p": [], "y": [], "x": [], "lst": []}
+            )
+
+    cells = (
+        spark.read.format("binaryFile")
+        .load(shard_dir)
+        .select("path", "content")
+        .mapInPandas(decode, schema="i int, p int, y int, x int, lst double")
+    )
+    valid = (F.col("lst") >= F.lit(lo)) & (F.col("lst") <= F.lit(hi))
+    stats = cells.groupBy("i", "p").agg(
+        F.round(F.avg(F.when(valid, F.col("lst"))) + F.lit(1e-9), 6).alias(
+            "valid_mean"
+        )
+    )
+    repl = F.least(
+        F.greatest(
+            F.round(F.col("valid_mean") * 4 + F.lit(1e-9), 0) / 4, F.lit(lo)
+        ),
+        F.lit(hi),
+    )
+    return (
+        cells.join(F.broadcast(stats), ["i", "p"])
+        .where(F.col("i") * _RD_PATCHES + F.col("p") < train_size)
+        .select(
+            "i", "p", "y", "x",
+            F.floor(F.when(valid, F.col("lst")).otherwise(repl)).alias("tok"),
+        )
+    )
+
+
+def _patch_batch_frames(spark: SparkSession) -> tuple[DataFrame, DataFrame]:
+    """The patch corpus's (pairs, resolved) example source — the shape
+    of ``_sg_batch_frames`` with the walk census swapped for the
+    corpus's own co-occurrence: window-1 skip-gram pairs over each
+    patch row's horizontal adjacency (both directions), top-``_SG_BATCH``
+    census pairs with the full tie-break, token-frequency negatives
+    through the IDENTICAL x87 interval table + md5-uniform draws
+    (``_sg_neg_draws``).  The cells frame persists across its three
+    consumers (census twice via the self-join, frequency once); the
+    census self-join keys on (i, p, y, x+1) — patch-bounded, never
+    crossing a patch, the narrow co-occurrence scan a real corpus
+    shards by document."""
+    cells = _patch_token_cells(spark).persist()
+    right = cells.select(
+        "i", "p", "y",
+        (F.col("x") - 1).alias("x"),
+        F.col("tok").alias("tok_b"),
+    )
+    adj = cells.join(right, ["i", "p", "y", "x"])
+    und = adj.select(
+        F.col("tok").alias("node_a"), F.col("tok_b").alias("node_b")
+    ).unionByName(
+        adj.select(F.col("tok_b").alias("node_a"), F.col("tok").alias("node_b"))
+    )
+    census = und.groupBy("node_a", "node_b").agg(
+        F.count(F.lit(1)).alias("n_cooc")
+    )
+    pairs = census.orderBy(F.desc("n_cooc"), "node_a", "node_b").limit(_SG_BATCH)
+    freq = (
+        cells.groupBy(F.col("tok").alias("node"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "node")
+        .limit(_SG_NEG_VOCAB)
+    )
+    return pairs, _sg_neg_draws(pairs, _neg_interval_table(freq))
+
+
+def _patch_sgns_inputs(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(ex, vin, vout) for the patch corpus — ``_sgns_assemble_inputs``
+    over ``_patch_batch_frames``; ``sf_dir`` is unused (the corpus is
+    the deterministic shard set) but kept for the inputs-builder
+    contract."""
+    return _sgns_assemble_inputs(*_patch_batch_frames(spark))
+
+
+def main_ingest_to_training(
+    spark: SparkSession,
+    sf_dir: str,
+    epochs: int = _TE_EPOCHS,
+    batches: int = _SG_EPOCH_STEPS,
+    keep: int = _TE_KEEP,
+    every: int = _PRED_EVERY,
+) -> DataFrame:
+    """``main()`` (trainer/flax_model.py:403-412) — the reference's
+    outermost seam, its ingest feeding its trainer: ``read_dataset``'s
+    patch stream (glob → npz decode → invalid-temperature repair →
+    sequential train cut, the `pipeline_read_dataset_split` leg)
+    drives the example construction (window-1 skip-gram pairs +
+    x87-recipe negatives over the imputed token cells), and the FULL
+    ``train_and_evaluate`` driver (`pipeline_sgns_train_and_evaluate`:
+    per-epoch re-permuted mini-batches, one bias-corrected Adam step
+    per distinct batch, metrics sink, keep-N full-state checkpoints,
+    modulo-gated prediction snapshots) runs on those examples — ONE
+    composed, oracle-checked pipeline, output built solely from the
+    sinks' read-back, one row per epoch.
+
+    With this composition registered, every function in the
+    reference's engine has an oracle-verified transposition end to
+    end: read_example/interpolate/read_dataset (ingest),
+    create_train_state/apply_model/update_model/train_epoch (the
+    x92-x95 chain), save_predictions / checkpoints / metrics (the
+    sinks), train_and_evaluate (the driver), and main() (this).
+
+    Prepped r18, un-registered (the r18 window is spent on the two
+    sanctioned capstones + rotation): registration is one line,
+    ``query("pipeline_main_ingest_to_training",
+    oracle=_main_oracle())(main_ingest_to_training)`` — queued first
+    for r19.
+
+    Scale design: the ingest leg is one Arrow decode pass + one
+    patch-keyed agg (stats broadcast back); the example census is
+    patch-bounded adjacency, one (node_a, node_b) shuffle; negatives
+    broadcast a vocabulary-sized table; the trainer is the capstone's
+    exchange structure unchanged (batch broadcast into the gradient
+    folds, one partial+final agg per fold, moments sharded WITH
+    weights, per-step localCheckpoint).  End to end this is the
+    1000-executor shape: manifest scan → example construction →
+    parameter-server training → object-store sinks."""
+    return sgns_train_and_evaluate(
+        spark, sf_dir, epochs, batches, keep, every,
+        _inputs=_patch_sgns_inputs, _tag="main",
+    )
+
+
+def _patch_batch_ctes() -> str:
+    """The patch corpus's oracle chain through ``pairs`` + ``negdraws``
+    — the mirror of ``_patch_batch_frames``: the formula-generated cell
+    grid (the `_read_dataset_oracle` cells), impute + train cut +
+    tokenize, adjacency census, top-batch, token frequency, and the
+    shared ``_neg_chain_ctes`` tail.  All MATERIALIZED: the training
+    CTEs consume ``ex`` from many branches (the x92 diamond lesson)."""
+    from big_data_project_spark.sources.formats import (
+        _RD_PATCHES,
+        _RD_RATIO,
+        _RD_SHARDS,
+        _RD_SIDE,
+        _RD_VALID,
+    )
+
+    lo, hi = _RD_VALID
+    train_size = int(_RD_SHARDS * _RD_PATCHES * _RD_RATIO)
+    return f"""WITH pcells AS MATERIALIZED (
+      SELECT i, p, y, x,
+             CASE WHEN (i*31 + p*7 + y*13 + x*3) % 19 = 0 THEN 400.0
+                  ELSE ((i*97 + p*31 + y*7 + x*13) % 256) * 0.25 + 250
+             END AS lst
+      FROM unnest(generate_series(0, {_RD_SHARDS - 1})) AS si(i),
+           unnest(generate_series(0, {_RD_PATCHES - 1})) AS sp(p),
+           unnest(generate_series(0, {_RD_SIDE - 1})) AS sy(y),
+           unnest(generate_series(0, {_RD_SIDE - 1})) AS sx(x)),
+    pstats AS MATERIALIZED (
+      SELECT i, p,
+             round(avg(CASE WHEN lst >= {lo!r} AND lst <= {hi!r}
+                            THEN lst END) + 1e-9, 6) AS valid_mean
+      FROM pcells GROUP BY i, p),
+    ptok AS MATERIALIZED (
+      SELECT c.i, c.p, c.y, c.x,
+             CAST(floor(CASE WHEN c.lst >= {lo!r} AND c.lst <= {hi!r}
+                             THEN c.lst
+                             ELSE least(greatest(
+                                    round(s.valid_mean * 4 + 1e-9) / 4,
+                                    {lo!r}), {hi!r})
+                        END) AS BIGINT) AS tok
+      FROM pcells c JOIN pstats s ON s.i = c.i AND s.p = c.p
+      WHERE c.i * {_RD_PATCHES} + c.p < {train_size}),
+    census AS MATERIALIZED (
+      SELECT node_a, node_b, CAST(count(*) AS BIGINT) AS n_cooc FROM (
+        SELECT a.tok AS node_a, b.tok AS node_b
+        FROM ptok a JOIN ptok b
+          ON b.i = a.i AND b.p = a.p AND b.y = a.y AND b.x = a.x + 1
+        UNION ALL
+        SELECT b.tok AS node_a, a.tok AS node_b
+        FROM ptok a JOIN ptok b
+          ON b.i = a.i AND b.p = a.p AND b.y = a.y AND b.x = a.x + 1) u
+      GROUP BY node_a, node_b),
+    pairs AS MATERIALIZED (
+      SELECT node_a, node_b, n_cooc FROM census
+      ORDER BY n_cooc DESC, node_a, node_b
+      LIMIT {_SG_BATCH}),
+    nfreq AS MATERIALIZED (
+      SELECT tok AS node, count(*) AS n FROM ptok
+      GROUP BY tok
+      ORDER BY n DESC, node
+      LIMIT {_SG_NEG_VOCAB})""" + _neg_chain_ctes(materialized=True)
+
+
+def _main_oracle(
+    epochs: int = _TE_EPOCHS,
+    batches: int = _SG_EPOCH_STEPS,
+    keep: int = _TE_KEEP,
+    every: int = _PRED_EVERY,
+) -> str:
+    """The main() composition's oracle: the full-fidelity trainer
+    oracle (`_sgns_tae_oracle`) over the patch-corpus base — the
+    ingest/example chain swapped in, the training/read-back algebra
+    shared verbatim."""
+    return _sgns_tae_oracle(
+        epochs, batches, keep, every,
+        base_ctes=_patch_batch_ctes() + _sgns_ex_init_ctes(),
+    )
+
+
+# Registration queued FIRST for r19 (VERDICT r17 #5 — the last seam):
+# query("pipeline_main_ingest_to_training",
+#       oracle=_main_oracle())(main_ingest_to_training)

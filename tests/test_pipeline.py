@@ -3277,9 +3277,93 @@ def test_read_dataset_split_parity_replay_and_contract(spark):
     assert splits == ["train"] * train_size + ["test"] * 4
 
 
+def _replay_tae_expected(ex, nodes, vin, vout):
+    """Pure-Python replay of the FULL ``train_and_evaluate`` schedule
+    over an arbitrary example source — per-epoch md5 permutation into
+    equal batches, one bias-corrected Adam step per batch, pre-update
+    metric means (6-dp scaled-integer fold, the exact arithmetic of
+    the engine/oracle pair), post-epoch full-set eval, keep-N
+    checkpoint checksums, modulo-gated snapshot counts.  Factored
+    (r18) from the tae test so the main() composition's replay shares
+    the schedule verbatim over the patch-corpus examples."""
+    import hashlib
+    import math
+
+    from big_data_project_spark.pipeline.graph import (
+        _ADAM_B1, _ADAM_B2, _ADAM_EPS, _PRED_EVERY, _SG_DIM,
+        _SG_EPOCH_STEPS, _SG_LR, _TE_EPOCHS, _TE_KEEP,
+    )
+
+    n_batches = _SG_EPOCH_STEPS
+    w_in, w_out = dict(vin), dict(vout)
+    m_in = dict.fromkeys(w_in, 0.0)
+    s_in = dict.fromkeys(w_in, 0.0)
+    m_out = dict.fromkeys(w_out, 0.0)
+    s_out = dict.fromkeys(w_out, 0.0)
+
+    def adam_update(w, m, s, g, t):
+        bc1, bc2 = 1.0 - _ADAM_B1**t, 1.0 - _ADAM_B2**t
+        for key in w:
+            gv = g.get(key, 0.0)
+            m[key] = round(
+                _ADAM_B1 * m[key] + (1.0 - _ADAM_B1) * gv + 1e-12, 10
+            )
+            s[key] = round(
+                _ADAM_B2 * s[key] + (1.0 - _ADAM_B2) * gv * gv + 1e-12, 10
+            )
+            w[key] = round(
+                w[key]
+                - _SG_LR * (m[key] / bc1)
+                / (math.sqrt(s[key] / bc2) + _ADAM_EPS)
+                + 1e-12,
+                10,
+            )
+
+    def checksum():
+        return sum(
+            int(round(v * 1e10))
+            for d in (w_in, m_in, s_in, w_out, m_out, s_out)
+            for v in d.values()
+        )
+
+    def scaled_mean(vals):
+        return round(
+            sum(int(round(v * 1e6)) for v in vals) / (len(vals) * 1e6) + 1e-9,
+            6,
+        )
+
+    t = 0
+    expected = []
+    kept = set(range(_TE_EPOCHS - _TE_KEEP + 1, _TE_EPOCHS + 1))
+    n_state_rows = 2 * len(nodes) * _SG_DIM
+    for e in range(1, _TE_EPOCHS + 1):
+        keys = sorted(
+            ex,
+            key=lambda key: hashlib.md5(
+                f"{e}:{key[0]}:{key[1]}:{int(key[2])}".encode()
+            ).hexdigest(),
+        )
+        bs = len(keys) // n_batches
+        pre_mets = []
+        for b in range(n_batches):
+            bex = {key: ex[key] for key in keys[b * bs : (b + 1) * bs]}
+            pre_mets.append(_replay_sgns_metrics(bex, w_in, w_out))
+            gi, go = _replay_sgns_grads(bex, w_in, w_out)
+            t += 1
+            adam_update(w_in, m_in, s_in, gi, t)
+            adam_update(w_out, m_out, s_out, go, t)
+        tl = scaled_mean([m[1] for m in pre_mets])
+        ta = scaled_mean([m[2] for m in pre_mets])
+        _tn, test_l, test_a = _replay_sgns_metrics(ex, w_in, w_out)
+        ck = (n_state_rows, checksum()) if e in kept else (None, None)
+        pr = len(ex) if e % _PRED_EVERY == 0 else None
+        expected.append((e, tl, ta, test_l, test_a, *ck, pr))
+    return expected
+
+
 def test_sgns_train_and_evaluate_full_fidelity(spark):
-    """pipeline_sgns_train_and_evaluate (prepped r17, un-registered):
-    the reference driver at FULL fidelity — per-epoch re-permuted
+    """pipeline_sgns_train_and_evaluate (registered r18): the
+    reference driver at FULL fidelity — per-epoch re-permuted
     mini-batches (flax_model.py:234-236, :350), one bias-corrected
     Adam step per distinct batch (:275), epoch metrics (:238-259,
     :355-375), keep-3 full-optimizer-state checkpoints (:377), and
@@ -3289,13 +3373,8 @@ def test_sgns_train_and_evaluate_full_fidelity(spark):
     steps over 8 distinct batches, metric means, full-state integer
     checksums), and the sink contracts (swept checkpoint NULL, ungated
     snapshots NULL, gated ones lossless)."""
-    import hashlib
-    import math
-
     from big_data_project_spark.pipeline.graph import (
-        _ADAM_B1, _ADAM_B2, _ADAM_EPS, _PRED_EVERY, _SG_DIM,
-        _SG_EPOCH_STEPS, _SG_LR, _TE_EPOCHS, _TE_KEEP,
-        _sgns_tae_oracle, sgns_train_and_evaluate,
+        _PRED_EVERY, _sgns_tae_oracle, sgns_train_and_evaluate,
     )
     from tests.conftest import SF_DIR, SF_DIR_ORACLE, checkpoint_rdd_guard
     from tests.oracle_harness import compare, duckdb_connect
@@ -3310,64 +3389,7 @@ def test_sgns_train_and_evaluate_full_fidelity(spark):
 
     with checkpoint_rdd_guard(spark):
         ex, nodes, vin, vout = _replay_sgns_setup(spark)
-        n_batches = _SG_EPOCH_STEPS
-        w_in, w_out = dict(vin), dict(vout)
-        m_in = dict.fromkeys(w_in, 0.0)
-        s_in = dict.fromkeys(w_in, 0.0)
-        m_out = dict.fromkeys(w_out, 0.0)
-        s_out = dict.fromkeys(w_out, 0.0)
-
-        def adam_update(w, m, s, g, t):
-            bc1, bc2 = 1.0 - _ADAM_B1**t, 1.0 - _ADAM_B2**t
-            for key in w:
-                gv = g.get(key, 0.0)
-                m[key] = round(
-                    _ADAM_B1 * m[key] + (1.0 - _ADAM_B1) * gv + 1e-12, 10
-                )
-                s[key] = round(
-                    _ADAM_B2 * s[key] + (1.0 - _ADAM_B2) * gv * gv + 1e-12, 10
-                )
-                w[key] = round(
-                    w[key]
-                    - _SG_LR * (m[key] / bc1)
-                    / (math.sqrt(s[key] / bc2) + _ADAM_EPS)
-                    + 1e-12,
-                    10,
-                )
-
-        def checksum():
-            return sum(
-                int(round(v * 1e10))
-                for d in (w_in, m_in, s_in, w_out, m_out, s_out)
-                for v in d.values()
-            )
-
-        t = 0
-        expected = []
-        kept = set(range(_TE_EPOCHS - _TE_KEEP + 1, _TE_EPOCHS + 1))
-        n_state_rows = 2 * len(nodes) * _SG_DIM
-        for e in range(1, _TE_EPOCHS + 1):
-            keys = sorted(
-                ex,
-                key=lambda key: hashlib.md5(
-                    f"{e}:{key[0]}:{key[1]}:{int(key[2])}".encode()
-                ).hexdigest(),
-            )
-            bs = len(keys) // n_batches
-            pre_mets = []
-            for b in range(n_batches):
-                bex = {key: ex[key] for key in keys[b * bs : (b + 1) * bs]}
-                pre_mets.append(_replay_sgns_metrics(bex, w_in, w_out))
-                gi, go = _replay_sgns_grads(bex, w_in, w_out)
-                t += 1
-                adam_update(w_in, m_in, s_in, gi, t)
-                adam_update(w_out, m_out, s_out, go, t)
-            tl = round(sum(m[1] for m in pre_mets) / n_batches + 1e-9, 6)
-            ta = round(sum(m[2] for m in pre_mets) / n_batches + 1e-9, 6)
-            _tn, test_l, test_a = _replay_sgns_metrics(ex, w_in, w_out)
-            ck = (n_state_rows, checksum()) if e in kept else (None, None)
-            pr = len(ex) if e % _PRED_EVERY == 0 else None
-            expected.append((e, tl, ta, test_l, test_a, *ck, pr))
+        expected = _replay_tae_expected(ex, nodes, vin, vout)
 
         rows = sgns_train_and_evaluate(spark, SF_DIR).collect()
         got = [
@@ -3385,4 +3407,164 @@ def test_sgns_train_and_evaluate_full_fidelity(spark):
         for e, row in enumerate(got, start=1):
             assert (row[7] is None) == (e % _PRED_EVERY != 0)
         # the driver trains: full-set eval improves end to end
+        assert got[-1][3] < got[0][3]
+
+
+def _replay_patch_batch():
+    """Pure-Python replay of the patch corpus's example source — the
+    ingest leg of the main() composition: formula cells → valid-mean
+    impute (quantized to the 0.25 grid, clipped) → sequential train
+    cut → floor tokens → window-1 adjacency census → top-batch →
+    count^0.75 token-frequency negatives via the interval + md5-uniform
+    recipe.  Returns (pairs, draws) in the `_replay_sg_batch` shapes."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    from big_data_project_spark.pipeline.graph import (
+        _SG_BATCH, _SG_NEG_K, _SG_NEG_VOCAB,
+    )
+    from big_data_project_spark.sources.formats import (
+        _RD_PATCHES, _RD_RATIO, _RD_SHARDS, _RD_SIDE, _RD_VALID,
+    )
+
+    lo, hi = _RD_VALID
+    train_size = int(_RD_SHARDS * _RD_PATCHES * _RD_RATIO)
+
+    def lstv(i, p, y, x):
+        if (i * 31 + p * 7 + y * 13 + x * 3) % 19 == 0:
+            return 400.0
+        return ((i * 97 + p * 31 + y * 7 + x * 13) % 256) * 0.25 + 250
+
+    tokens: dict[tuple[int, int, int, int], int] = {}
+    for i in range(_RD_SHARDS):
+        for p in range(_RD_PATCHES):
+            if i * _RD_PATCHES + p >= train_size:
+                continue
+            vals = {
+                (y, x): lstv(i, p, y, x)
+                for y in range(_RD_SIDE)
+                for x in range(_RD_SIDE)
+            }
+            valid = [v for v in vals.values() if lo <= v <= hi]
+            vm = round(sum(valid) / len(valid) + 1e-9, 6)
+            repl = min(max(round(vm * 4 + 1e-9) / 4, lo), hi)
+            for (y, x), v in vals.items():
+                tokens[(i, p, y, x)] = int(
+                    math.floor(v if lo <= v <= hi else repl)
+                )
+
+    census: Counter = Counter()
+    for (i, p, y, x), tok in tokens.items():
+        tok_b = tokens.get((i, p, y, x + 1))
+        if tok_b is not None:
+            census[(tok, tok_b)] += 1
+            census[(tok_b, tok)] += 1
+    pairs = [
+        (a, b, -negn)
+        for negn, a, b in sorted(((-n, a, b) for (a, b), n in census.items()))[
+            :_SG_BATCH
+        ]
+    ]
+
+    freq = Counter(tokens.values())
+    vocab = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:_SG_NEG_VOCAB]
+    weights = [math.sqrt(n * math.sqrt(n)) for _, n in vocab]
+    tot = sum(weights)
+    cum_hi, run = [], 0.0
+    for w in weights:
+        run += w
+        cum_hi.append(round(run / tot + 1e-9, 6))
+    cum_lo = [0.0] + cum_hi[:-1]
+
+    draws = []
+    for a, b, n in pairs:
+        for j in range(1, _SG_NEG_K + 1):
+            h = hashlib.md5(f"{a}:{b}:{j}".encode()).hexdigest()
+            u = (int(h[:15], 16) % 1_000_000) / 1_000_000.0
+            (neg,) = [
+                node
+                for (node, _), l_, h_ in zip(vocab, cum_lo, cum_hi)
+                if l_ <= u < h_
+            ]
+            draws.append((a, b, n, j, neg))
+    return pairs, draws
+
+
+def _replay_main_setup():
+    """Pure-Python main() inputs (mirror of ``_patch_sgns_inputs``):
+    the weighted example Counter over the patch-corpus batch, the
+    vocabulary, and the two md5-initialized matrices."""
+    import hashlib
+    from collections import Counter
+
+    from big_data_project_spark.pipeline.graph import _SG_DIM, _SG_INIT_SCALE
+
+    pairs, draws = _replay_patch_batch()
+    ex: Counter = Counter()
+    for c, p, _n in pairs:
+        ex[(c, p, 1.0)] += 1
+    for c, _p, _n, _j, neg in draws:
+        ex[(c, neg, 0.0)] += 1
+    nodes = sorted({c for c, _, _ in ex} | {x for _, x, _ in ex})
+
+    def init(side, node, k):
+        h = hashlib.md5(f"{side}:{node}:{k}".encode()).hexdigest()
+        u = (int(h[:15], 16) % 2_000_000) / 1_000_000.0 - 1.0
+        return round(u * _SG_INIT_SCALE + 1e-9, 6)
+
+    vin = {(n, k): init("i", n, k) for n in nodes for k in range(_SG_DIM)}
+    vout = {(n, k): init("o", n, k) for n in nodes for k in range(_SG_DIM)}
+    return ex, nodes, vin, vout
+
+
+def test_main_ingest_to_training_parity_replay_and_contract(spark):
+    """pipeline_main_ingest_to_training (prepped r18, un-registered):
+    the reference's OUTERMOST composition — main()
+    (trainer/flax_model.py:403-412), read_dataset's ingest feeding the
+    train_and_evaluate driver.  Checks: oracle parity at BOTH tiers;
+    the composition contract — the Spark example frame equals the
+    pure-Python ingest→example replay EXACTLY (formula cells, impute,
+    train cut, tokens, census, negatives); and the full-schedule
+    replay of the training over those examples (the factored
+    `_replay_tae_expected`)."""
+    from big_data_project_spark.pipeline.graph import (
+        _main_oracle, _patch_sgns_inputs, main_ingest_to_training,
+    )
+    from tests.conftest import SF_DIR, SF_DIR_ORACLE, checkpoint_rdd_guard
+    from tests.oracle_harness import compare, duckdb_connect
+
+    oracle = _main_oracle()
+    for sf in (SF_DIR, SF_DIR_ORACLE):
+        with checkpoint_rdd_guard(spark):
+            con = duckdb_connect(sf)
+            df = main_ingest_to_training(spark, sf)
+            res = compare("pipeline_main_ingest_to_training", df, con, oracle)
+            assert res.ok, (sf, res.detail, res.mismatches[:3])
+
+    with checkpoint_rdd_guard(spark):
+        ex, nodes, vin, vout = _replay_main_setup()
+
+        # composition contract: the ingest leg REALLY fed the example
+        # construction — the Spark ex frame matches the replay Counter
+        sp_ex, sp_vin, sp_vout = _patch_sgns_inputs(spark, SF_DIR)
+        got_ex = {
+            (r.center, r.ctx, r.label): r.cnt for r in sp_ex.collect()
+        }
+        assert got_ex == dict(ex)
+        sp_vin.unpersist()
+        sp_vout.unpersist()
+
+        expected = _replay_tae_expected(ex, nodes, vin, vout)
+        rows = main_ingest_to_training(spark, SF_DIR).collect()
+        got = [
+            (
+                r.epoch, r.train_loss, r.train_accuracy,
+                r.test_loss, r.test_accuracy,
+                r.ckpt_rows, r.state_checksum, r.pred_rows,
+            )
+            for r in rows
+        ]
+        assert got == expected
+        # the composed driver trains on the ingested corpus
         assert got[-1][3] < got[0][3]

@@ -2109,3 +2109,48 @@ def test_sgns_train_and_evaluate_report_plan(spark):
         # all three legs are parquet scans of the sinks
         assert len(re.findall(r"Scan parquet", text)) == 3
         assert num_shuffles_steady(df) <= 8
+
+
+def test_main_ingest_to_training_plans(spark):
+    """The main() composition's plan contracts (prepped r18): (1) the
+    ingest leg decodes in EXACTLY one Arrow pass (a single MapInPandas
+    over the binary shard scan) with the impute stats broadcast back
+    — no sort-merge, no cartesian; (2) the returned report plan is the
+    capstone's shape — three parquet sink scans, training lineage
+    fully decoupled, zero Python."""
+    import re
+
+    from big_data_project_spark.pipeline.graph import (
+        _patch_batch_frames, main_ingest_to_training,
+    )
+    from big_data_project_spark.plans.contracts import (
+        num_shuffles_steady, plan_str, prune_cached_subtrees,
+    )
+    from tests.conftest import checkpoint_rdd_guard
+
+    with checkpoint_rdd_guard(spark):
+        pairs, resolved = _patch_batch_frames(spark)
+        ptext = prune_cached_subtrees(plan_str(pairs, "simple"))
+        rtext = prune_cached_subtrees(plan_str(resolved, "simple"))
+        for text in (ptext, rtext):
+            # the persisted cells frame is the one decode site; pruning
+            # cached subtrees leaves no second MapInPandas anywhere
+            assert len(re.findall(r"\bMapInPandas\b", text)) <= 1
+            assert len(re.findall(r"\bCartesianProduct\b", text)) == 0
+            assert len(re.findall(r"\bSortMergeJoin\b", text)) == 0
+        # the negative resolution broadcasts the interval table
+        assert len(re.findall(r"\bBroadcastNestedLoopJoin\b", rtext)) == 1
+
+    with checkpoint_rdd_guard(spark):
+        df = main_ingest_to_training(spark, SF)
+        raw = plan_str(df, "simple")
+        assert len(raw) < 30_000, "report plan dragged the training lineage"
+        text = prune_cached_subtrees(raw)
+        assert len(re.findall(r"\bSortMergeJoin\b", text)) == 0
+        assert len(re.findall(r"\bCartesianProduct\b", text)) == 0
+        assert (
+            len(re.findall(r"\bBatchEvalPython\b|\bArrowEvalPython\b", text))
+            == 0
+        )
+        assert len(re.findall(r"Scan parquet", text)) == 3
+        assert num_shuffles_steady(df) <= 8
