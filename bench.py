@@ -461,6 +461,25 @@ def main() -> None:
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
     total = round(sum(t for n, t in timings.items() if n in HEADLINE), 3)
     demo = {n: t for n, t in timings.items() if n in DEMONSTRATORS}
+    # END-of-session jvm re-read (added r18): the container's throttle
+    # oscillates on a ~10-30 min period, SHORTER than a full session —
+    # r18 session 1 read every start-calib clean yet all seventeen
+    # sub-1 s rows uniformly 1.2-2.1× (a mid-session throttle close
+    # stretching fixed per-job overhead), which was undetectable from
+    # the recorded file.  Re-reading the same workload after the last
+    # row makes that state self-evident: end ≫ start = the window
+    # closed mid-session and short rows are suspect even with
+    # calib_flag [].  No _CALIB_BANDS entry (ratio-only evidence, the
+    # calib_stages_sec precedent) — an unknown axis goes unflagged.
+    calib_end = None
+    for i in range(3):
+        t0 = time.perf_counter()
+        spark.range(200_000_000).selectExpr(
+            "sum(cast(id as double) * cast(id as double))"
+        ).collect()
+        dt = time.perf_counter() - t0
+        if i > 0:
+            calib_end = dt if calib_end is None else min(calib_end, dt)
     # One readings mapping feeds BOTH the emitted calib_* fields and
     # calib_flag, and the flag compares the same round(v, 3) values that
     # land in the JSON — so the discard decision is reproducible from the
@@ -475,6 +494,9 @@ def main() -> None:
         ),
         "calib_stages_sec": (
             round(calib_stages, 3) if calib_stages is not None else None
+        ),
+        "calib_jvm_end_sec": (
+            round(calib_end, 3) if calib_end is not None else None
         ),
     }
     print(json.dumps({

@@ -250,15 +250,30 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
         @functools.wraps(fn)
         def entry_point(spark: SparkSession, sf_dir: str, *args, **kwargs):
+            # py4j JavaSet iteration costs ~50 ms per call EVEN WHEN EMPTY
+            # (iterator roundtrips) while Map.size() is <1 ms — the r18
+            # bench caught the unguarded 3-iteration version inflating
+            # every sub-second row by ~0.1 s.  Iterate only when size()
+            # says there is something to look at; the common case (no
+            # persistent RDDs anywhere) pays two size() probes.
             before: set[int] | None = None
             try:
                 spark.catalog.clearCache()
                 jrdds = spark.sparkContext._jsc.getPersistentRDDs()
-                for rid in list(jrdds.keySet()):
-                    if int(rid) in _SWEEP_PENDING:
-                        jrdds.get(rid).unpersist()
+                if jrdds.size() > 0:
+                    if _SWEEP_PENDING:
+                        for rid in list(jrdds.keySet()):
+                            if int(rid) in _SWEEP_PENDING:
+                                jrdds.get(rid).unpersist()
+                        jrdds = spark.sparkContext._jsc.getPersistentRDDs()
+                    before = (
+                        {int(r) for r in jrdds.keySet()}
+                        if jrdds.size() > 0
+                        else set()
+                    )
+                else:
+                    before = set()
                 _SWEEP_PENDING.clear()
-                before = _persistent_rdd_ids(spark)
             except Exception:
                 pass  # never let cleanup mask the query itself
             try:
@@ -266,9 +281,11 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
             finally:
                 if before is not None:
                     try:
-                        _SWEEP_PENDING.update(
-                            _persistent_rdd_ids(spark) - before
-                        )
+                        jr2 = spark.sparkContext._jsc.getPersistentRDDs()
+                        if jr2.size() > 0:
+                            _SWEEP_PENDING.update(
+                                {int(r) for r in jr2.keySet()} - before
+                            )
                     except Exception:
                         pass
 
