@@ -303,6 +303,19 @@ _CALIB_BANDS = {
 }
 
 
+def calib_flag(readings: dict) -> list[str]:
+    """The discard flag, computed from the SAME rounded values the JSON
+    records — factored (r18) so the decision is unit-testable and
+    recomputable from a recorded BENCH file alone.  An axis without a
+    `_CALIB_BANDS` entry (stages, the r18 end-of-session reads) goes
+    unflagged by design: bands are earned by cross-round evidence, not
+    assumed."""
+    return sorted(
+        k for k, bound in _CALIB_BANDS.items()
+        if readings.get(k) is not None and readings[k] > bound
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -534,10 +547,7 @@ def main() -> None:
         "loadavg_15m": loadavg_15m,
         # calibration axes outside their clean-host bands (see
         # _CALIB_BANDS): non-empty = host degraded, discard the reading
-        "calib_flag": sorted(
-            k for k, bound in _CALIB_BANDS.items()
-            if readings.get(k) is not None and readings[k] > bound
-        ),
+        "calib_flag": calib_flag(readings),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
     spark.stop()
