@@ -22,8 +22,12 @@ the anti-join, …) while staying expressible on the available schema:
 - Q22 derives ``cntrycode`` from c_nationkey (no c_phone) and anti-joins
   on "no recent orders", keeping NOT-EXISTS + uncorrelated scalar avg.
 
-Q2/Q11 are partsupp-native and have no faithful adaptation; Q1's shape is
-``flagship_pricing_summary``, Q17/Q20/Q21 live in sql_surface.py.
+Q2/Q11 are partsupp-native; the fixture ships no ``partsupp``, so both run
+on a DETERMINISTIC synthetic partsupp derived in-query from part×supplier
+(``_PARTSUPP_CTE`` below — exact-integer cents, SF-scaling via the live
+supplier count, identical text on both engines). Prepped un-registered at
+the bottom of this module; Q1's shape is ``flagship_pricing_summary``,
+Q17/Q20/Q21 live in sql_surface.py.
 
 Identical ANSI text runs on Spark and the DuckDB oracle (parity rules of
 registry.py: round+1e-9 on float aggs, BIGINT casts on counts, total order
@@ -505,3 +509,141 @@ _register(
     single partial→final hash agg, shipdate predicate pushed to the
     parquet footer.""",
 )
+
+
+# --- Q2/Q11: the partsupp pair, on a deterministic synthetic partsupp -------
+#
+# The fixtures ship no partsupp (the one VERDICT-acknowledged relational
+# non-gap).  Both classic shapes are closed by DERIVING partsupp inside the
+# query from the tables that do ship, with the classic generator's structure:
+# each part gets exactly 4 suppliers, spread cyclically over the live
+# supplier count S (so the table SF-scales with the fixtures: 4×|part| rows
+# against S=10/100/1000 at sf0.001/0.01/0.1), and cost/qty are exact-integer
+# formulas of the key pair — no floats until the final single division, so
+# the driver value-hash is bit-exact with zero rounding tricks.
+#
+# Distinctness of the 4 suppliers per part: stride = FLOOR(S/4)+1, offsets
+# i*stride for i in 0..3 satisfy 0 < i*stride < S for every S >= 10, so the
+# four residues (p + i*stride) % S never collide (pinned in
+# test_harness.py::test_partsupp_cte_distinct_suppliers).
+_PARTSUPP_CTE = """
+scnt AS (SELECT count(*) AS n FROM supplier),
+partsupp AS (
+  SELECT keys.ps_partkey,
+         keys.ps_suppkey,
+         (keys.ps_partkey * 7 + keys.ps_suppkey * 11) % 9999 + 1 AS ps_availqty,
+         (keys.ps_partkey * 31 + keys.ps_suppkey * 17) % 99900 + 100 AS ps_supplycost_cents
+  FROM (
+    SELECT p.p_partkey AS ps_partkey,
+           (p.p_partkey + i.i * (CAST(FLOOR(s.n / 4) AS BIGINT) + 1)) % s.n AS ps_suppkey
+    FROM part p
+    CROSS JOIN (VALUES (0), (1), (2), (3)) AS i(i)
+    CROSS JOIN scnt s
+  ) AS keys
+)"""
+
+Q2_TEXT = f"""WITH{_PARTSUPP_CTE}
+SELECT s.s_acctbal,
+       s.s_name,
+       n.n_name,
+       p.p_partkey,
+       p.p_brand,
+       ps.ps_supplycost_cents / 100.0 AS ps_supplycost
+FROM partsupp ps
+JOIN part p ON p.p_partkey = ps.ps_partkey
+JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE p.p_size BETWEEN 10 AND 22
+  AND p.p_type LIKE '%ARD'
+  AND r.r_name = 'EUROPE'
+  AND ps.ps_supplycost_cents = (
+      SELECT min(ps2.ps_supplycost_cents)
+      FROM partsupp ps2
+      JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+      JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+      JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+      WHERE ps2.ps_partkey = p.p_partkey
+        AND r2.r_name = 'EUROPE')
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def sql_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2: minimum-cost supplier per qualifying part (p_brand stands
+    in for the fixture-absent p_mfgr; size-band + suffix-LIKE keep the
+    selective part filter; the suffix wildcard is deliberately
+    non-sargable).  The correlated min-cost scalar subquery is THE Q2
+    plan-shape challenge: both engines must decorrelate it into an
+    aggregate + equi-join on ps_partkey rather than re-running the
+    region-filtered chain per part (Spark's executedPlan shows 0
+    CartesianProduct; the only BroadcastNestedLoop inputs are the one-row
+    supplier count and the 4-row VALUES stride table — constant-size
+    broadcast sides, pinned in test_plans.py).  ORDER BY carries a unique
+    tie-break (s_name is per-supplier unique, then p_partkey), so LIMIT
+    100 — which binds at sf0.1 (driver rows 4/36/100 at the three tiers)
+    — is deterministic.
+
+    Scale design: partsupp is generated, never materialized — 4×|part|
+    rows whose only wide exchange is the ps_partkey agg+join of the
+    decorrelation; dims broadcast.  At 100 TB the same text runs with
+    partsupp as a real table and the plan is unchanged minus the
+    generator.
+
+    Prepped r18, un-registered (the r18 window is spent on the sanctioned
+    capstones + rotation; an unsanctioned slot would displace a rotation
+    row).  Registration is one line, queued behind the r19 main()
+    registration: ``query("sql_q2_min_cost_supplier",
+    oracle=Q2_TEXT)(sql_q2_min_cost_supplier)``.
+    """
+    return _sql(spark, sf_dir, Q2_TEXT)
+
+
+Q11_TEXT = f"""WITH{_PARTSUPP_CTE},
+nation_ps AS (
+  SELECT ps.ps_partkey,
+         ps.ps_supplycost_cents * ps.ps_availqty AS v_cents
+  FROM partsupp ps
+  JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  WHERE n.n_name = 'NATION_18'
+),
+grouped AS (
+  SELECT ps_partkey, CAST(sum(v_cents) AS BIGINT) AS part_cents
+  FROM nation_ps
+  GROUP BY ps_partkey
+),
+tot AS (
+  SELECT CAST(sum(part_cents) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS g
+  FROM grouped
+)
+SELECT gr.ps_partkey,
+       gr.part_cents / 100.0 AS value
+FROM grouped gr CROSS JOIN tot
+WHERE gr.part_cents * tot.g * 10 > 13 * tot.t
+ORDER BY value DESC, ps_partkey
+"""
+
+
+def sql_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11: parts whose one-nation stock value exceeds a global
+    threshold (NATION_18 has suppliers at every fixture tier).  The
+    classic fixed 0.0001 fraction is meaningless against SF-scaling
+    group counts, so the threshold is adapted to "> 1.3 x the average
+    per-part value" — SF-stable selectivity (driver rows 28/131/914 at
+    the three tiers) — and compared in EXACT integer cents
+    (part_cents * g * 10 > 13 * t; |sum| < 2^60 through sf100), so no
+    float threshold can flip a boundary row between engines.  The
+    HAVING-over-global-aggregate shape survives: the grouped CTE is
+    referenced by both the output and the (t, g) threshold (the classic
+    Q11 double reference), and AQE collapses the duplicated ps_partkey
+    agg exchange via ReusedExchange so the fact-side aggregation
+    executes once, with (t, g) broadcast back as one row — both pinned
+    in test_plans.py.
+
+    Prepped r18, un-registered; registration is one line, queued with
+    Q2: ``query("sql_q11_important_stock",
+    oracle=Q11_TEXT)(sql_q11_important_stock)``.
+    """
+    return _sql(spark, sf_dir, Q11_TEXT)

@@ -89,3 +89,49 @@ def test_bench_calib_bands_match_emitted_keys():
     assert calib_dicts, "calib_flag's value dict not found in bench.py"
     for keys in calib_dicts:
         assert bands <= keys, (bands, keys)
+
+
+def test_partsupp_cte_distinct_suppliers():
+    """The synthetic-partsupp stride (sql_tpch._PARTSUPP_CTE): 4 suppliers
+    per part must be distinct for EVERY plausible supplier count S >= 10
+    (10/100/1000 at the shipped tiers) — 0 < i*stride < S for i in 1..3
+    guarantees the residues never collide.  Also execute the actual CTE
+    text in DuckDB at sf0.001 and assert zero duplicate key pairs, so a
+    formula edit can't drift from this pure-python mirror."""
+    import duckdb
+
+    from big_data_project_spark.operators.sql_tpch import _PARTSUPP_CTE
+
+    for s_count in (10, 13, 37, 100, 101, 999, 1000, 10_000):
+        stride = s_count // 4 + 1
+        for p in (0, 1, s_count - 1, 7 * s_count + 3):
+            residues = {(p + i * stride) % s_count for i in range(4)}
+            assert len(residues) == 4, (s_count, p, residues)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW part AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/part.parquet')"
+    )
+    con.execute(
+        "CREATE VIEW supplier AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/supplier.parquet')"
+    )
+    dup = con.execute(
+        "WITH" + _PARTSUPP_CTE + """
+        SELECT ps_partkey, ps_suppkey, count(*) AS c
+        FROM partsupp GROUP BY 1, 2 HAVING count(*) > 1"""
+    ).fetchall()
+    assert dup == []
+    n_parts, n_ps, costs = con.execute(
+        "WITH" + _PARTSUPP_CTE + """
+        SELECT (SELECT count(*) FROM part),
+               (SELECT count(*) FROM partsupp),
+               (SELECT count(*) FROM partsupp
+                WHERE ps_supplycost_cents < 100
+                   OR ps_supplycost_cents > 99999
+                   OR ps_availqty < 1 OR ps_availqty > 9999)"""
+    ).fetchone()
+    assert n_ps == 4 * n_parts
+    assert costs == 0
+    con.close()

@@ -2154,3 +2154,50 @@ def test_main_ingest_to_training_plans(spark):
         )
         assert len(re.findall(r"Scan parquet", text)) == 3
         assert num_shuffles_steady(df) <= 8
+
+
+def test_q2_q11_partsupp_prep_plans(spark):
+    """The synthetic-partsupp pair (prepped r18, un-registered).  Q2: the
+    correlated min-cost subquery must decorrelate — zero cartesian
+    products, and every nested-loop join in the plan can only be one of
+    the constant-size generator sides (the 1-row supplier count / 4-row
+    VALUES stride); the ORDER BY + LIMIT 100 must execute as
+    TakeOrderedAndProject, never a materialized global sort.  Q11: the
+    per-part agg is partial→final, the global (t, g) threshold joins
+    back as a one-row broadcast — the fact chain is never scanned per
+    group."""
+    import re
+
+    from big_data_project_spark.operators.sql_tpch import (
+        sql_q2_min_cost_supplier,
+        sql_q11_important_stock,
+    )
+    from big_data_project_spark.plans.contracts import plan_str
+
+    q2 = sql_q2_min_cost_supplier(spark, SF)
+    t2 = plan_str(q2, "simple")
+    assert count_ops(q2, "CartesianProduct") == 0
+    assert "TakeOrderedAndProject" in t2, t2[:2000]
+    # the decorrelated min-cost match is an equi-join, so SOME hash or
+    # sort-merge join on ps_partkey must exist
+    assert count_ops(q2, "SortMergeJoin") + count_ops(q2, "BroadcastHashJoin") >= 1
+    # nested-loop joins exist ONLY as the generator's Cross joins (the
+    # 1-row supplier count / 4-row VALUES stride are the only cross-join
+    # inputs in the text).  A BNLJ typed Inner/LeftOuter would mean the
+    # decorrelated min-cost match itself degraded to a nested loop.
+    for line in t2.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "Cross" in line, line
+
+    q11 = sql_q11_important_stock(spark, SF)
+    assert count_ops(q11, "CartesianProduct") == 0
+    assert has_partial_agg(q11)
+    # static plan: the grouped CTE appears under BOTH its consumers (the
+    # classic Q11 double reference) — 2× scnt agg + 2× ps_partkey agg +
+    # tot agg + final sort = 6 shuffle exchanges, no more
+    assert num_shuffles(q11) <= 6, num_shuffles(q11)
+    # runtime contract: AQE must collapse the duplicated ps_partkey agg
+    # exchange via reuse, so the fact-side aggregation executes ONCE
+    q11.collect()
+    executed = q11._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed
