@@ -100,31 +100,35 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
             "shingle_hashes"
         ),
     )
-    a_consts = F.array(*[F.lit(a) for a in _AS])
-    b_consts = F.array(*[F.lit(b) for b in _BS])
-    init = F.array(*[F.lit(_M) for _ in range(_N_HASHES)]).cast("array<bigint>")
-    sig = F.aggregate(
-        F.col("shingle_hashes"),
-        init,
-        lambda acc, h: F.zip_with(
-            acc,
-            F.zip_with(a_consts, b_consts, lambda a, b: (a * h + b) % F.lit(_M)),
-            lambda cur, cand: F.least(cur, cand),
-        ),
+    # ONE F.expr string instead of building the 64-wide constant arrays
+    # and nested lambdas Column-by-Column: the Column form cost ~1500 py4j
+    # round-trips (~0.2 s of the measured 0.74 s x7 plan-build wall) per
+    # invocation; the string parses JVM-side in one call into the SAME
+    # logical plan (same functions, same literals, same `%` remainder on
+    # the same bigint promotion), so results are bit-identical.
+    sig = F.expr(
+        "aggregate(shingle_hashes, "
+        f"cast(array({', '.join(str(_M) for _ in range(_N_HASHES))}) as array<bigint>), "
+        "(acc, h) -> zip_with(acc, "
+        f"zip_with(array({', '.join(map(str, _AS))}), array({', '.join(map(str, _BS))}), "
+        f"(a, b) -> (a * h + b) % {_M}), "
+        "(cur, cand) -> least(cur, cand)))"
     )
     return hashed.select("doc_id", sig.alias("sig"))
 
 
 def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
     """Band the signature, bucket-join within (band_id, band_hash)."""
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("band_id"),
-                F.xxhash64(F.slice(F.col("sig"), j * _ROWS + 1, _ROWS)).alias("band_hash"),
-            )
+    # one F.expr for the 16-struct band array (same plan as the Column
+    # form, ~350 fewer py4j round-trips per build — see minhash_signatures)
+    bands = F.expr(
+        "array("
+        + ", ".join(
+            f"named_struct('band_id', {j}, "
+            f"'band_hash', xxhash64(slice(sig, {j * _ROWS + 1}, {_ROWS})))"
             for j in range(_BANDS)
-        ]
+        )
+        + ")"
     )
     # persist: both sides of the bucket self-join read this frame — without
     # it the (Python-stage) signature computation runs twice

@@ -91,13 +91,30 @@ def _graph_frames(spark: SparkSession, sf_dir: str, factor: int = 1):
             )
         ]
     )
-    edges = pairs.select(F.explode(both).alias("e")).select("e.src", "e.dst").persist()
+    # Pre-partition the cached edge frame on src (and sort within
+    # partitions below): every iteration joins on src, so the persisted
+    # layout already satisfies the join's distribution+ordering
+    # requirement — the per-iteration |E| exchange (or, at small scale,
+    # AQE's per-iteration broadcast rebuild of the edge table) disappears
+    # and each power iteration pays only the one fundamental shuffle, the
+    # (dst, double) contribution aggregate.  At 100 TB this is the
+    # co-partitioned Pregel layout: the rank frame exits each iteration
+    # hash-partitioned by dst (= next join key), so neither side of the
+    # join moves.
+    spread = spark.sparkContext.defaultParallelism
+    edges = (
+        pairs.select(F.explode(both).alias("e"))
+        .select("e.src", "e.dst")
+        .repartition(spread, "src")
+        .persist()
+    )
+    # groupBy(src) over the src-partitioned cache needs no exchange
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).persist()
     # outdeg is loop-invariant: fold it into the edge frame ONCE so each
     # iteration pays a single join, not an edges⨝ranks⨝deg pair.  All
     # three caches populate lazily inside the terminal action (no eager
     # count — plan-only callers pay nothing).
-    edges_deg = edges.join(deg, "src").persist()
+    edges_deg = edges.join(deg, "src").sortWithinPartitions("src").persist()
     n = deg.agg(F.count(F.lit(1)).alias("n"))
     return edges_deg, deg, n
 
