@@ -634,13 +634,24 @@ def lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation partial-aggregates map-side.  Label universe = node ids,
     so state never grows.  Composing callers own cache cleanup (the
     registry entry point clearCache()s on entry)."""
-    # Plain persist, NO pre-repartition on the join key: under AQE a
-    # cached frame reports UnknownPartitioning to its consumers, so a
-    # repartition("v").persist() still gets an exchange on every round's
-    # join and just pays one extra exchange in the cache build (verified
-    # on the physical plan).  The per-round label exchange is inherent —
-    # the same trade x51's power iteration makes.
-    edges = _copurchase_weighted_edges(spark, sf_dir).persist()
+    # Persist the edge frame PRE-PARTITIONED (and pre-sorted) on the
+    # round-join key v: on Spark 4.1 an InMemoryTableScan exposes the
+    # cached plan's hash partitioning AND sort order to consumers
+    # (re-verified r18 on the executed plan — the r09 note that cached
+    # frames report UnknownPartitioning under AQE no longer holds), so a
+    # cluster-scale sort-merge round join reads the cache with no
+    # exchange and no sort on the |E| side; each round's labels arrive
+    # already hash-partitioned on node from their own vote aggregate.
+    # The per-round label exchange is inherent — the same trade x51's
+    # power iteration makes.  (At sf0.1 AQE broadcasts the edge side
+    # regardless, so this is layout insurance for the scale plan.)
+    spread = spark.sparkContext.defaultParallelism
+    edges = (
+        _copurchase_weighted_edges(spark, sf_dir)
+        .repartition(spread, "v")
+        .sortWithinPartitions("v")
+        .persist()
+    )
     labels = (
         edges.select(F.col("u").alias("node"))
         .distinct()
@@ -674,7 +685,13 @@ def lpa_labels_deep(
     PageRank).  Returns the (node, lbl) frame after ``rounds`` steps.
     Same cache contract as lpa_communities: composing callers own
     cleanup."""
-    edges = _copurchase_weighted_edges(spark, sf_dir).persist()
+    # same co-partitioned cached layout as lpa_communities (join key v)
+    edges = (
+        _copurchase_weighted_edges(spark, sf_dir)
+        .repartition(spark.sparkContext.defaultParallelism, "v")
+        .sortWithinPartitions("v")
+        .persist()
+    )
     labels = (
         edges.select(F.col("u").alias("node"))
         .distinct()
@@ -838,12 +855,21 @@ def x67_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     teleport frame; the registry entry point clearCache()s on entry,
     composing callers own cleanup."""
     d = _PPR_DAMP
-    edges = _copurchase_weighted_edges(spark, sf_dir, keep_weight=True).persist()
+    # Pre-partition the cached edge frame on the round-join key u (and
+    # sort the folded frame below): the x51 co-partitioned layout — the
+    # cluster-scale round join then reads the cache exchange- and
+    # sort-free, and wdeg's groupBy(u) needs no exchange either.
+    spread = spark.sparkContext.defaultParallelism
+    edges = (
+        _copurchase_weighted_edges(spark, sf_dir, keep_weight=True)
+        .repartition(spread, "u")
+        .persist()
+    )
     # wout is loop-invariant: persist (|V|-bounded) and fold into the edge
     # frame once, so each iteration pays a single join (the x51 shape and
     # the r08 deg-persist lesson in triangles_of_edges).
     wdeg = edges.groupBy("u").agg(F.sum("w").alias("wout")).persist()
-    edges_w = edges.join(wdeg, "u").persist()
+    edges_w = edges.join(wdeg, "u").sortWithinPartitions("u").persist()
     part = (
         load_table(spark, sf_dir, "part")
         .filter(F.col("p_brand") == _PPR_SEED_BRAND)

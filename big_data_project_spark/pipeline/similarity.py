@@ -2513,25 +2513,29 @@ def _nnd_round_frames(
     ).persist()
     n_rows, _ = _embedding_stats(sf_dir, load_table(spark, sf_dir, "embeddings"))
     n_blocks = _nnd_n_blocks(n_rows)
-    seeds = None
-    for j in range(_NND_SEEDS):
-        blk = (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit(f"{j}:"), F.col("vec_id").cast("string"))),
-                    1, 15,
-                ),
-                16, 10,
-            ).cast("bigint") % n_blocks
-        )
-        b = e.select("vec_id", blk.alias("blk"))
-        part = (
-            b.select(F.col("vec_id").alias("a"), "blk")
-            .join(b.select(F.col("vec_id").alias("b"), "blk"), "blk")
-            .filter(F.col("a") != F.col("b"))
-            .select("a", "b")
-        )
-        seeds = part if seeds is None else seeds.unionByName(part)
+    # All _NND_SEEDS block assignments in ONE exploded frame, self-joined
+    # once on the composite (seed, block) key: the union of per-seed pairs
+    # is exactly the same pair set the former per-j loop produced (a pair
+    # meets only within its own seed's blocks), but the plan carries ONE
+    # band-key join instead of three independent self-join subtrees —
+    # one shuffle of (vec_id, j, blk) instead of three at scale, and a
+    # third of the seed-phase stages/jobs here (the x7 single-explode
+    # banding argument applied to the seed graph).
+    blk_structs = ", ".join(
+        f"named_struct('j', {j}, 'blk', "
+        f"cast(conv(substring(md5(concat('{j}:', cast(vec_id as string))), 1, 15), 16, 10)"
+        f" as bigint) % {n_blocks})"
+        for j in range(_NND_SEEDS)
+    )
+    b = e.select(
+        "vec_id", F.explode(F.expr(f"array({blk_structs})")).alias("s")
+    ).select("vec_id", "s.j", "s.blk")
+    seeds = (
+        b.select(F.col("vec_id").alias("a"), "j", "blk")
+        .join(b.select(F.col("vec_id").alias("b"), "j", "blk"), ["j", "blk"])
+        .filter(F.col("a") != F.col("b"))
+        .select("a", "b")
+    )
     knn = _nnd_topk(seeds.distinct(), e).localCheckpoint()
     rounds = [knn]
     for _ in range(_NND_ROUNDS):

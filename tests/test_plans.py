@@ -1128,7 +1128,10 @@ def test_lpa_communities_plan_contract(spark):
     Window nodes), no Python, no cartesian, and a bounded exchange count
     — the weighted-edge build is ONE self-join pyramid (the explode
     symmetrization; a self-union doubles it) so the whole plan stays
-    under 24 exchanges where the union form measured 34."""
+    under 26 exchanges where the union form measured 34.  The r18 budget
+    is 26, not 24: the cached edge frame is now pre-partitioned on the
+    round-join key v (+2 one-time cache-build exchanges), which buys
+    every round's |E|-side join exchange- and sort-free at scale."""
     from big_data_project_spark.pipeline.graph import lpa_communities
     from big_data_project_spark.plans.contracts import plan_str
 
@@ -1139,7 +1142,7 @@ def test_lpa_communities_plan_contract(spark):
         assert count_ops(df, "BatchEvalPython") + count_ops(df, "ArrowEvalPython") == 0
         assert count_ops(df, "Window") == 0
         assert text.count("InMemoryTableScan") == 4
-        assert num_shuffles(df) <= 24, num_shuffles(df)
+        assert num_shuffles(df) <= 26, num_shuffles(df)
         assert "TakeOrderedAndProject" in text
     finally:
         spark.catalog.clearCache()
