@@ -39,10 +39,15 @@ def _spread(df: DataFrame, key: str = "doc_id") -> DataFrame:
     """Spread a small-file scan across the cluster before a compute-bound
     stage. A single small parquet file arrives as ONE partition, which
     would serialize hashing/shingling on one core; only the raw rows move,
-    once. On a real multi-file 100 TB corpus the scan already yields
-    thousands of partitions (and AQE coalesces), making this a no-op-ish
-    key repartition."""
+    once.  r18: the repartition is now GUARDED — when the input already
+    carries at least cluster-width partitions (a real multi-file 100 TB
+    corpus yields thousands of scan splits) it returns the frame
+    untouched, so at scale no corpus-payload exchange is added at all
+    (guide §2.3: shuffle fewer bytes); the exchange only exists where it
+    buys parallelism.  The partition probe is plan-side (no job)."""
     n_parts = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n_parts:
+        return df
     return df.repartition(n_parts, key)
 
 

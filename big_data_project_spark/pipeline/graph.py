@@ -1019,7 +1019,17 @@ def khop_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialization does.  Fixed round count, so no driver-side
     fixpoint collect at all.  Cache contract: the registry entry point
     clearCache()s on entry; composing callers own cleanup."""
-    edges = _copurchase_weighted_edges(spark, sf_dir).persist()
+    # Cached edge frame pre-partitioned (and pre-sorted) on the
+    # round-join key u — the x51/x65/x67 layout: every round's |E|-side
+    # frontier join reads the cache exchange- and sort-free at cluster
+    # scale, and the seed derivation's distinct-on-u needs no exchange
+    # either (plans/r18/cached_partitioning_probe.txt).
+    edges = (
+        _copurchase_weighted_edges(spark, sf_dir)
+        .repartition(spark.sparkContext.defaultParallelism, "u")
+        .sortWithinPartitions("u")
+        .persist()
+    )
     brand_parts = (
         load_table(spark, sf_dir, "part")
         .filter(F.col("p_brand") == _PPR_SEED_BRAND)
@@ -1317,7 +1327,17 @@ def kcore_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     kcore_peel); the census union reads each removed delta once.
     Cache contract: the registry entry point clearCache()s on entry;
     composing callers own cleanup."""
-    edges = _copurchase_weighted_edges(spark, sf_dir).persist()
+    # Cached edge frame pre-partitioned (and pre-sorted) on u — the
+    # x51/x65/x67/x68 layout: each sweep's u-side semi-join and the
+    # degree groupBy(u) read the cache exchange-free at cluster scale
+    # (the v-side semi-join's exchange is inherent; see
+    # plans/r18/cached_partitioning_probe.txt for the mechanism).
+    edges = (
+        _copurchase_weighted_edges(spark, sf_dir)
+        .repartition(spark.sparkContext.defaultParallelism, "u")
+        .sortWithinPartitions("u")
+        .persist()
+    )
     kk = (
         edges.agg(
             F.count(F.lit(1)).alias("m"),

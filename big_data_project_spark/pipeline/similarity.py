@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from big_data_project_spark.io import load_table
+from big_data_project_spark.pipeline.dedup import _spread
 from big_data_project_spark.registry import query
 
 # The shared X8-family fixture query set: the first N corpus vectors.
@@ -92,12 +93,11 @@ def x8_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread the corpus stream before the fold: a single small parquet file
     # arrives as ONE partition, which would serialize the 64-dim zip_with
     # fold (the whole cost of this query) on one core.  Only the corpus
-    # rows move, once, BEFORE the 10× cross-join fan-out; on a real
-    # multi-file corpus the scan is already parallel and this is a
-    # no-op-ish key repartition (the dedup._spread argument).
-    n = e.repartition(
-        spark.sparkContext.defaultParallelism, "vec_id"
-    ).select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("vb"))
+    # rows move, once, BEFORE the 10× cross-join fan-out; the guarded
+    # dedup._spread form is a true no-op on an already-parallel scan.
+    n = _spread(e, "vec_id").select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("vb")
+    )
     scored = (
         with_cosine(F.broadcast(q).crossJoin(n))
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -2173,15 +2173,15 @@ def replicated_topk(spark: SparkSession, sf_dir: str, factor: int = 4) -> DataFr
     # spread the replicated corpus before the fold (the x8_similarity_topk
     # argument): the single-file scan arrives as ONE partition and the ×4
     # explosion inherits it, serializing the whole scoring fold on one
-    # core; the repartition moves each corpus row once, before the 10×
-    # query fan-out multiplies it.
-    corpus = (
-        e.crossJoin(F.broadcast(reps))
-        .select(
+    # core; the guarded _spread moves each corpus row once, before the
+    # 10× query fan-out multiplies it, and is a no-op on an
+    # already-parallel scan.
+    corpus = _spread(
+        e.crossJoin(F.broadcast(reps)).select(
             (F.col("vec_id") * factor + F.col("r")).alias("neighbor_id"),
             F.col("embedding").alias("vb"),
-        )
-        .repartition(spark.sparkContext.defaultParallelism, "neighbor_id")
+        ),
+        "neighbor_id",
     )
     q = e.filter(F.col("vec_id") < _X8_N_QUERIES).select(
         (F.col("vec_id") * factor).alias("query_id"), F.col("embedding").alias("va")

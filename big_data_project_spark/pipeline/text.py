@@ -1047,7 +1047,16 @@ def _bm25_doc_scores(d: DataFrame) -> DataFrame:
     lands BEFORE the (doc_id, term) shuffle, so the tf exchange carries
     only postings for the |Q| query terms — at 100 TB that is |Q| × df
     rows of (id, term, count), never the corpus vocabulary; df (|Q|
-    rows) and the global (N, avgdl) scalars ride as broadcasts."""
+    rows) and the global (N, avgdl) scalars ride as broadcasts.
+
+    r18: the input is routed through the guarded dedup._spread first —
+    the single-row-group fixture scan arrives as ONE partition, which
+    serialized BOTH tokenization passes (the dl length scan and the tf
+    explode) on one core; on an already-parallel 100 TB scan the guard
+    makes it a pure no-op (no corpus-payload exchange added)."""
+    from big_data_project_spark.pipeline.dedup import _spread
+
+    d = _spread(d)
     nonempty = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
     lens = d.select("doc_id", F.size(nonempty).alias("dl"))
     stats = lens.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
