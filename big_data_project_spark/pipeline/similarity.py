@@ -1847,17 +1847,16 @@ def x61_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale design: the corpus is touched exactly twice — once by x59's
     per-partition Arrow Gram kernel (ONE d(d+1)/2-cell exchange), once
     by the final projection map (1-row direction broadcast + zip_with
-    fold, no shuffle).  The symmetric cell frame is localCheckpoint-ed
-    ONCE (the x43 lineage-cut cadence — d² tiny rows, one eager job) so
-    the iteration's plan references an in-memory leaf instead of
-    re-deriving the Gram per step; each step is then a broadcast-hash
-    matvec join plus a d-row partial-aggregated group-sum, and the lazy
-    chain is LINEAR in steps (norm via a global window, not a second
-    branch).  At 100 TB the data pass is the two corpus scans; the
-    iteration cost is d-bounded."""
-    gsym = _checkpointed_gsym(spark, sf_dir)
-    v = _power_direction(gsym)
-    direction = _as_dense_vector(v, "pc")
+    fold, no shuffle).  The symmetric Gram is folded into ONE dense row
+    (_dense_gsym, localCheckpoint-ed — the x43 lineage-cut cadence) and
+    the whole d-bounded iteration runs as array expressions on that
+    single row: zero joins, zero exchanges, one task (r18 — the d²-ROW
+    formulation paid a broadcast build + two d-row exchanges per step,
+    ~30 AQE stage-jobs of pure overhead; see _dense_gsym).  At 100 TB
+    the data pass is the two corpus scans; the iteration cost is
+    d-bounded and corpus-independent in both forms."""
+    g1 = _dense_gsym(spark, sf_dir)
+    direction = _power_direction(g1).select(F.col("x").alias("pc"))
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -1866,9 +1865,22 @@ def x61_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _checkpointed_gsym(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Symmetrized mean-scaled Gram cell frame, localCheckpoint-ed ONCE
-    so the downstream iteration references an in-memory d²-row leaf.
+def _dense_gsym(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetrized mean-scaled Gram matrix as ONE dense row — columns
+    ``d`` (dimension) and ``G`` (row-major ``array<array<double>>``) —
+    localCheckpoint-ed ONCE so the downstream iteration references an
+    in-memory 1-row leaf.
+
+    r18 (guide §5): everything between the two corpus scans of x61/x62
+    is d-bounded, so representing it as a d²-ROW distributed frame paid
+    per-step broadcast builds, d-row shuffles and window exchanges —
+    measured 36 AQE stage-jobs of almost-nothing for x62 (wall 2.93 s,
+    sum(executorRunTime) 0.57 s).  The dense 1-row form runs the whole
+    iteration as array expressions in a single task — zero joins, zero
+    exchanges — and is bit-identical: the Arrow kernel always emits the
+    COMPLETE upper triangle (np.triu_indices), so after mirroring all d²
+    cells exist and ``array_sort`` over the unique (i, j) keys is exactly
+    the row-major layout.
 
     Checkpoint-lifetime note (ADVICE r07): spark.catalog.clearCache()
     does NOT free localCheckpoint RDD blocks, so repeated invocations in
@@ -1890,54 +1902,71 @@ def _checkpointed_gsym(spark: SparkSession, sf_dir: str) -> DataFrame:
     both = F.when(F.col("i") == F.col("j"), F.array(cell)).otherwise(
         F.array(cell, mirror)
     )
+    cells = gram.select(F.explode(both).alias("c")).select("c.i", "c.j", "c.g")
+    return _dense_from_cells(cells).localCheckpoint(eager=False)
+
+
+def _dense_from_cells(cells: DataFrame) -> DataFrame:
+    """Fold a COMPLETE d²-cell (i, j, g) frame (every pair present
+    exactly once, i/j = 0..d−1) into the dense 1-row (d, G) form:
+    ``array_sort`` over the unique (i, j) struct keys is exactly the
+    row-major layout.  d comes from the LAST sorted cell (i = d−1) —
+    exact integer arithmetic, derived in-plan, no driver-side collect.
+    Expressions as single SQL strings (the x7 minhash precedent): the
+    Column/lambda form cost hundreds of py4j round-trips per build."""
     return (
-        gram.select(F.explode(both).alias("c"))
-        .select("c.i", "c.j", "c.g")
-        .localCheckpoint()
+        cells.agg(F.array_sort(F.collect_list(F.struct("i", "j", "g"))).alias("c"))
+        .selectExpr("CAST(element_at(c, size(c)).i + 1 AS INT) AS d", "c")
+        .selectExpr(
+            "d",
+            "transform(sequence(0, d - 1), i -> transform(sequence(0, d - 1), "
+            "j -> element_at(c, CAST(i * d + j + 1 AS INT)).g)) AS G",
+        )
     )
 
 
-def _power_direction(gsym: DataFrame) -> DataFrame:
-    """Fixed {_PCA_ITERS}-step rounded power iteration on a symmetric
-    (i, j, g) cell frame, started from the constant 0.125 vector:
-    returns the d-row (i, x) direction frame.  Each step is a
-    broadcast-hash matvec join + d-row partial-aggregated group-sum; the
-    lazy chain is LINEAR in steps.  The norm denominator is clamped at
-    1e-4 (mirroring the oracle's greatest(.., 0.0001)) so an all-zero
-    step degrades identically on both engines instead of Spark NULL vs
-    DuckDB ±inf — ADVICE r07."""
-    v = gsym.select("i").distinct().select("i", F.lit(0.125).alias("x"))
-    # OVER () on the d-row frame: WindowExec warns about the single
-    # partition, but the frame is d-bounded by construction (even a
-    # lit(0) partition key gets constant-folded back to the warning)
-    w_all = Window.partitionBy(F.lit(0))
+def _power_direction(g1: DataFrame, out: str = "x") -> DataFrame:
+    """Fixed {_PCA_ITERS}-step rounded power iteration on a dense 1-row
+    (d, G) frame, started from the constant 0.125 vector: returns the
+    input frame with the direction appended as array column ``out``
+    (other columns pass through untouched).  Each step is three array
+    expressions — matvec fold, norm fold, normalize map — on the single
+    row, built as SQL strings (one py4j parse each; the Column/lambda
+    form cost ~0.7 s/build in py4j round-trips — the x7 precedent).
+    The ONE per-step ``localCheckpoint(eager=False)`` is a pure PLAN
+    barrier: it truncates the expression tree to a leaf (otherwise
+    Catalyst's project-collapse inlines each step's expressions into the
+    next step's lambdas, which re-evaluate per array element — an
+    exponential blow-up in steps; the single un-barriered select between
+    barriers only duplicates O(d) leaf reads) while adding NO job,
+    because a lazy checkpoint materializes inside the terminal action.  The norm
+    denominator is clamped at 1e-4 (mirroring the oracle's
+    greatest(.., 0.0001)) so an all-zero step degrades identically on
+    both engines instead of Spark NULL vs DuckDB ±inf — ADVICE r07.
+    Every per-element formula (round(Σ + 1e-9, 4) matvec, rounded norm,
+    rounded normalize) is verbatim the d²-row form's; the fold order is
+    index-ascending, absorbed by the 4-decimal quantization contract
+    exactly as the engine-vs-oracle order difference already is."""
+    keep = list(g1.columns)
+    df = g1.selectExpr(
+        *keep, f"transform(sequence(0, d - 1), i -> 0.125D) AS {out}"
+    )
     for _ in range(_PCA_ITERS):
-        y = (
-            gsym.join(
-                F.broadcast(v.withColumnRenamed("i", "vi")),
-                F.col("j") == F.col("vi"),
-            )
-            .groupBy("i")
-            .agg(F.round(F.sum(F.col("g") * F.col("x")) + F.lit(1e-9), 4).alias("y"))
+        df = df.selectExpr(
+            *keep,
+            f"transform(G, row -> round(aggregate(zip_with(row, {out}, "
+            "(g, v) -> g * v), 0.0D, (acc, t) -> acc + t) + 1e-9, 4)) AS _y",
         )
-        nrm = F.greatest(
-            F.round(
-                F.sqrt(F.sum(F.col("y") * F.col("y")).over(w_all)) + F.lit(1e-9), 4
-            ),
-            F.lit(1e-4),
+        df = df.selectExpr(
+            *keep,
+            "_y",
+            "greatest(round(sqrt(aggregate(transform(_y, t -> t * t), "
+            "0.0D, (acc, t) -> acc + t)) + 1e-9, 4), 1e-4) AS _n",
+        ).localCheckpoint(eager=False)
+        df = df.selectExpr(
+            *keep, f"transform(_y, t -> round(t / _n + 1e-9, 4)) AS {out}"
         )
-        v = y.select(
-            "i", F.round(F.col("y") / nrm + F.lit(1e-9), 4).alias("x")
-        )
-    return v
-
-
-def _as_dense_vector(v: DataFrame, name: str) -> DataFrame:
-    """Collapse a d-row (i, x) direction frame into a 1-row dense-array
-    frame (column ``name``) that rides to the projection as a broadcast."""
-    return v.agg(
-        F.array_sort(F.collect_list(F.struct("i", "x"))).alias("s")
-    ).select(F.transform("s", lambda s: s["x"]).alias(name))
+    return df.localCheckpoint(eager=False)
 
 
 def _array_dot(a, b):
@@ -1999,40 +2028,38 @@ def x62_pca_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale design: the corpus is still touched exactly TWICE — x59's
     per-partition Arrow Gram kernel (ONE d(d+1)/2-cell exchange) and the
     final two-dot projection map (1-row broadcast of both directions,
-    no shuffle).  Everything between is d-bounded: the leading
-    direction (d rows) and the deflated cell frame (d² rows) are each
-    localCheckpoint-ed once (the x43 lineage-cut cadence; freed between
-    bench rows — see _checkpointed_gsym's lifetime note), so the second
-    chain iterates on an in-memory leaf and neither the Gram kernel nor
-    chain 1 ever re-runs per step.  λ and the deflation share one
-    broadcast-join shape; at 100 TB the added cost over x61 is a few
-    d²-row local jobs — invariant to corpus size."""
-    gsym = _checkpointed_gsym(spark, sf_dir)
-    v1 = _power_direction(gsym).localCheckpoint()
-    a = F.broadcast(v1.select(F.col("i").alias("ai"), F.col("x").alias("xa")))
-    b = F.broadcast(v1.select(F.col("i").alias("bi"), F.col("x").alias("xb")))
-    rank1 = gsym.join(a, F.col("i") == F.col("ai")).join(
-        b, F.col("j") == F.col("bi")
-    )
-    lam = rank1.agg(
-        F.round(
-            F.sum(F.col("g") * F.col("xa") * F.col("xb")) + F.lit(1e-9), 4
-        ).alias("l")
-    )
-    gsym2 = (
-        rank1.crossJoin(F.broadcast(lam))
-        .select(
-            "i",
-            "j",
-            F.round(
-                F.col("g") - F.col("l") * F.col("xa") * F.col("xb") + F.lit(1e-9), 4
-            ).alias("g"),
-        )
-        .localCheckpoint()
-    )
-    v2 = _power_direction(gsym2)
-    directions = _as_dense_vector(v1, "pc1").crossJoin(
-        F.broadcast(_as_dense_vector(v2, "pc2"))
+    no shuffle).  Everything between is d-bounded and runs as array
+    expressions on the dense 1-row frame (r18 — see _dense_gsym): chain
+    1, the Rayleigh λ (flat row-major fold over the d² cells), the
+    deflation map, and chain 2 are all plan-barriered single-row
+    selects — zero joins, zero exchanges, the lazy checkpoints
+    materialize inside the terminal action (freed between bench rows —
+    see _dense_gsym's lifetime note).  At 100 TB the added cost over
+    x61 is a few single-row array maps — invariant to corpus size."""
+    g1 = _dense_gsym(spark, sf_dir)
+    r1 = _power_direction(g1)
+    # Rayleigh quotient λ = Σ_ij g_ij·v_i·v_j as ONE flat row-major fold
+    # (the d²-row form summed the same terms in partition order; the
+    # 4-decimal quantization absorbs order exactly as engine-vs-oracle
+    # already does).  Barrier before the deflation map so λ is a leaf
+    # read, not an expression re-evaluated per d² cells.
+    r1 = r1.selectExpr(
+        "d",
+        "G",
+        "x",
+        "round(aggregate(flatten(transform(G, (row, i) -> transform(row, "
+        "(g, j) -> g * element_at(x, i + 1) * element_at(x, j + 1)))), "
+        "0.0D, (acc, t) -> acc + t) + 1e-9, 4) AS _lam",
+    ).localCheckpoint(eager=False)
+    g2 = r1.selectExpr(
+        "d",
+        "transform(G, (row, i) -> transform(row, (g, j) -> round(g - _lam * "
+        "element_at(x, i + 1) * element_at(x, j + 1) + 1e-9, 4))) AS G",
+        "x AS _pc1",
+    ).localCheckpoint(eager=False)
+    r2 = _power_direction(g2)  # _pc1 passes through untouched
+    directions = r2.select(
+        F.col("_pc1").alias("pc1"), F.col("x").alias("pc2")
     )
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")

@@ -1267,7 +1267,8 @@ def test_x61_x62_pca_match_numpy_recurrence_and_eigendefinition(spark):
 
     from big_data_project_spark.io import load_table
     from big_data_project_spark.pipeline.similarity import (
-        _PCA_ITERS, _power_direction, x61_pca_project, x62_pca_top2,
+        _PCA_ITERS, _dense_from_cells, _power_direction, x61_pca_project,
+        x62_pca_top2,
     )
 
     rows = sorted(
@@ -1326,9 +1327,11 @@ def test_x61_x62_pca_match_numpy_recurrence_and_eigendefinition(spark):
         [(int(i), int(j), float(a[i, j])) for i in range(ds) for j in range(ds)],
         "i long, j long, g double",
     )
-    vd = np.zeros(ds)
-    for r in _power_direction(gsym).collect():
-        vd[r.i] = r.x
+    # the r18 dense contract: fold the cell frame into the 1-row (d, G)
+    # form, read the direction back as the array column `x`
+    vd = np.array(
+        _power_direction(_dense_from_cells(gsym)).collect()[0].x
+    )
     spark.catalog.clearCache()
     w, vecs = np.linalg.eigh(a)
     vn = vd / np.linalg.norm(vd)

@@ -975,47 +975,45 @@ def test_embedding_gram_single_cell_exchange_arrow_kernel(spark, qs):
 
 
 def test_pca_project_iteration_never_rederives_gram(spark, qs):
-    """x61: the power iteration runs on a localCheckpoint-ed d×d cell
-    frame (in-memory leaf), so the corpus appears in the plan exactly
-    once (the final projection scan) and the Gram kernel never re-runs
-    per step; every matvec is a broadcast-hash join; the direction
-    rides to the projection as a 1-row broadcast."""
+    """x61 (r18 dense form): the whole d-bounded power iteration runs as
+    array expressions on the 1-row dense Gram leaf (_dense_gsym), so the
+    live plan is exactly: one parquet scan (the final projection), ZERO
+    shuffles, zero joins of any kind except the single 1-row direction
+    broadcast, and the Gram kernel (MapInPandas) sits behind the
+    lineage cut — it must never re-run per step."""
     from big_data_project_spark.plans.contracts import num_shuffles, plan_str
 
     df = qs["x61_pca_project"](spark, SF)
     plan = plan_str(df, "simple")
     assert plan.count("Scan parquet") == 1, "corpus must be scanned once here"
     assert count_ops(df, "MapInPandas") == 0, "Gram kernel must sit behind the lineage cut"
-    assert count_ops(df, "BroadcastHashJoin") == 4  # one matvec per iteration
+    assert count_ops(df, "BroadcastHashJoin") == 0  # dense chain: no matvec joins
     assert count_ops(df, "SortMergeJoin") == 0
     assert count_ops(df, "BatchEvalPython") == 0
     assert count_ops(df, "BroadcastNestedLoopJoin") == 1  # 1-row direction only
-    # d-bounded exchanges only: 4×(matvec agg + norm window) + v0 distinct
-    assert num_shuffles(df) <= 10
-    assert has_partial_agg(df)
+    assert num_shuffles(df) == 0  # everything d-bounded is single-row now
+    assert "ExistingRDD" in plan  # the direction rides from the checkpoint leaf
 
 
 def test_pca_top2_deflation_stays_behind_lineage_cuts(spark, qs):
-    """x62: deflation adds NO corpus work — the leading direction and
-    the deflated d²-cell frame are localCheckpoint-ed, so the live plan
-    is exactly x61's shape plus the second chain: one parquet scan (the
-    final projection), the second chain's 4 broadcast-hash matvecs, and
-    the two 1-row direction broadcasts.  Chain 1, λ, and the deflation
-    joins must all sit behind the in-memory leaves."""
-    from big_data_project_spark.plans.contracts import has_partial_agg, num_shuffles, plan_str
+    """x62 (r18 dense form): deflation adds NO corpus work — chain 1,
+    the Rayleigh λ, the deflation map, and chain 2 are all single-row
+    array expressions behind plan barriers, so the live plan is exactly
+    x61's shape with ONE two-direction 1-row broadcast: one parquet
+    scan, zero shuffles, zero joins beyond the BNLJ broadcast."""
+    from big_data_project_spark.plans.contracts import num_shuffles, plan_str
 
     df = qs["x62_pca_top2"](spark, SF)
     plan = plan_str(df, "simple")
     assert plan.count("Scan parquet") == 1, "corpus must be scanned once here"
     assert count_ops(df, "MapInPandas") == 0, "Gram kernel must sit behind the lineage cut"
-    assert count_ops(df, "BroadcastHashJoin") == 4  # chain 2's matvecs only
+    assert count_ops(df, "BroadcastHashJoin") == 0  # dense chains: no matvec joins
     assert count_ops(df, "SortMergeJoin") == 0
     assert count_ops(df, "BatchEvalPython") == 0
-    # pc1×pc2 combine + the 1-row two-direction broadcast onto the corpus
-    assert count_ops(df, "BroadcastNestedLoopJoin") == 2
-    # 4×(matvec agg + norm window) + u0 distinct + the direction collects
-    assert num_shuffles(df) <= 11
-    assert has_partial_agg(df)
+    # both directions ride ONE 1-row broadcast (pc1 passes through chain 2)
+    assert count_ops(df, "BroadcastNestedLoopJoin") == 1
+    assert num_shuffles(df) == 0
+    assert "ExistingRDD" in plan
 
 
 def test_kl_drift_single_pass_both_splits(spark, qs):
