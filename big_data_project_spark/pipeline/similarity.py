@@ -2456,7 +2456,19 @@ def _nnd_topk(cand_ids: DataFrame, e: DataFrame) -> DataFrame:
     cosine is then ONE dot fold per pair instead of three (dot + both
     norms) — the folds are the interpreted inner loop, and the
     one-fold kernel measured the seed-round topk 2.7 → ~1 s at sf0.1
-    over 190k candidate pairs."""
+    over 190k candidate pairs.
+
+    r18 (guide §2.5): the candidate pairs are byte-SMALL (two ids) but
+    the dot fold behind them is the round's entire CPU, and AQE's
+    size-based coalescing collapses the upstream distinct/shuffle
+    output to one partition — the scoring stages ran 1-task (measured
+    1.5 s single-core stages at sf0.1, 31 cores idle).  Re-spreading
+    the id pairs on the WINDOW key `a` before the vector attach makes
+    the fold cluster-wide and satisfies the top-k window's required
+    distribution, so no second exchange appears; at scale it replaces
+    (not adds to) the window's own same-key shuffle."""
+    par = cand_ids.sparkSession.sparkContext.defaultParallelism
+    cand_ids = cand_ids.repartition(par, "a")
     scored = (
         cand_ids.join(e.select(F.col("vec_id").alias("a"), F.col("v").alias("va")), "a")
         .join(e.select(F.col("vec_id").alias("b"), F.col("v").alias("vb")), "b")
