@@ -54,8 +54,9 @@ def _graph_frames(spark: SparkSession, sf_dir: str, factor: int = 1):
     demonstrator's input: per-iteration join/agg work scales with
     factor·|E| while the plan, cache layout, and per-copy values stay
     identical (copy symmetry pinned in tests/test_pipeline.py).
-    Persists edges/deg/edges_deg lazily — see x51_pagerank's cache
-    contract; callers outside the registry own cleanup."""
+    Persists ONE degree-annotated edge frame lazily (deg/n derive from
+    it) — see x51_pagerank's cache contract; callers outside the
+    registry own cleanup."""
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     # Internal node ids are INTEGERS (customer 2k, supplier 2k+1): the
@@ -101,20 +102,33 @@ def _graph_frames(spark: SparkSession, sf_dir: str, factor: int = 1):
     # co-partitioned Pregel layout: the rank frame exits each iteration
     # hash-partitioned by dst (= next join key), so neither side of the
     # join moves.
+    #
+    # ONE |E|-scale cache, not two (r18, guide §5 — cache only what is
+    # reused): outdeg is loop-invariant, and a COUNT window partitioned
+    # by src over the already-src-partitioned frame computes it with no
+    # extra exchange, no sort, and no deg join — identical rows to the
+    # former edges⨝(groupBy-count) fold, since an unordered window
+    # aggregates the whole src group.  The previous form persisted a
+    # bare `edges` frame AND the folded edges_deg; building a columnar
+    # DF cache is real executor CPU (measured ~3.2 s apiece at sf0.1 —
+    # 2/3 of the query's compute was cache fills the loop never read).
+    # deg now derives from the single |E| cache (groupBy(src) over it
+    # needs no exchange); it keeps a persist of its own because it is
+    # |V|-bounded (node, outdeg) and, unpersisted, every deg/n consumer
+    # re-plans the groupBy subtree as a fresh exchange (the
+    # steady-shuffle pin catches exactly that).
     spread = spark.sparkContext.defaultParallelism
-    edges = (
+    edges_deg = (
         pairs.select(F.explode(both).alias("e"))
         .select("e.src", "e.dst")
         .repartition(spread, "src")
+        .sortWithinPartitions("src")
+        .withColumn(
+            "outdeg", F.count(F.lit(1)).over(Window.partitionBy("src"))
+        )
         .persist()
     )
-    # groupBy(src) over the src-partitioned cache needs no exchange
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).persist()
-    # outdeg is loop-invariant: fold it into the edge frame ONCE so each
-    # iteration pays a single join, not an edges⨝ranks⨝deg pair.  All
-    # three caches populate lazily inside the terminal action (no eager
-    # count — plan-only callers pay nothing).
-    edges_deg = edges.join(deg, "src").sortWithinPartitions("src").persist()
+    deg = edges_deg.groupBy("src").agg(F.max("outdeg").alias("outdeg")).persist()
     n = deg.agg(F.count(F.lit(1)).alias("n"))
     return edges_deg, deg, n
 
@@ -278,14 +292,14 @@ def x51_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     With symmetric edges every node has in- and out-degree ≥ 1: no
     dangling mass, and the contribution aggregate covers all N nodes.
 
-    Cache contract: this builder persists THREE intermediates (edges,
-    deg, edges_deg), all filled lazily inside the caller's terminal
-    action.  The registered entry point clearCache()s on entry, so
-    driver/registry runs never accumulate them; callers composing the
-    raw builder outside the registry own cleanup — run
-    ``spark.catalog.clearCache()`` (or unpersist the three frames)
-    after the terminal action, the `_train_centroids` convention
-    (pipeline/similarity.py)."""
+    Cache contract: this builder persists ONE intermediate (the
+    degree-annotated edge frame; deg/n derive from it), filled lazily
+    inside the caller's terminal action.  The registered entry point
+    clearCache()s on entry, so driver/registry runs never accumulate
+    it; callers composing the raw builder outside the registry own
+    cleanup — run ``spark.catalog.clearCache()`` (or unpersist the
+    frame) after the terminal action, the `_train_centroids`
+    convention (pipeline/similarity.py)."""
     edges_deg, deg, n = _graph_frames(spark, sf_dir)
     ranks = _seed_ranks(deg, n)
     # The rank chain is LINEAR (each generation feeds exactly one join),
@@ -850,26 +864,31 @@ def x67_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     is |S|-bounded and BROADCAST — personalization adds zero shuffle
     over global PageRank.  Seeds derive from the persisted edge frame's
     node set (one broadcast hash join against the brand-filtered part
-    dim, pushdown-pruned).  Cache contract: persists the weighted edge
-    frame, its |V|-bounded out-weight frame, and the |S|-bounded
-    teleport frame; the registry entry point clearCache()s on entry,
-    composing callers own cleanup."""
+    dim, pushdown-pruned).  Cache contract: persists the out-weight-
+    annotated edge frame and the |S|-bounded teleport frame; the
+    registry entry point clearCache()s on entry, composing callers own
+    cleanup."""
     d = _PPR_DAMP
     # Pre-partition the cached edge frame on the round-join key u (and
-    # sort the folded frame below): the x51 co-partitioned layout — the
+    # sort within partitions): the x51 co-partitioned layout — the
     # cluster-scale round join then reads the cache exchange- and
     # sort-free, and wdeg's groupBy(u) needs no exchange either.
+    # ONE |E|-scale cache, not three (r18, the _graph_frames rewrite):
+    # wout is loop-invariant, and a SUM window partitioned by u over the
+    # already-u-partitioned frame folds it in with no extra exchange and
+    # no wdeg join — identical rows (integer weights, order-free sum).
+    # wdeg derives from the cache (groupBy(u) over it needs no exchange)
+    # and its two consumers (seed node set, final join) are cache-scan
+    # cheap, so it no longer needs its own persist.
     spread = spark.sparkContext.defaultParallelism
-    edges = (
+    edges_w = (
         _copurchase_weighted_edges(spark, sf_dir, keep_weight=True)
         .repartition(spread, "u")
+        .sortWithinPartitions("u")
+        .withColumn("wout", F.sum("w").over(Window.partitionBy("u")))
         .persist()
     )
-    # wout is loop-invariant: persist (|V|-bounded) and fold into the edge
-    # frame once, so each iteration pays a single join (the x51 shape and
-    # the r08 deg-persist lesson in triangles_of_edges).
-    wdeg = edges.groupBy("u").agg(F.sum("w").alias("wout")).persist()
-    edges_w = edges.join(wdeg, "u").sortWithinPartitions("u").persist()
+    wdeg = edges_w.groupBy("u").agg(F.max("wout").alias("wout"))
     part = (
         load_table(spark, sf_dir, "part")
         .filter(F.col("p_brand") == _PPR_SEED_BRAND)
