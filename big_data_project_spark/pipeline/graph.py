@@ -878,8 +878,9 @@ def x67_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # already-u-partitioned frame folds it in with no extra exchange and
     # no wdeg join — identical rows (integer weights, order-free sum).
     # wdeg derives from the cache (groupBy(u) over it needs no exchange)
-    # and its two consumers (seed node set, final join) are cache-scan
-    # cheap, so it no longer needs its own persist.
+    # and keeps a |V|-bounded persist of its own so its two consumers
+    # (seed node set, final join) share one subtree instead of each
+    # re-aggregating the |E| cache — the x51 deg convention.
     spread = spark.sparkContext.defaultParallelism
     edges_w = (
         _copurchase_weighted_edges(spark, sf_dir, keep_weight=True)
@@ -888,7 +889,7 @@ def x67_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("wout", F.sum("w").over(Window.partitionBy("u")))
         .persist()
     )
-    wdeg = edges_w.groupBy("u").agg(F.max("wout").alias("wout"))
+    wdeg = edges_w.groupBy("u").agg(F.max("wout").alias("wout")).persist()
     part = (
         load_table(spark, sf_dir, "part")
         .filter(F.col("p_brand") == _PPR_SEED_BRAND)
