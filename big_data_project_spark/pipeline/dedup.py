@@ -39,14 +39,32 @@ def _spread(df: DataFrame, key: str = "doc_id") -> DataFrame:
     """Spread a small-file scan across the cluster before a compute-bound
     stage. A single small parquet file arrives as ONE partition, which
     would serialize hashing/shingling on one core; only the raw rows move,
-    once.  r18: the repartition is now GUARDED — when the input already
-    carries at least cluster-width partitions (a real multi-file 100 TB
-    corpus yields thousands of scan splits) it returns the frame
-    untouched, so at scale no corpus-payload exchange is added at all
-    (guide §2.3: shuffle fewer bytes); the exchange only exists where it
-    buys parallelism.  The partition probe is plan-side (no job)."""
+    once.  r18: the repartition is GUARDED — a real multi-file 100 TB
+    corpus already yields thousands of scan splits, and there the frame
+    is returned untouched, so at scale no corpus-payload exchange is added
+    at all (guide §2.3: shuffle fewer bytes); the exchange only exists
+    where it buys parallelism.
+
+    r19: the guard probes the ANALYZED plan's size statistics instead of
+    ``df.rdd.getNumPartitions()`` — the RDD probe compiled the physical
+    plan and built the RDD DAG driver-side on every call (measured 759 ms
+    cold at sf0.001 vs 37 ms for the stats read; on a deep 100 TB input
+    plan the planning cost only grows), in the very helper meant to
+    remove driver work.  Analysis is already done eagerly when the
+    DataFrame is constructed, so reading its statistics plans nothing and
+    runs no job.  Decision rule: the scan splits an input into
+    ~``maxPartitionBytes`` partitions, so ``sizeInBytes >=
+    defaultParallelism * maxPartitionBytes`` is exactly "the scan already
+    carries at least cluster-width partitions" for the splittable-parquet
+    inputs every caller feeds (tiny-file corpora where packing would beat
+    the estimate still take the repartition, which only ever costs one
+    pass of rows that were about to be rehashed anyway)."""
     n_parts = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= n_parts:
+    size = int(str(df._jdf.queryExecution().analyzed().stats().sizeInBytes()))
+    max_pb = int(
+        df.sparkSession._jsparkSession.sessionState().conf().filesMaxPartitionBytes()
+    )
+    if size >= n_parts * max_pb:
         return df
     return df.repartition(n_parts, key)
 

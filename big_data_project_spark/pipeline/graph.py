@@ -54,9 +54,11 @@ def _graph_frames(spark: SparkSession, sf_dir: str, factor: int = 1):
     demonstrator's input: per-iteration join/agg work scales with
     factor·|E| while the plan, cache layout, and per-copy values stay
     identical (copy symmetry pinned in tests/test_pipeline.py).
-    Persists ONE degree-annotated edge frame lazily (deg/n derive from
-    it) — see x51_pagerank's cache contract; callers outside the
-    registry own cleanup."""
+    Persists TWO frames lazily: the |E|-scale degree-annotated edge
+    frame and the |V|-bounded deg frame derived from it (n derives from
+    deg without its own persist) — see x51_pagerank's cache contract;
+    callers outside the registry own cleanup (unpersist BOTH frames, or
+    ``spark.catalog.clearCache()``)."""
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     # Internal node ids are INTEGERS (customer 2k, supplier 2k+1): the
@@ -117,6 +119,13 @@ def _graph_frames(spark: SparkSession, sf_dir: str, factor: int = 1):
     # |V|-bounded (node, outdeg) and, unpersisted, every deg/n consumer
     # re-plans the groupBy subtree as a fresh exchange (the
     # steady-shuffle pin catches exactly that).
+    # Trade-off vs the former groupBy+join fold: the unordered
+    # full-partition window buffers each src group inside WindowExec
+    # during the one-time cache fill, so on a power-law graph a hub's
+    # whole edge group sits in one (spillable) buffer per build — a skew
+    # cost the join fold did not have.  It is bounded (spill-backed,
+    # paid once at fill, never per iteration) and buys the fill-time
+    # |E| join away; at current tiers it is invisible.
     spread = spark.sparkContext.defaultParallelism
     edges_deg = (
         pairs.select(F.explode(both).alias("e"))
@@ -292,14 +301,15 @@ def x51_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     With symmetric edges every node has in- and out-degree ≥ 1: no
     dangling mass, and the contribution aggregate covers all N nodes.
 
-    Cache contract: this builder persists ONE intermediate (the
-    degree-annotated edge frame; deg/n derive from it), filled lazily
-    inside the caller's terminal action.  The registered entry point
-    clearCache()s on entry, so driver/registry runs never accumulate
-    it; callers composing the raw builder outside the registry own
-    cleanup — run ``spark.catalog.clearCache()`` (or unpersist the
-    frame) after the terminal action, the `_train_centroids`
-    convention (pipeline/similarity.py)."""
+    Cache contract: this builder persists ONE |E|-scale intermediate
+    (the degree-annotated edge frame) plus the |V|-bounded derived deg
+    frame, both filled lazily inside the caller's terminal action.  The
+    registered entry point clearCache()s on entry, so driver/registry
+    runs never accumulate them; callers composing the raw builder
+    outside the registry own cleanup — run
+    ``spark.catalog.clearCache()`` (or unpersist BOTH frames) after the
+    terminal action, the `_train_centroids` convention
+    (pipeline/similarity.py)."""
     edges_deg, deg, n = _graph_frames(spark, sf_dir)
     ranks = _seed_ranks(deg, n)
     # The rank chain is LINEAR (each generation feeds exactly one join),
@@ -472,7 +482,17 @@ def triangles_of_edges(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
         .agg(F.count(F.lit(1)).alias("degree"))
         .persist()
     )
-    oriented = _orient(pairs, deg).persist()
+    # r19 (guide §2.4, the x51/x67 cached-layout trick): persist the
+    # oriented frame PRE-PARTITIONED on src.  Both wedge legs join on
+    # src, so the cached hash(src) layout serves them with NO exchange
+    # on either side (SHJ co-partitioned read), and the closure probe's
+    # ClusteredDistribution([src, dst]) is satisfied by the same subset
+    # key — all three cache reads become exchange-free and only the
+    # Σ outdeg² wedge stream itself still shuffles (to the closure
+    # join's key), which is the one fundamental exchange.  No
+    # sortWithinPartitions: the probes are hash joins, order is unused.
+    par = pairs.sparkSession.sparkContext.defaultParallelism
+    oriented = _orient(pairs, deg).repartition(par, "src").persist()
     e1 = oriented.alias("e1")
     e2 = oriented.hint("shuffle_hash").alias("e2")
     e3 = oriented.hint("shuffle_hash").alias("e3")
@@ -865,9 +885,10 @@ def x67_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     over global PageRank.  Seeds derive from the persisted edge frame's
     node set (one broadcast hash join against the brand-filtered part
     dim, pushdown-pruned).  Cache contract: persists the out-weight-
-    annotated edge frame and the |S|-bounded teleport frame; the
-    registry entry point clearCache()s on entry, composing callers own
-    cleanup."""
+    annotated edge frame, the |V|-bounded derived wdeg frame, and the
+    |S|-bounded teleport frame; the registry entry point clearCache()s
+    on entry, composing callers own cleanup (unpersist all three, or
+    ``spark.catalog.clearCache()``)."""
     d = _PPR_DAMP
     # Pre-partition the cached edge frame on the round-join key u (and
     # sort within partitions): the x51 co-partitioned layout — the

@@ -2446,7 +2446,7 @@ def _nnd_n_blocks(n: int) -> int:
     return max(_NND_MIN_BLOCKS, n // _NND_BLOCK_ROWS)
 
 
-def _nnd_topk(cand_ids: DataFrame, e: DataFrame) -> DataFrame:
+def _nnd_topk(cand_ids: DataFrame, e: DataFrame, dedup: bool = False) -> DataFrame:
     """Rank candidate (a, b) id pairs by rounded cosine and keep the
     top-``_NND_K`` per a.  Vectors attach by two equi-joins on vec_id
     (never carried through the candidate set algebra); the constant
@@ -2466,9 +2466,22 @@ def _nnd_topk(cand_ids: DataFrame, e: DataFrame) -> DataFrame:
     the id pairs on the WINDOW key `a` before the vector attach makes
     the fold cluster-wide and satisfies the top-k window's required
     distribution, so no second exchange appears; at scale it replaces
-    (not adds to) the window's own same-key shuffle."""
+    (not adds to) the window's own same-key shuffle.
+
+    r19 (guide §2.4): ``dedup=True`` folds the candidate-set dedup onto
+    the SAME layout — hash(a) co-locates every copy of an (a, b) pair,
+    so the dropDuplicates aggregate runs partition-local with no
+    exchange of its own.  The former shape (caller-side ``.distinct()``
+    feeding the repartition) shuffled every round's candidate set
+    TWICE — once on (a, b) for the distinct, once on a for the spread;
+    now each NN-descent round pays exactly one candidate exchange.
+    Dedup-before-ranking is semantically REQUIRED wherever duplicates
+    can exist: a duplicated (a, b) would occupy two ranks and push the
+    true k-th neighbor out of the window."""
     par = cand_ids.sparkSession.sparkContext.defaultParallelism
     cand_ids = cand_ids.repartition(par, "a")
+    if dedup:
+        cand_ids = cand_ids.dropDuplicates(["a", "b"])
     scored = (
         cand_ids.join(e.select(F.col("vec_id").alias("a"), F.col("v").alias("va")), "a")
         .join(e.select(F.col("vec_id").alias("b"), F.col("v").alias("vb")), "b")
@@ -2492,7 +2505,13 @@ def _nnd_expand(cur: DataFrame) -> DataFrame:
     `nn_descent_knn_graph` (the `n2v_census_of_edges`/`_dw_step`
     factoring precedent, so property tests can drive it over arbitrary
     vector corpora).  Requires `cur` to be checkpointed/persisted by
-    the caller: it is read three times (both sym legs + the union)."""
+    the caller: it is read three times (both sym legs + the union).
+
+    r19: returns the candidate MULTISET (duplicates possible — a pair
+    reachable through several mids, or already a current edge); the
+    dedup moved into ``_nnd_topk(dedup=True)`` where it runs
+    exchange-free on the scoring layout instead of paying its own
+    (a, b) shuffle here (guide §2.4)."""
     sym = cur.select("a", "b").unionByName(
         cur.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
@@ -2502,7 +2521,7 @@ def _nnd_expand(cur: DataFrame) -> DataFrame:
         .filter(F.col("a") != F.col("b"))
         .select("a", "b")
     )
-    return non.unionByName(cur.select("a", "b")).distinct()
+    return non.unionByName(cur.select("a", "b"))
 
 
 def _unit_normalize(df: DataFrame, id_col: str = "vec_id", vec_col: str = "v") -> DataFrame:
@@ -2575,11 +2594,15 @@ def _nnd_round_frames(
         .filter(F.col("a") != F.col("b"))
         .select("a", "b")
     )
-    knn = _nnd_topk(seeds.distinct(), e).localCheckpoint()
+    # dedup=True: seed pairs repeat across seed partitions, and the
+    # expansion emits a multiset — both dedup exchange-free on the
+    # hash(a) scoring layout inside _nnd_topk (r19; one candidate
+    # exchange per round instead of distinct + spread).
+    knn = _nnd_topk(seeds, e, dedup=True).localCheckpoint()
     rounds = [knn]
     for _ in range(_NND_ROUNDS):
         cur = rounds[-1]
-        rounds.append(_nnd_topk(_nnd_expand(cur), e).localCheckpoint())
+        rounds.append(_nnd_topk(_nnd_expand(cur), e, dedup=True).localCheckpoint())
     return e, rounds
 
 

@@ -721,6 +721,34 @@ def test_x24_redaction_leaves_no_pii(spark, sf_dir):
     assert out.filter("n_emails >= 1 AND n_ips >= 1 AND n_phones >= 1").count() == out.count()
 
 
+def test_spread_guard_branches(spark, sf_dir):
+    """_spread's r19 guard (VERDICT r18 #5): the narrow branch repartitions
+    a small fixture scan to cluster width; the wide branch (input size
+    already >= defaultParallelism * maxPartitionBytes, i.e. the scan
+    splits to at least cluster width by itself) returns the INPUT FRAME
+    UNTOUCHED — same object, no exchange added — without compiling the
+    physical plan or converting to an RDD (the probe reads the analyzed
+    plan's statistics only)."""
+    from big_data_project_spark.io import load_table
+    from big_data_project_spark.pipeline.dedup import _spread
+
+    d = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    # narrow branch: tiny fixture scan -> repartitioned to cluster width
+    spread = _spread(d)
+    assert spread is not d
+    assert "RepartitionByExpression" in spread._jdf.queryExecution().logical().toString()
+    assert spread.rdd.getNumPartitions() == par
+    # wide branch: shrink maxPartitionBytes so the same scan counts as
+    # already-wide -> identity, no repartition node
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "1")
+        assert _spread(d) is d
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
 def test_replicated_minhash_scales_linearly(spark, sf_dir):
     """Scale demonstrator (VERDICT r04 #7): 4× corpus replication with
     salted shingles must yield ~4× the near-dup pairs — replicas share no

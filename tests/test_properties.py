@@ -595,10 +595,13 @@ def test_nnd_step_matches_python_on_any_vectors(spark, vecs):
         assert {a: sorted(v) for a, v in got.items()} == {
             a: sorted(v) for a, v in knn_py.items()
         }
+        # r19: _nnd_expand returns a multiset (dedup lives in
+        # _nnd_topk(dedup=True) on the scoring layout) — the SET of
+        # pairs must still match the python model exactly
         expand_df = _nnd_expand(knn_df)
         assert {(r.a, r.b) for r in expand_df.collect()} == expand_py
         got2 = {}
-        for r in _nnd_topk(expand_df, e).collect():
+        for r in _nnd_topk(expand_df, e, dedup=True).collect():
             got2.setdefault(r.a, []).append((r.b, r.sim))
         assert {a: sorted(v) for a, v in got2.items()} == {
             a: sorted(v) for a, v in next_py.items()
