@@ -171,6 +171,44 @@ def _pr_step(edges_deg: DataFrame, ranks: DataFrame, n: DataFrame) -> DataFrame:
     )
 
 
+def _pr_chain_with(spark: SparkSession, edges_deg: DataFrame, deg: DataFrame,
+                   iters: int) -> str:
+    """Register the cached graph frames as temp views and return the WITH
+    clause unrolling ``iters`` power iterations through ``r{iters}`` —
+    the r19 single-parse form of `_seed_ranks` + the `_pr_step` loop
+    (guide §1.2 driver work, the x67 lesson): one spark.sql analysis
+    instead of ~5 eager Dataset re-analyses per iteration, which
+    measured ~0.7 s of pure driver build per x51 invocation at sf0.1.
+    Bit-identical to the stepwise Column chain: every literal is a
+    double (`D` suffix), the (1.0 - d) constant-fold and the
+    left-associated affine map match `_pr_step` exactly, and each
+    generation still quantizes to 10 decimals.  The views resolve to
+    the SAME persisted frames (CacheManager matches the plans); the
+    BROADCAST hints mirror the former F.broadcast(n) cross joins.
+    `pagerank_ranks_deep` keeps the stepwise form — its mid-chain
+    localCheckpoints need a DataFrame per generation."""
+    edges_deg.createOrReplaceTempView("x51_edges_deg")
+    deg.createOrReplaceTempView("x51_deg")
+    d = _PR_DAMP
+    ctes = [
+        "nn AS (SELECT count(*) AS n FROM x51_deg)",
+        "r0 AS (SELECT /*+ BROADCAST(nn) */ src AS node_id,"
+        " round(1.0D / nn.n + 1E-12D, 10) AS r FROM x51_deg CROSS JOIN nn)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"c{k} AS (SELECT e.dst, sum(r.r / e.outdeg) AS contrib"
+            f" FROM x51_edges_deg e JOIN r{k - 1} r ON e.src = r.node_id"
+            f" GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"r{k} AS (SELECT /*+ BROADCAST(nn) */ c.dst AS node_id,"
+            f" round((1.0D - {d}D) / nn.n + {d}D * c.contrib + 1E-12D, 10) AS r"
+            f" FROM c{k} c CROSS JOIN nn)"
+        )
+    return "WITH " + ",\n".join(ctes)
+
+
 def pagerank_ranks_deep(
     spark: SparkSession,
     sf_dir: str,
@@ -214,11 +252,11 @@ def replicated_pagerank_ranks(
     magnitudes (N grows by factor).  Returns the full (node_id, r)
     frame after ``_PR_ITERS`` generations; copy k's node ids live at
     k·_REP_OFFSET + original id.  Same cache contract as x51."""
-    edges_deg, deg, n = _graph_frames(spark, sf_dir, factor=factor)
-    ranks = _seed_ranks(deg, n)
-    for _ in range(_PR_ITERS):
-        ranks = _pr_step(edges_deg, ranks, n)
-    return ranks
+    edges_deg, deg, _n = _graph_frames(spark, sf_dir, factor=factor)
+    return spark.sql(
+        _pr_chain_with(spark, edges_deg, deg, _PR_ITERS)
+        + f" SELECT node_id, r FROM r{_PR_ITERS}"
+    )
 
 
 def replicated_pagerank(spark: SparkSession, sf_dir: str, factor: int = 4) -> DataFrame:
@@ -310,8 +348,7 @@ def x51_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``spark.catalog.clearCache()`` (or unpersist BOTH frames) after the
     terminal action, the `_train_centroids` convention
     (pipeline/similarity.py)."""
-    edges_deg, deg, n = _graph_frames(spark, sf_dir)
-    ranks = _seed_ranks(deg, n)
+    edges_deg, deg, _n = _graph_frames(spark, sf_dir)
     # The rank chain is LINEAR (each generation feeds exactly one join),
     # so nothing is ever re-derived and per-generation materialization
     # would only add a blocking job per pass — the chain stays lazy and
@@ -321,24 +358,22 @@ def x51_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # periodic localCheckpoint every ~5 generations — the x43
     # star-contraction cadence — is the production form
     # (pagerank_ranks_deep below; equivalence + bounded-lineage pinned in
-    # tests/test_scale_runtime.py).
-    for _ in range(_PR_ITERS):
-        ranks = _pr_step(edges_deg, ranks, n)
-    node_str = F.concat(
-        F.when(F.col("node_id") % 2 == 0, F.lit("c")).otherwise(F.lit("s")),
-        F.shiftright(F.col("node_id").cast("bigint"), 1).cast("string"),
+    # tests/test_scale_runtime.py).  r19: the chain builds as one
+    # spark.sql parse (see _pr_chain_with) — same plan shape, same
+    # 10-decimal values, ~0.7 s less driver build per invocation.
+    return spark.sql(
+        _pr_chain_with(spark, edges_deg, deg, _PR_ITERS) + f"""
+        SELECT concat(CASE WHEN r.node_id % 2 = 0 THEN 'c' ELSE 's' END,
+                      CAST(shiftright(CAST(r.node_id AS BIGINT), 1) AS STRING))
+                 AS node_id,
+               round(r.r + 1E-9D, 6) AS pagerank,
+               d.outdeg AS degree
+        FROM r{_PR_ITERS} r
+        JOIN x51_deg d ON r.node_id = d.src
+        ORDER BY pagerank DESC, node_id
+        LIMIT 25
+        """
     )
-    out = (
-        ranks.join(deg, ranks.node_id == deg.src)
-        .select(
-            node_str.alias("node_id"),
-            F.round(F.col("r") + F.lit(1e-9), 6).alias("pagerank"),
-            F.col("outdeg").alias("degree"),
-        )
-        .orderBy(F.col("pagerank").desc(), "node_id")
-        .limit(25)
-    )
-    return out
 
 
 # --------------------------------------------------------------------------
@@ -932,39 +967,46 @@ def x67_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
-    ranks = tp.select(F.col("node").alias("node_id"), F.col("p").alias("r"))
-    # The rank chain embeds tp's subtree (r0 derives from it), so every
-    # further tp join uses a RENAMED projection — otherwise Spark's
-    # ambiguous-self-join check rejects the attribute reference.
-    tpj = tp.select(F.col("node").alias("tnode"), F.col("p").alias("tp_p"))
-    for _ in range(_PPR_ITERS):
-        contrib = (
-            edges_w.join(ranks, edges_w.u == ranks.node_id)
-            .groupBy("v")
-            .agg(F.sum(F.col("r") * F.col("w") / F.col("wout")).alias("contrib"))
+    # r19 (guide §1.2 driver work, the x7 single-parse lesson): the whole
+    # rank chain builds as ONE spark.sql parse over temp views of the
+    # persisted frames instead of ~5 Dataset constructions per iteration
+    # — each DataFrame transformation re-analyzes the growing plan
+    # eagerly via py4j, and the loop+final measured ~0.5 s of pure
+    # driver build per invocation (~25% of the bench wall).  The SQL
+    # references resolve to the SAME InMemoryRelations (CacheManager
+    # matches the view plans), the CTE chain is linear (each rank feeds
+    # exactly one contrib), and every literal is spelled as a double
+    # (`D` suffix) with the identical (1.0 - d) constant-fold and
+    # left-associated addition, so results are bit-identical to the
+    # former Column chain.  BROADCAST hints keep the teleport joins
+    # broadcast exactly as F.broadcast did.
+    edges_w.createOrReplaceTempView("x67_edges_w")
+    wdeg.createOrReplaceTempView("x67_wdeg")
+    tp.createOrReplaceTempView("x67_tp")
+    ctes = ["r0 AS (SELECT node AS node_id, p AS r FROM x67_tp)"]
+    for k in range(1, _PPR_ITERS + 1):
+        ctes.append(
+            f"c{k} AS (SELECT e.v, sum(r.r * e.w / e.wout) AS contrib\n"
+            f"  FROM x67_edges_w e JOIN r{k - 1} r ON e.u = r.node_id GROUP BY e.v)"
         )
-        ranks = contrib.join(
-            F.broadcast(tpj), contrib.v == F.col("tnode"), "left"
-        ).select(
-            F.col("v").alias("node_id"),
-            F.round(
-                F.lit(1.0 - d) * F.coalesce("tp_p", F.lit(0.0))
-                + F.lit(d) * F.col("contrib")
-                + F.lit(1e-12),
-                10,
-            ).alias("r"),
+        ctes.append(
+            f"r{k} AS (SELECT /*+ BROADCAST(t) */ c.v AS node_id,\n"
+            f"  round((1.0D - {d}D) * coalesce(t.p, 0.0D) + {d}D * c.contrib"
+            f" + 1E-12D, 10) AS r\n"
+            f"  FROM c{k} c LEFT JOIN x67_tp t ON c.v = t.node)"
         )
-    return (
-        ranks.join(wdeg, ranks.node_id == wdeg.u)
-        .join(F.broadcast(tpj), ranks.node_id == F.col("tnode"), "left")
-        .select(
-            F.col("node_id").alias("part_key"),
-            F.round(F.col("r") + F.lit(1e-9), 6).alias("ppr"),
-            F.col("wout").alias("wdeg"),
-            F.when(F.col("tnode").isNull(), 0).otherwise(1).cast("int").alias("is_seed"),
-        )
-        .orderBy(F.col("ppr").desc(), "part_key")
-        .limit(25)
+    return spark.sql(
+        "WITH " + ",\n".join(ctes) + f"""
+        SELECT /*+ BROADCAST(t) */ r.node_id AS part_key,
+               round(r.r + 1E-9D, 6) AS ppr,
+               w.wout AS wdeg,
+               CAST(CASE WHEN t.node IS NULL THEN 0 ELSE 1 END AS INT) AS is_seed
+        FROM r{_PPR_ITERS} r
+        JOIN x67_wdeg w ON r.node_id = w.u
+        LEFT JOIN x67_tp t ON r.node_id = t.node
+        ORDER BY ppr DESC, part_key
+        LIMIT 25
+        """
     )
 
 
