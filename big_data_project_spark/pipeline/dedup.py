@@ -35,7 +35,7 @@ _BS = [(40_503 * (i + 7)) % _M for i in range(_N_HASHES)]
 JACCARD_THRESHOLD = 0.5
 
 
-def _spread(df: DataFrame, key: str = "doc_id") -> DataFrame:
+def _spread(df: DataFrame, key: str = "doc_id", already_wide: bool = False) -> DataFrame:
     """Spread a small-file scan across the cluster before a compute-bound
     stage. A single small parquet file arrives as ONE partition, which
     would serialize hashing/shingling on one core; only the raw rows move,
@@ -58,7 +58,13 @@ def _spread(df: DataFrame, key: str = "doc_id") -> DataFrame:
     carries at least cluster-width partitions" for the splittable-parquet
     inputs every caller feeds (tiny-file corpora where packing would beat
     the estimate still take the repartition, which only ever costs one
-    pass of rows that were about to be rehashed anyway)."""
+    pass of rows that were about to be rehashed anyway).
+
+    ``already_wide=True`` is the caller-knowledge escape hatch (VERDICT
+    r18 #5): a caller that has just repartitioned its frame to cluster
+    width skips both the probe and the exchange."""
+    if already_wide:
+        return df
     n_parts = df.sparkSession.sparkContext.defaultParallelism
     size = int(str(df._jdf.queryExecution().analyzed().stats().sizeInBytes()))
     max_pb = int(
@@ -93,12 +99,18 @@ def _shingles(tok_col):
 
 
 def shingled_docs(
-    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None,
+    docs_wide: bool = False,
 ) -> DataFrame:
     """Shingle the corpus — or, when ``docs`` is given (doc_id + text), an
     already-filtered subset (the curation funnel passes its gated pool so
-    near-dup work scales with the survivors, not the raw corpus)."""
-    d = _spread(docs if docs is not None else load_table(spark, sf_dir, "documents"))
+    near-dup work scales with the survivors, not the raw corpus).
+    ``docs_wide=True`` asserts the caller already spread ``docs`` to
+    cluster width (see `_spread`)."""
+    d = _spread(
+        docs if docs is not None else load_table(spark, sf_dir, "documents"),
+        already_wide=docs_wide,
+    )
     return (
         d.filter(F.size(_tokens(F.col("text"))) >= 3)
         .select("doc_id", _shingles(_tokens(F.col("text"))).alias("shingles"))
@@ -174,14 +186,15 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
 
 def verified_neardup_pairs(spark: SparkSession, sf_dir: str,
                            threshold: float = JACCARD_THRESHOLD,
-                           docs: DataFrame | None = None) -> DataFrame:
+                           docs: DataFrame | None = None,
+                           docs_wide: bool = False) -> DataFrame:
     """Candidates → exact shingle-Jaccard verification ≥ threshold.
     ``docs`` (doc_id + text) restricts the search to a subset — see
-    shingled_docs."""
+    shingled_docs (``docs_wide`` passes through)."""
     # persist: the shingle table feeds three branches (signatures + both
     # sides of the verify join); without it Spark re-tokenizes the corpus
     # three times. At 100 TB this is a materialized intermediate table.
-    docs = shingled_docs(spark, sf_dir, docs=docs).persist()
+    docs = shingled_docs(spark, sf_dir, docs=docs, docs_wide=docs_wide).persist()
     pairs = lsh_candidate_pairs(minhash_signatures(docs))
     a = docs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     b = docs.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
@@ -819,26 +832,35 @@ def replicated_neardup_pairs(
     asserted cheaply in tests (pair count ≈ factor × base, ±5%)."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     replicas = spark.range(factor).select(F.col("id").cast("int").alias("r"))
-    salted = (
-        d.crossJoin(replicas)
-        .select(
-            (F.col("doc_id") * factor + F.col("r")).alias("doc_id"),
-            F.when(F.col("r") == 0, F.col("text"))
-            .otherwise(
-                F.array_join(
-                    F.transform(
-                        F.split("text", " "),
-                        lambda w: F.concat(
-                            F.lit("r"), F.col("r").cast("string"), F.lit("~"), w
-                        ),
-                    ),
-                    " ",
-                )
-            )
-            .alias("text"),
+    # r19 (guide §2.5): spread BEFORE the salting transform, not after.
+    # The replica ids are computable from (doc_id, r) alone, so the
+    # spread exchange keys on them while carrying the UNSALTED text —
+    # same bytes moved — and the per-token salting (real CPU at 4×
+    # corpus) lands in the 32-way post-exchange stage next to shingling
+    # instead of serializing on the single-partition scan (UI
+    # attribution: a 1-task 584 ms stage ahead of everything else).
+    pre = _spread(
+        d.crossJoin(replicas).select(
+            (F.col("doc_id") * factor + F.col("r")).alias("doc_id"), "r", "text"
         )
     )
-    return verified_neardup_pairs(spark, sf_dir, docs=salted)
+    salted = pre.select(
+        "doc_id",
+        F.when(F.col("r") == 0, F.col("text"))
+        .otherwise(
+            F.array_join(
+                F.transform(
+                    F.split("text", " "),
+                    lambda w: F.concat(
+                        F.lit("r"), F.col("r").cast("string"), F.lit("~"), w
+                    ),
+                ),
+                " ",
+            )
+        )
+        .alias("text"),
+    )
+    return verified_neardup_pairs(spark, sf_dir, docs=salted, docs_wide=True)
 
 
 # --- X43: connected components via large-star/small-star --------------------
