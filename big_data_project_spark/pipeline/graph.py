@@ -721,6 +721,14 @@ def lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .sortWithinPartitions("v")
         .persist()
     )
+    # r19 note: the x51/x67 single-SQL-parse fuse was ATTEMPTED here and
+    # reverted — a spark.sql view over this cache trips
+    # InMemoryRelation.withOutput (NoSuchElementException "key not
+    # found: v#...") whenever a consumer prunes the cached layout's
+    # sort column v out of the relation output (the seed's DISTINCT u
+    # does exactly that; x51/x67 are safe because every reference keeps
+    # their sort/partition columns).  The stepwise Column chain reuses
+    # the original attribute ids and never hits the remap.
     labels = (
         edges.select(F.col("u").alias("node"))
         .distinct()
