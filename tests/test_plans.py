@@ -1593,6 +1593,78 @@ def test_nn_descent_topk_window_group_limit_plan(spark):
         spark.catalog.clearCache()
 
 
+def test_nn_descent_round_single_candidate_exchange(spark):
+    """r19 x88 pin: one NN-descent round's candidate set pays exactly ONE
+    hash exchange — the repartition on the window key — with the dedup
+    aggregate riding that layout (HashAggregate keys [a, b] directly on
+    the REPARTITION_BY_NUM exchange, no exchange of its own).  The
+    pre-r19 shape (.distinct() + spread) paid two; a regression shows up
+    as a 4th hashpartitioning exchange in the round plan (2 are the
+    expand join's mid legs)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from big_data_project_spark.io import load_table
+    from big_data_project_spark.pipeline.similarity import (
+        _nnd_expand, _nnd_topk, _unit_normalize,
+    )
+
+    e = _unit_normalize(
+        load_table(spark, SF, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+    ).persist()
+    try:
+        cur = _nnd_topk(
+            e.select(F.col("vec_id").alias("a"))
+            .join(e.select(F.col("vec_id").alias("b")), F.col("a") != F.col("b"))
+            .limit(500)
+            .select("a", "b"),
+            e,
+        ).localCheckpoint()
+        plan = (
+            _nnd_topk(_nnd_expand(cur), e, dedup=True)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Exchange hashpartitioning") == 3, plan.count(
+            "Exchange hashpartitioning"
+        )
+        # the dedup aggregate sits directly on the spread exchange
+        assert re.search(
+            r"HashAggregate\(keys=\[a#\d+L, b#\d+L\][^\n]*\n"
+            r"[^\n]*HashAggregate\(keys=\[a#\d+L, b#\d+L\][^\n]*\n"
+            r"[^\n]*Exchange hashpartitioning\(a#\d+L, \d+\), REPARTITION_BY_NUM",
+            plan,
+        ), "candidate dedup no longer rides the scoring layout"
+    finally:
+        spark.catalog.clearCache()
+
+
+def test_triangle_oriented_cache_is_src_partitioned(spark):
+    """r19 x64 pin: the persisted oriented-edge frame is built
+    hash(src)-partitioned (REPARTITION_BY_NUM on src inside the cached
+    plan), so once materialized both wedge legs read the cache with no
+    exchange (AQE runtime evidence: plans/r19/x64_runtime_wedge_probe).
+    Dropping the repartition silently re-adds two |E| exchanges per
+    execution."""
+    import re
+
+    from big_data_project_spark.pipeline.graph import _tri_frames
+
+    try:
+        tri, _deg = _tri_frames(spark, SF)
+        plan = tri._jdf.queryExecution().executedPlan().toString()
+        assert re.search(
+            r"Exchange hashpartitioning\(src#\d+L, \d+\), REPARTITION_BY_NUM",
+            plan,
+        ), "oriented cache lost its hash(src) layout"
+    finally:
+        spark.catalog.clearCache()
+
+
 def test_nn_descent_norm_fold_runs_once_per_row(spark):
     """x88's unit-normalization: the L2 fold must evaluate once per ROW,
     not once per element.  CollapseProject inlines a single-use
